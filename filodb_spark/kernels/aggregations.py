@@ -1,0 +1,113 @@
+"""Cross-series aggregations (per timestep), PromQL `sum by (...)` etc.
+
+Reference: 3-phase map->reduce->present architecture in
+``query/src/main/scala/filodb/query/exec/AggrOverRangeVectors.scala`` with
+one RowAggregator per operator (``query/.../exec/aggregator/*.scala``).
+Spark's partial/final hash aggregation IS that architecture — each
+operator below is a single ``groupBy(group_cols, t).agg(...)``.
+
+NaN discipline (reference: SumRowAggregator.scala etc.): NaN inputs are
+skipped; a group whose inputs are ALL NaN yields NaN (not 0/null).
+
+`topk`/`bottomk` present one row per member series (rank window over the
+group — reference TopBottomKRowAggregator.scala:1-190 keeps a bounded
+heap per timestep; Spark's window rank + filter is the distributed
+equivalent).
+
+`quantile` uses exact percentile (linear interpolation — upstream
+Prometheus semantics). The reference approximates with t-digest
+(QuantileRowAggregator.scala:1-89); exact is strictly more faithful to
+PromQL and is what a SQL oracle computes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def NAN() -> Column:
+    return F.lit(float("nan"))
+
+
+def _valid(v: Column) -> Column:
+    return ~F.isnan(v) & v.isNotNull()
+
+
+def _nan_skipping(agg_fn, v: Column) -> Column:
+    return agg_fn(F.when(_valid(v), v))
+
+
+def _finish(c: Column) -> Column:
+    # all-NaN group -> NaN (Spark agg over all-null returns null)
+    return F.when(c.isNull(), NAN()).otherwise(c)
+
+
+def aggregate(df: DataFrame, op: str, group_cols: Sequence[str],
+              t_col: str = "t", value_col: str = "value",
+              params: tuple = ()) -> DataFrame:
+    """PromQL aggregation over series, per timestep.
+
+    `group_cols` are the `by (...)` label columns (empty = aggregate all
+    series). Output: group_cols + [t, value] except for topk/bottomk /
+    count_values which keep/extend series identity.
+    """
+    v = F.col(value_col)
+    keys = [*group_cols, t_col]
+    g = df.groupBy(*keys)
+    if op == "sum":
+        out = g.agg(_nan_skipping(F.sum, v).alias("_v"))
+    elif op == "min":
+        out = g.agg(_nan_skipping(F.min, v).alias("_v"))
+    elif op == "max":
+        out = g.agg(_nan_skipping(F.max, v).alias("_v"))
+    elif op == "avg":
+        out = g.agg(_nan_skipping(F.avg, v).alias("_v"))
+    elif op == "count":
+        # CountRowAggregator: counts non-NaN series; all-NaN -> NaN
+        out = g.agg(F.when(F.count(F.when(_valid(v), v)) > 0,
+                           F.count(F.when(_valid(v), v)).cast("double"))
+                    .otherwise(NAN()).alias("_v"))
+        return out.select(*keys, F.col("_v").alias("value"))
+    elif op == "stddev":
+        out = g.agg(_nan_skipping(F.stddev_pop, v).alias("_v"))
+    elif op == "stdvar":
+        out = g.agg(_nan_skipping(F.var_pop, v).alias("_v"))
+    elif op == "group":
+        out = g.agg(F.count(F.when(_valid(v), v)).alias("_c"))
+        return out.select(*keys, F.when(F.col("_c") > 0, F.lit(1.0))
+                          .otherwise(NAN()).alias("value"))
+    elif op == "quantile":
+        q = float(params[0])
+        out = g.agg(_nan_skipping(lambda c: F.percentile(c, F.lit(q)), v).alias("_v"))
+    else:
+        raise ValueError(f"unknown aggregation: {op}")
+    return out.select(*keys, _finish(F.col("_v")).alias("value"))
+
+
+def topk(df: DataFrame, k: int, group_cols: Sequence[str],
+         series_cols: Sequence[str], t_col: str = "t",
+         value_col: str = "value", bottom: bool = False) -> DataFrame:
+    """topk/bottomk: k member series per (group, t), presented as series.
+
+    Deterministic tie-break on the series identity columns.
+    """
+    v = F.col(value_col)
+    order = [v.asc() if bottom else v.desc()] + [F.col(c) for c in series_cols]
+    w = Window.partitionBy(*[F.col(c) for c in [*group_cols, t_col]]).orderBy(*order)
+    return (df.where(_valid(v))
+              .withColumn("_rk", F.row_number().over(w))
+              .where(F.col("_rk") <= k)
+              .drop("_rk"))
+
+
+def count_values(df: DataFrame, group_cols: Sequence[str], label: str,
+                 t_col: str = "t", value_col: str = "value") -> DataFrame:
+    """count_values(label, v): count series per distinct value, folding the
+    value into a new label column (CountValuesRowAggregator.scala:1-139)."""
+    v = F.col(value_col)
+    keys = [*group_cols, t_col]
+    return (df.where(_valid(v))
+              .groupBy(*keys, v.alias(label))
+              .agg(F.count(F.lit(1)).cast("double").alias("value")))

@@ -1,0 +1,295 @@
+"""PromQL range functions as Spark hash aggregations.
+
+Semantics ported from filodb/FiloDB (which matches Prometheus):
+- extrapolated rate/increase/delta: ``query/src/main/scala/filodb/query/exec/rangefn/RateFunctions.scala:72-111``
+- *_over_time kernels: ``rangefn/AggrOverTimeFunctions.scala``
+- instant pair functions (idelta/irate/resets/changes): ``rangefn/RangeInstantFunctions.scala``
+- NaN samples are stale/missing and are skipped by every kernel
+  (``AggrOverTimeFunctions.scala:40-58``) — callers pre-filter via
+  :func:`filodb_spark.kernels.grid.drop_nan`.
+- Windows are inclusive ``[t-window, t]`` (``filodb.query.inclusive-range=true``).
+
+Implementation notes (Spark-first, scale-first):
+- Every function is ONE ``groupBy(series..., t).agg(...)`` over the
+  grid-exploded samples (see ``grid.py``) — whole-stage-codegen hash
+  aggregation, map-side partial aggregation, no Python, no per-window
+  sort.
+- Order statistics come from ``min_by``/``max_by`` on the sample
+  timestamp; consecutive-pair statistics (counter resets, changes,
+  idelta/irate) use lag-precomputed ``prev_ts``/``prev_value`` columns
+  and count a pair iff both endpoints lie in the window.
+- One deliberate deviation from the reference: for the counter
+  zero-point clamp we use the *raw* first sample value in the window
+  (Prometheus upstream semantics). FiloDB applies correction from
+  series start (``CorrectingDoubleVectorReader``, DoubleVector.scala:308)
+  which can differ when resets precede the window; windows-local
+  correction is self-consistent and matches Prometheus.
+- ``holt_winters`` is a sequential recurrence — expressed with
+  ``aggregate()`` over a sorted in-window array, still JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.grid import (StepGrid, drop_nan, explode_to_steps,
+                                       with_prev_sample)
+
+def NAN() -> Column:
+    return F.lit(float("nan"))
+
+
+def _in_window_pair(window: int) -> Column:
+    """True when the (prev, cur) consecutive pair lies fully in [t-window, t]."""
+    return F.col("prev_ts").isNotNull() & (F.col("prev_ts") >= F.col("t") - F.lit(window))
+
+
+def _nan_if_null(c: Column) -> Column:
+    return F.when(c.isNull(), NAN()).otherwise(c)
+
+
+# ---------------------------------------------------------------------------
+# Extrapolated rate family (RateFunctions.scala:72-111, Prometheus-compatible)
+# ---------------------------------------------------------------------------
+
+def _extrapolated_expr(window: int, is_counter: bool, is_rate: bool) -> Column:
+    """Column expression over the aggregated names produced by `_rate_aggs`."""
+    t = F.col("t").cast("double")
+    first_ts = F.col("_first_ts").cast("double")
+    last_ts = F.col("_last_ts").cast("double")
+    first_val = F.col("_first_val")
+    last_val = F.col("_last_val")
+    cnt = F.col("_cnt").cast("double")
+    corr = F.col("_reset_corr") if is_counter else F.lit(0.0)
+
+    window_start = t - F.lit(float(window))
+    dur_to_start = (first_ts - window_start) / 1000.0
+    dur_to_end = (t - last_ts) / 1000.0
+    sampled_interval = (last_ts - first_ts) / 1000.0
+    avg_dur = sampled_interval / (cnt - 1.0)
+    delta = last_val - first_val + corr
+
+    if is_counter:
+        dur_to_zero = sampled_interval * (first_val / delta)
+        dur_to_start = F.when(
+            (delta > 0) & (first_val >= 0) & (dur_to_zero < dur_to_start), dur_to_zero
+        ).otherwise(dur_to_start)
+
+    threshold = avg_dur * 1.1
+    extrapolate_to = (
+        sampled_interval
+        + F.when(dur_to_start < threshold, dur_to_start).otherwise(avg_dur / 2.0)
+        + F.when(dur_to_end < threshold, dur_to_end).otherwise(avg_dur / 2.0)
+    )
+    scaled = delta * (extrapolate_to / sampled_interval)
+    result = scaled / F.lit(window / 1000.0) if is_rate else scaled
+    # <2 samples, or degenerate 0-length sampled interval -> NaN
+    return F.when((cnt < 2) | (sampled_interval <= 0), NAN()).otherwise(result)
+
+
+def _rate_aggs(window: int) -> list[Column]:
+    v, ts = F.col("value"), F.col("ts")
+    return [
+        F.count(v).alias("_cnt"),
+        F.min(ts).alias("_first_ts"),
+        F.max(ts).alias("_last_ts"),
+        F.min_by(v, ts).alias("_first_val"),
+        F.max_by(v, ts).alias("_last_val"),
+        F.sum(
+            F.when(_in_window_pair(window) & (v < F.col("prev_value")),
+                   F.col("prev_value")).otherwise(F.lit(0.0))
+        ).alias("_reset_corr"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Registry: fn name -> (needs_prev, agg builder, post projection)
+# Each entry computes the output column named "value" per (series..., t).
+# ---------------------------------------------------------------------------
+
+def _simple(agg: Column):
+    return [agg.alias("_v")], _nan_if_null(F.col("_v"))
+
+
+def _build(fn: str, window: int, params: tuple):
+    v, ts = F.col("value"), F.col("ts")
+    pair_ok = _in_window_pair(window)
+    if fn == "sum_over_time":
+        return _simple(F.sum(v))
+    if fn == "avg_over_time":
+        return _simple(F.avg(v))
+    if fn == "count_over_time":
+        return _simple(F.count(v).cast("double"))
+    if fn == "min_over_time":
+        return _simple(F.min(v))
+    if fn == "max_over_time":
+        return _simple(F.max(v))
+    if fn == "stddev_over_time":
+        return _simple(F.stddev_pop(v))
+    if fn == "stdvar_over_time":
+        return _simple(F.var_pop(v))
+    if fn == "last_over_time":
+        return _simple(F.max_by(v, ts))
+    if fn == "present_over_time":
+        return [F.count(v).alias("_v")], F.lit(1.0)
+    if fn == "timestamp":
+        # ts (seconds) of latest sample (RangeFunction.scala:571-594)
+        return [F.max(ts).alias("_v")], (F.col("_v") / 1000.0)
+    if fn == "changes":
+        # count of value changes between consecutive in-window samples
+        return _simple(F.sum(F.when(pair_ok & (v != F.col("prev_value")), 1)
+                             .otherwise(0)).cast("double"))
+    if fn == "resets":
+        return _simple(F.sum(F.when(pair_ok & (v < F.col("prev_value")), 1)
+                             .otherwise(0)).cast("double"))
+    if fn == "quantile_over_time":
+        q = float(params[0])
+        if q < 0:
+            return [F.count(v).alias("_v")], F.lit(float("-inf"))
+        if q > 1:
+            return [F.count(v).alias("_v")], F.lit(float("inf"))
+        return _simple(F.percentile(v, F.lit(q)))
+    if fn == "z_score":
+        # (last - mean) / stddev  (AggrOverTimeFunctions.scala:1592-1604)
+        aggs = [F.max_by(v, ts).alias("_last"), F.avg(v).alias("_avg"),
+                F.stddev_pop(v).alias("_sd")]
+        return aggs, (F.col("_last") - F.col("_avg")) / F.col("_sd")
+    if fn in ("idelta", "irate"):
+        aggs = [
+            F.max_by(v, ts).alias("_last_val"),
+            F.max_by(F.col("prev_value"), ts).alias("_prev_val"),
+            F.max(ts).alias("_last_ts"),
+            F.max_by(F.col("prev_ts"), ts).alias("_prev_ts"),
+        ]
+        have_pair = (F.col("_prev_ts").isNotNull()
+                     & (F.col("_prev_ts") >= F.col("t") - F.lit(window)))
+        if fn == "idelta":
+            out = F.when(have_pair, F.col("_last_val") - F.col("_prev_val")).otherwise(NAN())
+        else:
+            # irate: instantaneous per-second rate of last two samples with
+            # counter-reset handling (RangeInstantFunctions.scala:168-303)
+            dv = F.when(F.col("_last_val") >= F.col("_prev_val"),
+                        F.col("_last_val") - F.col("_prev_val")).otherwise(F.col("_last_val"))
+            dt = (F.col("_last_ts") - F.col("_prev_ts")).cast("double") / 1000.0
+            out = F.when(have_pair & (dt > 0), dv / dt).otherwise(NAN())
+        return aggs, out
+    if fn in ("deriv", "predict_linear"):
+        # least-squares regression; x centered at window end t (seconds) to
+        # keep double math exact (RangeInstantFunctions.scala:305-327,
+        # AggrOverTimeFunctions.scala:1496-1590)
+        x = (ts - F.col("t")).cast("double") / 1000.0
+        aggs = [
+            F.count(v).alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(v).alias("_sy"),
+            F.sum(x * v).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+        ]
+        n = F.col("_n").cast("double")
+        cov = F.col("_sxy") / n - (F.col("_sx") / n) * (F.col("_sy") / n)
+        var = F.col("_sxx") / n - (F.col("_sx") / n) * (F.col("_sx") / n)
+        slope = cov / var
+        intercept = F.col("_sy") / n - slope * (F.col("_sx") / n)
+        if fn == "deriv":
+            out = slope
+        else:
+            d = float(params[0])  # seconds ahead of eval time t
+            out = intercept + slope * F.lit(d)
+        return aggs, F.when((F.col("_n") < 2) | (var <= 0), NAN()).otherwise(out)
+    if fn == "holt_winters":
+        sf, tf = float(params[0]), float(params[1])
+        # ordered sequential recurrence over the window -> JVM-side
+        # aggregate() over a sorted array (AggrOverTimeFunctions.scala:1361-1495)
+        aggs = [F.array_sort(F.collect_list(F.struct(ts.alias("ts"), v.alias("v"))))
+                .alias("_arr")]
+        arr = F.col("_arr")
+        # acc: struct(level, trend, idx); seed with first two samples
+        out = F.when(F.size(arr) < 2, NAN()).otherwise(
+            F.aggregate(
+                F.slice(arr, 3, F.greatest(F.size(arr) - 2, F.lit(0))),
+                F.struct(
+                    F.element_at(arr, 2)["v"].alias("level"),
+                    (F.element_at(arr, 2)["v"] - F.element_at(arr, 1)["v"]).alias("trend"),
+                ),
+                lambda acc, s: F.struct(
+                    (F.lit(sf) * s["v"] + F.lit(1 - sf) * (acc["level"] + acc["trend"])).alias("level"),
+                    (F.lit(tf) * (F.lit(sf) * s["v"] + F.lit(1 - sf) * (acc["level"] + acc["trend"])
+                                  - acc["level"]) + F.lit(1 - tf) * acc["trend"]).alias("trend"),
+                ),
+                lambda acc: acc["level"],
+            )
+        )
+        return aggs, out
+    if fn in ("rate", "increase", "delta"):
+        is_counter = fn in ("rate", "increase")
+        is_rate = fn == "rate"
+        return _rate_aggs(window), _extrapolated_expr(window, is_counter, is_rate)
+    if fn == "rate_delta":
+        # rate over delta-counter schema: sum(window) / window_sec
+        # (RateFunctions.scala:182-228)
+        return _simple(F.sum(v) / F.lit(window / 1000.0))
+    if fn == "increase_delta":
+        return _simple(F.sum(v))
+    raise ValueError(f"unknown range function: {fn}")
+
+
+NEEDS_PREV = {"changes", "resets", "idelta", "irate", "rate", "increase", "delta"}
+
+RANGE_FUNCTIONS = (
+    "sum_over_time avg_over_time count_over_time min_over_time max_over_time "
+    "stddev_over_time stdvar_over_time last_over_time present_over_time timestamp "
+    "changes resets quantile_over_time z_score idelta irate deriv predict_linear "
+    "holt_winters rate increase delta rate_delta increase_delta mad_over_time"
+).split()
+
+
+def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
+                   grid: StepGrid, window: int, params: tuple = (),
+                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Evaluate PromQL range function `fn` on the step grid.
+
+    `df` must have `series_cols`, `ts_col` (long ms) and `value_col`
+    (double). Output: series_cols + [t (long ms), value (double)], one
+    row per (series, t) with >=1 sample in [t-window, t].
+    """
+    df = drop_nan(df, value_col)
+    if value_col != "value":
+        df = df.withColumnRenamed(value_col, "value")
+    if ts_col != "ts":
+        df = df.withColumnRenamed(ts_col, "ts")
+    if fn == "mad_over_time":
+        return _mad_over_time(df, series_cols, grid, window)
+    if fn in NEEDS_PREV:
+        df = with_prev_sample(df, series_cols)
+    exploded = explode_to_steps(df, grid, window)
+    aggs, post = _build(fn, window, params)
+    keys = [*series_cols, "t"]
+    return exploded.groupBy(*keys).agg(*aggs).select(*keys, post.alias("value"))
+
+
+def _mad_over_time(df: DataFrame, series_cols: Sequence[str],
+                   grid: StepGrid, window: int) -> DataFrame:
+    """Median absolute deviation: two grid aggregations joined on (series, t)
+    (AggrOverTimeFunctions.scala:445-486). The join is an equi-join on the
+    grouping key — broadcast/AQE friendly."""
+    keys = [*series_cols, "t"]
+    exploded = explode_to_steps(df, grid, window)
+    med = exploded.groupBy(*keys).agg(F.percentile(F.col("value"), F.lit(0.5)).alias("_med"))
+    return (
+        exploded.join(med, keys)
+        .groupBy(*keys)
+        .agg(F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)).alias("value"))
+        .select(*keys, "value")
+    )
+
+
+def instant_default(df: DataFrame, series_cols: Sequence[str], grid: StepGrid,
+                    lookback_ms: int = 5 * 60 * 1000,
+                    ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Default PromQL instant selector: last sample within the staleness
+    lookback at each step (PeriodicSamplesMapper.scala:78-81)."""
+    return range_function(df, "last_over_time", series_cols, grid, lookback_ms,
+                          ts_col=ts_col, value_col=value_col)

@@ -1,0 +1,15 @@
+import os
+
+import pytest
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from filodb_spark.session import get_spark
+    s = get_spark("filodb-spark-tests", shuffle_partitions=8)
+    yield s
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")

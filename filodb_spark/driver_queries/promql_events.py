@@ -1,0 +1,451 @@
+"""PromQL-equivalent operator queries over the `events` fixture table.
+
+The events stream is treated as a time-series table: series key =
+``event_type`` (the metric), samples (ts, value). Evaluation follows the
+engine's step-grid semantics: instants every STEP over the aligned data
+range, window = WINDOW lookback, inclusive ``[t-window, t]``.
+
+Every query has a DuckDB oracle that mirrors the semantics **expression
+by expression** (same math, same parenthesization) so value-hash
+comparison holds to float precision; outputs of floating aggregations
+are rounded identically on both sides to absorb summation-order
+nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.aggregations import aggregate, count_values, topk
+from filodb_spark.kernels.grid import grid_from_bounds
+from filodb_spark.kernels.instant_fns import instant_fn_expr
+from filodb_spark.kernels.range_fns import range_function
+from filodb_spark.tsdf import events_ts
+
+STEP = 6 * 3600 * 1000          # 6h evaluation step
+WINDOW = 24 * 3600 * 1000       # 24h lookback window
+DAY = 24 * 3600 * 1000
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def _series(spark: SparkSession, sf_dir: str, series_cols=("event_type",)):
+    ev = events_ts(spark, sf_dir, series_cols=series_cols)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    return ev, grid_from_bounds(lo, hi, STEP)
+
+
+def _no_nan(df: DataFrame, col: str = "value") -> DataFrame:
+    return df.where(~F.isnan(F.col(col)))
+
+
+def _rounded(df: DataFrame, n: int | None, cols) -> DataFrame:
+    value = F.round(F.col("value"), n).alias("value") if n is not None \
+        else F.col("value")
+    return df.select(*cols, value)
+
+
+def _range_query(fn: str, round_to: int | None, params: tuple = (),
+                 window: int = WINDOW):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev, grid = _series(spark, sf_dir)
+        out = range_function(ev, fn, ["event_type"], grid, window, params=params)
+        return _rounded(_no_nan(out), round_to, ["event_type", "t"])
+    return q
+
+
+def q_agg_sum_rate(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    r = range_function(ev, "rate", ["event_type"], grid, WINDOW)
+    out = aggregate(_no_nan(r), "sum", [], t_col="t")
+    # round 6 (not 9): the cross-series sum's addition order differs across
+    # engines; 1e-15 noise must sit far from the rounding boundary
+    return _rounded(_no_nan(out), 6, ["t"])
+
+
+def q_agg_avg_by(spark, sf_dir):
+    # avg by (event_type) over per-(event_type, user-bucket) series
+    ev, grid = _series(spark, sf_dir, series_cols=("event_type", "user_id"))
+    ev = ev.withColumn("ub", F.col("user_id") % 10)
+    ev = ev.groupBy("event_type", "ub", "ts").agg(F.max("value").alias("value"))
+    s = range_function(ev, "sum_over_time", ["event_type", "ub"], grid, WINDOW)
+    out = aggregate(_no_nan(s), "avg", ["event_type"], t_col="t")
+    return _rounded(_no_nan(out), 6, ["event_type", "t"])
+
+
+def q_agg_topk(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    s = range_function(ev, "sum_over_time", ["event_type"], grid, WINDOW)
+    out = topk(_no_nan(s), 2, [], ["event_type"])
+    return _rounded(out, 6, ["event_type", "t"])
+
+
+def q_agg_quantile(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    last = range_function(ev, "last_over_time", ["event_type"], grid, WINDOW)
+    out = aggregate(_no_nan(last), "quantile", [], t_col="t", params=(0.5,))
+    return _rounded(_no_nan(out), 6, ["t"])
+
+
+def q_agg_count_values(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    last = range_function(ev, "last_over_time", ["event_type"], grid, WINDOW)
+    last = last.withColumn("value", F.floor(F.col("value")).cast("double"))
+    out = count_values(last, [], "bucket", t_col="t")
+    return out.select(F.col("bucket").cast("long").alias("bucket"), "t", "value")
+
+
+def q_instant_math(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    last = _no_nan(range_function(ev, "last_over_time", ["event_type"], grid, WINDOW))
+    v = F.col("value")
+    expr = instant_fn_expr("clamp", instant_fn_expr("sqrt", F.abs(v - 50.0)), (1.0, 5.0))
+    return last.select("event_type", "t", F.round(expr, 6).alias("value"))
+
+
+# --- per-user daily series for join/set-op queries -------------------------
+
+
+def _daily_counts(spark, sf_dir, event_type):
+    ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"))
+    ev = ev.where(F.col("event_type") == event_type)
+    lo, hi = events_ts(spark, sf_dir).agg(F.min("ts"), F.max("ts")).first()
+    grid = grid_from_bounds(lo, hi, DAY)
+    return range_function(ev.drop("event_type"), "count_over_time",
+                          ["user_id"], grid, DAY)
+
+
+def q_set_and(spark, sf_dir):
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error").select("user_id", "t")
+    return p.join(e, ["user_id", "t"], "left_semi").select("user_id", "t", "value")
+
+
+def q_set_unless(spark, sf_dir):
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error").select("user_id", "t")
+    return p.join(e, ["user_id", "t"], "left_anti").select("user_id", "t", "value")
+
+
+def q_set_or(spark, sf_dir):
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error")
+    e_only = e.join(p.select("user_id", "t"), ["user_id", "t"], "left_anti")
+    return p.unionByName(e_only).select("user_id", "t", "value")
+
+
+def q_join_ratio(spark, sf_dir):
+    # purchase count / error count per (user, day) — one-to-one on (user, t)
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error").withColumnRenamed("value", "rv")
+    j = p.join(e, ["user_id", "t"], "inner")
+    return j.select("user_id", "t",
+                    F.round(F.col("value") / F.col("rv"), 6).alias("value"))
+
+
+def q_join_group_left(spark, sf_dir):
+    # per-user purchases vs day-total errors: many-to-one on the timestep
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error")
+    tot = e.groupBy("t").agg(F.sum("value").alias("rv"))
+    j = p.join(tot, ["t"], "inner")
+    return j.select("user_id", "t",
+                    F.round(F.col("value") / F.col("rv"), 9).alias("value"))
+
+
+def q_label_values(spark, sf_dir):
+    ev = events_ts(spark, sf_dir, dedupe=False)
+    return ev.select("event_type").distinct()
+
+
+def q_series_cardinality(spark, sf_dir):
+    ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"),
+                   dedupe=False)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("card"))
+
+
+QUERIES = {
+    "ts_instant_last": _range_query("last_over_time", None),
+    "ts_sum_over_time": _range_query("sum_over_time", 6),
+    "ts_avg_over_time": _range_query("avg_over_time", 6),
+    "ts_min_over_time": _range_query("min_over_time", None),
+    "ts_max_over_time": _range_query("max_over_time", None),
+    "ts_count_over_time": _range_query("count_over_time", None),
+    "ts_stddev_over_time": _range_query("stddev_over_time", 6),
+    "ts_quantile_over_time": _range_query("quantile_over_time", 6, params=(0.9,)),
+    "ts_mad_over_time": _range_query("mad_over_time", 6),
+    "ts_rate": _range_query("rate", 9),
+    "ts_increase": _range_query("increase", 6),
+    "ts_delta": _range_query("delta", 6),
+    "ts_idelta": _range_query("idelta", None),
+    "ts_irate": _range_query("irate", 9),
+    "ts_resets": _range_query("resets", None),
+    "ts_changes": _range_query("changes", None),
+    "ts_deriv": _range_query("deriv", 9),
+    "ts_predict_linear": _range_query("predict_linear", 6, params=(3600.0,)),
+    "ts_zscore": _range_query("z_score", 6),
+    "ts_agg_sum_rate": q_agg_sum_rate,
+    "ts_agg_avg_by": q_agg_avg_by,
+    "ts_agg_topk": q_agg_topk,
+    "ts_agg_quantile": q_agg_quantile,
+    "ts_agg_count_values": q_agg_count_values,
+    "ts_instant_math": q_instant_math,
+    "ts_set_and": q_set_and,
+    "ts_set_unless": q_set_unless,
+    "ts_set_or": q_set_or,
+    "ts_join_ratio": q_join_ratio,
+    "ts_join_group_left": q_join_group_left,
+    "ts_label_values": q_label_values,
+    "ts_series_cardinality": q_series_cardinality,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared CTE prefix: dedup -> grid bounds -> step grid -> windowed samples
+# (mirrors tsdf.events_ts dedupe + grid.StepGrid.aligned + explode_to_steps)
+
+
+def _base(step: int, window: int, series: str = "event_type",
+          where: str = "TRUE") -> str:
+    return f"""
+WITH raw AS (
+  SELECT {series} AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events WHERE {where} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(ceil((SELECT MIN(ts) FROM (SELECT epoch_ms(ts) AS ts FROM events)) / {step}.0) AS BIGINT) * {step} AS gstart,
+         CAST(floor((SELECT MAX(ts) FROM (SELECT epoch_ms(ts) AS ts FROM events)) / {step}.0) AS BIGINT) * {step} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {step})) AS t
+),
+s AS (
+  SELECT sk, ts, value,
+         coalesce(lag(ts) OVER (PARTITION BY sk ORDER BY ts), -4611686018427387904) AS prev_ts,
+         coalesce(lag(value) OVER (PARTITION BY sk ORDER BY ts), 0.0) AS prev_value
+  FROM raw
+),
+w AS (
+  SELECT s.sk, grid.t, s.ts, s.value, s.prev_ts, s.prev_value
+  FROM grid JOIN s ON s.ts BETWEEN grid.t - {window} AND grid.t
+)
+"""
+
+
+def _simple_oracle(agg: str, round_to: int | None, step=STEP, window=WINDOW) -> str:
+    val = f"round({agg}, {round_to})" if round_to is not None else agg
+    return (_base(step, window) +
+            f"SELECT sk AS event_type, t, {val} AS value FROM w GROUP BY sk, t")
+
+
+# the extrapolatedRate formula, expression-by-expression
+# (RateFunctions.scala:72-111); {delta_expr} picks counter vs gauge
+def _rate_oracle(is_counter: bool, is_rate: bool, round_to: int,
+                 step=STEP, window=WINDOW) -> str:
+    corr = " + corr" if is_counter else ""
+    zero_clamp = """
+         CASE WHEN delta > 0 AND first_val >= 0 AND si * (first_val / delta) < dts0
+              THEN si * (first_val / delta) ELSE dts0 END""" if is_counter else "dts0"
+    final = f"delta * (ext / si) / {window / 1000.0}" if is_rate else "delta * (ext / si)"
+    return (_base(step, window) + f""",
+a AS (
+  SELECT sk, t, count(*) AS cnt,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         arg_min(value, ts) AS first_val, arg_max(value, ts) AS last_val,
+         sum(CASE WHEN prev_ts >= t - {window} AND value < prev_value
+                  THEN prev_value ELSE 0.0 END) AS corr
+  FROM w GROUP BY 1, 2
+),
+c1 AS (
+  SELECT sk, t, cnt, first_val,
+         (last_ts - first_ts) / 1000.0 AS si,
+         (first_ts - (t - {window})) / 1000.0 AS dts0,
+         (t - last_ts) / 1000.0 AS dte,
+         last_val - first_val{corr} AS delta
+  FROM a WHERE cnt >= 2 AND last_ts > first_ts
+),
+c2 AS (
+  SELECT sk, t, cnt, si, dte, delta, si / (cnt - 1.0) AS ad,
+         {zero_clamp} AS dts
+  FROM c1
+),
+c3 AS (
+  SELECT sk, t, delta, si,
+         si + (CASE WHEN dts < ad * 1.1 THEN dts ELSE ad / 2.0 END)
+            + (CASE WHEN dte < ad * 1.1 THEN dte ELSE ad / 2.0 END) AS ext
+  FROM c2
+)
+SELECT sk AS event_type, t, round({final}, {round_to}) AS value FROM c3""")
+
+
+_IDELTA_A = f""",
+a AS (
+  SELECT sk, t,
+         arg_max(value, ts) AS last_val, arg_max(prev_value, ts) AS prev_val,
+         max(ts) AS last_ts, arg_max(prev_ts, ts) AS prev_ts2
+  FROM w GROUP BY 1, 2
+)
+"""
+
+_REGRESSION_A = f""",
+a AS (
+  SELECT sk, t, count(*) AS cnt,
+         sum((ts - t) / 1000.0) AS sx, sum(value) AS sy,
+         sum(((ts - t) / 1000.0) * value) AS sxy,
+         sum(((ts - t) / 1000.0) * ((ts - t) / 1000.0)) AS sxx
+  FROM w GROUP BY 1, 2
+),
+c AS (
+  SELECT sk, t, cnt,
+         sxy / cnt - (sx / cnt) * (sy / cnt) AS cov,
+         sxx / cnt - (sx / cnt) * (sx / cnt) AS var,
+         sx, sy
+  FROM a WHERE cnt >= 2
+)
+"""
+
+_DAILY2_PREFIX = """
+WITH bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / 86400000.0) AS BIGINT) * 86400000 AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / 86400000.0) AS BIGINT) * 86400000 AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), 86400000)) AS t
+),
+praw AS (
+  SELECT user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+eraw AS (
+  SELECT user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+p AS (
+  SELECT praw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN praw ON praw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT eraw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN eraw ON eraw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+)
+"""
+
+
+def _daily2(body: str) -> str:
+    return _DAILY2_PREFIX + body
+
+
+ORACLES = {
+    "ts_instant_last": _simple_oracle("arg_max(value, ts)", None),
+    "ts_sum_over_time": _simple_oracle("sum(value)", 6),
+    "ts_avg_over_time": _simple_oracle("avg(value)", 6),
+    "ts_min_over_time": _simple_oracle("min(value)", None),
+    "ts_max_over_time": _simple_oracle("max(value)", None),
+    "ts_count_over_time": _simple_oracle("CAST(count(*) AS DOUBLE)", None),
+    "ts_stddev_over_time": _simple_oracle("stddev_pop(value)", 6),
+    "ts_quantile_over_time": _simple_oracle("quantile_cont(value, 0.9)", 6),
+    "ts_mad_over_time": _base(STEP, WINDOW) + """,
+m AS (SELECT sk, t, quantile_cont(value, 0.5) AS med FROM w GROUP BY 1, 2)
+SELECT w.sk AS event_type, w.t,
+       round(quantile_cont(abs(w.value - m.med), 0.5), 6) AS value
+FROM w JOIN m ON w.sk = m.sk AND w.t = m.t GROUP BY w.sk, w.t""",
+    "ts_rate": _rate_oracle(True, True, 9),
+    "ts_increase": _rate_oracle(True, False, 6),
+    "ts_delta": _rate_oracle(False, False, 6),
+    "ts_idelta": _base(STEP, WINDOW) + _IDELTA_A + f"""
+SELECT sk AS event_type, t, last_val - prev_val AS value
+FROM a WHERE prev_ts2 >= t - {WINDOW}""",
+    "ts_irate": _base(STEP, WINDOW) + _IDELTA_A + f"""
+SELECT sk AS event_type, t,
+       round((CASE WHEN last_val >= prev_val THEN last_val - prev_val
+                   ELSE last_val END) / ((last_ts - prev_ts2) / 1000.0), 9) AS value
+FROM a WHERE prev_ts2 >= t - {WINDOW} AND last_ts > prev_ts2""",
+    "ts_resets": _simple_oracle(
+        f"CAST(sum(CASE WHEN prev_ts >= t - {WINDOW} AND value < prev_value "
+        "THEN 1 ELSE 0 END) AS DOUBLE)", None),
+    "ts_changes": _simple_oracle(
+        f"CAST(sum(CASE WHEN prev_ts >= t - {WINDOW} AND value <> prev_value "
+        "THEN 1 ELSE 0 END) AS DOUBLE)", None),
+    "ts_deriv": _base(STEP, WINDOW) + _REGRESSION_A + """
+SELECT sk AS event_type, t, round(cov / var, 9) AS value
+FROM c WHERE var > 0""",
+    "ts_predict_linear": _base(STEP, WINDOW) + _REGRESSION_A + """
+SELECT sk AS event_type, t,
+       round((sy / cnt - (cov / var) * (sx / cnt)) + (cov / var) * 3600.0, 6) AS value
+FROM c WHERE var > 0""",
+    "ts_zscore": _simple_oracle(
+        "(arg_max(value, ts) - avg(value)) / stddev_pop(value)", 6)
+        + " HAVING stddev_pop(value) <> 0",
+    "ts_agg_sum_rate": _rate_oracle(True, True, 9).replace(
+        f"SELECT sk AS event_type, t, round(delta * (ext / si) / {WINDOW / 1000.0}, 9) AS value FROM c3",
+        f"SELECT t, round(sum(delta * (ext / si) / {WINDOW / 1000.0}), 6) AS value FROM c3 GROUP BY t"),
+    "ts_agg_avg_by": f"""
+WITH raw2 AS (
+  SELECT event_type, user_id % 10 AS ub, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+),
+sot AS (
+  SELECT raw2.event_type, raw2.ub, grid.t, sum(raw2.value) AS value
+  FROM grid JOIN raw2 ON raw2.ts BETWEEN grid.t - {WINDOW} AND grid.t
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, t, round(avg(value), 6) AS value FROM sot GROUP BY 1, 2""",
+    "ts_agg_topk": _base(STEP, WINDOW) + """,
+sot AS (SELECT sk, t, sum(value) AS value FROM w GROUP BY 1, 2),
+rk AS (SELECT sk, t, value,
+              row_number() OVER (PARTITION BY t ORDER BY value DESC, sk) AS r
+       FROM sot)
+SELECT sk AS event_type, t, round(value, 6) AS value FROM rk WHERE r <= 2""",
+    "ts_agg_quantile": _base(STEP, WINDOW) + """,
+last AS (SELECT sk, t, arg_max(value, ts) AS value FROM w GROUP BY 1, 2)
+SELECT t, round(quantile_cont(value, 0.5), 6) AS value FROM last GROUP BY t""",
+    "ts_agg_count_values": _base(STEP, WINDOW) + """,
+last AS (SELECT sk, t, arg_max(value, ts) AS value FROM w GROUP BY 1, 2)
+SELECT CAST(floor(value) AS BIGINT) AS bucket, t, CAST(count(*) AS DOUBLE) AS value
+FROM last GROUP BY 1, 2""",
+    "ts_instant_math": _base(STEP, WINDOW) + """,
+last AS (SELECT sk, t, arg_max(value, ts) AS value FROM w GROUP BY 1, 2)
+SELECT sk AS event_type, t,
+       round(least(greatest(sqrt(abs(value - 50.0)), 1.0), 5.0), 6) AS value
+FROM last""",
+    "ts_set_and": _daily2(
+        "SELECT p.user_id, p.t, p.value FROM p "
+        "WHERE EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id AND e.t = p.t)"),
+    "ts_set_unless": _daily2(
+        "SELECT p.user_id, p.t, p.value FROM p "
+        "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.user_id AND e.t = p.t)"),
+    "ts_set_or": _daily2(
+        "SELECT p.user_id, p.t, p.value FROM p "
+        "UNION ALL "
+        "SELECT e.user_id, e.t, e.value FROM e "
+        "WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = e.user_id AND p.t = e.t)"),
+    "ts_join_ratio": _daily2(
+        "SELECT p.user_id, p.t, round(p.value / e.value, 6) AS value "
+        "FROM p JOIN e ON p.user_id = e.user_id AND p.t = e.t"),
+    "ts_join_group_left": _daily2(
+        ", tot AS (SELECT t, sum(value) AS rv FROM e GROUP BY t) "
+        "SELECT p.user_id, p.t, round(p.value / tot.rv, 9) AS value "
+        "FROM p JOIN tot ON p.t = tot.t"),
+    "ts_label_values": "SELECT DISTINCT event_type FROM events",
+    "ts_series_cardinality":
+        "SELECT event_type, count(DISTINCT user_id) AS card "
+        "FROM events GROUP BY event_type",
+}

@@ -1,0 +1,119 @@
+"""Driver queries: text analysis + deduplication over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filodb_spark.operators import dedup, text
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_doc_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.stopword_ratio(t), 6).alias("stop_ratio"),
+        F.round(text.avg_word_len(t), 6).alias("awl"),
+        F.round(text.quality_score(t), 6).alias("quality"),
+    )
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7,
+                                     bucket_cols=("lang", "source"))
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    # approximate — no SQL oracle (driver records rows-only check)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_doc_simhash_groups(spark, sf_dir):
+    # approximate — no SQL oracle
+    return dedup.simhash_duplicate_groups(_docs(spark, sf_dir))
+
+
+QUERIES = {
+    "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_token_count": q_doc_token_count,
+    "doc_stats": q_doc_stats,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash_groups": q_doc_simhash_groups,
+}
+
+_STOP_SQL = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'"
+
+ORACLES = {
+    "doc_dedup_exact":
+        "SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text",
+    "doc_fingerprint": r"""
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+FROM documents""",
+    "doc_token_count": r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+FROM documents""",
+    "doc_stats": r"""
+WITH s AS (
+  SELECT doc_id, length(text) AS n_chars_actual,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> """ + _STOP_SQL + r""")) AS n_stop,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace
+  FROM documents
+)
+SELECT doc_id, n_chars_actual, n_tokens,
+       round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+       round(nonspace / CAST(n_tokens AS DOUBLE), 6) AS awl,
+       round(least(1.0, n_tokens / 100.0) *
+             (CASE WHEN nonspace / CAST(n_tokens AS DOUBLE) >= 3.0
+                    AND nonspace / CAST(n_tokens AS DOUBLE) <= 8.0
+                   THEN 1.0 ELSE 0.5 END), 6) AS quality
+FROM s""",
+    "doc_ngram_jaccard": """
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         unnest(list_distinct(list_transform(
+           generate_series(0, length(lower(text)) - 3),
+           i -> substring(lower(text), i + 1, 3)))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b
+    ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN cnt c1 ON c1.doc_id = d1
+JOIN cnt c2 ON c2.doc_id = d2
+WHERE round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) >= 0.7""",
+}

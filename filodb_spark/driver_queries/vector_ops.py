@@ -1,0 +1,75 @@
+"""Driver queries: similarity search over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filodb_spark.operators import similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, q, k=3)
+
+
+def q_emb_norm_stats(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    v = similarity.as_double(F.col("embedding"))
+    norms = e.select("label", F.sqrt(similarity.norm_sq(v)).alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    # approximate (bucketed) — no SQL oracle; rows-only check
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=3)
+
+
+QUERIES = {
+    "ann_bruteforce": q_ann_bruteforce,
+    "emb_norm_stats": q_emb_norm_stats,
+    "ann_ivf": q_ann_ivf,
+}
+
+ORACLES = {
+    "ann_bruteforce": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_inner_product(q.qv, e.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, rank, sim FROM rk WHERE rank <= 3""",
+    "emb_norm_stats": """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm, count(*) AS n
+FROM n GROUP BY label""",
+}

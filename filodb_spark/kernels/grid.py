@@ -126,8 +126,13 @@ def with_prev_sample(df: DataFrame, series_cols: Sequence[str],
     downstream steps.
     """
     w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts_col))
-    return (df.withColumn("prev_ts", F.lag(ts_col).over(w))
-              .withColumn("prev_value", F.lag(value_col).over(w)))
+    # sentinel-coalesced so downstream min_by/max_by never see NULLs (their
+    # null-skipping rules differ across engines; a sentinel keeps the
+    # in-window predicate `prev_ts >= t - window` uniformly false instead)
+    return (df.withColumn("prev_ts", F.coalesce(F.lag(ts_col).over(w),
+                                                F.lit(-(1 << 62))))
+              .withColumn("prev_value", F.coalesce(F.lag(value_col).over(w),
+                                                   F.lit(0.0))))
 
 
 def drop_nan(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -43,8 +43,9 @@ def NAN() -> Column:
 
 
 def _in_window_pair(window: int) -> Column:
-    """True when the (prev, cur) consecutive pair lies fully in [t-window, t]."""
-    return F.col("prev_ts").isNotNull() & (F.col("prev_ts") >= F.col("t") - F.lit(window))
+    """True when the (prev, cur) consecutive pair lies fully in [t-window, t].
+    (prev_ts is sentinel-coalesced, never NULL — see grid.with_prev_sample)"""
+    return F.col("prev_ts") >= F.col("t") - F.lit(window)
 
 
 def _nan_if_null(c: Column) -> Column:
@@ -156,7 +157,8 @@ def _build(fn: str, window: int, params: tuple):
         # (last - mean) / stddev  (AggrOverTimeFunctions.scala:1592-1604)
         aggs = [F.max_by(v, ts).alias("_last"), F.avg(v).alias("_avg"),
                 F.stddev_pop(v).alias("_sd")]
-        return aggs, (F.col("_last") - F.col("_avg")) / F.col("_sd")
+        return aggs, F.when(F.col("_sd") == 0.0, NAN()).otherwise(
+            (F.col("_last") - F.col("_avg")) / F.col("_sd"))
     if fn in ("idelta", "irate"):
         aggs = [
             F.max_by(v, ts).alias("_last_val"),
@@ -164,8 +166,7 @@ def _build(fn: str, window: int, params: tuple):
             F.max(ts).alias("_last_ts"),
             F.max_by(F.col("prev_ts"), ts).alias("_prev_ts"),
         ]
-        have_pair = (F.col("_prev_ts").isNotNull()
-                     & (F.col("_prev_ts") >= F.col("t") - F.lit(window)))
+        have_pair = F.col("_prev_ts") >= F.col("t") - F.lit(window)
         if fn == "idelta":
             out = F.when(have_pair, F.col("_last_val") - F.col("_prev_val")).otherwise(NAN())
         else:

@@ -1,0 +1,157 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale design notes (the point of these at 100 TB):
+- exact: one hash-aggregate on the normalized text (or fingerprint);
+  Spark's partial aggregation makes this a single shuffle of (hash, id).
+- n-gram Jaccard: shingle-explode + self-equi-join on shingle; the join
+  key space (shingles) is huge, so the shuffle is well distributed.
+  Candidate pruning by a bucket column (e.g. language/source) bounds the
+  pair blowup.
+- MinHash + LSH: per-doc signature (k permutations) computed map-side
+  with xxhash64 (JVM); band signatures -> equi-join on (band, band_hash)
+  so only colliding docs ever meet — the classic sub-quadratic path.
+- SimHash: 64-bit signed-projection hash; near-dup = same value on any
+  rotated band (here: exact-match buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filodb_spark.operators.text import char_shingles, fingerprint
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Group identical texts: (doc_id = min id of group, n = group size)."""
+    return (df.groupBy(text_col)
+              .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n"))
+              .select(id_col, "n"))
+
+
+def exact_duplicates_by_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                                    text_col: str = "text") -> DataFrame:
+    """Same but on the normalized md5 fingerprint — the form that scales
+    (shuffles 16-byte keys, not full documents)."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n"))
+              .select(id_col, "n", "fp"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float,
+                        bucket_cols: tuple[str, ...] = (),
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Explode distinct shingles, self-join on (bucket, shingle), count
+    common shingles per pair, Jaccard = inter / (|A| + |B| - inter).
+    bucket_cols restrict candidate pairs (blocking) — at scale, always
+    pass one (language, domain, length-band, or an LSH band).
+    Output: d1 < d2, jaccard (rounded 6).
+    """
+    sh = (df.select(*bucket_cols, F.col(id_col),
+                    F.explode(char_shingles(F.col(text_col), n)).alias("g")))
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.g") == F.col("b.g"))
+    for bc in bucket_cols:
+        join_cond = join_cond & (F.col(f"a.{bc}") == F.col(f"b.{bc}"))
+    common = (a.join(b, join_cond)
+               .groupBy(F.col(f"a.{id_col}").alias("d1"),
+                        F.col(f"b.{id_col}").alias("d2"))
+               .agg(F.count(F.lit(1)).alias("inter")))
+    c1 = cnt.select(F.col(id_col).alias("d1"), F.col("c").alias("c1"))
+    c2 = cnt.select(F.col(id_col).alias("d2"), F.col("c").alias("c2"))
+    return (common.join(c1, "d1").join(c2, "d2")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("c1") + F.col("c2") - F.col("inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("d1", "d2", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, num_perm: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 5) -> DataFrame:
+    """MinHash signature per document: for permutation i, min over
+    shingles of xxhash64(i, shingle). Entirely JVM-side column math."""
+    sh = F.col("_shingles")
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda g: F.xxhash64(F.lit(i), g)))
+        for i in range(num_perm)
+    ])
+    return (df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("_shingles"))
+              .where(F.size("_shingles") > 0)
+              .select(F.col(id_col), sig.alias("sig")))
+
+
+def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
+                      threshold: float = 0.5, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Signatures -> `bands` band-hashes -> equi-join docs sharing any band
+    bucket -> estimate Jaccard as fraction of matching signature
+    components -> threshold. Sub-quadratic: only band collisions join.
+    Output: d1 < d2, est_jaccard.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, id_col, text_col, n)
+    band_cols = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
+        for b in range(bands)
+    ])
+    banded = sigs.select(id_col, "sig",
+                         F.posexplode(band_cols).alias("band", "bh"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("d1"),
+                     F.col(f"b.{id_col}").alias("d2"),
+                     F.col("a.sig").alias("s1"), F.col("b.sig").alias("s2"))
+             .dropDuplicates(["d1", "d2"]))
+    est = (F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y),
+                           lambda m: m)).cast("double") / float(num_perm))
+    return (cand.withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold)
+                .select("d1", "d2", "est_jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            n: int = 4, bits: int = 64) -> DataFrame:
+    """SimHash: sign of per-bit weighted sums of shingle hashes.
+
+    bit_j(doc) = 1 if sum over shingles of (+1 if hash bit j set else -1) > 0.
+    Computed as a JVM-side fold over the shingle array; no Python.
+    """
+    sh = char_shingles(F.col(text_col), n)
+    h = F.transform(sh, lambda g: F.xxhash64(g))
+    def _bit_merge(j: int):
+        # closure (not a default arg) — pyspark HOF lambdas must be 2-ary
+        mask = F.shiftleft(F.lit(1).cast("long"), j)
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_sums = F.array(*[F.aggregate(h, F.lit(0), _bit_merge(j))
+                         for j in range(bits)])
+    import functools
+    terms = []
+    for j in range(bits):
+        mask_val = (1 << j) if j < 63 else -(1 << 63)  # sign bit as long
+        terms.append(F.when(F.element_at(bit_sums, j + 1) > 0,
+                            F.lit(mask_val)).otherwise(F.lit(0)).cast("long"))
+    sim = functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 64-bit simhash (strong near-dup signal)."""
+    s = simhash(df, id_col, text_col)
+    return (s.groupBy("simhash")
+             .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+                  F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") > 1))

@@ -1,0 +1,83 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, codegen). Designed so that an
+identical computation is expressible in ANSI SQL for oracle checks.
+At 100 TB these are embarrassingly parallel map-only stages — no
+shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword list (shared with the SQL oracles)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(toks).cast("double")
+
+
+def avg_word_len(text: Column) -> Column:
+    """Mean token length: non-space chars / token count."""
+    nonspace = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    return nonspace.cast("double") / token_count(text).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    no_punct = F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return (n - no_punct).cast("double") / n.cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1]: length saturation
+    x dilution by stopword-lessness (word salad scores low)."""
+    length_part = F.least(F.lit(1.0), token_count(text).cast("double") / 100.0)
+    wl = avg_word_len(text)
+    shape_part = F.when((wl >= 3.0) & (wl <= 8.0), 1.0).otherwise(0.5)
+    return length_part * shape_part
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed). Used for exact dedup across
+    formatting variants."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(F.encode(norm, "UTF-8"))
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text (array<string>).
+
+    Expressed with transform(sequence(...)) so it stays JVM-side; used by
+    the n-gram Jaccard and MinHash dedup operators.
+    """
+    # substr is 1-based; i ranges 0..len-n
+    return F.array_distinct(F.expr(
+        f"transform(sequence(0, greatest(length(lower(text)) - {n}, -1)), "
+        f"i -> substr(lower(text), i + 1, {n}))"
+    ))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (df.withColumn("n_tokens", token_count(t))
+              .withColumn("stop_ratio", stopword_ratio(t))
+              .withColumn("avg_word_len", avg_word_len(t))
+              .withColumn("quality", quality_score(t))
+              .withColumn("fp", fingerprint(t)))

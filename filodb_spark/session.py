@@ -29,6 +29,9 @@ def get_spark(app_name: str = "filodb-spark", master: str | None = None,
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # IEEE-754 float semantics (x/0 handled explicitly in kernels);
+        # ANSI mode would raise instead of letting kernels decide
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

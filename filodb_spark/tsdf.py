@@ -22,22 +22,32 @@ def ts_ms(col: Column, dtype) -> Column:
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_millis(col)
     if isinstance(dtype, T.LongType):
-        # nanoseconds -> floor ms (matches DuckDB epoch_ms())
-        return ((col - F.pmod(col, F.lit(1_000_000))) / F.lit(1_000_000)).cast("long")
+        # nanoseconds -> floor ms. MUST be integral division: epoch-ns
+        # (~1.7e18) exceeds double's 2^53 mantissa, so `/` (which casts
+        # to double) silently loses the low bits.
+        return ((col - F.pmod(col, F.lit(1_000_000))).cast("decimal(38,0)")
+                / F.lit(1_000_000)).cast("long")
     raise TypeError(f"unsupported ts dtype: {dtype}")
 
 
 def events_ts(spark: SparkSession, sf_dir: str,
-              series_cols: tuple[str, ...] = ("event_type",)) -> DataFrame:
-    """events fixture -> (series..., ts long ms, value double)."""
+              series_cols: tuple[str, ...] = ("event_type",),
+              dedupe: bool = True) -> DataFrame:
+    """events fixture -> (series..., ts long ms, value double).
+
+    dedupe=True collapses samples sharing (series, ts) keeping max(value) —
+    the reference drops duplicate timestamps per series at ingest
+    (append-only invariant, TimeSeriesPartition.scala:1-26); max is the
+    deterministic choice when arrival order is unknown. It also makes
+    order statistics (min_by/max_by ties) engine-independent.
+    """
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dtype = dict(df.dtypes)
     ts_dtype = df.schema["ts"].dataType
-    keep = [F.col(c) for c in series_cols if c != "user_id"]
-    if "user_id" in series_cols:
-        keep.append(F.col("user_id"))
-    return df.select(*keep, ts_ms(F.col("ts"), ts_dtype).alias("ts"),
-                     F.col("value").cast("double").alias("value"))
+    out = df.select(*series_cols, ts_ms(F.col("ts"), ts_dtype).alias("ts"),
+                    F.col("value").cast("double").alias("value"))
+    if dedupe:
+        out = out.groupBy(*series_cols, "ts").agg(F.max("value").alias("value"))
+    return out
 
 
 def events_labels_ts(spark: SparkSession, sf_dir: str) -> DataFrame:

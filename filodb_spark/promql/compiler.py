@@ -1,0 +1,532 @@
+"""PromQL AST -> Spark DataFrame compiler.
+
+The engine-level "planner": mirrors the dispatch of the reference's
+SingleClusterPlanner.walkLogicalPlanTree
+(coordinator/.../queryplanner/SingleClusterPlanner.scala:489-516) but
+emits declarative DataFrame plans; Catalyst performs predicate pushdown,
+column pruning, partial aggregation and join strategy selection — the
+roles of FiloDB's shard pruning / Lucene pushdown / fastReduce paths
+(SURVEY §4.1).
+
+Data model: a time-series table with columns
+  labels map<string,string>  (includes __name__ = metric)
+  ts     long (ms epoch)
+  value  double
+Result layout: (labels map, t long ms, value double) — a range vector
+per distinct labels value (RangeVector.scala:126-144).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels import aggregations as agg_k
+from filodb_spark.kernels import binary as bin_k
+from filodb_spark.kernels.grid import STALE_SAMPLE_AFTER_MS, StepGrid
+from filodb_spark.kernels.instant_fns import INSTANT_FUNCTIONS, instant_fn_expr
+from filodb_spark.kernels.range_fns import range_function
+from filodb_spark.promql import ast as A
+from filodb_spark.promql.parser import parse
+
+METRIC = "__name__"
+
+RANGE_FN_MAP = {
+    "rate": "rate", "increase": "increase", "delta": "delta",
+    "idelta": "idelta", "irate": "irate", "resets": "resets",
+    "changes": "changes", "deriv": "deriv",
+    "sum_over_time": "sum_over_time", "avg_over_time": "avg_over_time",
+    "count_over_time": "count_over_time", "min_over_time": "min_over_time",
+    "max_over_time": "max_over_time", "stddev_over_time": "stddev_over_time",
+    "stdvar_over_time": "stdvar_over_time", "last_over_time": "last_over_time",
+    "present_over_time": "present_over_time", "mad_over_time": "mad_over_time",
+    "absent_over_time": "absent_over_time",
+}
+PARAM_RANGE_FNS = {"quantile_over_time": "quantile_over_time",
+                   "predict_linear": "predict_linear",
+                   "holt_winters": "holt_winters"}
+
+
+@dataclass
+class TsStore:
+    """Metric table provider. One DataFrame holding all series (labels
+    map incl. __name__, ts, value). At scale this is a parquet/Delta
+    table partitioned by (_ws_, _ns_, date) — selector filters push
+    down to partition pruning + row-group skipping."""
+
+    df: DataFrame
+
+    def select(self, sel: A.VectorSelector) -> DataFrame:
+        df = self.df
+        labels = F.col("labels")
+        if sel.metric:
+            df = df.where(labels[METRIC] == sel.metric)
+        for m in sel.matchers:
+            lv = labels[m.name]
+            if m.op == "=":
+                df = df.where(lv == m.value) if m.value != "" else \
+                    df.where(lv.isNull() | (lv == ""))
+            elif m.op == "!=":
+                df = df.where(lv.isNull() | (lv != m.value)) if m.value != "" \
+                    else df.where(lv.isNotNull() & (lv != ""))
+            elif m.op == "=~":
+                # reference fully anchors regexes (PartKeyIndex.scala:652-674)
+                df = df.where(F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+            elif m.op == "!~":
+                df = df.where(~F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+        return df
+
+
+class Scalar:
+    """Scalar result: constant float, or per-step DataFrame(t, value)."""
+
+    def __init__(self, const: float | None = None, df: DataFrame | None = None):
+        self.const = const
+        self.df = df
+
+    @property
+    def is_const(self) -> bool:
+        return self.const is not None
+
+
+class PromQLEngine:
+    """Evaluate PromQL over a TsStore on a step grid."""
+
+    def __init__(self, spark: SparkSession, store: TsStore,
+                 lookback_ms: int = STALE_SAMPLE_AFTER_MS):
+        self.spark = spark
+        self.store = store
+        self.lookback_ms = lookback_ms
+
+    # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
+
+    def query_range(self, promql: str, start_ms: int, end_ms: int,
+                    step_ms: int) -> DataFrame:
+        grid = StepGrid(start_ms, end_ms, step_ms)
+        res = self._eval(parse(promql), grid)
+        if isinstance(res, Scalar):
+            return self._scalar_to_vector(res, grid)
+        return res
+
+    def query_instant(self, promql: str, time_ms: int) -> DataFrame:
+        return self.query_range(promql, time_ms, time_ms, 1)
+
+    # ---- helpers -------------------------------------------------------
+
+    def _grid_df(self, grid: StepGrid) -> DataFrame:
+        return (self.spark.range(grid.n_steps)
+                .select((F.lit(grid.start) + F.col("id") * F.lit(grid.step))
+                        .cast("long").alias("t")))
+
+    def _scalar_to_vector(self, s: Scalar, grid: StepGrid) -> DataFrame:
+        base = s.df if s.df is not None else \
+            self._grid_df(grid).withColumn("value", F.lit(float(s.const)))
+        return base.select(
+            F.create_map().cast("map<string,string>").alias("labels"),
+            "t", F.col("value").cast("double"))
+
+    def _scalar_df(self, s: Scalar, grid: StepGrid) -> DataFrame:
+        if s.df is not None:
+            return s.df
+        return self._grid_df(grid).withColumn("value", F.lit(float(s.const)))
+
+    # ---- selector evaluation -------------------------------------------
+
+    def _eval_selector(self, sel: A.VectorSelector, grid: StepGrid,
+                       window: int | None, fn: str = "last_over_time",
+                       params: tuple = ()) -> DataFrame:
+        """Evaluate range function (default: instant lookback) over a
+        selector, honoring offset and @ (SingleClusterPlanner:841-861)."""
+        eff_window = window if window is not None else self.lookback_ms + 1
+        if sel.at_ms is not None:
+            g = StepGrid(sel.at_ms - sel.offset_ms, sel.at_ms - sel.offset_ms, 1)
+            one = self._run_range_fn(sel, g, eff_window, fn, params)
+            # RepeatTransformer: replicate the single instant across steps
+            return (one.drop("t").crossJoin(self._grid_df(grid))
+                    .select("labels", "t", "value"))
+        if sel.offset_ms:
+            g = StepGrid(grid.start - sel.offset_ms, grid.end - sel.offset_ms,
+                         grid.step)
+            out = self._run_range_fn(sel, g, eff_window, fn, params)
+            return out.withColumn("t", (F.col("t") + F.lit(sel.offset_ms))
+                                  .cast("long"))
+        return self._run_range_fn(sel, grid, eff_window, fn, params)
+
+    def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
+                      window: int, fn: str, params: tuple) -> DataFrame:
+        df = self.store.select(sel)
+        # time-range pruning: pushed to parquet min/max skipping
+        df = df.where((F.col("ts") >= grid.start - window)
+                      & (F.col("ts") <= grid.end))
+        df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+        if fn == "absent_over_time":
+            present = range_function(df, "present_over_time", ["_sk"], grid,
+                                     window)
+            return self._absent_from(present, sel, grid)
+        out = range_function(df, fn, ["_sk"], grid, window, params=params)
+        lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
+        return (out.join(lab, "_sk").select("labels", "t", "value"))
+
+    def _absent_from(self, present: DataFrame, sel: A.VectorSelector,
+                     grid: StepGrid) -> DataFrame:
+        """AbsentFunctionMapper (RangeVectorTransformer.scala:422-480):
+        emit 1 at steps with no input series; labels from = matchers."""
+        entries = [(m.name, m.value) for m in sel.matchers if m.op == "="]
+        if sel.metric:
+            pass  # metric name is not included in absent() labels
+        lab = F.create_map(*[F.lit(x) for kv in entries for x in kv]) \
+            if entries else F.create_map().cast("map<string,string>")
+        present_ts = present.select("t").distinct()
+        out = self._grid_df(grid).join(present_ts, "t", "left_anti")
+        return out.select(lab.alias("labels"), "t", F.lit(1.0).alias("value"))
+
+    # ---- main dispatch --------------------------------------------------
+
+    def _eval(self, e: A.Expr, grid: StepGrid):
+        if isinstance(e, A.Paren):
+            return self._eval(e.expr, grid)
+        if isinstance(e, A.NumberLiteral):
+            return Scalar(const=e.value)
+        if isinstance(e, A.StringLiteral):
+            return e.value
+        if isinstance(e, A.Unary):
+            inner = self._eval(e.expr, grid)
+            if e.op == "+":
+                return inner
+            if isinstance(inner, Scalar):
+                if inner.is_const:
+                    return Scalar(const=-inner.const)
+                return Scalar(df=inner.df.withColumn("value", -F.col("value")))
+            return inner.withColumn("value", -F.col("value"))
+        if isinstance(e, A.VectorSelector):
+            return self._eval_selector(e, grid, None)
+        if isinstance(e, A.MatrixSelector):
+            raise ValueError("range selector must be wrapped in a function")
+        if isinstance(e, A.FunctionCall):
+            return self._eval_function(e, grid)
+        if isinstance(e, A.Aggregation):
+            return self._eval_aggregation(e, grid)
+        if isinstance(e, A.BinaryOp):
+            return self._eval_binary(e, grid)
+        if isinstance(e, A.Subquery):
+            raise ValueError("subquery must be wrapped in a range function")
+        raise TypeError(f"cannot evaluate {e!r}")
+
+    # ---- functions ------------------------------------------------------
+
+    def _eval_function(self, e: A.FunctionCall, grid: StepGrid):
+        name = e.name
+        if name in RANGE_FN_MAP:
+            return self._range_call(RANGE_FN_MAP[name], e.args[0], grid, ())
+        if name in PARAM_RANGE_FNS:
+            if name == "holt_winters":
+                sf = self._const(e.args[1])
+                tf = self._const(e.args[2])
+                return self._range_call("holt_winters", e.args[0], grid, (sf, tf))
+            p = self._const(e.args[1] if name == "predict_linear" else e.args[0])
+            arg = e.args[0] if name == "predict_linear" else e.args[1]
+            return self._range_call(name, arg, grid, (p,))
+        if name == "timestamp":
+            v = self._vector(e.args[0], grid)
+            # ts (sec) of the sample at each step: for selector args this is
+            # the lookback'd last sample's ts
+            if isinstance(e.args[0], A.VectorSelector):
+                return self._eval_selector(e.args[0], grid, None, fn="timestamp")
+            return v.withColumn("value", F.col("t") / 1000.0)
+        if name == "absent":
+            arg = e.args[0]
+            sel = arg if isinstance(arg, A.VectorSelector) else None
+            v = self._vector(arg, grid)
+            present = v.where(~F.isnan("value")).select("t").distinct()
+            entries = [(m.name, m.value) for m in (sel.matchers if sel else ())
+                       if m.op == "="]
+            lab = F.create_map(*[F.lit(x) for kv in entries for x in kv]) \
+                if entries else F.create_map().cast("map<string,string>")
+            out = self._grid_df(grid).join(present, "t", "left_anti")
+            return out.select(lab.alias("labels"), "t", F.lit(1.0).alias("value"))
+        if name == "scalar":
+            v = self._vector(e.args[0], grid)
+            # single-series check: NaN when != 1 series at a step
+            per_t = v.groupBy("t").agg(
+                F.count(F.lit(1)).alias("_n"), F.first("value").alias("_v"))
+            sdf = self._grid_df(grid).join(per_t, "t", "left").select(
+                "t", F.when(F.col("_n") == 1, F.col("_v"))
+                     .otherwise(F.lit(float("nan"))).alias("value"))
+            return Scalar(df=sdf)
+        if name == "vector":
+            s = self._eval(e.args[0], grid)
+            if not isinstance(s, Scalar):
+                raise ValueError("vector() expects a scalar")
+            return self._scalar_to_vector(s, grid)
+        if name == "time":
+            return Scalar(df=self._grid_df(grid)
+                          .withColumn("value", F.col("t") / 1000.0))
+        if name in ("label_replace", "label_join"):
+            return self._eval_label_fn(e, grid)
+        if name in ("sort", "sort_desc"):
+            # presentation-only: order by last value per series
+            return self._vector(e.args[0], grid)
+        if name == "histogram_quantile":
+            q = self._const(e.args[0])
+            return self._histogram_quantile(q, e.args[1], grid)
+        if name in INSTANT_FUNCTIONS:
+            params = tuple(self._const(a) for a in e.args[1:]) \
+                if len(e.args) > 1 else ()
+            if name in ("clamp", "clamp_max", "clamp_min", "round", "or_vector"):
+                v = self._vector(e.args[0], grid)
+                return v.withColumn("value",
+                                    instant_fn_expr(name, F.col("value"), params))
+            v = self._vector(e.args[0], grid)
+            return v.withColumn("value", instant_fn_expr(name, F.col("value")))
+        raise ValueError(f"unsupported function: {name}")
+
+    def _range_call(self, fn: str, arg: A.Expr, grid: StepGrid, params: tuple):
+        if isinstance(arg, A.MatrixSelector):
+            return self._eval_selector(arg.base, grid, arg.range_ms, fn=fn,
+                                       params=params)
+        if isinstance(arg, A.Subquery):
+            return self._eval_subquery(fn, arg, grid, params)
+        raise ValueError(f"{fn} requires a range vector argument")
+
+    def _eval_subquery(self, fn: str, sq: A.Subquery, grid: StepGrid,
+                       params: tuple) -> DataFrame:
+        """fn(expr[w:s]): evaluate inner at substep grid, then apply the
+        range function over the derived samples
+        (LogicalPlan.scala:435-500, DefaultPlanner subquery path)."""
+        sub_step = sq.step_ms or 60_000
+        inner_grid = StepGrid(
+            -(-(grid.start - sq.range_ms - sq.offset_ms) // sub_step) * sub_step,
+            grid.end - sq.offset_ms, sub_step).aligned()
+        inner = self._vector(sq.expr, inner_grid)
+        samples = inner.select("labels", F.col("t").alias("ts"), "value") \
+            .withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+        eval_grid = grid if not sq.offset_ms else \
+            StepGrid(grid.start - sq.offset_ms, grid.end - sq.offset_ms, grid.step)
+        out = range_function(samples, fn, ["_sk"], eval_grid, sq.range_ms,
+                             params=params)
+        if sq.offset_ms:
+            out = out.withColumn("t", (F.col("t") + F.lit(sq.offset_ms)).cast("long"))
+        lab = samples.select("_sk", "labels").dropDuplicates(["_sk"])
+        return out.join(lab, "_sk").select("labels", "t", "value")
+
+    def _eval_label_fn(self, e: A.FunctionCall, grid: StepGrid) -> DataFrame:
+        v = self._vector(e.args[0], grid)
+        labels = F.col("labels")
+        if e.name == "label_replace":
+            dst, repl, src, regex = (self._str(a) for a in e.args[1:5])
+            src_val = F.coalesce(labels[src], F.lit(""))
+            anchored = f"^(?:{regex})$"
+            new_val = F.regexp_replace(src_val, anchored,
+                                       repl.replace("$", "$"))
+            matches = src_val.rlike(anchored)
+            updated = F.when(
+                matches & (new_val != ""),
+                F.map_concat(F.map_filter(labels, lambda k, _: k != dst),
+                             F.create_map(F.lit(dst), new_val))
+            ).when(
+                matches & (new_val == ""),
+                F.map_filter(labels, lambda k, _: k != dst)
+            ).otherwise(labels)
+            return v.withColumn("labels", updated)
+        # label_join(v, dst, sep, src...)
+        dst = self._str(e.args[1])
+        sep = self._str(e.args[2])
+        srcs = [self._str(a) for a in e.args[3:]]
+        joined = F.concat_ws(sep, *[F.coalesce(labels[s], F.lit("")) for s in srcs])
+        updated = F.when(
+            joined != "",
+            F.map_concat(F.map_filter(labels, lambda k, _: k != dst),
+                         F.create_map(F.lit(dst), joined))
+        ).otherwise(F.map_filter(labels, lambda k, _: k != dst))
+        return v.withColumn("labels", updated)
+
+    def _histogram_quantile(self, q: float, arg: A.Expr,
+                            grid: StepGrid) -> DataFrame:
+        """Prometheus-style `_bucket` series with an `le` label
+        (HistogramQuantileMapper.scala:23-150): group buckets per series,
+        cumulative-LE linear interpolation (Histogram.scala:62-112)."""
+        v = self._vector(arg, grid)
+        labels = F.col("labels")
+        no_le = F.map_filter(labels, lambda k, _: k != "le")
+        b = (v.withColumn("le", labels["le"].cast("double"))
+              .where(F.col("le").isNotNull())
+              .withColumn("labels", no_le)
+              .withColumn("_sk", bin_k.canonical_labels(F.col("labels"))))
+        per = (b.groupBy("_sk", "t")
+                .agg(F.array_sort(F.collect_list(F.struct("le", "value")))
+                     .alias("_buckets"),
+                     F.first("labels").alias("labels")))
+        val = _hist_quantile_expr(F.lit(float(q)), F.col("_buckets"))
+        return per.select("labels", "t", val.alias("value"))
+
+    # ---- aggregation ----------------------------------------------------
+
+    def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
+        v = self._vector(e.expr, grid)
+        labels = F.col("labels")
+        if e.by is not None:
+            new_labels = F.map_filter(labels, lambda k, _: k.isin([*e.by]))
+        elif e.without is not None:
+            drop = [*e.without, METRIC]
+            new_labels = F.map_filter(labels, lambda k, _: ~k.isin(drop))
+        else:
+            new_labels = F.create_map().cast("map<string,string>")
+        if e.op in ("topk", "bottomk"):
+            # members keep their ORIGINAL labels (TopBottomKRowAggregator
+            # presents series); by/without only buckets the ranking
+            k = int(self._const(e.param))
+            v = (v.withColumn("_gk", bin_k.canonical_labels(new_labels))
+                  .withColumn("_sk", bin_k.canonical_labels(labels)))
+            out = agg_k.topk(v, k, ["_gk"], ["_sk"], bottom=e.op == "bottomk")
+            return out.select("labels", "t", "value")
+        v = v.withColumn("labels", new_labels) \
+             .withColumn("_gk", bin_k.canonical_labels(new_labels))
+        if e.op == "count_values":
+            dst = self._str(e.param)
+            vs = F.col("value")
+            vstr = F.when(vs == F.floor(vs), vs.cast("long").cast("string")) \
+                    .otherwise(vs.cast("string"))
+            v2 = v.withColumn("labels", F.map_concat(
+                F.map_filter(F.col("labels"), lambda k_, _: k_ != dst),
+                F.create_map(F.lit(dst), vstr)))
+            v2 = v2.withColumn("_gk", bin_k.canonical_labels(F.col("labels")))
+            out = (v2.where(~F.isnan("value"))
+                     .groupBy("_gk", "t")
+                     .agg(F.first("labels").alias("labels"),
+                          F.count(F.lit(1)).cast("double").alias("value")))
+            return out.select("labels", "t", "value")
+        params = (self._const(e.param),) if e.param is not None else ()
+        out = agg_k.aggregate(v, e.op, ["_gk"], params=params)
+        lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
+        return out.join(lab, "_gk").select("labels", "t", "value")
+
+    # ---- binary ---------------------------------------------------------
+
+    def _eval_binary(self, e: A.BinaryOp, grid: StepGrid):
+        l = self._eval(e.lhs, grid)
+        r = self._eval(e.rhs, grid)
+        lv, rv = isinstance(l, DataFrame), isinstance(r, DataFrame)
+        if e.op in bin_k.MATH_OPS or e.op in bin_k.COMPARISON_OPS:
+            if lv and rv:
+                card = "many-to-one" if e.group_left else \
+                    "one-to-many" if e.group_right else "one-to-one"
+                return bin_k.vector_binary_op(
+                    l, r, e.op, on=list(e.on) if e.on is not None else None,
+                    ignoring=e.ignoring, cardinality=card, include=e.include,
+                    bool_modifier=e.bool_modifier)
+            if lv or rv:
+                vec, s, s_on_lhs = (l, r, False) if lv else (r, l, True)
+                # math (and bool-comparison) with a scalar drops the metric
+                # name (BinaryJoinExec.resultKeys MathOperator rule)
+                if e.op in bin_k.MATH_OPS or e.bool_modifier:
+                    vec = vec.withColumn(
+                        "labels", F.map_filter(F.col("labels"),
+                                               lambda k, _: k != METRIC))
+                if s.is_const:
+                    return bin_k.scalar_op(vec, e.op, s.const,
+                                           scalar_on_lhs=s_on_lhs,
+                                           bool_modifier=e.bool_modifier)
+                sdf = s.df.withColumnRenamed("value", "_s")
+                j = vec.join(sdf, "t")
+                lc, rc = (F.col("_s"), F.col("value")) if s_on_lhs else \
+                    (F.col("value"), F.col("_s"))
+                if e.op in bin_k.MATH_OPS:
+                    return j.select("labels", "t",
+                                    bin_k.op_expr(e.op, lc, rc).alias("value"))
+                cond = bin_k.comparison_cond(e.op, lc, rc)
+                if e.bool_modifier:
+                    return j.select("labels", "t",
+                                    F.when(cond, 1.0).otherwise(0.0).alias("value"))
+                return j.where(cond).select("labels", "t", "value")
+            # scalar-scalar (ScalarBinaryOperationExec)
+            if l.is_const and r.is_const:
+                import math
+                lc, rc = l.const, r.const
+                if e.op in bin_k.MATH_OPS:
+                    py = {"+": lambda: lc + rc, "-": lambda: lc - rc,
+                          "*": lambda: lc * rc,
+                          "/": lambda: lc / rc if rc != 0 else
+                          (math.inf if lc > 0 else -math.inf if lc < 0
+                           else math.nan),
+                          "%": lambda: math.fmod(lc, rc) if rc != 0 else math.nan,
+                          "^": lambda: lc ** rc,
+                          "atan2": lambda: math.atan2(lc, rc)}[e.op]()
+                    return Scalar(const=py)
+                res = {"==": lc == rc, "!=": lc != rc, ">": lc > rc,
+                       "<": lc < rc, ">=": lc >= rc, "<=": lc <= rc}[e.op]
+                return Scalar(const=1.0 if res else 0.0)
+            ldf = self._scalar_df(l, grid).withColumnRenamed("value", "_l")
+            rdf = self._scalar_df(r, grid).withColumnRenamed("value", "_r")
+            j = ldf.join(rdf, "t")
+            if e.op in bin_k.MATH_OPS:
+                out = j.select("t", bin_k.op_expr(
+                    e.op, F.col("_l"), F.col("_r")).alias("value"))
+            else:
+                out = j.select("t", F.when(bin_k.comparison_cond(
+                    e.op, F.col("_l"), F.col("_r")), 1.0).otherwise(0.0)
+                    .alias("value"))
+            return Scalar(df=out)
+        if e.op in ("and", "or", "unless"):
+            if not (lv and rv):
+                raise ValueError("set operators need vector operands")
+            return bin_k.set_op(l, r, e.op,
+                                on=list(e.on) if e.on is not None else None,
+                                ignoring=e.ignoring)
+        raise ValueError(f"unsupported operator: {e.op}")
+
+    # ---- small helpers --------------------------------------------------
+
+    def _vector(self, e: A.Expr, grid: StepGrid) -> DataFrame:
+        res = self._eval(e, grid)
+        if isinstance(res, Scalar):
+            raise ValueError("expected instant vector, got scalar")
+        return res
+
+    def _const(self, e: A.Expr) -> float:
+        res = self._eval(e, StepGrid(0, 0, 1))
+        if isinstance(res, Scalar) and res.is_const:
+            return res.const
+        raise ValueError("expected constant scalar parameter")
+
+    def _str(self, e: A.Expr) -> str:
+        if isinstance(e, A.StringLiteral):
+            return e.value
+        if isinstance(e, A.Paren):
+            return self._str(e.expr)
+        raise ValueError("expected string literal")
+
+
+def _hist_quantile_expr(q: Column, buckets: Column) -> Column:
+    """Histogram.quantile (core/.../vectors/Histogram.scala:62-112):
+    cumulative-LE buckets, linear interpolation within the bucket, top
+    bucket must be +Inf (else NaN); rank below first bucket interpolates
+    from 0. buckets: sorted array<struct<le double, value double>>."""
+    n = F.size(buckets)
+    last = F.element_at(buckets, -1)
+    total = last["value"]
+    rank = q * total
+    # first bucket index with cumulative value >= rank
+    idx = F.aggregate(
+        buckets,
+        F.struct(F.lit(0).alias("i"), F.lit(-1).alias("found")),
+        lambda acc, b: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when((acc["found"] < 0) & (b["value"] >= rank), acc["i"] + 1)
+             .otherwise(acc["found"]).alias("found")),
+        lambda acc: acc["found"])
+    b = F.element_at(buckets, idx)
+    b_prev = F.when(idx > 1, F.element_at(buckets, idx - 1))
+    lo_le = F.when(idx > 1, b_prev["le"]).otherwise(F.lit(0.0))
+    lo_cum = F.when(idx > 1, b_prev["value"]).otherwise(F.lit(0.0))
+    frac = (rank - lo_cum) / (b["value"] - lo_cum)
+    interp = lo_le + (b["le"] - lo_le) * frac
+    # if quantile falls in the +Inf top bucket: return lower bound (prev le)
+    in_top = b["le"] == F.lit(float("inf"))
+    nan = F.lit(float("nan"))
+    return (F.when(q < 0, F.lit(float("-inf")))
+             .when(q > 1, F.lit(float("inf")))
+             .when((n < 2) | (last["le"] != F.lit(float("inf"))) | (total == 0), nan)
+             .when(in_top, lo_le)
+             .otherwise(interp))

@@ -1,0 +1,348 @@
+"""Hand-written PromQL lexer + recursive-descent parser.
+
+Grammar follows the reference ANTLR grammar
+(prometheus/src/main/java/filodb/prometheus/antlr/PromQL.g4) and the
+upstream PromQL spec. Precedence (low to high):
+  or | and,unless | comparisons | +,- | *,/,% | ^ (right-assoc) | unary.
+"""
+
+from __future__ import annotations
+
+import re
+
+from filodb_spark.promql.ast import (Aggregation, BinaryOp, Expr, FunctionCall,
+                                     LabelMatcher, MatrixSelector,
+                                     NumberLiteral, Paren, StringLiteral,
+                                     Subquery, Unary, VectorSelector)
+
+AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
+           "topk", "bottomk", "quantile", "count_values"}
+SET_OPS = {"and", "or", "unless"}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+)
+  | (?P<DURATION>[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y)(?:[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y))*)
+  | (?P<NUMBER>
+        0x[0-9a-fA-F]+
+      | (?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?
+      | [iI][nN][fF] | [nN][aA][nN])
+  | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_:]*)
+  | (?P<OP>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|@|:)
+""", re.VERBOSE)
+
+_UNIT_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+            "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000}
+
+_DUR_PART = re.compile(r"([0-9]+(?:\.[0-9]+)?)(ms|s|m|h|d|w|y)")
+
+
+def duration_ms(text: str) -> int:
+    total = 0.0
+    for num, unit in _DUR_PART.findall(text):
+        total += float(num) * _UNIT_MS[unit]
+    return int(total)
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}:{self.text}"
+
+
+def tokenize(query: str) -> list[Token]:
+    out = []
+    pos = 0
+    while pos < len(query):
+        m = _TOKEN_RE.match(query, pos)
+        if not m:
+            raise SyntaxError(f"PromQL lex error at {pos}: {query[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        out.append(Token(kind, m.group()))
+    out.append(Token("EOF", ""))
+    return out
+
+
+class Parser:
+    def __init__(self, tokens: list[Token]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Token:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Token:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    # --- precedence climbing --------------------------------------------
+
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def _binary_tail(self, sub, ops) -> Expr:
+        lhs = sub()
+        while self.peek().text in ops or (
+                self.peek().kind == "IDENT" and self.peek().text in ops):
+            op = self.next().text
+            bool_mod = False
+            if self.peek().text == "bool":
+                self.next()
+                bool_mod = True
+            on = ignoring = None
+            include: tuple[str, ...] = ()
+            gl = gr = False
+            if self.peek().text in ("on", "ignoring"):
+                kw = self.next().text
+                labels = self._label_list()
+                if kw == "on":
+                    on = labels
+                else:
+                    ignoring = labels
+            if self.peek().text in ("group_left", "group_right"):
+                kw = self.next().text
+                gl, gr = kw == "group_left", kw == "group_right"
+                if self.peek().text == "(":
+                    include = self._label_list()
+            rhs = sub()
+            lhs = BinaryOp(op, lhs, rhs, bool_modifier=bool_mod, on=on,
+                           ignoring=ignoring or (), group_left=gl,
+                           group_right=gr, include=include)
+        return lhs
+
+    def parse_or(self) -> Expr:
+        return self._binary_tail(self.parse_and, {"or"})
+
+    def parse_and(self) -> Expr:
+        return self._binary_tail(self.parse_cmp, {"and", "unless"})
+
+    def parse_cmp(self) -> Expr:
+        return self._binary_tail(self.parse_add,
+                                 {"==", "!=", "<", ">", "<=", ">="})
+
+    def parse_add(self) -> Expr:
+        return self._binary_tail(self.parse_mul, {"+", "-"})
+
+    def parse_mul(self) -> Expr:
+        return self._binary_tail(self.parse_pow, {"*", "/", "%", "atan2"})
+
+    def parse_pow(self) -> Expr:
+        lhs = self.parse_unary()
+        if self.peek().text == "^":
+            self.next()
+            rhs = self.parse_pow()   # right associative
+            return BinaryOp("^", lhs, rhs)
+        return lhs
+
+    def parse_unary(self) -> Expr:
+        if self.peek().text in ("+", "-"):
+            op = self.next().text
+            return Unary(op, self.parse_unary())
+        return self.parse_postfix()
+
+    # --- postfix: [range], [range:step], offset, @ ----------------------
+
+    def parse_postfix(self) -> Expr:
+        e = self.parse_atom()
+        while True:
+            t = self.peek()
+            if t.text == "[":
+                self.next()
+                rng = self.next()
+                if rng.kind != "DURATION":
+                    raise SyntaxError(f"expected duration, got {rng.text!r}")
+                if self.accept(":"):
+                    step = None
+                    if self.peek().kind == "DURATION":
+                        step = duration_ms(self.next().text)
+                    self.expect("]")
+                    e = Subquery(e, duration_ms(rng.text), step)
+                else:
+                    self.expect("]")
+                    if not isinstance(e, VectorSelector):
+                        raise SyntaxError("range selector on non-selector")
+                    e = MatrixSelector(e, duration_ms(rng.text))
+            elif t.text == "offset":
+                self.next()
+                neg = self.accept("-")
+                d = self.next()
+                off = duration_ms(d.text) * (-1 if neg else 1)
+                e = self._with_offset(e, off)
+            elif t.text == "@":
+                self.next()
+                at = self.next()
+                at_ms = int(float(at.text) * 1000)
+                e = self._with_at(e, at_ms)
+            else:
+                return e
+
+    @staticmethod
+    def _with_offset(e: Expr, off: int) -> Expr:
+        import dataclasses
+        if isinstance(e, VectorSelector):
+            return dataclasses.replace(e, offset_ms=off)
+        if isinstance(e, MatrixSelector):
+            return dataclasses.replace(e, base=dataclasses.replace(e.base, offset_ms=off))
+        if isinstance(e, Subquery):
+            return dataclasses.replace(e, offset_ms=off)
+        raise SyntaxError("offset modifier on non-selector")
+
+    @staticmethod
+    def _with_at(e: Expr, at_ms: int) -> Expr:
+        import dataclasses
+        if isinstance(e, VectorSelector):
+            return dataclasses.replace(e, at_ms=at_ms)
+        if isinstance(e, MatrixSelector):
+            return dataclasses.replace(e, base=dataclasses.replace(e.base, at_ms=at_ms))
+        if isinstance(e, Subquery):
+            return dataclasses.replace(e, at_ms=at_ms)
+        raise SyntaxError("@ modifier on non-selector")
+
+    # --- atoms ----------------------------------------------------------
+
+    def parse_atom(self) -> Expr:
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return Paren(e)
+        if t.kind == "NUMBER":
+            self.next()
+            return NumberLiteral(_parse_number(t.text))
+        if t.kind == "STRING":
+            self.next()
+            return StringLiteral(_unquote(t.text))
+        if t.kind == "DURATION":
+            # bare durations are numbers of seconds in some contexts; reject
+            raise SyntaxError(f"unexpected duration {t.text!r}")
+        if t.kind == "IDENT":
+            name = t.text
+            if name in AGG_OPS:
+                return self.parse_aggregation()
+            if self.peek(1).text == "(" and name not in SET_OPS:
+                return self.parse_function()
+            return self.parse_selector()
+        if t.text == "{":
+            return self.parse_selector()
+        raise SyntaxError(f"unexpected token {t.text!r}")
+
+    def parse_function(self) -> Expr:
+        name = self.next().text
+        self.expect("(")
+        args: list[Expr] = []
+        if self.peek().text != ")":
+            args.append(self.parse_expr())
+            while self.accept(","):
+                args.append(self.parse_expr())
+        self.expect(")")
+        return FunctionCall(name, tuple(args))
+
+    def parse_aggregation(self) -> Expr:
+        op = self.next().text
+        by = without = None
+        if self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            if kw == "by":
+                by = labels
+            else:
+                without = labels
+        self.expect("(")
+        first = self.parse_expr()
+        param = None
+        expr = first
+        if self.accept(","):
+            param = first
+            expr = self.parse_expr()
+            while self.accept(","):   # count_values etc. take 2 args max
+                expr = self.parse_expr()
+        self.expect(")")
+        if by is None and without is None and self.peek().text in ("by", "without"):
+            kw = self.next().text
+            labels = self._label_list()
+            if kw == "by":
+                by = labels
+            else:
+                without = labels
+        return Aggregation(op, expr, param=param, by=by, without=without)
+
+    def parse_selector(self) -> Expr:
+        metric = None
+        if self.peek().kind == "IDENT":
+            metric = self.next().text
+        matchers: list[LabelMatcher] = []
+        if self.peek().text == "{":
+            self.next()
+            while self.peek().text != "}":
+                lname = self.next().text
+                opt = self.next().text
+                if opt not in ("=", "!=", "=~", "!~"):
+                    raise SyntaxError(f"bad matcher op {opt!r}")
+                val = self.next()
+                if val.kind != "STRING":
+                    raise SyntaxError("matcher value must be a string")
+                matchers.append(LabelMatcher(lname, opt, _unquote(val.text)))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+        if metric is None and not matchers:
+            raise SyntaxError("empty selector")
+        return VectorSelector(metric, tuple(matchers))
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.expect("(")
+        labels: list[str] = []
+        while self.peek().text != ")":
+            labels.append(self.next().text)
+            if not self.accept(","):
+                break
+        self.expect(")")
+        return tuple(labels)
+
+
+def _parse_number(text: str) -> float:
+    tl = text.lower()
+    if tl.startswith("0x"):
+        return float(int(text, 16))
+    if tl == "inf":
+        return float("inf")
+    if tl == "nan":
+        return float("nan")
+    return float(text)
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return (body.replace("\\\\", "\x00").replace("\\\"", "\"")
+                .replace("\\'", "'").replace("\\n", "\n").replace("\\t", "\t")
+                .replace("\x00", "\\"))
+
+
+def parse(query: str) -> Expr:
+    p = Parser(tokenize(query))
+    e = p.parse_expr()
+    if p.peek().kind != "EOF":
+        raise SyntaxError(f"trailing input: {p.peek().text!r}")
+    return e

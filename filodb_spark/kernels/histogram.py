@@ -1,0 +1,158 @@
+"""Histogram type + operations.
+
+Reference model (core/src/main/scala/filodb.memory/format/vectors/
+Histogram.scala:11-17): cumulative-LE buckets — bucket i holds the count
+of observations <= les[i]; the last bucket must be +Inf and equals the
+total count. Spark representation:
+  struct<les: array<double>, values: array<double>>
+
+Design — **bucket explosion**: histogram windowing/aggregation ops
+(rate over cumulative histograms, bucket-wise sums) re-use the scalar
+kernels by exploding (series, ts, hist) into (series, bucket_le, ts,
+bucket_value) rows, running the double kernel, and re-assembling sorted
+arrays. Bucket counts are small (16-64), so the expansion is a constant
+factor, stays whole-stage-codegen'd, and inherits the scalar kernels'
+exactness (incl. extrapolation + reset correction) per bucket —
+mirroring extrapolatedRateH (RateFunctions.scala:37-66) which applies
+the scalar extrapolation to every bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.grid import StepGrid
+from filodb_spark.kernels.range_fns import range_function
+
+
+def hist_struct(les: Column, values: Column) -> Column:
+    return F.struct(les.alias("les"), values.alias("values"))
+
+
+def bucketize(df: DataFrame, group_cols: Sequence[str], les: Sequence[float],
+              value_col: str = "value") -> DataFrame:
+    """Aggregate raw observations into a cumulative-LE histogram per group.
+
+    les must be ascending and is extended with +Inf. One hash aggregation:
+    each bound is a conditional count (count of values <= le).
+    """
+    bounds = [*les, float("inf")]
+    v = F.col(value_col)
+    counts = [F.sum(F.when(v <= b, 1).otherwise(0)).cast("double").alias(f"_b{i}")
+              for i, b in enumerate(bounds)]
+    agg = df.groupBy(*group_cols).agg(*counts)
+    les_col = F.array(*[F.lit(float(b)) for b in bounds])
+    vals_col = F.array(*[F.col(f"_b{i}") for i in range(len(bounds))])
+    return agg.select(*group_cols, hist_struct(les_col, vals_col).alias("hist"))
+
+
+def explode_hist(df: DataFrame, hist_col: str = "hist") -> DataFrame:
+    """hist struct -> one row per bucket: (.., bucket_le, value)."""
+    h = F.col(hist_col)
+    pairs = F.arrays_zip(h["les"].alias("le"), h["values"].alias("value"))
+    return (df.withColumn("_p", F.explode(pairs))
+              .withColumn("bucket_le", F.col("_p.le"))
+              .withColumn("value", F.col("_p.value"))
+              .drop("_p", hist_col))
+
+
+def assemble_hist(df: DataFrame, group_cols: Sequence[str],
+                  le_col: str = "bucket_le",
+                  value_col: str = "value") -> DataFrame:
+    """Inverse of explode_hist: collect sorted (le, value) arrays."""
+    pair = F.struct(F.col(le_col).alias("le"), F.col(value_col).alias("value"))
+    agg = df.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(pair)).alias("_ps"))
+    h = hist_struct(F.transform("_ps", lambda p: p["le"]),
+                    F.transform("_ps", lambda p: p["value"]))
+    return agg.select(*group_cols, h.alias("hist"))
+
+
+def hist_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
+                        grid: StepGrid, window: int,
+                        hist_col: str = "hist") -> DataFrame:
+    """Range function over histogram series (rate/increase/sum_over_time/
+    last_over_time): bucket-explode -> scalar kernel per bucket ->
+    re-assemble. Matches extrapolatedRateH per-bucket semantics."""
+    exploded = explode_hist(df, hist_col)
+    out = range_function(exploded, fn, [*series_cols, "bucket_le"], grid, window)
+    return assemble_hist(out.where(~F.isnan("value")),
+                         [*series_cols, "t"])
+
+
+def hist_sum(df: DataFrame, group_cols: Sequence[str],
+             hist_col: str = "hist") -> DataFrame:
+    """Bucket-wise sum of histograms across series
+    (HistSumRowAggregator.scala:1-34; bucket add Histogram.scala:322-420).
+    Requires compatible bucket schemes (mixed schemes: rows grouped by
+    their les array, like the reference's same-scheme requirement)."""
+    exploded = explode_hist(df, hist_col)
+    summed = (exploded.groupBy(*group_cols, "bucket_le")
+              .agg(F.sum("value").alias("value")))
+    return assemble_hist(summed, group_cols)
+
+
+def hist_quantile(q: Column | float, hist: Column) -> Column:
+    """Histogram.quantile (Histogram.scala:62-112): cumulative-LE linear
+    interpolation; quantile landing in the +Inf top bucket returns the
+    highest finite bucket bound; rank below the first bucket interpolates
+    from 0. NaN when <2 buckets, no +Inf top bucket, or empty histogram."""
+    if not isinstance(q, Column):
+        q = F.lit(float(q))
+    les, vals = hist["les"], hist["values"]
+    n = F.size(les)
+    total = F.element_at(vals, -1)
+    rank = q * total
+    idx = F.aggregate(
+        vals,
+        F.struct(F.lit(0).alias("i"), F.lit(-1).alias("found")),
+        lambda acc, v: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when((acc["found"] < 0) & (v >= rank), acc["i"] + 1)
+             .otherwise(acc["found"]).alias("found")),
+        lambda acc: acc["found"])
+    le = F.element_at(les, idx)
+    cum = F.element_at(vals, idx)
+    lo_le = F.when(idx > 1, F.element_at(les, idx - 1)).otherwise(F.lit(0.0))
+    lo_cum = F.when(idx > 1, F.element_at(vals, idx - 1)).otherwise(F.lit(0.0))
+    interp = lo_le + (le - lo_le) * ((rank - lo_cum) / (cum - lo_cum))
+    nan = F.lit(float("nan"))
+    return (F.when(q < 0, F.lit(float("-inf")))
+             .when(q > 1, F.lit(float("inf")))
+             .when((n < 2) | (F.element_at(les, -1) != F.lit(float("inf")))
+                   | (total == 0) | total.isNull(), nan)
+             .when(le == F.lit(float("inf")), lo_le)
+             .when(cum == lo_cum, lo_le)
+             .otherwise(interp))
+
+
+def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
+    """histogram_fraction(lo, hi, h) (Histogram.scala:113-190): fraction of
+    observations in [lo, hi], linear interpolation inside buckets."""
+    les, vals = hist["les"], hist["values"]
+    total = F.element_at(vals, -1)
+
+    def cum_at(x: float) -> Column:
+        # interpolated cumulative count at threshold x
+        xc = F.lit(float(x))
+        return F.aggregate(
+            F.zip_with(les, vals, lambda l, v: F.struct(l.alias("le"),
+                                                        v.alias("v"))),
+            F.struct(F.lit(0.0).alias("prev_le"), F.lit(0.0).alias("prev_v"),
+                     F.lit(None).cast("double").alias("res")),
+            lambda acc, b: F.struct(
+                b["le"].alias("prev_le"), b["v"].alias("prev_v"),
+                F.when(acc["res"].isNotNull(), acc["res"])
+                 .when(xc <= b["le"],
+                       F.when(b["le"] == F.lit(float("inf")), acc["prev_v"])
+                        .otherwise(acc["prev_v"] + (b["v"] - acc["prev_v"])
+                                   * ((xc - acc["prev_le"])
+                                      / (b["le"] - acc["prev_le"]))))
+                 .otherwise(F.lit(None).cast("double")).alias("res")),
+            lambda acc: F.coalesce(acc["res"], acc["prev_v"]))
+
+    frac = (cum_at(hi) - cum_at(lo)) / total
+    return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)

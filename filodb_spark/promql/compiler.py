@@ -358,8 +358,10 @@ class PromQLEngine:
                 .agg(F.array_sort(F.collect_list(F.struct("le", "value")))
                      .alias("_buckets"),
                      F.first("labels").alias("labels")))
-        val = _hist_quantile_expr(F.lit(float(q)), F.col("_buckets"))
-        return per.select("labels", "t", val.alias("value"))
+        from filodb_spark.kernels.histogram import hist_struct, hist_quantile
+        h = hist_struct(F.transform("_buckets", lambda p: p["le"]),
+                        F.transform("_buckets", lambda p: p["value"]))
+        return per.select("labels", "t", hist_quantile(q, h).alias("value"))
 
     # ---- aggregation ----------------------------------------------------
 
@@ -496,37 +498,3 @@ class PromQLEngine:
         if isinstance(e, A.Paren):
             return self._str(e.expr)
         raise ValueError("expected string literal")
-
-
-def _hist_quantile_expr(q: Column, buckets: Column) -> Column:
-    """Histogram.quantile (core/.../vectors/Histogram.scala:62-112):
-    cumulative-LE buckets, linear interpolation within the bucket, top
-    bucket must be +Inf (else NaN); rank below first bucket interpolates
-    from 0. buckets: sorted array<struct<le double, value double>>."""
-    n = F.size(buckets)
-    last = F.element_at(buckets, -1)
-    total = last["value"]
-    rank = q * total
-    # first bucket index with cumulative value >= rank
-    idx = F.aggregate(
-        buckets,
-        F.struct(F.lit(0).alias("i"), F.lit(-1).alias("found")),
-        lambda acc, b: F.struct(
-            (acc["i"] + 1).alias("i"),
-            F.when((acc["found"] < 0) & (b["value"] >= rank), acc["i"] + 1)
-             .otherwise(acc["found"]).alias("found")),
-        lambda acc: acc["found"])
-    b = F.element_at(buckets, idx)
-    b_prev = F.when(idx > 1, F.element_at(buckets, idx - 1))
-    lo_le = F.when(idx > 1, b_prev["le"]).otherwise(F.lit(0.0))
-    lo_cum = F.when(idx > 1, b_prev["value"]).otherwise(F.lit(0.0))
-    frac = (rank - lo_cum) / (b["value"] - lo_cum)
-    interp = lo_le + (b["le"] - lo_le) * frac
-    # if quantile falls in the +Inf top bucket: return lower bound (prev le)
-    in_top = b["le"] == F.lit(float("inf"))
-    nan = F.lit(float("nan"))
-    return (F.when(q < 0, F.lit(float("-inf")))
-             .when(q > 1, F.lit(float("inf")))
-             .when((n < 2) | (last["le"] != F.lit(float("inf"))) | (total == 0), nan)
-             .when(in_top, lo_le)
-             .otherwise(interp))

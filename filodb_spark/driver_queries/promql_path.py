@@ -1,0 +1,196 @@
+"""Driver queries exercising the FULL PromQL path: query string ->
+parser -> compiler -> DataFrame, over the events store (metric =
+event_type, label user = user_id). Each has an exact DuckDB oracle.
+
+Series here are (metric, user) pairs — higher cardinality than the
+kernel-level ts_* queries, and results flow through the engine's
+labels-map machinery (canonical keys, join rules, grouping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from filodb_spark.driver_queries.promql_events import STEP, WINDOW
+from filodb_spark.kernels.grid import grid_from_bounds
+from filodb_spark.promql import PromQLEngine
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.tsdf import events_labels_ts
+
+DAY = 24 * 3600 * 1000
+
+
+def _engine(spark, sf_dir, lookback=DAY - 1):
+    df = events_labels_ts(spark, sf_dir)
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    return PromQLEngine(spark, TsStore(df), lookback_ms=lookback), \
+        grid_from_bounds(lo, hi, STEP), grid_from_bounds(lo, hi, DAY)
+
+
+def _run(spark, sf_dir, promql, grid_sel="step"):
+    eng, g6, g24 = _engine(spark, sf_dir)
+    g = g6 if grid_sel == "step" else g24
+    return eng.query_range(promql, g.start, g.end, g.step)
+
+
+def pq_sum_rate(spark, sf_dir):
+    out = _run(spark, sf_dir, "sum(rate(purchase[24h]))")
+    return (out.where(~F.isnan("value"))
+            .select("t", F.round("value", 6).alias("value")))
+
+
+def pq_count_by_metric(spark, sf_dir):
+    out = _run(spark, sf_dir,
+               'sum by (__name__) (count_over_time({user=~".+"}[24h]))')
+    return out.select(F.col("labels")["__name__"].alias("event_type"),
+                      "t", "value")
+
+
+def pq_binary_user_ratio(spark, sf_dir):
+    q = ("count_over_time(purchase[24h]) / on (user) "
+         "count_over_time(error[24h])")
+    out = _run(spark, sf_dir, q, grid_sel="day")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", F.round("value", 6).alias("value"))
+
+
+def pq_set_unless(spark, sf_dir):
+    q = ("count_over_time(purchase[24h]) unless on (user) "
+         "count_over_time(error[24h])")
+    out = _run(spark, sf_dir, q, grid_sel="day")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_quantile_last(spark, sf_dir):
+    out = _run(spark, sf_dir, "quantile(0.5, {__name__=~\".+\"})")
+    return (out.where(~F.isnan("value"))
+            .select("t", F.round("value", 6).alias("value")))
+
+
+def pq_label_join(spark, sf_dir):
+    out = _run(spark, sf_dir,
+               'label_join(last_over_time(purchase[24h]), "uid", ":", '
+               '"__name__", "user")')
+    return out.select(F.col("labels")["uid"].alias("uid"), "t", "value")
+
+
+QUERIES = {
+    "pq_sum_rate": pq_sum_rate,
+    "pq_count_by_metric": pq_count_by_metric,
+    "pq_binary_user_ratio": pq_binary_user_ratio,
+    "pq_set_unless": pq_set_unless,
+    "pq_quantile_last": pq_quantile_last,
+    "pq_label_join": pq_label_join,
+}
+
+# --- oracles ---------------------------------------------------------------
+
+# per-(metric,user) series on the 6h grid
+_BASE_MU = f"""
+WITH raw AS (
+  SELECT event_type, user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+),
+s AS (
+  SELECT event_type, user_id, ts, value,
+         coalesce(lag(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts),
+                  -4611686018427387904) AS prev_ts,
+         coalesce(lag(value) OVER (PARTITION BY event_type, user_id ORDER BY ts),
+                  0.0) AS prev_value
+  FROM raw
+),
+w AS (
+  SELECT s.*, grid.t
+  FROM grid JOIN s ON s.ts BETWEEN grid.t - {WINDOW} AND grid.t
+)
+"""
+
+_DAILY_MU = """
+WITH bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / 86400000.0) AS BIGINT) * 86400000 AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / 86400000.0) AS BIGINT) * 86400000 AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), 86400000)) AS t
+),
+raw AS (
+  SELECT event_type, user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+cnt AS (
+  SELECT raw.event_type, raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2, 3
+)
+"""
+
+ORACLES = {
+    "pq_sum_rate": _BASE_MU.replace("FROM events GROUP BY 1, 2, 3",
+                                    "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3") + f""",
+a AS (
+  SELECT event_type, user_id, t, count(*) AS cnt,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         arg_min(value, ts) AS first_val, arg_max(value, ts) AS last_val,
+         sum(CASE WHEN prev_ts >= t - {WINDOW} AND value < prev_value
+                  THEN prev_value ELSE 0.0 END) AS corr
+  FROM w GROUP BY 1, 2, 3
+),
+c1 AS (
+  SELECT event_type, user_id, t, cnt, first_val,
+         (last_ts - first_ts) / 1000.0 AS si,
+         (first_ts - (t - {WINDOW})) / 1000.0 AS dts0,
+         (t - last_ts) / 1000.0 AS dte,
+         last_val - first_val + corr AS delta
+  FROM a WHERE cnt >= 2 AND last_ts > first_ts
+),
+c2 AS (
+  SELECT *, si / (cnt - 1.0) AS ad,
+         CASE WHEN delta > 0 AND first_val >= 0 AND si * (first_val / delta) < dts0
+              THEN si * (first_val / delta) ELSE dts0 END AS dts
+  FROM c1
+),
+c3 AS (
+  SELECT event_type, user_id, t, delta, si,
+         si + (CASE WHEN dts < ad * 1.1 THEN dts ELSE ad / 2.0 END)
+            + (CASE WHEN dte < ad * 1.1 THEN dte ELSE ad / 2.0 END) AS ext
+  FROM c2
+)
+SELECT t, round(sum(delta * (ext / si) / {WINDOW / 1000.0}), 6) AS value
+FROM c3 GROUP BY t""",
+    "pq_count_by_metric": _BASE_MU + """
+SELECT event_type, t, sum(cnt_series) AS value FROM (
+  SELECT event_type, user_id, t, CAST(count(*) AS DOUBLE) AS cnt_series
+  FROM w GROUP BY 1, 2, 3
+) GROUP BY event_type, t""",
+    "pq_binary_user_ratio": _DAILY_MU + """
+SELECT p.user_id, p.t, round(p.value / e.value, 6) AS value
+FROM (SELECT * FROM cnt WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM cnt WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.t = e.t""",
+    "pq_set_unless": _DAILY_MU + """
+SELECT p.user_id, p.t, p.value
+FROM (SELECT * FROM cnt WHERE event_type = 'purchase') p
+WHERE NOT EXISTS (SELECT 1 FROM cnt e WHERE e.event_type = 'error'
+                  AND e.user_id = p.user_id AND e.t = p.t)""",
+    "pq_quantile_last": _BASE_MU + """,
+last AS (
+  SELECT event_type, user_id, t, arg_max(value, ts) AS value
+  FROM w GROUP BY 1, 2, 3
+)
+SELECT t, round(quantile_cont(value, 0.5), 6) AS value FROM last GROUP BY t""",
+    "pq_label_join": _BASE_MU.replace("FROM events GROUP BY 1, 2, 3",
+                                      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3") + """
+SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS uid, t,
+       arg_max(value, ts) AS value
+FROM w GROUP BY event_type, user_id, t""",
+}

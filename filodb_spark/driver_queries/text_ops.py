@@ -48,9 +48,10 @@ def q_doc_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def q_doc_simhash_groups(spark, sf_dir):
-    # approximate — no SQL oracle
-    return dedup.simhash_duplicate_groups(_docs(spark, sf_dir))
+def q_doc_simhash(spark, sf_dir):
+    # 64-bit signed-projection hash per doc (xxhash64-based — not
+    # reproducible in the SQL oracle; rows-only check)
+    return dedup.simhash(_docs(spark, sf_dir))
 
 
 QUERIES = {
@@ -60,7 +61,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_lsh": q_doc_minhash_lsh,
-    "doc_simhash_groups": q_doc_simhash_groups,
+    "doc_simhash": q_doc_simhash,
 }
 
 _STOP_SQL = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'"

@@ -50,18 +50,18 @@ def events_ts(spark: SparkSession, sf_dir: str,
     return out
 
 
-def events_labels_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_labels_ts(spark: SparkSession, sf_dir: str,
+                     dedupe: bool = True) -> DataFrame:
     """events fixture -> PromQL layout (labels map, ts, value).
 
     Treats event_type as the metric name and user_id as a label —
     mirroring the reference partition-key shape (_metric_ + tags).
+    Deduped per (series, ts) like events_ts.
     """
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_dtype = df.schema["ts"].dataType
+    df = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"),
+                   dedupe=dedupe)
     labels = F.create_map(
         F.lit("__name__"), F.col("event_type"),
         F.lit("user"), F.col("user_id").cast("string"),
     )
-    return df.select(labels.alias("labels"),
-                     ts_ms(F.col("ts"), ts_dtype).alias("ts"),
-                     F.col("value").cast("double").alias("value"))
+    return df.select(labels.alias("labels"), "ts", "value")

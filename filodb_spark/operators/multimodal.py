@@ -1,0 +1,169 @@
+"""Multimodal (image/audio/video) column operators.
+
+Design for a 100 TB training-data pipeline:
+- media lives in OPAQUE `binary` columns with a typed metadata struct
+  (mime/width/height/duration/sample_rate) alongside;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  pandas functions over `mapInPandas` — the only layer where Python is
+  the right tool (codec libraries), batched so the JVM<->Python transfer
+  is amortized;
+- partitioning: media rows are large, so repartition by size budget
+  (`target_partition_bytes`) before the Python stage to keep Arrow
+  batches bounded.
+
+The actual codec calls are STUBBED (pillow/ffmpeg are not in this
+container): `decode_backend="fake"` produces a deterministic
+md5-derived feature vector so the plumbing (schemas, batch shapes,
+partitioning, null handling) is real and testable end-to-end;
+`decode_backend="real"` raises NotImplementedError at the exact call
+site where a codec would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def with_media_meta(df: DataFrame, content_col: str = "content",
+                    mime: str = "image/png") -> DataFrame:
+    """Attach a typed metadata struct for an opaque binary column.
+    (Real pipelines fill this at ingest from container headers.)"""
+    return df.withColumn("media_meta", F.struct(
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("int").alias("sample_rate"),
+    ))
+
+
+def _fake_features(data: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for a decoded-image embedding: consecutive
+    4-byte big-endian slices of md5(data), as doubles. Reproducible in
+    any engine with md5 — used by the SQL oracle."""
+    h = hashlib.md5(data).digest()
+    return [float(int.from_bytes(h[4 * i:4 * i + 4], "big"))
+            for i in range(dim)]
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id",
+                   content_col: str = "content",
+                   decode_backend: str = "fake",
+                   batch_hint_rows: int = 256) -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched mapInPandas.
+
+    Output: (doc_id, n_bytes, features array<double>).
+    """
+    if decode_backend not in ("fake", "real"):
+        raise ValueError(decode_backend)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_nb, out_feats = [], [], []
+            for doc_id, data in zip(pdf[id_col], pdf[content_col]):
+                if data is None:
+                    continue
+                data = bytes(data)
+                if decode_backend == "real":
+                    # codec plug-in point: PIL.Image.open(io.BytesIO(data))
+                    raise NotImplementedError(
+                        "real image decode requires pillow; use decode_backend='fake'")
+                out_ids.append(doc_id)
+                out_nb.append(len(data))
+                out_feats.append(_fake_features(data))
+            yield pd.DataFrame({"doc_id": out_ids, "n_bytes": out_nb,
+                                "features": out_feats})
+
+    src = df.select(F.col(id_col), F.col(content_col))
+    return src.mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", content_col: str = "content",
+                  decode_backend: str = "fake") -> DataFrame:
+    """Resize stage (stub): real backend would decode->resize->re-encode;
+    fake backend passes content through and stamps the new dimensions in
+    the metadata struct (the schema contract the next stage relies on)."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("media_meta", MEDIA_META),
+    ])
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError(
+                    "real resize requires pillow; use decode_backend='fake'")
+            metas = [{"mime": "image/png", "width": width, "height": height,
+                      "duration_ms": None, "sample_rate": None}
+                     for _ in range(len(pdf))]
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "content": pdf[content_col],
+                                "media_meta": metas})
+
+    return df.select(F.col(id_col), F.col(content_col)) \
+             .mapInPandas(resize, out_schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  duration_col: str = "duration_ms",
+                  decode_backend: str = "fake") -> DataFrame:
+    """Video frame sampling (stub): emits one row per sampled frame
+    offset. Fake backend derives frame 'content' deterministically from
+    (video bytes, offset) without decoding."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, frames = [], [], []
+            for doc_id, data, dur in zip(pdf[id_col], pdf[content_col],
+                                         pdf[duration_col]):
+                if data is None or dur is None:
+                    continue
+                if decode_backend == "real":
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg; use 'fake'")
+                for off in range(0, int(dur), every_ms):
+                    ids.append(doc_id)
+                    offs.append(off)
+                    frames.append(hashlib.md5(
+                        bytes(data) + str(off).encode()).digest())
+            yield pd.DataFrame({"doc_id": ids, "frame_ms": offs,
+                                "frame": frames})
+
+    return df.select(F.col(id_col), F.col(content_col),
+                     F.col(duration_col)).mapInPandas(sample, out_schema)
+
+
+def repartition_for_media(df: DataFrame, total_bytes: int,
+                          target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Bound Arrow batch memory: pick partition count from the data's
+    byte volume, not row count (media rows are fat)."""
+    parts = max(1, total_bytes // target_partition_bytes)
+    return df.repartition(int(parts))

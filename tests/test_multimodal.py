@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests: schemas, batching, null handling,
+deterministic fake decode; real backend raises at the plug-in point."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.operators.multimodal import (image_features, resize_images,
+                                               sample_frames, with_media_meta)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [(i, f"image-bytes-{i}".encode()) for i in range(10)]
+    rows.append((99, None))  # null content must be skipped
+    return spark.createDataFrame(rows, "doc_id long, content binary")
+
+
+class TestImageFeatures:
+    def test_fake_decode_deterministic(self, spark, media_df):
+        out = image_features(media_df).collect()
+        assert len(out) == 10  # null skipped
+        by_id = {r["doc_id"]: r for r in out}
+        data = b"image-bytes-3"
+        h = hashlib.md5(data).digest()
+        expected = [float(int.from_bytes(h[4 * i:4 * i + 4], "big"))
+                    for i in range(4)]
+        assert list(by_id[3]["features"]) == expected
+        assert by_id[3]["n_bytes"] == len(data)
+
+    def test_real_backend_raises(self, spark, media_df):
+        with pytest.raises(Exception) as e:
+            image_features(media_df, decode_backend="real").collect()
+        assert "NotImplementedError" in str(e.value) or \
+            isinstance(e.value, NotImplementedError)
+
+
+class TestResizeAndMeta:
+    def test_meta_schema(self, spark, media_df):
+        out = resize_images(media_df, 224, 224)
+        row = out.where(F.col("doc_id") == 1).first()
+        assert row["media_meta"]["width"] == 224
+        assert row["media_meta"]["mime"] == "image/png"
+        assert bytes(row["content"]) == b"image-bytes-1"
+
+    def test_with_media_meta(self, spark, media_df):
+        out = with_media_meta(media_df, mime="audio/wav")
+        assert out.schema["media_meta"].dataType.fieldNames() == \
+            ["mime", "width", "height", "duration_ms", "sample_rate"]
+
+
+class TestFrameSampling:
+    def test_sample_offsets(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"video-1", 2500), (2, b"video-2", 900), (3, None, 1000)],
+            "doc_id long, content binary, duration_ms long")
+        out = sample_frames(df, every_ms=1000).collect()
+        offsets = sorted((r["doc_id"], r["frame_ms"]) for r in out)
+        assert offsets == [(1, 0), (1, 1000), (1, 2000), (2, 0)]
+        # frames deterministic
+        f = [r for r in out if r["doc_id"] == 1 and r["frame_ms"] == 1000][0]
+        assert bytes(f["frame"]) == hashlib.md5(b"video-1" + b"1000").digest()

@@ -176,6 +176,50 @@ def q_join_group_left(spark, sf_dir):
                     F.round(F.col("value") / F.col("rv"), 9).alias("value"))
 
 
+def q_ts_timestamp(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    out = range_function(ev, "timestamp", ["event_type"], grid, WINDOW)
+    return _rounded(_no_nan(out), None, ["event_type", "t"])
+
+
+def q_ts_present(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    out = range_function(ev, "present_over_time", ["event_type"], grid, WINDOW)
+    return out.select("event_type", "t", "value")
+
+
+def q_ts_absent(spark, sf_dir):
+    # absent(purchase[...]) per step: steps where NO purchase samples in
+    # window (AbsentFunctionMapper semantics: grid anti-join -> 1.0)
+    ev, grid = _series(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase")
+    present = range_function(p, "present_over_time", ["event_type"], grid,
+                             3600_000).select("t").distinct()
+    steps = spark.range(grid.n_steps).select(
+        (F.lit(grid.start) + F.col("id") * F.lit(grid.step)).cast("long")
+        .alias("t"))
+    return (steps.join(present, "t", "left_anti")
+            .select("t", F.lit(1.0).alias("value")))
+
+
+def q_ts_day_of_week(spark, sf_dir):
+    # day-of-week of the latest sample's timestamp per window (date fns
+    # operate on the value as epoch-seconds, InstantFunction.scala:300-454)
+    ev, grid = _series(spark, sf_dir)
+    t_sec = range_function(ev, "timestamp", ["event_type"], grid, WINDOW)
+    out = t_sec.withColumn("value", instant_fn_expr("day_of_week",
+                                                    F.col("value")))
+    return _no_nan(out).select("event_type", "t", "value")
+
+
+def q_ts_holt_winters(spark, sf_dir):
+    # sequential recurrence — no SQL oracle (rows-only)
+    ev, grid = _series(spark, sf_dir)
+    out = range_function(ev, "holt_winters", ["event_type"], grid, WINDOW,
+                         params=(0.5, 0.1))
+    return _rounded(_no_nan(out), 6, ["event_type", "t"])
+
+
 def q_label_values(spark, sf_dir):
     ev = events_ts(spark, sf_dir, dedupe=False)
     return ev.select("event_type").distinct()
@@ -219,6 +263,11 @@ QUERIES = {
     "ts_set_or": q_set_or,
     "ts_join_ratio": q_join_ratio,
     "ts_join_group_left": q_join_group_left,
+    "ts_timestamp": q_ts_timestamp,
+    "ts_present_over_time": q_ts_present,
+    "ts_absent": q_ts_absent,
+    "ts_day_of_week": q_ts_day_of_week,
+    "ts_holt_winters": q_ts_holt_winters,
     "ts_label_values": q_label_values,
     "ts_series_cardinality": q_series_cardinality,
 }
@@ -465,6 +514,13 @@ FROM last""",
         ", tot AS (SELECT t, sum(value) AS rv FROM e GROUP BY t) "
         "SELECT p.user_id, p.t, round(p.value / tot.rv, 9) AS value "
         "FROM p JOIN tot ON p.t = tot.t"),
+    "ts_timestamp": _simple_oracle("max(ts) / 1000.0", None),
+    "ts_present_over_time": _simple_oracle("1.0", None),
+    "ts_absent": _base(STEP, 3600_000, where="event_type = 'purchase'") + """
+SELECT grid.t, 1.0 AS value FROM grid
+WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.t = grid.t)""",
+    "ts_day_of_week": _simple_oracle(
+        "CAST(dayofweek(to_timestamp(max(ts) / 1000.0)) AS DOUBLE)", None),
     "ts_label_values": "SELECT DISTINCT event_type FROM events",
     "ts_series_cardinality":
         "SELECT event_type, count(DISTINCT user_id) AS card "

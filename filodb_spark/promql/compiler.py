@@ -51,17 +51,64 @@ PARAM_RANGE_FNS = {"quantile_over_time": "quantile_over_time",
 
 @dataclass
 class TsStore:
-    """Metric table provider. One DataFrame holding all series (labels
-    map incl. __name__, ts, value). At scale this is a parquet/Delta
-    table partitioned by (_ws_, _ns_, date) — selector filters push
-    down to partition pruning + row-group skipping."""
+    """Metric table provider — the multi-schema registry
+    (MultiSchemaPartitionsExec.scala:35-226 analog).
+
+    df: gauge/counter samples (labels map incl. __name__, ts, value).
+    hist_df: histogram samples (labels, ts, sum, count,
+      hist struct<les, values>) for metrics listed in hist_metrics.
+    Selectors on "<m>_sum" / "<m>_count" / "<m>_bucket" where <m> is a
+    histogram metric are rewritten onto the histogram table
+    (MultiSchemaPartitionsExec.scala:116-142).
+
+    At scale each schema is a parquet/Delta table partitioned by
+    (_ws_, _ns_, date) — selector filters push down to partition
+    pruning + row-group skipping.
+    """
 
     df: DataFrame
+    hist_df: DataFrame | None = None
+    hist_metrics: tuple[str, ...] = ()
+
+    def schema_of(self, metric: str | None) -> str:
+        if metric and metric in self.hist_metrics:
+            return "hist"
+        if metric:
+            for suffix in ("_sum", "_count", "_bucket"):
+                if metric.endswith(suffix) and \
+                        metric[: -len(suffix)] in self.hist_metrics:
+                    return "hist" + suffix
+        return "gauge"
 
     def select(self, sel: A.VectorSelector) -> DataFrame:
-        df = self.df
+        schema = self.schema_of(sel.metric)
+        if schema == "gauge":
+            df = self.df
+        else:
+            base = sel.metric if schema == "hist" else \
+                sel.metric[: -(len(schema) - 4)]
+            df = self.hist_df.where(F.col("labels")[METRIC] == base)
+            if schema == "hist_sum":
+                df = df.select("labels", "ts", F.col("sum").alias("value"))
+            elif schema == "hist_count":
+                df = df.select("labels", "ts", F.col("count").alias("value"))
+            elif schema == "hist_bucket":
+                # explode to one series per bucket with an `le` label
+                from filodb_spark.kernels.histogram import explode_hist
+                ex = explode_hist(df.select("labels", "ts", "hist"))
+                le_str = F.when(
+                    F.col("bucket_le") == F.lit(float("inf")), F.lit("+Inf")
+                ).otherwise(
+                    F.when(F.col("bucket_le") == F.floor("bucket_le"),
+                           F.col("bucket_le").cast("long").cast("string"))
+                    .otherwise(F.col("bucket_le").cast("string")))
+                ex = ex.withColumn("labels", F.map_concat(
+                    "labels", F.create_map(F.lit("le"), le_str)))
+                df = ex.select("labels", "ts", "value")
+            else:
+                df = df.select("labels", "ts", "sum", "count", "hist")
         labels = F.col("labels")
-        if sel.metric:
+        if sel.metric and schema == "gauge":
             df = df.where(labels[METRIC] == sel.metric)
         for m in sel.matchers:
             lv = labels[m.name]
@@ -154,6 +201,9 @@ class PromQLEngine:
                                   .cast("long"))
         return self._run_range_fn(sel, grid, eff_window, fn, params)
 
+    HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
+                      "last_over_time"}
+
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
         df = self.store.select(sel)
@@ -161,12 +211,20 @@ class PromQLEngine:
         df = df.where((F.col("ts") >= grid.start - window)
                       & (F.col("ts") <= grid.end))
         df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+        lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
+        if "hist" in df.columns:
+            # histogram schema: per-bucket kernels (extrapolatedRateH)
+            if fn not in self.HIST_RANGE_FNS:
+                raise ValueError(f"{fn} is not defined over histograms")
+            from filodb_spark.kernels.histogram import hist_range_function
+            out = hist_range_function(df.select("_sk", "ts", "hist"), fn,
+                                      ["_sk"], grid, window)
+            return out.join(lab, "_sk").select("labels", "t", "hist")
         if fn == "absent_over_time":
             present = range_function(df, "present_over_time", ["_sk"], grid,
                                      window)
             return self._absent_from(present, sel, grid)
         out = range_function(df, fn, ["_sk"], grid, window, params=params)
-        lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
         return (out.join(lab, "_sk").select("labels", "t", "value"))
 
     def _absent_from(self, present: DataFrame, sel: A.VectorSelector,
@@ -270,7 +328,21 @@ class PromQLEngine:
             return self._vector(e.args[0], grid)
         if name == "histogram_quantile":
             q = self._const(e.args[0])
-            return self._histogram_quantile(q, e.args[1], grid)
+            v = self._vector(e.args[1], grid)
+            if "hist" in v.columns:
+                from filodb_spark.kernels.histogram import hist_quantile
+                return v.select("labels", "t",
+                                hist_quantile(q, F.col("hist")).alias("value"))
+            return self._histogram_quantile_buckets(q, v)
+        if name == "histogram_fraction":
+            lo = self._const(e.args[0])
+            hi = self._const(e.args[1])
+            v = self._vector(e.args[2], grid)
+            if "hist" not in v.columns:
+                raise ValueError("histogram_fraction needs a histogram vector")
+            from filodb_spark.kernels.histogram import hist_fraction
+            return v.select("labels", "t",
+                            hist_fraction(lo, hi, F.col("hist")).alias("value"))
         if name in INSTANT_FUNCTIONS:
             params = tuple(self._const(a) for a in e.args[1:]) \
                 if len(e.args) > 1 else ()
@@ -342,15 +414,16 @@ class PromQLEngine:
         ).otherwise(F.map_filter(labels, lambda k, _: k != dst))
         return v.withColumn("labels", updated)
 
-    def _histogram_quantile(self, q: float, arg: A.Expr,
-                            grid: StepGrid) -> DataFrame:
+    def _histogram_quantile_buckets(self, q: float, v: DataFrame) -> DataFrame:
         """Prometheus-style `_bucket` series with an `le` label
         (HistogramQuantileMapper.scala:23-150): group buckets per series,
         cumulative-LE linear interpolation (Histogram.scala:62-112)."""
-        v = self._vector(arg, grid)
         labels = F.col("labels")
         no_le = F.map_filter(labels, lambda k, _: k != "le")
-        b = (v.withColumn("le", labels["le"].cast("double"))
+        le_raw = labels["le"]
+        le_num = F.when(le_raw.isin("+Inf", "Inf", "inf"),
+                        F.lit(float("inf"))).otherwise(le_raw.cast("double"))
+        b = (v.withColumn("le", le_num)
               .where(F.col("le").isNotNull())
               .withColumn("labels", no_le)
               .withColumn("_sk", bin_k.canonical_labels(F.col("labels"))))
@@ -368,6 +441,23 @@ class PromQLEngine:
     def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
         v = self._vector(e.expr, grid)
         labels = F.col("labels")
+        if "hist" in v.columns:
+            # bucket-wise histogram sum (HistSumRowAggregator.scala:1-34)
+            if e.op != "sum":
+                raise ValueError(f"{e.op} is not defined over histograms")
+            from filodb_spark.kernels.histogram import hist_sum
+            if e.by is not None:
+                nl = F.map_filter(labels, lambda k, _: k.isin([*e.by]))
+            elif e.without is not None:
+                drop = [*e.without, METRIC]
+                nl = F.map_filter(labels, lambda k, _: ~k.isin(drop))
+            else:
+                nl = F.create_map().cast("map<string,string>")
+            v = v.withColumn("labels", nl) \
+                 .withColumn("_gk", bin_k.canonical_labels(nl))
+            out = hist_sum(v, ["_gk", "t"])
+            lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
+            return out.join(lab, "_gk").select("labels", "t", "hist")
         if e.by is not None:
             new_labels = F.map_filter(labels, lambda k, _: k.isin([*e.by]))
         elif e.without is not None:

@@ -1,0 +1,95 @@
+"""PromQL engine over histogram-schema metrics: struct histograms,
+_bucket/_sum/_count rewrites, hist rate, hist sum, quantile agreement
+between struct and bucket forms (FIXTURES golden query #5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.promql import PromQLEngine
+from filodb_spark.promql.compiler import TsStore
+
+T0 = 1_700_000_000_000
+INF = float("inf")
+LES = [1.0, 2.0, 4.0, INF]
+
+
+@pytest.fixture(scope="module")
+def hist_engine(spark):
+    rows = []
+    # cumulative histogram: at step i, bucket counts grow linearly;
+    # series a grows 2x faster than b
+    for job, mult in [("a", 2.0), ("b", 1.0)]:
+        for i in range(5):
+            vals = [mult * i * 1, mult * i * 2, mult * i * 3, mult * i * 4]
+            rows.append(({"__name__": "http_latency", "job": job},
+                         T0 + i * 10_000,
+                         float(mult * i * 40), float(mult * i * 4),
+                         (LES, vals)))
+    hist_df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, sum double, count double, "
+              "hist struct<les: array<double>, values: array<double>>")
+    gauge_df = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    return PromQLEngine(spark, TsStore(gauge_df, hist_df=hist_df,
+                                       hist_metrics=("http_latency",)))
+
+
+def rows_of(df):
+    return [(dict(r["labels"] or {}), r["t"],
+             r["value"] if "value" in r.__fields__ else r["hist"])
+            for r in df.collect()]
+
+
+class TestHistSchema:
+    T = T0 + 40_000
+
+    def test_hist_rate_quantile(self, hist_engine):
+        res = rows_of(hist_engine.query_range(
+            "histogram_quantile(0.5, rate(http_latency[40s]))",
+            self.T, self.T, 10_000))
+        assert len(res) == 2
+        # per-bucket rate for series a: [0.2, 0.4, 0.6, 0.8]/s
+        # rank = 0.5*0.8 = 0.4 = cum of bucket le=2 -> exactly at bucket 2:
+        # interp in (1,2]: lo_cum=0.2, frac=(0.4-0.2)/(0.4-0.2)=1 -> le=2
+        vals = {lab["job"]: v for lab, _, v in res}
+        assert vals["a"] == pytest.approx(2.0)
+        assert vals["b"] == pytest.approx(2.0)  # shape identical, scaled
+
+    def test_sum_count_rewrites(self, hist_engine):
+        # avg latency = rate(_sum) / rate(_count) = 40i/4i = 10
+        res = rows_of(hist_engine.query_range(
+            "rate(http_latency_sum[40s]) / rate(http_latency_count[40s])",
+            self.T, self.T, 10_000))
+        assert len(res) == 2
+        assert all(v == pytest.approx(10.0) for _, _, v in res)
+
+    def test_bucket_rewrite_and_agreement(self, hist_engine):
+        # exploded _bucket series carry an le label...
+        res = rows_of(hist_engine.query_range(
+            'http_latency_bucket{job="a", le="2"}', self.T, self.T, 10_000))
+        assert len(res) == 1 and res[0][2] == 16.0  # 2*4*2
+        # ...and histogram_quantile agrees between struct & bucket forms
+        q_struct = rows_of(hist_engine.query_range(
+            "histogram_quantile(0.5, http_latency)", self.T, self.T, 10_000))
+        q_bucket = rows_of(hist_engine.query_range(
+            "histogram_quantile(0.5, http_latency_bucket)",
+            self.T, self.T, 10_000))
+        s = {lab["job"]: v for lab, _, v in q_struct}
+        b = {lab["job"]: v for lab, _, v in q_bucket}
+        assert s == pytest.approx(b)
+
+    def test_hist_sum_aggregation(self, hist_engine):
+        res = hist_engine.query_range(
+            "histogram_quantile(0.5, sum(rate(http_latency[40s])))",
+            self.T, self.T, 10_000).collect()
+        assert len(res) == 1
+        # summed bucket rates keep the same shape -> same quantile
+        assert res[0]["value"] == pytest.approx(2.0)
+
+    def test_hist_fraction(self, hist_engine):
+        res = hist_engine.query_range(
+            "histogram_fraction(0, 2, http_latency)",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        # at last sample: cum at 2 = half of total (16/32 for a)
+        assert vals["a"] == pytest.approx(0.5)

@@ -263,6 +263,8 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
         df = df.withColumnRenamed(ts_col, "ts")
     if fn == "mad_over_time":
         return _mad_over_time(df, series_cols, grid, window)
+    if fn == "last_over_time_is_mad_outlier":
+        return _mad_outlier(df, series_cols, grid, window, params)
     if fn in NEEDS_PREV:
         df = with_prev_sample(df, series_cols)
     exploded = explode_to_steps(df, grid, window)
@@ -285,6 +287,41 @@ def _mad_over_time(df: DataFrame, series_cols: Sequence[str],
         .agg(F.percentile(F.abs(F.col("value") - F.col("_med")), F.lit(0.5)).alias("value"))
         .select(*keys, "value")
     )
+
+
+def _mad_outlier(df: DataFrame, series_cols: Sequence[str], grid: StepGrid,
+                 window: int, params: tuple) -> DataFrame:
+    """last_over_time_is_mad_outlier(tolerance, bounds, v[w]) — FiloDB
+    extension (AggrOverTimeFunctions.scala:488-551): emit the last value
+    when it is further than tolerance*MAD from the window median (bounds:
+    0 lower-only, 1 both, 2 upper-only); NaN otherwise."""
+    tolerance, bounds = float(params[0]), int(params[1])
+    if bounds not in (0, 1, 2):
+        raise ValueError("bounds must be 0, 1 or 2")
+    keys = [*series_cols, "t"]
+    exploded = explode_to_steps(df, grid, window)
+    med = exploded.groupBy(*keys).agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("_med"))
+    stats = (exploded.join(med, keys)
+             .groupBy(*keys)
+             .agg(F.percentile(F.abs(F.col("value") - F.col("_med")),
+                               F.lit(0.5)).alias("_mad"),
+                  F.first("_med").alias("_med"),
+                  F.max_by("value", "ts").alias("_last")))
+    lo = F.col("_med") - F.lit(tolerance) * F.col("_mad")
+    hi = F.col("_med") + F.lit(tolerance) * F.col("_mad")
+    is_out = ((F.col("_last") < lo) & F.lit(bounds <= 1)) | \
+             ((F.col("_last") > hi) & F.lit(bounds >= 1))
+    return stats.select(*keys, F.when(is_out, F.col("_last"))
+                        .otherwise(NAN()).alias("value"))
+
+
+def limit_series(df: DataFrame, k: int, series_cols: Sequence[str]) -> DataFrame:
+    """ApplyLimitFunction (LogicalPlan.scala:948-963): keep at most k
+    series (deterministic: first k by series-key order), all timesteps."""
+    keys = (df.select(*series_cols).distinct()
+              .orderBy(*series_cols).limit(k))
+    return df.join(keys, [*series_cols], "left_semi")
 
 
 def instant_default(df: DataFrame, series_cols: Sequence[str], grid: StepGrid,

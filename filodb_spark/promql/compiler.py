@@ -69,6 +69,10 @@ class TsStore:
     df: DataFrame
     hist_df: DataFrame | None = None
     hist_metrics: tuple[str, ...] = ()
+    # metrics whose samples are per-interval deltas rather than cumulative
+    # counters (delta-counter schema): rate/increase toggle kernels
+    # (CumlDeltaTogglerChunkedFunction, AggrOverTimeFunctions.scala:653-692)
+    delta_metrics: tuple[str, ...] = ()
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -150,11 +154,17 @@ class PromQLEngine:
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
     def query_range(self, promql: str, start_ms: int, end_ms: int,
-                    step_ms: int) -> DataFrame:
+                    step_ms: int, limit: int | None = None) -> DataFrame:
         grid = StepGrid(start_ms, end_ms, step_ms)
         res = self._eval(parse(promql), grid)
         if isinstance(res, Scalar):
             return self._scalar_to_vector(res, grid)
+        if limit is not None:
+            # ApplyLimitFunction: cap the number of result series
+            from filodb_spark.kernels.range_fns import limit_series
+            res = (res.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+                      .transform(lambda d: limit_series(d, limit, ["_sk"]))
+                      .drop("_sk"))
         return res
 
     def query_instant(self, promql: str, time_ms: int) -> DataFrame:
@@ -224,6 +234,9 @@ class PromQLEngine:
             present = range_function(df, "present_over_time", ["_sk"], grid,
                                      window)
             return self._absent_from(present, sel, grid)
+        # delta-counter schema toggling: rate = sum(window)/window_sec
+        if sel.metric in self.store.delta_metrics:
+            fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)
         out = range_function(df, fn, ["_sk"], grid, window, params=params)
         return (out.join(lab, "_sk").select("labels", "t", "value"))
 
@@ -278,6 +291,10 @@ class PromQLEngine:
         name = e.name
         if name in RANGE_FN_MAP:
             return self._range_call(RANGE_FN_MAP[name], e.args[0], grid, ())
+        if name == "last_over_time_is_mad_outlier":
+            tol = self._const(e.args[1])
+            b = self._const(e.args[2])
+            return self._range_call(name, e.args[0], grid, (tol, b))
         if name in PARAM_RANGE_FNS:
             if name == "holt_winters":
                 sf = self._const(e.args[1])

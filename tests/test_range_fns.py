@@ -229,3 +229,36 @@ class TestGridSemantics:
         out = range_function(df, "sum_over_time", ["series"], grid, 20_000)
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["value"] == 2.0
+
+
+class TestMadOutlierAndLimit:
+    def test_mad_outlier(self, spark):
+        # stable series with an anomalous last point
+        samples = [(i * 1000, 10.0) for i in range(9)] + [(9000, 100.0)]
+        got = run_fn(spark, "last_over_time_is_mad_outlier", samples,
+                     9000, 10_000, params=(3.0, 1))
+        assert got == 100.0  # flagged: emits last value
+        # last point within tolerance -> NaN
+        tame = [(i * 1000, 10.0 + (i % 2)) for i in range(10)]
+        got = run_fn(spark, "last_over_time_is_mad_outlier", tame,
+                     9000, 10_000, params=(3.0, 1))
+        assert math.isnan(got)
+        # bounds=2 (upper only) ignores a low outlier
+        low = [(i * 1000, 10.0) for i in range(9)] + [(9000, -50.0)]
+        got = run_fn(spark, "last_over_time_is_mad_outlier", low,
+                     9000, 10_000, params=(3.0, 2))
+        assert math.isnan(got)
+
+    def test_rate_delta_schema(self, spark):
+        # delta-counter: rate = sum(window)/window_sec
+        samples = [(1000, 5.0), (2000, 7.0), (3000, 9.0)]
+        got = run_fn(spark, "rate_delta", samples, 3000, 3000)
+        assert got == pytest.approx(21.0 / 3.0)
+
+    def test_limit_series(self, spark):
+        from filodb_spark.kernels.range_fns import limit_series
+        df = make_ts_df(spark, {c: [(1000, 1.0), (2000, 2.0)]
+                                for c in "abcd"})
+        out = limit_series(df, 2, ["series"])
+        assert sorted({r["series"] for r in out.collect()}) == ["a", "b"]
+        assert out.count() == 4

@@ -30,6 +30,45 @@ HEADLINE = [
 ]
 
 
+def prom_shape_bench(spark, timings):
+    """BASELINE.md protocol: mirror QueryInMemoryBenchmark
+    (jmh/.../QueryInMemoryBenchmark.scala:29-135): 100 series x 720
+    samples @10s (2h), 4-query PromQL mix over a 55min range @150s step,
+    through the full engine path."""
+    import math
+
+    from filodb_spark.promql import PromQLEngine
+    from filodb_spark.promql.compiler import TsStore
+
+    t0_ms = 1_700_000_000_000
+    rows = []
+    for s in range(100):
+        labels = {"__name__": "heap_usage0", "_ws_": "demo",
+                  "_ns_": f"App-{s % 8}", "instance": str(s)}
+        for i in range(720):
+            # deterministic synthetic gauge (FIXTURES.md shape)
+            v = 50 + 30 * math.sin(2 * math.pi * i / 90) + ((s * 7 + i) % 13) / 6.5
+            rows.append((labels, t0_ms + i * 10_000, float(v)))
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+    df.count()
+    eng = PromQLEngine(spark, TsStore(df))
+    end = t0_ms + 720 * 10_000
+    start = end - 55 * 60_000
+    queries = {
+        "prom_raw": 'heap_usage0{_ws_="demo",_ns_="App-2"}',
+        "prom_sum_over_time": 'sum_over_time(heap_usage0{_ws_="demo",_ns_="App-2"}[5m])',
+        "prom_sum_rate": 'sum(rate(heap_usage0{_ws_="demo"}[5m]))',
+        "prom_quantile": 'quantile(0.75, heap_usage0{_ws_="demo"})',
+    }
+    for name, q in queries.items():
+        t0 = time.time()
+        n = eng.query_range(q, start, end, 150_000).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+    df.unpersist()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -57,6 +96,9 @@ def main():
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    prom_shape_bench(spark, timings)
+    total = sum(timings.values())
 
     print(json.dumps({
         "metric": "headline_query_wall_sec",

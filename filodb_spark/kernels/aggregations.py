@@ -46,16 +46,23 @@ def _finish(c: Column) -> Column:
 
 def aggregate(df: DataFrame, op: str, group_cols: Sequence[str],
               t_col: str = "t", value_col: str = "value",
-              params: tuple = ()) -> DataFrame:
+              params: tuple = (), carry_cols: Sequence[str] = ()) -> DataFrame:
     """PromQL aggregation over series, per timestep.
 
     `group_cols` are the `by (...)` label columns (empty = aggregate all
-    series). Output: group_cols + [t, value] except for topk/bottomk /
-    count_values which keep/extend series identity.
+    series). Output: group_cols + carry_cols + [t, value] except for
+    topk/bottomk / count_values which keep/extend series identity.
+    `carry_cols` are group-constant columns carried with first().
     """
     v = F.col(value_col)
     keys = [*group_cols, t_col]
-    g = df.groupBy(*keys)
+
+    class _G:
+        def agg(self, *aggs):
+            return df.groupBy(*keys).agg(
+                *aggs, *[F.first(c).alias(c) for c in carry_cols])
+
+    g = _G()
     if op == "sum":
         out = g.agg(_nan_skipping(F.sum, v).alias("_v"))
     elif op == "min":
@@ -69,21 +76,21 @@ def aggregate(df: DataFrame, op: str, group_cols: Sequence[str],
         out = g.agg(F.when(F.count(F.when(_valid(v), v)) > 0,
                            F.count(F.when(_valid(v), v)).cast("double"))
                     .otherwise(NAN()).alias("_v"))
-        return out.select(*keys, F.col("_v").alias("value"))
+        return out.select(*keys, *carry_cols, F.col("_v").alias("value"))
     elif op == "stddev":
         out = g.agg(_nan_skipping(F.stddev_pop, v).alias("_v"))
     elif op == "stdvar":
         out = g.agg(_nan_skipping(F.var_pop, v).alias("_v"))
     elif op == "group":
         out = g.agg(F.count(F.when(_valid(v), v)).alias("_c"))
-        return out.select(*keys, F.when(F.col("_c") > 0, F.lit(1.0))
+        return out.select(*keys, *carry_cols, F.when(F.col("_c") > 0, F.lit(1.0))
                           .otherwise(NAN()).alias("value"))
     elif op == "quantile":
         q = float(params[0])
         out = g.agg(_nan_skipping(lambda c: F.percentile(c, F.lit(q)), v).alias("_v"))
     else:
         raise ValueError(f"unknown aggregation: {op}")
-    return out.select(*keys, _finish(F.col("_v")).alias("value"))
+    return out.select(*keys, *carry_cols, _finish(F.col("_v")).alias("value"))
 
 
 def topk(df: DataFrame, k: int, group_cols: Sequence[str],

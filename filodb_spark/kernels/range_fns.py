@@ -249,12 +249,16 @@ RANGE_FUNCTIONS = (
 
 def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                    grid: StepGrid, window: int, params: tuple = (),
-                   ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+                   ts_col: str = "ts", value_col: str = "value",
+                   carry_cols: Sequence[str] = ()) -> DataFrame:
     """Evaluate PromQL range function `fn` on the step grid.
 
     `df` must have `series_cols`, `ts_col` (long ms) and `value_col`
-    (double). Output: series_cols + [t (long ms), value (double)], one
-    row per (series, t) with >=1 sample in [t-window, t].
+    (double). Output: series_cols + carry_cols + [t (long ms), value
+    (double)], one row per (series, t) with >=1 sample in [t-window, t].
+    `carry_cols` are series-constant columns (e.g. the labels map behind
+    a canonical key) carried through the aggregation with first() —
+    avoids a re-join to recover them.
     """
     df = drop_nan(df, value_col)
     if value_col != "value":
@@ -269,8 +273,10 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
         df = with_prev_sample(df, series_cols)
     exploded = explode_to_steps(df, grid, window)
     aggs, post = _build(fn, window, params)
+    aggs = [*aggs, *[F.first(c).alias(c) for c in carry_cols]]
     keys = [*series_cols, "t"]
-    return exploded.groupBy(*keys).agg(*aggs).select(*keys, post.alias("value"))
+    return exploded.groupBy(*keys).agg(*aggs) \
+                   .select(*keys, *carry_cols, post.alias("value"))
 
 
 def _mad_over_time(df: DataFrame, series_cols: Sequence[str],

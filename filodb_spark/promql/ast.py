@@ -29,6 +29,10 @@ class VectorSelector:
 class MatrixSelector:
     base: VectorSelector
     range_ms: int
+    # step-multiple notation m[3i]: window = range_ms * eval step
+    # (PeriodicSeriesWithWindowing.stepMultipleNotationUsed,
+    #  LogicalPlan.scala:554-563)
+    step_multiple: bool = False
 
 
 @dataclass(frozen=True)

@@ -146,15 +146,24 @@ class PromQLEngine:
     """Evaluate PromQL over a TsStore on a step grid."""
 
     def __init__(self, spark: SparkSession, store: TsStore,
-                 lookback_ms: int = STALE_SAMPLE_AFTER_MS):
+                 lookback_ms: int = STALE_SAMPLE_AFTER_MS,
+                 retention_floor_ms: int | None = None):
         self.spark = spark
         self.store = store
         self.lookback_ms = lookback_ms
+        # boundToStartTimeToEarliestRetained
+        # (SingleClusterPlanner.scala:873-897)
+        self.retention_floor_ms = retention_floor_ms
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
     def query_range(self, promql: str, start_ms: int, end_ms: int,
                     step_ms: int, limit: int | None = None) -> DataFrame:
+        if self.retention_floor_ms is not None and \
+                start_ms < self.retention_floor_ms:
+            # clamp to the earliest retained instant on the step grid
+            k = -(-(self.retention_floor_ms - start_ms) // step_ms)
+            start_ms = min(start_ms + k * step_ms, end_ms)
         grid = StepGrid(start_ms, end_ms, step_ms)
         res = self._eval(parse(promql), grid)
         if isinstance(res, Scalar):
@@ -237,8 +246,12 @@ class PromQLEngine:
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:
             fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)
-        out = range_function(df, fn, ["_sk"], grid, window, params=params)
-        return (out.join(lab, "_sk").select("labels", "t", "value"))
+        if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
+            out = range_function(df, fn, ["_sk"], grid, window, params=params)
+            return (out.join(lab, "_sk").select("labels", "t", "value"))
+        out = range_function(df, fn, ["_sk"], grid, window, params=params,
+                             carry_cols=["labels"])
+        return out.select("labels", "t", "value")
 
     def _absent_from(self, present: DataFrame, sel: A.VectorSelector,
                      grid: StepGrid) -> DataFrame:
@@ -373,7 +386,9 @@ class PromQLEngine:
 
     def _range_call(self, fn: str, arg: A.Expr, grid: StepGrid, params: tuple):
         if isinstance(arg, A.MatrixSelector):
-            return self._eval_selector(arg.base, grid, arg.range_ms, fn=fn,
+            window = arg.range_ms * grid.step if arg.step_multiple \
+                else arg.range_ms
+            return self._eval_selector(arg.base, grid, window, fn=fn,
                                        params=params)
         if isinstance(arg, A.Subquery):
             return self._eval_subquery(fn, arg, grid, params)
@@ -507,9 +522,9 @@ class PromQLEngine:
                           F.count(F.lit(1)).cast("double").alias("value")))
             return out.select("labels", "t", "value")
         params = (self._const(e.param),) if e.param is not None else ()
-        out = agg_k.aggregate(v, e.op, ["_gk"], params=params)
-        lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
-        return out.join(lab, "_gk").select("labels", "t", "value")
+        out = agg_k.aggregate(v, e.op, ["_gk"], params=params,
+                              carry_cols=["labels"])
+        return out.select("labels", "t", "value")
 
     # ---- binary ---------------------------------------------------------
 

@@ -170,6 +170,15 @@ class Parser:
             if t.text == "[":
                 self.next()
                 rng = self.next()
+                # step-multiple notation [3i]
+                if rng.kind == "NUMBER" and self.peek().text == "i":
+                    self.next()
+                    self.expect("]")
+                    if not isinstance(e, VectorSelector):
+                        raise SyntaxError("range selector on non-selector")
+                    e = MatrixSelector(e, int(float(rng.text)),
+                                       step_multiple=True)
+                    continue
                 if rng.kind != "DURATION":
                     raise SyntaxError(f"expected duration, got {rng.text!r}")
                 if self.accept(":"):

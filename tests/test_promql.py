@@ -251,3 +251,24 @@ class TestParser:
     def test_parse_durations(self):
         e = parse("rate(m[1h30m])")
         assert e.args[0].range_ms == 90 * 60_000
+
+
+class TestStepMultipleAndRetention:
+    def test_step_multiple_parse_and_eval(self, engine):
+        e = parse("sum_over_time(m[3i])")
+        m = e.args[0]
+        assert isinstance(m, A.MatrixSelector) and m.step_multiple \
+            and m.range_ms == 3
+        t = T0 + 120_000
+        # step 10s -> window 30s, same as explicit [30s]
+        res = rows_of(engine.query_range(
+            'sum_over_time(m{job="web",inst="1"}[3i])', t, t, 10_000))
+        assert res[0][2] == 9 + 10 + 11 + 12
+
+    def test_retention_clamp(self, spark, engine):
+        from filodb_spark.promql.compiler import PromQLEngine
+        eng2 = PromQLEngine(spark, engine.store,
+                            retention_floor_ms=T0 + 60_000)
+        res = rows_of(eng2.query_range('m{job="web",inst="1"}',
+                                       T0, T0 + 120_000, 30_000))
+        assert min(t for _, t, _ in res) >= T0 + 60_000

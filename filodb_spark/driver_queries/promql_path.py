@@ -75,8 +75,17 @@ def pq_label_join(spark, sf_dir):
     return out.select(F.col("labels")["uid"].alias("uid"), "t", "value")
 
 
+def pq_subquery(spark, sf_dir):
+    # fn(expr[w:s]) through the engine's subquery machinery
+    q = "max_over_time(count_over_time(purchase[24h])[24h:6h])"
+    out = _run(spark, sf_dir, q)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
 QUERIES = {
     "pq_sum_rate": pq_sum_rate,
+    "pq_subquery": pq_subquery,
     "pq_count_by_metric": pq_count_by_metric,
     "pq_binary_user_ratio": pq_binary_user_ratio,
     "pq_set_unless": pq_set_unless,
@@ -135,6 +144,31 @@ cnt AS (
 """
 
 ORACLES = {
+    "pq_subquery": f"""
+WITH bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+igrid AS (
+  SELECT unnest(generate_series((SELECT gstart - 86400000 FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS it
+),
+raw AS (
+  SELECT user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+inner_cnt AS (
+  SELECT raw.user_id, igrid.it, CAST(count(*) AS DOUBLE) AS value
+  FROM igrid JOIN raw ON raw.ts BETWEEN igrid.it - 86400000 AND igrid.it
+  GROUP BY 1, 2
+),
+ogrid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+)
+SELECT i.user_id, g.t, max(i.value) AS value
+FROM ogrid g JOIN inner_cnt i ON i.it BETWEEN g.t - 86400000 AND g.t
+GROUP BY 1, 2""",
     "pq_sum_rate": _BASE_MU.replace("FROM events GROUP BY 1, 2, 3",
                                     "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3") + f""",
 a AS (

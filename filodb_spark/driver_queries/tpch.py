@@ -110,8 +110,55 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    # order-priority checking (EXISTS semi-join). The fixture lacks
+    # commit/receipt dates, so "late" := shipped > 90 days after order.
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01")))
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(l, (o.o_orderkey == l.l_orderkey)
+               & (l.l_shipdate > F.date_add(o.o_orderdate, 90)), "left_semi")
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    # promo revenue share over one month
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (l.join(broadcast(p), l.l_partkey == p.p_partkey)
+            .agg(F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0 / F.sum(rev), 6).alias("promo_revenue")))
+
+
+def q_tpch_q18(spark, sf_dir):
+    # large-volume orders
+    l = _t(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_totalprice", F.round("sum_qty", 2).alias("sum_qty"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("l_orderkey"))
+            .limit(20))
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -119,6 +166,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q14": """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "tpch_q18": """
+SELECT c_name, c_custkey, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+       round(sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey LIMIT 20""",
     "tpch_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

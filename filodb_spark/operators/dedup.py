@@ -108,7 +108,9 @@ def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
     Output: d1 < d2, est_jaccard.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, id_col, text_col, n)
+    # the banded frame feeds BOTH sides of the self-join; without a
+    # persist the whole signature computation runs twice
+    sigs = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
     band_cols = F.array(*[
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
         for b in range(bands)

@@ -157,6 +157,19 @@ class PromQLEngine:
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
+    def check_result_cardinality(self, result: DataFrame,
+                                 max_series: int) -> DataFrame:
+        """PerQueryLimits-style guard (QueryContext.scala:1-479;
+        enforcement ExecPlan.scala:214-226): raise when the result has
+        more series than allowed. Costs one aggregate action."""
+        n = (result.select(bin_k.canonical_labels(F.col("labels")).alias("_sk"))
+             .agg(F.count_distinct("_sk").alias("n")).first()["n"])
+        if n > max_series:
+            raise ValueError(
+                f"Query result cardinality {n} exceeds limit {max_series}. "
+                "Try applying more filters.")
+        return result
+
     def query_range(self, promql: str, start_ms: int, end_ms: int,
                     step_ms: int, limit: int | None = None) -> DataFrame:
         if self.retention_floor_ms is not None and \

@@ -1,0 +1,57 @@
+"""Series-table storage layout: the 100 TB physical design.
+
+Replaces the reference's Cassandra chunk store + Lucene part-key index
+(SURVEY §1.1/§1.3) with a partitioned columnar table:
+
+- partition columns: shard-key labels (`_ws_`, `_ns_` — the reference's
+  shardKeyColumns, filodb-defaults.conf:199) plus `date` derived from
+  ts -> directory-level partition pruning replaces shard routing;
+- within partitions, files are sorted by (metric, series key, ts) ->
+  parquet row-group min/max skipping replaces the tag index for the
+  metric, and gives run-length/delta friendly pages (the reference's
+  delta-delta/dict encodings fall out of parquet's encoders);
+- one table per data schema (gauge/counter/histogram/ds-gauge),
+  selected by TsStore's schema registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.binary import canonical_labels
+
+SHARD_KEY_LABELS = ("_ws_", "_ns_")
+
+
+def write_series_table(df: DataFrame, path: str,
+                       shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
+                       mode: str = "overwrite") -> None:
+    """Write (labels, ts, value...) to a partitioned parquet table.
+
+    Shard-key labels and the UTC date become physical partition columns;
+    rows are sorted by (metric, series, ts) within partitions.
+    """
+    out = df
+    for lab in shard_labels:
+        out = out.withColumn(lab, F.coalesce(F.col("labels")[lab],
+                                             F.lit("__none__")))
+    out = (out.withColumn("date",
+                          F.date_format(F.timestamp_millis(F.col("ts")),
+                                        "yyyy-MM-dd"))
+              .withColumn("_metric", F.col("labels")["__name__"])
+              .withColumn("_sk", canonical_labels(F.col("labels"))))
+    (out.repartition(*[F.col(c) for c in [*shard_labels, "date"]])
+        .sortWithinPartitions("_metric", "_sk", "ts")
+        .write.mode(mode)
+        .partitionBy(*shard_labels, "date")
+        .parquet(path))
+
+
+def read_series_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read back to the universal layout. Filters on shard labels /
+    __name__ / ts prune partitions and row groups (Catalyst pushes the
+    label-column predicates into the scan)."""
+    df = spark.read.parquet(path)
+    return df.select("labels", "ts", "value", "_metric", *SHARD_KEY_LABELS,
+                     "date")

@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must
+actually appear in the plans Catalyst produces.
+
+- selector predicates push into the parquet scan (PushedFilters)
+- partition pruning on shard-key/date directory columns (PartitionFilters)
+- the windowing core never emits a nested-loop join
+- dimension joins broadcast
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.grid import StepGrid
+from filodb_spark.kernels.range_fns import range_function
+from filodb_spark.sources.table import read_series_table, write_series_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def series_table(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tbl") / "gauge")
+    rows = []
+    for ns in ["App-0", "App-1"]:
+        for i in range(50):
+            rows.append(({"__name__": "m", "_ws_": "demo", "_ns_": ns,
+                          "inst": str(i % 5)},
+                         1_700_000_000_000 + i * 60_000, float(i)))
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    write_series_table(df, path)
+    return path
+
+
+class TestPushdownAndPruning:
+    def test_partition_pruning_on_shard_labels(self, spark, series_table):
+        df = spark.read.parquet(series_table).where(
+            (F.col("_ns_") == "App-0") & (F.col("date") == "2023-11-14"))
+        plan = plan_of(df)
+        assert "PartitionFilters" in plan
+        # partition filters must not appear as data filters
+        assert df.count() > 0
+
+    def test_ts_filter_pushed_to_scan(self, spark, series_table):
+        df = read_series_table(spark, series_table).where(
+            F.col("ts") >= 1_700_000_600_000)
+        plan = plan_of(df)
+        assert "PushedFilters: [" in plan
+        assert "GreaterThanOrEqual(ts" in plan
+
+    def test_metric_filter_pushed(self, spark, series_table):
+        df = spark.read.parquet(series_table).where(F.col("_metric") == "m")
+        plan = plan_of(df)
+        assert "EqualTo(_metric,m)" in plan or "IsNotNull(_metric)" in plan
+
+
+class TestJoinShapes:
+    def test_grid_explode_has_no_join(self, spark):
+        df = spark.createDataFrame(
+            [("a", i * 1000, float(i)) for i in range(100)],
+            "series string, ts long, value double")
+        out = range_function(df, "sum_over_time", ["series"],
+                             StepGrid(10_000, 90_000, 10_000), 30_000)
+        plan = plan_of(out)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "Join" not in plan  # pure explode + hash aggregate
+
+    def test_rate_single_window_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [("a", i * 1000, float(i)) for i in range(100)],
+            "series string, ts long, value double")
+        out = range_function(df, "rate", ["series"],
+                             StepGrid(10_000, 90_000, 10_000), 30_000)
+        plan = plan_of(out)
+        assert "NestedLoop" not in plan
+        # lag window + final agg: bounded number of exchanges
+        assert plan.count("Exchange") <= 2
+
+    def test_tpch_dim_join_broadcasts(self, spark):
+        from filodb_spark.driver_queries.tpch import q_tpch_q5
+        plan = plan_of(q_tpch_q5(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestSeriesTableRoundtrip:
+    def test_roundtrip_values(self, spark, series_table):
+        df = read_series_table(spark, series_table)
+        assert df.count() == 100
+        sub = df.where((F.col("_ns_") == "App-1")
+                       & (F.col("labels")["inst"] == "3"))
+        assert sub.count() == 10

@@ -318,9 +318,10 @@ class PromQLEngine:
         if name in RANGE_FN_MAP:
             return self._range_call(RANGE_FN_MAP[name], e.args[0], grid, ())
         if name == "last_over_time_is_mad_outlier":
-            tol = self._const(e.args[1])
-            b = self._const(e.args[2])
-            return self._range_call(name, e.args[0], grid, (tol, b))
+            # (tolerance, bounds, v[w]) — PlanEnums.scala:81-82 param order
+            tol = self._const(e.args[0])
+            b = self._const(e.args[1])
+            return self._range_call(name, e.args[2], grid, (tol, b))
         if name in PARAM_RANGE_FNS:
             if name == "holt_winters":
                 sf = self._const(e.args[1])
@@ -367,8 +368,29 @@ class PromQLEngine:
         if name in ("label_replace", "label_join"):
             return self._eval_label_fn(e, grid)
         if name in ("sort", "sort_desc"):
-            # presentation-only: order by last value per series
-            return self._vector(e.args[0], grid)
+            # order by each series' last value (RangeVectorTransformer
+            # .scala:302-337); presentation-level ordering of the result
+            v = self._vector(e.args[0], grid)
+            sk = bin_k.canonical_labels(F.col("labels"))
+            last = (v.withColumn("_sk", sk)
+                     .groupBy("_sk")
+                     .agg(F.max_by("value", "t").alias("_lastv")))
+            ordered = (v.withColumn("_sk", sk).join(last, "_sk"))
+            key = F.col("_lastv").asc() if name == "sort" \
+                else F.col("_lastv").desc()
+            return (ordered.orderBy(key, F.col("_sk"), F.col("t"))
+                    .select("labels", "t", "value"))
+        if name == "histogram_bucket":
+            # extract one bucket as a series (InstantFunction.scala:117)
+            le = self._const(e.args[0])
+            v = self._vector(e.args[1], grid)
+            if "hist" not in v.columns:
+                raise ValueError("histogram_bucket needs a histogram vector")
+            h = F.col("hist")
+            idx = F.array_position(h["les"], float(le))
+            val = F.when(idx > 0, F.element_at(h["values"], idx.cast("int"))) \
+                .otherwise(F.lit(float("nan")))
+            return v.select("labels", "t", val.alias("value"))
         if name == "histogram_quantile":
             q = self._const(e.args[0])
             v = self._vector(e.args[1], grid)

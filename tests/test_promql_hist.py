@@ -93,3 +93,22 @@ class TestHistSchema:
         vals = {r["labels"]["job"]: r["value"] for r in res}
         # at last sample: cum at 2 = half of total (16/32 for a)
         assert vals["a"] == pytest.approx(0.5)
+
+
+class TestHistBucketAndSort:
+    T = T0 + 40_000
+
+    def test_histogram_bucket(self, hist_engine):
+        res = hist_engine.query_range(
+            "histogram_bucket(2.0, http_latency)", self.T, self.T, 10_000
+        ).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals["a"] == 16.0  # 2 * 4 * 2
+        assert vals["b"] == 8.0
+
+    def test_sort_desc(self, hist_engine):
+        res = hist_engine.query_range(
+            "sort_desc(rate(http_latency_count[40s]))", self.T, self.T, 10_000
+        ).collect()
+        vals = [r["value"] for r in res]
+        assert vals == sorted(vals, reverse=True)

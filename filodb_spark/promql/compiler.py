@@ -69,6 +69,13 @@ class TsStore:
     df: DataFrame
     hist_df: DataFrame | None = None
     hist_metrics: tuple[str, ...] = ()
+
+    @classmethod
+    def from_table(cls, spark: SparkSession, path: str, **kw) -> "TsStore":
+        """Open a partitioned series table written by
+        sources.table.write_series_table."""
+        df = spark.read.parquet(path).select("labels", "ts", "value")
+        return cls(df, **kw)
     # metrics whose samples are per-interval deltas rather than cumulative
     # counters (delta-counter schema): rate/increase toggle kernels
     # (CumlDeltaTogglerChunkedFunction, AggrOverTimeFunctions.scala:653-692)

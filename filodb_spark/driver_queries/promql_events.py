@@ -32,9 +32,21 @@ DAY = 24 * 3600 * 1000
 # ---------------------------------------------------------------------------
 
 
+_BOUNDS_CACHE: dict = {}
+
+
+def _bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """min/max events ts per fixture dir, memoized per process: every
+    query needs the grid bounds and the 2-row aggregate is pure."""
+    if sf_dir not in _BOUNDS_CACHE:
+        ev = events_ts(spark, sf_dir, dedupe=False)
+        _BOUNDS_CACHE[sf_dir] = tuple(ev.agg(F.min("ts"), F.max("ts")).first())
+    return _BOUNDS_CACHE[sf_dir]
+
+
 def _series(spark: SparkSession, sf_dir: str, series_cols=("event_type",)):
     ev = events_ts(spark, sf_dir, series_cols=series_cols)
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    lo, hi = _bounds(spark, sf_dir)
     return ev, grid_from_bounds(lo, hi, STEP)
 
 
@@ -132,7 +144,7 @@ def q_instant_math(spark, sf_dir):
 def _daily_counts(spark, sf_dir, event_type):
     ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"))
     ev = ev.where(F.col("event_type") == event_type)
-    lo, hi = events_ts(spark, sf_dir).agg(F.min("ts"), F.max("ts")).first()
+    lo, hi = _bounds(spark, sf_dir)
     grid = grid_from_bounds(lo, hi, DAY)
     return range_function(ev.drop("event_type"), "count_over_time",
                           ["user_id"], grid, DAY)

@@ -21,8 +21,9 @@ DAY = 24 * 3600 * 1000
 
 
 def _engine(spark, sf_dir, lookback=DAY - 1):
+    from filodb_spark.driver_queries.promql_events import _bounds
     df = events_labels_ts(spark, sf_dir)
-    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    lo, hi = _bounds(spark, sf_dir)
     return PromQLEngine(spark, TsStore(df), lookback_ms=lookback), \
         grid_from_bounds(lo, hi, STEP), grid_from_bounds(lo, hi, DAY)
 

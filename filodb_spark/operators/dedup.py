@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 from filodb_spark.operators.text import char_shingles, fingerprint
 
 
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Small-file inputs arrive as 1-2 partitions; the shingle explode +
+    hashing below is compute-bound, so spread it across the cluster
+    first (hash-partitioned by doc so downstream per-doc aggregation
+    needs no extra shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Group identical texts: (doc_id = min id of group, n = group size)."""
@@ -52,8 +64,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     pass one (language, domain, length-band, or an LSH band).
     Output: d1 < d2, jaccard (rounded 6).
     """
-    sh = (df.select(*bucket_cols, F.col(id_col),
-                    F.explode(char_shingles(F.col(text_col), n)).alias("g")))
+    sh = (_spread(df, id_col)
+          .select(*bucket_cols, F.col(id_col),
+                  F.explode(char_shingles(F.col(text_col), n)).alias("g")))
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -79,19 +92,27 @@ def minhash_signatures(df: DataFrame, num_perm: int = 32,
     """MinHash signature per document: for permutation i, min over
     shingles of xxhash64(i, shingle).
 
-    Shape: explode distinct shingles once, derive the k permutation
-    hashes from ONE xxhash64 per (doc, shingle) via independent affine
-    mixes (cheap column math), then a single hash aggregation with k
-    min() columns. One shuffle of (doc, hash) pairs — no per-row array
-    folds, map-side partial min."""
-    sh = df.select(F.col(id_col),
-                   F.explode(char_shingles(F.col(text_col), n)).alias("g"))
-    # independent permutation hashes: xxhash64 seeded by the perm index.
-    # (NOT monotone transforms of one hash — min() of a monotone transform
-    # picks the same shingle for every permutation, collapsing the
-    # signature's independence.)
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"_m{i}")
-            for i in range(num_perm)]
+    Shape: explode distinct shingles once, hash per permutation seed,
+    then a single hash aggregation with k min() columns — map-side
+    partial min, no per-row array folds. (NOT monotone transforms of one
+    hash: min() of a monotone transform picks the same shingle for every
+    permutation, collapsing the signature's independence.)"""
+    sh = (_spread(df, id_col)
+          .select(F.col(id_col),
+                  F.explode(char_shingles(F.col(text_col), n)).alias("g"))
+          .withColumn("_h", F.xxhash64("g")))
+
+    def _perm(i: int):
+        # murmur3 finalizer seeded per permutation: hash the string ONCE,
+        # then an integer avalanche mix (xor-seed, multiply, xorshift) —
+        # full bit diffusion, so min() picks independent shingles per
+        # permutation at a fraction of 32 string hashes
+        seed = (0x9E3779B97F4A7C15 * (i + 1)) & 0x7FFFFFFFFFFFFFFF
+        h = F.col("_h").bitwiseXOR(F.lit(seed))
+        h = h * F.lit(-49064778989728563)  # 0xFF51AFD7ED558CCD as i64
+        return h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+
+    mins = [F.min(_perm(i)).alias(f"_m{i}") for i in range(num_perm)]
     agg = sh.groupBy(id_col).agg(*mins)
     sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
     return agg.select(F.col(id_col), sig.alias("sig"))
@@ -143,7 +164,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     partial aggregation). No per-row array folds.
     """
     import functools
-    sh = (df.select(F.col(id_col),
+    sh = (_spread(df, id_col)
+            .select(F.col(id_col),
                     F.explode(char_shingles(F.col(text_col), n)).alias("g"))
             .withColumn("_h", F.xxhash64("g")))
     sums = [F.sum(F.when(F.col("_h").bitwiseAND(

@@ -1,0 +1,159 @@
+"""Property-style randomized validation: 60 random series (irregular
+cadence, NaN gaps, counter resets, duplicate timestamps) evaluated in a
+single Spark job per function, compared against the pure-Python
+Prometheus/FiloDB model. Deterministic seed — reproducible."""
+
+import math
+import random
+
+import pytest
+
+from filodb_spark.kernels.grid import StepGrid
+from filodb_spark.kernels.range_fns import range_function
+from tests.test_range_fns import py_extrapolated_rate
+
+SEED = 42
+N_SERIES = 60
+T_END = 1_000_000
+WINDOW = 300_000
+GRID = StepGrid(200_000, T_END, 100_000)
+
+
+def gen_series(rng: random.Random):
+    """Random series with adversarial shapes."""
+    n = rng.randint(0, 40)
+    ts = sorted(rng.randint(0, T_END) for _ in range(n))
+    out = []
+    v = rng.uniform(0, 100)
+    for t in ts:
+        r = rng.random()
+        if r < 0.05:
+            val = float("nan")          # stale marker
+        elif r < 0.15:
+            v = rng.uniform(0, 5)       # counter reset
+            val = v
+        else:
+            v += rng.uniform(0, 10)
+            val = v
+        out.append((t, val))
+    return out
+
+
+@pytest.fixture(scope="module")
+def random_series(spark):
+    rng = random.Random(SEED)
+    data = {f"s{i}": gen_series(rng) for i in range(N_SERIES)}
+    rows = [(k, int(t), float(v)) for k, ss in data.items() for t, v in ss]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    # mirror engine dedupe (max per ts)
+    clean = {}
+    for k, ss in data.items():
+        by_ts = {}
+        for t, v in ss:
+            if not math.isnan(v):
+                by_ts[t] = max(by_ts.get(t, float("-inf")), v)
+        clean[k] = sorted(by_ts.items())
+    from pyspark.sql import functions as F
+    df = df.groupBy("series", "ts").agg(F.max("value").alias("value"))
+    return df, clean
+
+
+def windows(clean):
+    for k, ss in clean.items():
+        for gi in range(GRID.n_steps):
+            t = GRID.start + gi * GRID.step
+            w = [(ts, v) for ts, v in ss if t - WINDOW <= ts <= t]
+            if w:
+                yield k, t, w
+
+
+def run_all(spark, df, fn, params=()):
+    out = range_function(df, fn, ["series"], GRID, WINDOW, params=params)
+    return {(r["series"], r["t"]): r["value"] for r in out.collect()}
+
+
+def check(got, clean, model, name):
+    mismatches = []
+    count = 0
+    for k, t, w in windows(clean):
+        count += 1
+        expected = model(t, w)
+        actual = got.get((k, t))
+        if expected is None:
+            continue
+        if math.isnan(expected):
+            ok = actual is None or math.isnan(actual)
+        else:
+            ok = actual is not None and math.isclose(
+                actual, expected, rel_tol=1e-9, abs_tol=1e-9)
+        if not ok:
+            mismatches.append((k, t, expected, actual))
+    assert count > 100, "test fixture produced too few windows"
+    assert not mismatches, f"{name}: {mismatches[:5]} ({len(mismatches)} bad)"
+
+
+class TestRandomizedKernels:
+    def test_rate(self, spark, random_series):
+        df, clean = random_series
+        got = run_all(spark, df, "rate")
+        check(got, clean,
+              lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, True, True),
+              "rate")
+
+    def test_increase(self, spark, random_series):
+        df, clean = random_series
+        got = run_all(spark, df, "increase")
+        check(got, clean,
+              lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, True, False),
+              "increase")
+
+    def test_delta(self, spark, random_series):
+        df, clean = random_series
+        got = run_all(spark, df, "delta")
+        check(got, clean,
+              lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, False, False),
+              "delta")
+
+    def test_sum_count_min_max(self, spark, random_series):
+        df, clean = random_series
+        for fn, red in [("sum_over_time", sum),
+                        ("count_over_time", len),
+                        ("min_over_time", min),
+                        ("max_over_time", max)]:
+            got = run_all(spark, df, fn)
+            check(got, clean,
+                  lambda t, w, red=red: float(red([v for _, v in w])),
+                  fn)
+
+    def test_stddev(self, spark, random_series):
+        df, clean = random_series
+
+        def model(t, w):
+            vs = [v for _, v in w]
+            m = sum(vs) / len(vs)
+            return math.sqrt(sum((x - m) ** 2 for x in vs) / len(vs))
+
+        check(run_all(spark, df, "stddev_over_time"), clean, model,
+              "stddev_over_time")
+
+    def test_quantile(self, spark, random_series):
+        import numpy as np
+        df, clean = random_series
+        got = run_all(spark, df, "quantile_over_time", params=(0.75,))
+        check(got, clean,
+              lambda t, w: float(np.quantile([v for _, v in w], 0.75)),
+              "quantile_over_time")
+
+    def test_resets_changes(self, spark, random_series):
+        df, clean = random_series
+
+        def resets(t, w):
+            vs = [v for _, v in w]
+            return float(sum(1 for a, b in zip(vs, vs[1:]) if b < a))
+
+        def changes(t, w):
+            vs = [v for _, v in w]
+            return float(sum(1 for a, b in zip(vs, vs[1:]) if b != a))
+
+        check(run_all(spark, df, "resets"), clean, resets, "resets")
+        check(run_all(spark, df, "changes"), clean, changes, "changes")

@@ -1,0 +1,64 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference detects counter drops at ingest (detectDrops=true column
+param, Column.scala:46, DoubleCounterAppender) keeping per-series state
+in the write buffers. The Structured Streaming equivalent is a grouped
+stateful map: state = last (ts, value) per series, persisted in the
+state store across micro-batches (and across restarts via checkpoint).
+
+This operator emits one event per detected counter reset — the
+streaming building block for ingest-side monitoring; query-time rate
+correction stays the source of truth (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RESET_SCHEMA = "series string, ts long, value double, prev_value double"
+STATE_SCHEMA = "last_ts long, last_value double"
+
+
+def _detect_resets(key: Tuple[str],
+                   pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    (series,) = key
+    if state.exists:
+        last_ts, last_value = state.get
+    else:
+        last_ts, last_value = -1, None
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    out = []
+    for ts, v in zip(rows["ts"], rows["value"]):
+        ts = int(ts)
+        if ts <= last_ts:
+            continue  # out-of-order: dropped (append-only invariant)
+        if last_value is not None and v < last_value:
+            out.append((series, ts, float(v), float(last_value)))
+        last_ts, last_value = ts, float(v)
+    state.update((last_ts, last_value))
+    yield pd.DataFrame(out, columns=["series", "ts", "value", "prev_value"])
+
+
+def reset_events(stream: DataFrame, series_col: str = "series",
+                 ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Streaming counter-reset events per series.
+
+    Input: a streaming DataFrame with (series, ts, value). Output stream:
+    one row per reset (value dropped below the last seen value), with
+    out-of-order samples dropped against the persisted state.
+    """
+    src = stream.select(F.col(series_col).alias("series"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(value_col).alias("value"))
+    return (src.groupBy("series")
+            .applyInPandasWithState(_detect_resets,
+                                    outputStructType=RESET_SCHEMA,
+                                    stateStructType=STATE_SCHEMA,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -135,3 +135,39 @@ class TestMetadata:
         tsc = ts_cardinality(store, ("__name__",), active_after_ms=10_000)
         r = tsc.first()
         assert r["total_series"] == 3 and r["active_series"] == 0
+
+
+class TestStatefulResets:
+    def _run_batch(self, spark, src, out, ckpt):
+        from filodb_spark.streaming.stateful import reset_events
+        stream = spark.readStream.schema(
+            "series string, ts long, value double").json(str(src))
+        q = (reset_events(stream).writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def test_state_survives_across_batches(self, spark, tmp_path):
+        import json as _json
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        # batch 1: rising counter, one reset at ts=3
+        rows1 = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("b", 1, 1.0)]
+        with open(src / "b1.json", "w") as f:
+            for s, t, v in rows1:
+                f.write(_json.dumps({"series": s, "ts": t, "value": v}) + "\n")
+        self._run_batch(spark, src, out, ckpt)
+        got = {(r["series"], r["ts"]): r["prev_value"]
+               for r in spark.read.parquet(str(out)).collect()}
+        assert got == {("a", 3): 20.0}
+        # batch 2: new file; reset relative to state from batch 1
+        # (b last=1.0 -> 0.5 is a reset only if state persisted)
+        rows2 = [("b", 2, 0.5), ("a", 2, 50.0), ("a", 4, 6.0)]
+        with open(src / "b2.json", "w") as f:
+            for s, t, v in rows2:
+                f.write(_json.dumps({"series": s, "ts": t, "value": v}) + "\n")
+        self._run_batch(spark, src, out, ckpt)
+        got = {(r["series"], r["ts"]): r["prev_value"]
+               for r in spark.read.parquet(str(out)).collect()}
+        # a@2 is out-of-order vs state (last_ts=3) -> dropped, no event
+        assert got == {("a", 3): 20.0, ("b", 2): 1.0}

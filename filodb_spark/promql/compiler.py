@@ -33,6 +33,28 @@ from filodb_spark.promql.parser import parse
 
 METRIC = "__name__"
 
+
+@dataclass(frozen=True)
+class AggRule:
+    """Pre-aggregation rule (query/util/HierarchicalQueryExperience.scala:
+    IncludeAggRule / ExcludeAggRule): the preagg metric
+    ``<metric>:::<suffix>`` holds sums over all labels except the
+    retained set. A query may route to it only if every label it touches
+    (filters + grouping) is retained."""
+
+    suffix: str
+    include: frozenset | None = None
+    exclude: frozenset = frozenset()
+
+    def retains(self, labels: set) -> bool:
+        if self.include is not None:
+            return labels <= self.include
+        return not (labels & self.exclude)
+
+
+def preagg_metric_name(metric: str, suffix: str) -> str:
+    return f"{metric}:::{suffix}"
+
 RANGE_FN_MAP = {
     "rate": "rate", "increase": "increase", "delta": "delta",
     "idelta": "idelta", "irate": "irate", "resets": "resets",
@@ -80,6 +102,9 @@ class TsStore:
     # counters (delta-counter schema): rate/increase toggle kernels
     # (CumlDeltaTogglerChunkedFunction, AggrOverTimeFunctions.scala:653-692)
     delta_metrics: tuple[str, ...] = ()
+    # pre-aggregation rules per metric (AggLpOptimization): data for
+    # `<metric>:::<suffix>` must be present in df
+    agg_rules: dict = None
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -512,7 +537,45 @@ class PromQLEngine:
 
     # ---- aggregation ----------------------------------------------------
 
+    PREAGG_FNS = {"sum_over_time", "rate", "increase", "count_over_time"}
+
+    def _maybe_preagg_rewrite(self, e: A.Aggregation) -> A.Aggregation:
+        """AggLpOptimization.optimizeWithPreaggregatedDataset: rewrite
+        sum(fn(m[w])) [by (...)] to the pre-aggregated metric when a rule
+        retains every label the query touches. count_over_time becomes
+        sum_over_time of the preagg count metric."""
+        rules = self.store.agg_rules or {}
+        if e.op != "sum":
+            return e
+        f = e.expr
+        if isinstance(f, A.Paren):
+            f = f.expr
+        if not (isinstance(f, A.FunctionCall) and f.name in self.PREAGG_FNS
+                and len(f.args) == 1 and isinstance(f.args[0], A.MatrixSelector)):
+            return e
+        sel = f.args[0].base
+        if sel.metric not in rules or e.without is not None:
+            return e
+        if any(m.op != "=" for m in sel.matchers):
+            return e
+        touched = {m.name for m in sel.matchers} | set(e.by or ())
+        for rule in rules[sel.metric]:
+            if rule.retains(touched):
+                import dataclasses
+                suffix = rule.suffix
+                fn_name = f.name
+                metric = preagg_metric_name(sel.metric, suffix)
+                if f.name == "count_over_time":
+                    fn_name = "sum_over_time"
+                    metric = preagg_metric_name(sel.metric, suffix + ":count")
+                new_sel = dataclasses.replace(sel, metric=metric)
+                new_fn = A.FunctionCall(
+                    fn_name, (dataclasses.replace(f.args[0], base=new_sel),))
+                return dataclasses.replace(e, expr=new_fn)
+        return e
+
     def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
+        e = self._maybe_preagg_rewrite(e)
         v = self._vector(e.expr, grid)
         labels = F.col("labels")
         if "hist" in v.columns:

@@ -1,0 +1,73 @@
+"""Pre-aggregation routing rule tests (AggLpOptimization analog):
+sum-family aggregations route to `<metric>:::<suffix>` tables when the
+rule retains all touched labels; otherwise read raw."""
+
+import pytest
+
+from filodb_spark.promql import PromQLEngine
+from filodb_spark.promql.compiler import AggRule, TsStore
+
+T0 = 1_700_000_000_000
+
+
+@pytest.fixture(scope="module")
+def preagg_engine(spark):
+    rows = []
+
+    def series(metric, labels, value):
+        for i in range(5):
+            rows.append(({**labels, "__name__": metric},
+                         T0 + i * 10_000, float(value)))
+
+    # raw: 2 instances per job, value 1 each
+    for job in ("web", "db"):
+        for inst in ("1", "2"):
+            series("m", {"job": job, "inst": inst}, 1.0)
+    # preagg (by job): deliberately DIFFERENT values (100 per job) so a
+    # test can detect which table served the query
+    for job in ("web", "db"):
+        series("m:::agg", {"job": job}, 100.0)
+        series("m:::agg:count", {"job": job}, 7.0)
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    store = TsStore(df, agg_rules={
+        "m": (AggRule("agg", include=frozenset({"job"})),)})
+    return PromQLEngine(spark, store)
+
+
+class TestPreaggRouting:
+    T = T0 + 40_000
+    W = "[50s]"
+
+    def test_routes_to_preagg(self, preagg_engine):
+        res = preagg_engine.query_range(
+            f"sum by (job) (sum_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 500.0, "db": 500.0}  # preagg values
+
+    def test_count_becomes_sum_of_count_metric(self, preagg_engine):
+        res = preagg_engine.query_range(
+            f"sum by (job) (count_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 35.0, "db": 35.0}  # 7 x 5 from :count
+
+    def test_unretained_label_reads_raw(self, preagg_engine):
+        res = preagg_engine.query_range(
+            f"sum by (inst) (sum_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["inst"]: r["value"] for r in res}
+        assert vals == {"1": 10.0, "2": 10.0}  # raw values
+
+    def test_filter_on_unretained_label_reads_raw(self, preagg_engine):
+        res = preagg_engine.query_range(
+            f'sum(sum_over_time(m{{inst="1"}}{self.W}))',
+            self.T, self.T, 10_000).collect()
+        assert res[0]["value"] == 10.0  # raw
+
+    def test_retained_filter_routes(self, preagg_engine):
+        res = preagg_engine.query_range(
+            f'sum(sum_over_time(m{{job="web"}}{self.W}))',
+            self.T, self.T, 10_000).collect()
+        assert res[0]["value"] == 500.0  # preagg

@@ -526,6 +526,41 @@ FROM last""",
         ", tot AS (SELECT t, sum(value) AS rv FROM e GROUP BY t) "
         "SELECT p.user_id, p.t, round(p.value / tot.rv, 9) AS value "
         "FROM p JOIN tot ON p.t = tot.t"),
+    # holt_winters: the sequential recurrence is expressible as a
+    # recursive CTE stepping through row_number order — same fold
+    # sequence as the engine's sorted aggregate()
+    "ts_holt_winters": f"""
+WITH RECURSIVE raw AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+),
+w AS (
+  SELECT raw.sk, grid.t, raw.ts, raw.value,
+         row_number() OVER (PARTITION BY raw.sk, grid.t ORDER BY raw.ts) AS rn,
+         count(*) OVER (PARTITION BY raw.sk, grid.t) AS cnt
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - {WINDOW} AND grid.t
+),
+hw AS (
+  SELECT s2.sk, s2.t, 2 AS rn, s2.cnt, s2.value AS level,
+         s2.value - s1.value AS trend
+  FROM w s1 JOIN w s2
+    ON s1.sk = s2.sk AND s1.t = s2.t AND s1.rn = 1 AND s2.rn = 2
+  UNION ALL
+  SELECT hw.sk, hw.t, hw.rn + 1, hw.cnt,
+         0.5 * w.value + (1 - 0.5) * (hw.level + hw.trend),
+         0.1 * ((0.5 * w.value + (1 - 0.5) * (hw.level + hw.trend)) - hw.level)
+           + (1 - 0.1) * hw.trend
+  FROM hw JOIN w ON w.sk = hw.sk AND w.t = hw.t AND w.rn = hw.rn + 1
+)
+SELECT sk AS event_type, t, round(level, 6) AS value FROM hw WHERE rn = cnt""",
     "ts_timestamp": _simple_oracle("max(ts) / 1000.0", None),
     "ts_present_over_time": _simple_oracle("1.0", None),
     "ts_absent": _base(STEP, 3600_000, where="event_type = 'purchase'") + """

@@ -38,6 +38,15 @@ def q_doc_stats(spark, sf_dir):
     )
 
 
+def q_doc_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scores = text.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id", text.lang_id(F.col("text")).alias("lang_guess"),
+        *[F.round(scores[lang], 6).alias(f"score_{lang}")
+          for lang in sorted(text.LANG_MARKERS)])
+
+
 def q_doc_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7,
                                      bucket_cols=("lang", "source"))
@@ -59,6 +68,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_count": q_doc_token_count,
     "doc_stats": q_doc_stats,
+    "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
@@ -95,6 +105,29 @@ SELECT doc_id, n_chars_actual, n_tokens,
                     AND nonspace / CAST(n_tokens AS DOUBLE) <= 8.0
                    THEN 1.0 ELSE 0.5 END), 6) AS quality
 FROM s""",
+    "doc_langid": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> x IN ('the','and','of','to','a'))) / n AS s_en,
+    len(list_filter(tk, x -> x IN ('der','die','und','ist','das'))) / n AS s_de,
+    len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) / n AS s_fr,
+    len(list_filter(tk, x -> x IN ('el','los','que','y','las'))) / n AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_guess,
+  round(s_de, 6) AS score_de, round(s_en, 6) AS score_en,
+  round(s_es, 6) AS score_es, round(s_fr, 6) AS score_fr
+FROM sc""",
     "doc_ngram_jaccard": """
 WITH sh AS (
   SELECT doc_id, lang, source,

@@ -74,6 +74,38 @@ def char_shingles(text: Column, n: int = 3) -> Column:
     ))
 
 
+# minimal function-word profiles per language (deterministic heuristic;
+# shared verbatim with the SQL oracle)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "que", "y", "las"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit ratio per language over whitespace tokens."""
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*words))).cast("double") / n
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language, tie-break = alphabetical language code
+    ('und' = undetermined when no marker hits). A CASE chain in fixed
+    order — mirrored verbatim by the SQL oracle."""
+    scores = lang_scores(text)
+    m = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        out = F.when(scores[lang] == m, F.lit(lang)).otherwise(out)
+    return F.when(m > 0, out).otherwise(F.lit("und"))
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(t))

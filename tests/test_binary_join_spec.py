@@ -138,3 +138,17 @@ class TestSetOpsNaN:
         rhs = ldf(spark, [({"__name__": "other", "i": "0"}, T, 7.0)])
         out = set_op(lhs, rhs, "unless", on=["i"])
         assert [r["labels"]["i"] for r in out.collect()] == ["1"]
+
+
+class TestGroupRight:
+    def test_one_to_many_group_right(self, spark, node_cpu, node_role):
+        # mirror of group_left: one side on the LHS ("copy sample role to
+        # node using group right", BinaryJoinGroupingSpec.scala:269)
+        out = vector_binary_op(node_role, node_cpu, "*", on=["instance"],
+                               cardinality="one-to-many", include=["role"])
+        rows = [(dict(r["labels"]), r["value"]) for r in out.collect()]
+        assert len(rows) == 2
+        for lab, v in rows:
+            assert lab["role"] == "prometheus"
+            assert "__name__" not in lab
+            assert v in (3.0, 1.0)

@@ -68,6 +68,26 @@ def prom_shape_bench(spark, timings):
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
     df.unpersist()
 
+    # QueryHiCardInMemoryBenchmark shape (jmh/...:40-47): 8000 series
+    # (1/4 queried), 15min @10s, raw leaf scan
+    rows = []
+    for s in range(8000):
+        labels = {"__name__": "hicard", "_ws_": "demo",
+                  "_ns_": f"App-{s % 4}", "instance": str(s)}
+        for i in range(90):
+            rows.append((labels, t0_ms + i * 10_000, float((s + i) % 100)))
+    hc = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+    hc.count()
+    eng2 = PromQLEngine(spark, TsStore(hc))
+    t0 = time.time()
+    n = eng2.query_range('hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
+                         t0_ms + 90 * 10_000, 60_000).count()
+    timings["prom_hicard_scan"] = round(time.time() - t0, 3)
+    print(f"# prom_hicard_scan: {timings['prom_hicard_scan']:.2f}s rows={n}",
+          file=sys.stderr)
+    hc.unpersist()
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,6 +23,7 @@ class VectorSelector:
     matchers: tuple[LabelMatcher, ...] = ()
     offset_ms: int = 0
     at_ms: int | None = None     # @ modifier (epoch ms)
+    limit: int | None = None     # FiloDB ext: `selector limit N`
 
 
 @dataclass(frozen=True)

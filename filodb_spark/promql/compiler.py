@@ -186,6 +186,7 @@ class PromQLEngine:
         # boundToStartTimeToEarliestRetained
         # (SingleClusterPlanner.scala:873-897)
         self.retention_floor_ms = retention_floor_ms
+        self._preagg_enabled = True
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
@@ -261,9 +262,16 @@ class PromQLEngine:
             g = StepGrid(grid.start - sel.offset_ms, grid.end - sel.offset_ms,
                          grid.step)
             out = self._run_range_fn(sel, g, eff_window, fn, params)
-            return out.withColumn("t", (F.col("t") + F.lit(sel.offset_ms))
-                                  .cast("long"))
-        return self._run_range_fn(sel, grid, eff_window, fn, params)
+            out = out.withColumn("t", (F.col("t") + F.lit(sel.offset_ms))
+                                 .cast("long"))
+        else:
+            out = self._run_range_fn(sel, grid, eff_window, fn, params)
+        if sel.limit is not None:
+            from filodb_spark.kernels.range_fns import limit_series
+            out = (out.withColumn("_lk", bin_k.canonical_labels(F.col("labels")))
+                      .transform(lambda d: limit_series(d, sel.limit, ["_lk"]))
+                      .drop("_lk"))
+        return out
 
     HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
                       "last_over_time"}
@@ -347,6 +355,16 @@ class PromQLEngine:
 
     def _eval_function(self, e: A.FunctionCall, grid: StepGrid):
         name = e.name
+        if name in ("no_optimize", "optimize_with_agg"):
+            # FiloDB plan-rewrite hints (PlanEnums.scala:183-184,
+            # LogicalPlan.scala:74-119): toggle preagg routing for the
+            # wrapped subtree
+            prev = self._preagg_enabled
+            self._preagg_enabled = name == "optimize_with_agg"
+            try:
+                return self._eval(e.args[0], grid)
+            finally:
+                self._preagg_enabled = prev
         if name in RANGE_FN_MAP:
             return self._range_call(RANGE_FN_MAP[name], e.args[0], grid, ())
         if name == "last_over_time_is_mad_outlier":
@@ -545,7 +563,7 @@ class PromQLEngine:
         retains every label the query touches. count_over_time becomes
         sum_over_time of the preagg count metric."""
         rules = self.store.agg_rules or {}
-        if e.op != "sum":
+        if e.op != "sum" or not self._preagg_enabled:
             return e
         f = e.expr
         if isinstance(f, A.Paren):

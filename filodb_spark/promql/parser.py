@@ -192,10 +192,21 @@ class Parser:
                     if not isinstance(e, VectorSelector):
                         raise SyntaxError("range selector on non-selector")
                     e = MatrixSelector(e, duration_ms(rng.text))
+            elif t.text == "limit" and self.peek(1).kind == "NUMBER":
+                # FiloDB extension: `selector limit N` (ParserSpec:19)
+                import dataclasses
+                self.next()
+                k = int(float(self.next().text))
+                if not isinstance(e, VectorSelector):
+                    raise SyntaxError("limit modifier on non-selector")
+                e = dataclasses.replace(e, limit=k)
             elif t.text == "offset":
                 self.next()
                 neg = self.accept("-")
                 d = self.next()
+                if d.kind != "DURATION":
+                    raise SyntaxError(f"expected duration after offset, "
+                                      f"got {d.text!r}")
                 off = duration_ms(d.text) * (-1 if neg else 1)
                 e = self._with_offset(e, off)
             elif t.text == "@":

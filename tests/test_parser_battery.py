@@ -1,0 +1,109 @@
+"""Parser battery ported from the reference ParserSpec.scala expression
+corpus: every expression must parse (structure spot-checked), error
+cases must raise."""
+
+import math
+
+import pytest
+
+from filodb_spark.promql import parse
+from filodb_spark.promql import ast as A
+
+MUST_PARSE = [
+    # selectors & matchers (ParserSpec:56-58,107-109)
+    'http_requests_total{job="prometheus", method="GET"}',
+    'http_requests_total{job="prometheus", method!="GET"}',
+    "foo{NaN='bc'}",
+    "foo{Inf='value'}",
+    'http_requests_total{job=~"pro.*", method!~"GET|POST"}',
+    # numbers (:90-118)
+    "-5", "+5", "1", "Inf", "+Inf", "-Inf", "NaN", "inf", "INF", "nan",
+    ".5", "5.", "123.4567", "5e-3", "5e3", "0755", "+5.5e-3", "-0755",
+    "0x1f",
+    # scalar arithmetic & bool (:119-134)
+    "1 + 1", "1 - 1", "1 * 1", "1 % 1", "1 / 1",
+    "1 == bool 1", "1 != bool 1", "1 > bool 1", "1 >= bool 1",
+    "1 < bool 1", "1 <= bool 1", "4 == bool (2)", "4 == bool(2)",
+    "+1 + -2 * 1", "1 < bool 2 - 1 * 2", "1 + 2/(3*1)",
+    "-some_metric", "+some_metric",
+    'Inf + 1', 'NaN * 2', 'metric > Inf', 'metric < -Inf', 'Inf * metric',
+    # parens (:138-141)
+    '(1 + heap_size{a="b"})',
+    '(1 + heap_size{a="b"}) + 5',
+    '(1 + heap_size{a="b"}) + 5 * (3 - cpu_load{c="d"})',
+    '((1 + heap_size{a="b"}) + 5) * (3 - cpu_load{c="d"})',
+    # recording-rule-style names
+    "job:http_requests:rate5m",
+    # functions / aggregations
+    'sum(rate(http_requests_total[5m]))',
+    'sum by (job) (rate(m[5m]))',
+    'sum(rate(m[5m])) by (job)',
+    'sum without (inst) (m)',
+    'topk(5, m)', 'bottomk(3, m)', 'quantile(0.9, m)',
+    'count_values("version", build_info)',
+    'histogram_quantile(0.9, rate(req_bucket[10m]))',
+    'clamp_max(clamp_min(m, 1), 10)',
+    'label_replace(up, "foo", "$1", "instance", "(.*):.*")',
+    'label_join(up, "a", ",", "b", "c")',
+    'absent(nonexistent{job="myjob"})',
+    'holt_winters(m[1h], 0.3, 0.1)',
+    'predict_linear(m[1h], 4 * 3600)',
+    'quantile_over_time(0.5, m[10m])',
+    'last_over_time_is_mad_outlier(3, 1, m[10m])',
+    # binary modifiers
+    'a / on (job) b',
+    'a / ignoring (mode) b',
+    'a / on (job) group_left b',
+    'a / on (job) group_left (env) b',
+    'a * on (instance) group_right (role) b',
+    'a and b', 'a or b', 'a unless b',
+    'a and on (job) b', 'a unless ignoring (mode) b',
+    # offsets, @, subqueries, durations
+    'sum(rate(m[5m] offset 1w))',
+    'rate(m[5m] offset -1d)',
+    'm offset 5m', 'm @ 1609746000',
+    'max_over_time(rate(m[5m])[30m:1m])',
+    'sum_over_time(m[2m:]) ',
+    'rate(m[1h30m])', 'rate(m[90s])', 'rate(m[1.5h])',
+    'avg_over_time(m[3i])',
+    # FiloDB limit modifier (:19)
+    'http_requests_total{job="prometheus"} limit 1',
+    # precedence / power
+    'a ^ b ^ c', '2 ^ 3 ^ 2', '-1 ^ 2',
+    'foo * bar', 'foo == 1', 'foo > bool 1',
+    'scalar(m) * vector(1)', 'time()',
+]
+
+MUST_FAIL = [
+    "",
+    "sum(rate(m[5m])",        # unbalanced
+    "rate(m[5m)",             # bad bracket
+    "m{job=prometheus}",      # unquoted matcher value
+    "m{job=}",
+    "rate(m)[5m]",            # range on non-selector
+    "m[]",
+    "1 +",
+    "m{",
+    "m}",
+    "m[5m] offset",
+]
+
+
+class TestParserBattery:
+    @pytest.mark.parametrize("expr", MUST_PARSE, ids=lambda e: e[:40] or "<empty>")
+    def test_parses(self, expr):
+        parse(expr)
+
+    @pytest.mark.parametrize("expr", MUST_FAIL, ids=lambda e: e[:40] or "<empty>")
+    def test_fails(self, expr):
+        with pytest.raises((SyntaxError, IndexError)):
+            parse(expr)
+
+    def test_limit_modifier_structure(self):
+        e = parse('m{job="x"} limit 2')
+        assert isinstance(e, A.VectorSelector) and e.limit == 2
+
+    def test_number_values(self):
+        assert parse("0x1f").value == 31.0
+        assert parse(".5").value == 0.5
+        assert math.isinf(parse("-Inf").expr.value)  # Unary(-, Inf)

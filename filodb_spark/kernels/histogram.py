@@ -95,11 +95,21 @@ def hist_sum(df: DataFrame, group_cols: Sequence[str],
     return assemble_hist(summed, group_cols)
 
 
-def hist_quantile(q: Column | float, hist: Column) -> Column:
+def hist_quantile(q: Column | float, hist: Column,
+                  min_hint: Column | None = None,
+                  max_hint: Column | None = None,
+                  even_distribution: bool = False) -> Column:
     """Histogram.quantile (Histogram.scala:62-112): cumulative-LE linear
     interpolation; quantile landing in the +Inf top bucket returns the
     highest finite bucket bound; rank below the first bucket interpolates
-    from 0. NaN when <2 buckets, no +Inf top bucket, or empty histogram."""
+    from 0. NaN when <2 buckets, no +Inf top bucket, or empty histogram.
+
+    min_hint/max_hint (histogram_max_quantile / min/max-column schemas):
+    when the observed min/max falls inside the chosen bucket, the bucket
+    bounds tighten to it — in particular a +Inf top bucket interpolates
+    up to max instead of clamping (Histogram.scala:81-91).
+    even_distribution: fraction = rank/(count+1)
+    (histogram_max_quantile_even)."""
     if not isinstance(q, Column):
         q = F.lit(float(q))
     les, vals = hist["les"], hist["values"]
@@ -118,13 +128,22 @@ def hist_quantile(q: Column | float, hist: Column) -> Column:
     cum = F.element_at(vals, idx)
     lo_le = F.when(idx > 1, F.element_at(les, idx - 1)).otherwise(F.lit(0.0))
     lo_cum = F.when(idx > 1, F.element_at(vals, idx - 1)).otherwise(F.lit(0.0))
-    interp = lo_le + (le - lo_le) * ((rank - lo_cum) / (cum - lo_cum))
+    b_start, b_end = lo_le, le
+    if min_hint is not None:
+        b_start = F.when((min_hint > b_start) & (min_hint <= b_end), min_hint) \
+            .otherwise(b_start)
+    if max_hint is not None:
+        b_end = F.when((max_hint > b_start) & (max_hint <= b_end), max_hint) \
+            .otherwise(b_end)
+    count = cum - lo_cum
+    frac = (rank - lo_cum) / (count + (1 if even_distribution else 0))
+    interp = b_start + (b_end - b_start) * frac
     nan = F.lit(float("nan"))
     return (F.when(q < 0, F.lit(float("-inf")))
              .when(q > 1, F.lit(float("inf")))
              .when((n < 2) | (F.element_at(les, -1) != F.lit(float("inf")))
                    | (total == 0) | total.isNull(), nan)
-             .when(le == F.lit(float("inf")), lo_le)
+             .when(b_end == F.lit(float("inf")), lo_le)
              .when(cum == lo_cum, lo_le)
              .otherwise(interp))
 

@@ -142,7 +142,8 @@ class TsStore:
                     "labels", F.create_map(F.lit("le"), le_str)))
                 df = ex.select("labels", "ts", "value")
             else:
-                df = df.select("labels", "ts", "sum", "count", "hist")
+                extra = [c for c in ("min", "max") if c in self.hist_df.columns]
+                df = df.select("labels", "ts", "sum", "count", "hist", *extra)
         labels = F.col("labels")
         if sel.metric and schema == "gauge":
             df = df.where(labels[METRIC] == sel.metric)
@@ -291,7 +292,19 @@ class PromQLEngine:
             from filodb_spark.kernels.histogram import hist_range_function
             out = hist_range_function(df.select("_sk", "ts", "hist"), fn,
                                       ["_sk"], grid, window)
-            return out.join(lab, "_sk").select("labels", "t", "hist")
+            # min/max companion columns (SumAndMaxOverTime /
+            # RateAndMinMaxOverTime, InternalRangeFunction.scala:57-60):
+            # window-min of min / window-max of max ride along
+            for comp, cfn, alias in (("min", "min_over_time", "hmin"),
+                                     ("max", "max_over_time", "hmax")):
+                if comp in df.columns:
+                    cw = range_function(
+                        df.select("_sk", "ts", F.col(comp).alias("value")),
+                        cfn, ["_sk"], grid, window) \
+                        .withColumnRenamed("value", alias)
+                    out = out.join(cw, ["_sk", "t"], "left")
+            keep = [c for c in ("hmin", "hmax") if c in out.columns]
+            return out.join(lab, "_sk").select("labels", "t", "hist", *keep)
         if fn == "absent_over_time":
             present = range_function(df, "present_over_time", ["_sk"], grid,
                                      window)
@@ -441,13 +454,23 @@ class PromQLEngine:
             val = F.when(idx > 0, F.element_at(h["values"], idx.cast("int"))) \
                 .otherwise(F.lit(float("nan")))
             return v.select("labels", "t", val.alias("value"))
-        if name == "histogram_quantile":
+        if name in ("histogram_quantile", "histogram_max_quantile",
+                    "histogram_max_quantile_even"):
             q = self._const(e.args[0])
             v = self._vector(e.args[1], grid)
             if "hist" in v.columns:
                 from filodb_spark.kernels.histogram import hist_quantile
-                return v.select("labels", "t",
-                                hist_quantile(q, F.col("hist")).alias("value"))
+                use_max = name != "histogram_quantile"
+                if use_max and "hmax" not in v.columns:
+                    raise ValueError(f"{name} requires a max-column schema")
+                val = hist_quantile(
+                    q, F.col("hist"),
+                    min_hint=F.col("hmin") if "hmin" in v.columns else None,
+                    max_hint=F.col("hmax") if use_max else None,
+                    even_distribution=name.endswith("_even"))
+                return v.select("labels", "t", val.alias("value"))
+            if name != "histogram_quantile":
+                raise ValueError(f"{name} requires a histogram-schema metric")
             return self._histogram_quantile_buckets(q, v)
         if name == "histogram_fraction":
             lo = self._const(e.args[0])

@@ -112,3 +112,48 @@ class TestHistBucketAndSort:
         ).collect()
         vals = [r["value"] for r in res]
         assert vals == sorted(vals, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def maxmin_engine(spark):
+    # histogram schema WITH min/max companion columns (otel-style)
+    rows = []
+    for i in range(5):
+        vals = [float(i), float(2 * i), float(4 * i)]
+        rows.append(({"__name__": "lat2", "job": "a"}, T0 + i * 10_000,
+                     float(i * 40), float(i * 4), 0.5, 3.5,
+                     ([1.0, 2.0, INF], vals)))
+    hist_df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, sum double, count double, "
+              "min double, max double, "
+              "hist struct<les: array<double>, values: array<double>>")
+    gauge_df = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    return PromQLEngine(spark, TsStore(gauge_df, hist_df=hist_df,
+                                       hist_metrics=("lat2",)))
+
+
+class TestMaxQuantile:
+    T = T0 + 40_000
+
+    def test_max_quantile_interpolates_to_max(self, maxmin_engine):
+        # q=0.9: rank=0.9*16=14.4 -> +Inf bucket (cum 8..16); with max=3.5
+        # inside, bucket (2, 3.5]: frac=(14.4-8)/8 -> 2 + 1.5*0.8 = 3.2
+        res = maxmin_engine.query_range(
+            "histogram_max_quantile(0.9, last_over_time(lat2[50s]))",
+            self.T, self.T, 10_000).collect()
+        assert res[0]["value"] == pytest.approx(2.0 + 1.5 * 0.8)
+
+    def test_plain_quantile_clamps_at_top(self, maxmin_engine):
+        res = maxmin_engine.query_range(
+            "histogram_quantile(0.9, last_over_time(lat2[50s]))",
+            self.T, self.T, 10_000).collect()
+        assert res[0]["value"] == pytest.approx(2.0)  # last finite le
+
+    def test_rate_carries_minmax(self, maxmin_engine):
+        res = maxmin_engine.query_range(
+            "histogram_max_quantile(0.9, rate(lat2[50s]))",
+            self.T, self.T, 10_000).collect()
+        # bucket rates keep shape; rank in +Inf bucket -> interpolate to
+        # window-max 3.5: same 3.2 as counts are proportional
+        assert res[0]["value"] == pytest.approx(3.2)

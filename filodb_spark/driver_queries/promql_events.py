@@ -33,6 +33,7 @@ DAY = 24 * 3600 * 1000
 
 
 _BOUNDS_CACHE: dict = {}
+_EV_CACHE: dict = {}
 
 
 def _bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -44,8 +45,20 @@ def _bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     return _BOUNDS_CACHE[sf_dir]
 
 
+def _events_cached(spark: SparkSession, sf_dir: str,
+                   series_cols=("event_type",)):
+    """Deduped events series, Spark-cached per (session, dir, series):
+    the driver runs ~40 events-based queries in one process — one
+    dedupe shuffle instead of forty."""
+    key = (id(spark), sf_dir, series_cols)
+    if key not in _EV_CACHE:
+        _EV_CACHE[key] = events_ts(spark, sf_dir,
+                                   series_cols=series_cols).cache()
+    return _EV_CACHE[key]
+
+
 def _series(spark: SparkSession, sf_dir: str, series_cols=("event_type",)):
-    ev = events_ts(spark, sf_dir, series_cols=series_cols)
+    ev = _events_cached(spark, sf_dir, series_cols)
     lo, hi = _bounds(spark, sf_dir)
     return ev, grid_from_bounds(lo, hi, STEP)
 
@@ -142,7 +155,7 @@ def q_instant_math(spark, sf_dir):
 
 
 def _daily_counts(spark, sf_dir, event_type):
-    ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"))
+    ev = _events_cached(spark, sf_dir, ("event_type", "user_id"))
     ev = ev.where(F.col("event_type") == event_type)
     lo, hi = _bounds(spark, sf_dir)
     grid = grid_from_bounds(lo, hi, DAY)

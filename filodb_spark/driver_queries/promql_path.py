@@ -84,9 +84,37 @@ def pq_subquery(spark, sf_dir):
                       "t", "value")
 
 
+def pq_offset(spark, sf_dir):
+    # offset modifier through the engine: windows shift back a day
+    out = _run(spark, sf_dir, "count_over_time(purchase[24h] offset 24h)")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_at_modifier(spark, sf_dir):
+    # @ modifier: evaluate at one fixed instant, replicate across steps
+    eng, g6, _ = _engine(spark, sf_dir)
+    at_s = (g6.start + 5 * STEP) / 1000.0
+    out = eng.query_range(f"count_over_time(purchase[24h] @ {at_s})",
+                          g6.start, g6.end, g6.step)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_instant_chain(spark, sf_dir):
+    # chained instant math through the engine
+    q = "clamp(round(sqrt(count_over_time(purchase[24h])) * 10), 5, 40)"
+    out = _run(spark, sf_dir, q)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", F.round("value", 6).alias("value"))
+
+
 QUERIES = {
     "pq_sum_rate": pq_sum_rate,
     "pq_subquery": pq_subquery,
+    "pq_offset": pq_offset,
+    "pq_at_modifier": pq_at_modifier,
+    "pq_instant_chain": pq_instant_chain,
     "pq_count_by_metric": pq_count_by_metric,
     "pq_binary_user_ratio": pq_binary_user_ratio,
     "pq_set_unless": pq_set_unless,
@@ -144,7 +172,45 @@ cnt AS (
 )
 """
 
+_PURCHASE_GRID = f"""
+WITH bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+),
+raw AS (
+  SELECT user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+"""
+
 ORACLES = {
+    "pq_offset": _PURCHASE_GRID + f"""
+SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+FROM grid JOIN raw
+  ON raw.ts BETWEEN grid.t - {2 * DAY} AND grid.t - {DAY}
+GROUP BY 1, 2""",
+    "pq_at_modifier": _PURCHASE_GRID + f"""
+, a AS (SELECT gstart + 5 * {STEP} AS at_ms FROM bounds),
+c AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS value
+  FROM raw, a WHERE raw.ts BETWEEN a.at_ms - {DAY} AND a.at_ms
+  GROUP BY 1
+)
+SELECT c.user_id, grid.t, c.value FROM grid CROSS JOIN c""",
+    "pq_instant_chain": _PURCHASE_GRID + f"""
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - {DAY} AND grid.t
+  GROUP BY 1, 2
+)
+SELECT user_id, t,
+       round(least(greatest(floor(sqrt(value) * 10.0 + 0.5), 5.0), 40.0), 6)
+       AS value
+FROM cnt""",
     "pq_subquery": f"""
 WITH bounds AS (
   SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,

@@ -19,6 +19,7 @@ the scalar extrapolation to every bucket.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -95,10 +96,20 @@ def hist_sum(df: DataFrame, group_cols: Sequence[str],
     return assemble_hist(summed, group_cols)
 
 
+def base2_exp_les(scale: int, start_index: int, num_pos: int) -> list[float]:
+    """Materialize OTel base-2 exponential bucket tops to explicit LE
+    bounds (Base2ExpHistogramBuckets, Histogram.scala:655-700):
+    base = 2^(2^-scale); bucket 0 is the zero bucket, then
+    top(i) = base^(start_index + i) for i = 1..num_pos."""
+    base = 2.0 ** (2.0 ** -scale)
+    return [0.0] + [base ** (start_index + i) for i in range(1, num_pos + 1)]
+
+
 def hist_quantile(q: Column | float, hist: Column,
                   min_hint: Column | None = None,
                   max_hint: Column | None = None,
-                  even_distribution: bool = False) -> Column:
+                  even_distribution: bool = False,
+                  exponential: bool = False) -> Column:
     """Histogram.quantile (Histogram.scala:62-112): cumulative-LE linear
     interpolation; quantile landing in the +Inf top bucket returns the
     highest finite bucket bound; rank below the first bucket interpolates
@@ -137,12 +148,23 @@ def hist_quantile(q: Column | float, hist: Column,
             .otherwise(b_end)
     count = cum - lo_cum
     frac = (rank - lo_cum) / (count + (1 if even_distribution else 0))
-    interp = b_start + (b_end - b_start) * frac
+    if exponential:
+        # log-scale interpolation for exponential bucket schemes
+        # (Histogram.scala:97-105); from-zero first bucket stays linear
+        log2 = lambda c: F.log(c) / F.lit(math.log(2.0))
+        log_interp = F.pow(F.lit(2.0), log2(b_start)
+                           + (log2(b_end) - log2(b_start)) * frac)
+        interp = F.when(b_start == 0, b_start + (b_end - b_start) * frac) \
+            .otherwise(log_interp)
+    else:
+        interp = b_start + (b_end - b_start) * frac
     nan = F.lit(float("nan"))
+    # NOTE: the reference does NOT NaN on a missing +Inf top bucket
+    # (finite-top schemes like exp histograms interpolate in the last
+    # bucket); +Inf only triggers the clamp (Histogram.scala:85-89)
     return (F.when(q < 0, F.lit(float("-inf")))
              .when(q > 1, F.lit(float("inf")))
-             .when((n < 2) | (F.element_at(les, -1) != F.lit(float("inf")))
-                   | (total == 0) | total.isNull(), nan)
+             .when((n < 2) | (total == 0) | total.isNull(), nan)
              .when(b_end == F.lit(float("inf")), lo_le)
              .when(cum == lo_cum, lo_le)
              .otherwise(interp))

@@ -105,6 +105,9 @@ class TsStore:
     # pre-aggregation rules per metric (AggLpOptimization): data for
     # `<metric>:::<suffix>` must be present in df
     agg_rules: dict = None
+    # histogram metrics with base-2 exponential bucket schemes
+    # (otel-exp-*-histogram): quantile uses log interpolation
+    exp_hist_metrics: tuple[str, ...] = ()
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -467,7 +470,8 @@ class PromQLEngine:
                     q, F.col("hist"),
                     min_hint=F.col("hmin") if "hmin" in v.columns else None,
                     max_hint=F.col("hmax") if use_max else None,
-                    even_distribution=name.endswith("_even"))
+                    even_distribution=name.endswith("_even"),
+                    exponential=self._arg_is_exp_hist(e.args[1]))
                 return v.select("labels", "t", val.alias("value"))
             if name != "histogram_quantile":
                 raise ValueError(f"{name} requires a histogram-schema metric")
@@ -491,6 +495,21 @@ class PromQLEngine:
             v = self._vector(e.args[0], grid)
             return v.withColumn("value", instant_fn_expr(name, F.col("value")))
         raise ValueError(f"unsupported function: {name}")
+
+    def _arg_is_exp_hist(self, e: A.Expr) -> bool:
+        """Static provenance check: does this subtree select a base-2
+        exponential histogram metric (scheme chosen at plan time, like
+        the reference's per-chunk bucket-scheme dispatch)?"""
+        if isinstance(e, A.VectorSelector):
+            return e.metric in self.store.exp_hist_metrics
+        if isinstance(e, A.MatrixSelector):
+            return self._arg_is_exp_hist(e.base)
+        if isinstance(e, A.Paren):
+            return self._arg_is_exp_hist(e.expr)
+        if isinstance(e, (A.FunctionCall, A.Aggregation)):
+            args = e.args if isinstance(e, A.FunctionCall) else (e.expr,)
+            return any(self._arg_is_exp_hist(a) for a in args)
+        return False
 
     def _range_call(self, fn: str, arg: A.Expr, grid: StepGrid, params: tuple):
         if isinstance(arg, A.MatrixSelector):

@@ -44,7 +44,9 @@ class TestQuantile:
         assert q_of(spark, self.LES, vals, 0.99) == pytest.approx(16.0)
 
     def test_nan_cases(self, spark):
-        assert math.isnan(q_of(spark, [2.0, 4.0], [1.0, 2.0], 0.5))  # no +Inf
+        # finite-top schemes interpolate in the last bucket (the
+        # reference does not require a +Inf top — Histogram.scala:85-89)
+        assert q_of(spark, [2.0, 4.0], [1.0, 2.0], 0.5) == pytest.approx(2.0)
         assert math.isnan(q_of(spark, self.LES, [0.0] * 5, 0.5))     # empty
         assert q_of(spark, self.LES, [1.0] * 5, -1) == -INF
         assert q_of(spark, self.LES, [1.0] * 5, 2) == INF
@@ -94,3 +96,53 @@ class TestBucketizeSumRate:
         assert list(h["les"]) == les
         assert h["values"][0] == pytest.approx(1.0)
         assert h["values"][1] == pytest.approx(2.0)
+
+
+class TestExponentialBuckets:
+    def test_base2_exp_les(self):
+        from filodb_spark.kernels.histogram import base2_exp_les
+        # scale 0 -> base 2; start_index 0 -> tops 2, 4, 8
+        assert base2_exp_les(0, 0, 3) == [0.0, 2.0, 4.0, 8.0]
+        # scale 1 -> base sqrt(2)
+        les = base2_exp_les(1, 0, 2)
+        assert les[1] == pytest.approx(2 ** 0.5)
+        assert les[2] == pytest.approx(2.0)
+
+    def test_exp_quantile_log_interpolation(self, spark):
+        from filodb_spark.kernels.histogram import hist_quantile
+        from pyspark.sql import functions as F
+        import math as m
+        les = [0.0, 2.0, 4.0, 8.0]
+        vals = [0.0, 10.0, 20.0, 30.0]
+        df = hist_df(spark, [("a", les, vals)])
+        got = df.select(hist_quantile(0.5, F.col("hist"),
+                                      exponential=True).alias("v")).first()["v"]
+        # rank 15 -> bucket (2,4], frac=(15-10)/10=0.5
+        # log interp: 2^(1 + (2-1)*0.5) = 2^1.5
+        assert got == pytest.approx(2 ** 1.5)
+        lin = df.select(hist_quantile(0.5, F.col("hist")).alias("v")).first()["v"]
+        assert lin == pytest.approx(3.0)
+
+    def test_engine_exp_metric(self, spark):
+        from filodb_spark.promql import PromQLEngine
+        from filodb_spark.promql.compiler import TsStore
+        T0 = 1_700_000_000_000
+        les = [0.0, 2.0, 4.0, 8.0]
+        rows = [({"__name__": "exph", "job": "a"}, T0 + i * 10_000,
+                 float(i), float(i),
+                 (les, [0.0, 10.0 * i, 20.0 * i, 30.0 * i]))
+                for i in range(3)]
+        hist_df_ = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        gauge = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        eng = PromQLEngine(spark, TsStore(
+            gauge, hist_df=hist_df_, hist_metrics=("exph",),
+            exp_hist_metrics=("exph",)))
+        t = T0 + 20_000
+        res = eng.query_range(
+            "histogram_quantile(0.5, last_over_time(exph[30s]))",
+            t, t, 10_000).collect()
+        assert res[0]["value"] == pytest.approx(2 ** 1.5)

@@ -1,0 +1,90 @@
+"""Command-line query driver (reference: cli/src/main/scala/filodb.cli/
+CliMain.scala — drives the same planner in-process).
+
+Usage:
+  python -m filodb_spark.cli query  --store <path> 'sum(rate(m[5m]))' \
+      --start 1700000000 --end 1700003600 --step 60 [--format json|table]
+  python -m filodb_spark.cli labels --store <path>
+  python -m filodb_spark.cli label-values --store <path> --label job
+  python -m filodb_spark.cli series --store <path> --match 'm{job="x"}'
+
+--store accepts a partitioned series table (sources.table layout), a
+plain parquet file of (labels, ts, value), or `events:<fixture_dir>`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _open_store(spark, store: str):
+    from filodb_spark.promql.compiler import TsStore
+    if store.startswith("events:"):
+        from filodb_spark.tsdf import events_labels_ts
+        return TsStore(events_labels_ts(spark, store.split(":", 1)[1]))
+    df = spark.read.parquet(store)
+    return TsStore(df.select("labels", "ts", "value"))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="filodb_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="range query")
+    q.add_argument("promql")
+    q.add_argument("--store", required=True)
+    q.add_argument("--start", type=float, required=True, help="epoch sec")
+    q.add_argument("--end", type=float, required=True)
+    q.add_argument("--step", type=float, default=60.0)
+    q.add_argument("--lookback", type=float, default=300.0)
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--format", choices=["json", "table"], default="json")
+
+    for name in ("labels", "label-values", "series"):
+        p = sub.add_parser(name)
+        p.add_argument("--store", required=True)
+        if name == "label-values":
+            p.add_argument("--label", required=True)
+        if name == "series":
+            p.add_argument("--match", required=True)
+        p.add_argument("--match" if name != "series" else "--unused",
+                       required=False, default=None, dest="match_opt")
+
+    args = ap.parse_args(argv)
+
+    import filodb_spark
+    from filodb_spark.promql import PromQLEngine
+    spark = filodb_spark.get_spark("filodb-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    store = _open_store(spark, args.store)
+
+    if args.cmd == "query":
+        from filodb_spark.api import to_matrix_response
+        eng = PromQLEngine(spark, store,
+                           lookback_ms=int(args.lookback * 1000))
+        df = eng.query_range(args.promql, int(args.start * 1000),
+                             int(args.end * 1000), int(args.step * 1000),
+                             limit=args.limit)
+        if args.format == "table":
+            df.orderBy("t").show(100, False)
+        else:
+            print(json.dumps(to_matrix_response(df)))
+        return 0
+
+    from filodb_spark import metadata as md
+    if args.cmd == "labels":
+        out = [r["label"] for r in md.label_names(store, args.match_opt).collect()]
+    elif args.cmd == "label-values":
+        out = [r["value"] for r in
+               md.label_values(store, args.label, args.match_opt).collect()]
+    else:
+        out = [dict(r["labels"]) for r in
+               md.series(store, args.match).collect()]
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,44 @@
+"""CLI surface tests (in-process main())."""
+
+import contextlib
+import io
+import json
+
+from filodb_spark.cli import main
+
+STORE = "events:/root/testdata/sf0.001"
+
+
+def run_cli(args):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(args)
+    return rc, buf.getvalue()
+
+
+class TestCli:
+    def test_query_json(self, spark):
+        rc, out = run_cli([
+            "query", "sum(count_over_time(purchase[24h]))",
+            "--store", STORE,
+            "--start", "1704153600", "--end", "1706486400", "--step", "21600"])
+        assert rc == 0
+        resp = json.loads(out)
+        assert resp["status"] == "success"
+        assert resp["data"]["resultType"] == "matrix"
+        assert len(resp["data"]["result"]) == 1
+        assert len(resp["data"]["result"][0]["values"]) > 50
+
+    def test_labels_and_values(self, spark):
+        rc, out = run_cli(["labels", "--store", STORE])
+        assert json.loads(out) == ["__name__", "user"]
+        rc, out = run_cli(["label-values", "--store", STORE,
+                           "--label", "__name__"])
+        assert json.loads(out) == ["click", "error", "purchase",
+                                   "signup", "view"]
+
+    def test_series(self, spark):
+        rc, out = run_cli(["series", "--store", STORE,
+                           "--match", 'purchase{user="3"}'])
+        res = json.loads(out)
+        assert res == [{"__name__": "purchase", "user": "3"}]

@@ -108,6 +108,12 @@ class TsStore:
     # histogram metrics with base-2 exponential bucket schemes
     # (otel-exp-*-histogram): quantile uses log interpolation
     exp_hist_metrics: tuple[str, ...] = ()
+    # ds-gauge rollup table (labels, ts, min, max, sum, count, avg) +
+    # the instant before which raw data is no longer retained: queries
+    # spanning the boundary split raw/DS and stitch
+    # (LongTimeRangePlanner.scala)
+    ds_df: DataFrame | None = None
+    raw_retention_start_ms: int | None = None
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -315,6 +321,31 @@ class PromQLEngine:
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:
             fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)
+        # raw/downsample split (LongTimeRangePlanner): instants before the
+        # raw-retention start evaluate on the ds-gauge table with the
+        # downsample function rewrites, then stitch (disjoint step sets)
+        from filodb_spark.streaming.downsample import _DS_REWRITE
+        boundary = self.store.raw_retention_start_ms
+        if (boundary is not None and self.store.ds_df is not None
+                and grid.start < boundary and fn in _DS_REWRITE):
+            from filodb_spark.streaming.downsample import range_function_ds
+            ds = self.store.ds_df
+            labels = F.col("labels")
+            if sel.metric:
+                ds = ds.where(labels[METRIC] == sel.metric)
+            for m in sel.matchers:
+                if m.op == "=":
+                    ds = ds.where(labels[m.name] == m.value)
+            ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
+            ds_out = range_function_ds(ds, fn, ["_sk"], grid, window) \
+                .where(F.col("t") < boundary)
+            ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
+            ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
+            raw_out = range_function(df, fn, ["_sk"], grid, window,
+                                     params=params, carry_cols=["labels"]) \
+                .where(F.col("t") >= boundary) \
+                .select("labels", "t", "value")
+            return raw_out.unionByName(ds_out)
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
             return (out.join(lab, "_sk").select("labels", "t", "value"))

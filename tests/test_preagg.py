@@ -71,3 +71,34 @@ class TestPreaggRouting:
             f'sum(sum_over_time(m{{job="web"}}{self.W}))',
             self.T, self.T, 10_000).collect()
         assert res[0]["value"] == 500.0  # preagg
+
+
+class TestLongTimeRangeRouting:
+    def test_raw_ds_split_through_engine(self, spark):
+        from filodb_spark.streaming.downsample import downsample
+        from pyspark.sql import functions as F
+        # raw data only for the recent half; DS rollups for all time
+        rows = []
+        full = [({"__name__": "g", "job": "a"}, T0 + i * 60_000, float(i))
+                for i in range(20)]
+        df_full = spark.createDataFrame(
+            full, "labels map<string,string>, ts long, value double")
+        boundary = T0 + 10 * 60_000
+        raw = df_full.where(F.col("ts") >= boundary)
+        ds = downsample(df_full.withColumn(
+            "_sk", F.lit("s")), ["labels"], 5 * 60_000).drop("_sk")
+        store = TsStore(raw, ds_df=ds, raw_retention_start_ms=boundary)
+        eng = PromQLEngine(spark, store)
+        out = eng.query_range("sum_over_time(g[5m])", T0 + 5 * 60_000,
+                              T0 + 19 * 60_000, 60_000).collect()
+        ts = sorted(r["t"] for r in out)
+        # DS side: steps < boundary where a rollup row falls in window;
+        # raw side: every step >= boundary
+        assert all(t >= boundary for t in ts if t >= boundary)
+        got = {r["t"]: r["value"] for r in out}
+        # raw step at boundary+4m: only samples >= boundary are retained
+        # in the raw table -> 10..14
+        t_raw = boundary + 4 * 60_000
+        assert got[t_raw] == float(sum(range(10, 15)))
+        # a DS step: rollup bucket sums ride in
+        assert any(t < boundary for t in ts)

@@ -157,3 +157,68 @@ class TestRandomizedKernels:
 
         check(run_all(spark, df, "resets"), clean, resets, "resets")
         check(run_all(spark, df, "changes"), clean, changes, "changes")
+
+
+class TestRandomizedSetOps:
+    """Random label universes x timesteps vs a python model of
+    SetOperatorExec per-(joinkey, timestep) presence semantics."""
+
+    def _fixture(self):
+        rng = random.Random(7)
+        labels_pool = [{"job": j, "inst": str(i)}
+                       for j in ("a", "b", "c") for i in range(4)]
+        steps = [1000 * k for k in range(6)]
+
+        def side(metric):
+            rows = []
+            for lab in labels_pool:
+                for t in steps:
+                    r = rng.random()
+                    if r < 0.4:
+                        continue
+                    v = float("nan") if r < 0.5 else rng.uniform(1, 9)
+                    rows.append(({**lab, "__name__": metric}, t, v))
+            return rows
+
+        return side("l"), side("r")
+
+    @staticmethod
+    def _key(lab, on):
+        return tuple(sorted((k, v) for k, v in lab.items() if k in on))
+
+    def test_and_or_unless_model(self, spark):
+        lhs_rows, rhs_rows = self._fixture()
+        lhs = spark.createDataFrame(
+            lhs_rows, "labels map<string,string>, t long, value double")
+        rhs = spark.createDataFrame(
+            rhs_rows, "labels map<string,string>, t long, value double")
+        from filodb_spark.kernels.binary import set_op
+        on = ["job", "inst"]
+        r_present = {(self._key(lab, on), t)
+                     for lab, t, v in rhs_rows if not math.isnan(v)}
+        l_present = {(self._key(lab, on), t)
+                     for lab, t, v in lhs_rows if not math.isnan(v)}
+
+        def canon(rows):
+            return sorted((tuple(sorted(lab.items())), t,
+                           "nan" if math.isnan(v) else round(v, 9))
+                          for lab, t, v in rows)
+
+        got = [(dict(r["labels"]), r["t"], r["value"])
+               for r in set_op(lhs, rhs, "and", on=on).collect()]
+        exp = [(lab, t, v) for lab, t, v in lhs_rows
+               if (self._key(lab, on), t) in r_present]
+        assert canon(got) == canon(exp)
+
+        got = [(dict(r["labels"]), r["t"], r["value"])
+               for r in set_op(lhs, rhs, "unless", on=on).collect()]
+        exp = [(lab, t, v) for lab, t, v in lhs_rows
+               if (self._key(lab, on), t) not in r_present]
+        assert canon(got) == canon(exp)
+
+        got = [(dict(r["labels"]), r["t"], r["value"])
+               for r in set_op(lhs, rhs, "or", on=on).collect()]
+        exp = list(lhs_rows) + [
+            (lab, t, v) for lab, t, v in rhs_rows
+            if (self._key(lab, on), t) not in l_present]
+        assert canon(got) == canon(exp)

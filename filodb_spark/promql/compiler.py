@@ -395,7 +395,19 @@ class PromQLEngine:
         if isinstance(e, A.BinaryOp):
             return self._eval_binary(e, grid)
         if isinstance(e, A.Subquery):
-            raise ValueError("subquery must be wrapped in a range function")
+            # top-level subquery expr[w:s] (TopLevelSubquery,
+            # LogicalPlan.scala:502-543): evaluate the inner expression on
+            # the subquery's own grid over [end-w, end]
+            sub_step = e.step_ms or 60_000
+            end = grid.end - e.offset_ms
+            start = end - e.range_ms
+            g = StepGrid(-(-start // sub_step) * sub_step,
+                         (end // sub_step) * sub_step, sub_step)
+            out = self._vector(e.expr, g)
+            if e.offset_ms:
+                out = out.withColumn(
+                    "t", (F.col("t") + F.lit(e.offset_ms)).cast("long"))
+            return out
         raise TypeError(f"cannot evaluate {e!r}")
 
     # ---- functions ------------------------------------------------------

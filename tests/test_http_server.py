@@ -1,0 +1,63 @@
+"""HTTP API server tests: real sockets against the engine."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from filodb_spark.http_server import serve
+from filodb_spark.promql import PromQLEngine
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.tsdf import events_labels_ts
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    df = events_labels_ts(spark, "/root/testdata/sf0.001")
+    eng = PromQLEngine(spark, TsStore(df), lookback_ms=24 * 3600 * 1000)
+    srv = serve(eng)
+    yield f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def get(base, path, **params):
+    qs = urllib.parse.urlencode(params)
+    with urllib.request.urlopen(f"{base}{path}?{qs}", timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+class TestHttpApi:
+    def test_query_range(self, server):
+        status, resp = get(server, "/api/v1/query_range",
+                           query="sum(count_over_time(purchase[24h]))",
+                           start=1704153600, end=1706486400, step=21600)
+        assert status == 200 and resp["status"] == "success"
+        assert resp["data"]["resultType"] == "matrix"
+        assert len(resp["data"]["result"][0]["values"]) > 50
+
+    def test_instant_query(self, server):
+        status, resp = get(server, "/api/v1/query",
+                           query="count({user=~'.+'})", time=1706486400)
+        assert status == 200
+        assert resp["data"]["resultType"] == "vector"
+        assert float(resp["data"]["result"][0]["value"][1]) > 0
+
+    def test_labels_values_series(self, server):
+        _, resp = get(server, "/api/v1/labels")
+        assert resp["data"] == ["__name__", "user"]
+        _, resp = get(server, "/api/v1/label/__name__/values")
+        assert "purchase" in resp["data"]
+        _, resp = get(server, "/api/v1/series",
+                      **{"match[]": 'purchase{user="3"}'})
+        assert resp["data"] == [{"__name__": "purchase", "user": "3"}]
+
+    def test_errors(self, server):
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(server, "/api/v1/query_range", query="sum(rate(m[5m])",
+                start=0, end=1, step=1)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            get(server, "/api/v1/nope")
+        assert e.value.code == 404

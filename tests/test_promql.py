@@ -272,3 +272,16 @@ class TestStepMultipleAndRetention:
         res = rows_of(eng2.query_range('m{job="web",inst="1"}',
                                        T0, T0 + 120_000, 30_000))
         assert min(t for _, t, _ in res) >= T0 + 60_000
+
+
+class TestTopLevelSubquery:
+    def test_standalone_subquery(self, engine):
+        # m{...}[60s:20s] at top level: inner evaluated on the 20s grid
+        # over the trailing 60s
+        t = T0 + 120_000
+        res = rows_of(engine.query_range(
+            'm{job="web",inst="1"}[60s:20s]', t, t, 10_000))
+        ts = sorted(rt for _, rt, _ in res)
+        assert ts == [T0 + 60_000, T0 + 80_000, T0 + 100_000, T0 + 120_000]
+        vals = {rt: v for _, rt, v in res}
+        assert vals[T0 + 120_000] == 12.0  # last sample at each instant

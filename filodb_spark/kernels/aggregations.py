@@ -109,6 +109,27 @@ def topk(df: DataFrame, k: int, group_cols: Sequence[str],
               .drop("_rk"))
 
 
+def salted_sum(df: DataFrame, group_cols: Sequence[str],
+               value_col: str = "value", salt_buckets: int = 32,
+               out_col: str = "value") -> DataFrame:
+    """Two-phase salted sum for pathologically hot grouping keys.
+
+    AQE's skew handling covers joins; for aggregations Spark's partial
+    aggregation usually suffices, but when one group dominates an
+    entire executor's input (e.g. a single giant tenant), salting
+    splits the partial state across `salt_buckets` reducers before the
+    final combine. Use for algebraic aggregates only.
+    """
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(),
+                  F.lit(salt_buckets)).alias("_salt")
+    partial = (df.select(*group_cols, F.col(value_col), salt)
+                 .groupBy(*group_cols, "_salt")
+                 .agg(F.sum(F.when(_valid(F.col(value_col)),
+                                   F.col(value_col))).alias("_ps")))
+    return (partial.groupBy(*group_cols)
+            .agg(_finish(F.sum("_ps")).alias(out_col)))
+
+
 def count_values(df: DataFrame, group_cols: Sequence[str], label: str,
                  t_col: str = "t", value_col: str = "value") -> DataFrame:
     """count_values(label, v): count series per distinct value, folding the

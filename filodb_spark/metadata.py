@@ -74,6 +74,34 @@ def label_cardinality(store: TsStore, match: str | None = None) -> DataFrame:
             .orderBy("label"))
 
 
+def chunk_meta(spark, table_path: str) -> DataFrame:
+    """_filodb_chunkmeta_all analog (SelectChunkInfosExec / FiloFunctionId
+    ChunkMetaAll): physical storage metadata — one row per parquet
+    row-group with row counts and ts min/max (the engine's "chunks")."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os
+    rows = []
+    paths = ([table_path] if os.path.isfile(table_path)
+             else _glob.glob(os.path.join(table_path, "**", "*.parquet"),
+                             recursive=True))
+    for p in paths:
+        f = pq.ParquetFile(p)
+        for rg in range(f.metadata.num_row_groups):
+            meta = f.metadata.row_group(rg)
+            ts_min = ts_max = None
+            for ci in range(meta.num_columns):
+                col = meta.column(ci)
+                if col.path_in_schema == "ts" and col.statistics is not None:
+                    ts_min = col.statistics.min
+                    ts_max = col.statistics.max
+            rows.append((p, rg, meta.num_rows, meta.total_byte_size,
+                         ts_min, ts_max))
+    return spark.createDataFrame(
+        rows, "file string, row_group int, num_rows long, bytes long, "
+              "ts_min long, ts_max long")
+
+
 def ts_cardinality(store: TsStore, group_labels: tuple[str, ...] = ("__name__",),
                    active_after_ms: int | None = None) -> DataFrame:
     """TsCardExec: series counts grouped by shard-key prefixes

@@ -171,3 +171,25 @@ class TestStatefulResets:
                for r in spark.read.parquet(str(out)).collect()}
         # a@2 is out-of-order vs state (last_ts=3) -> dropped, no event
         assert got == {("a", 3): 20.0, ("b", 2): 1.0}
+
+
+class TestSaltedAndChunkMeta:
+    def test_salted_sum_matches_plain(self, spark):
+        from filodb_spark.kernels.aggregations import salted_sum
+        rows = [("hot", float(i % 7)) for i in range(10_000)] + \
+               [("cold", 1.0)] * 10
+        df = spark.createDataFrame(rows, "k string, value double")
+        got = {r["k"]: r["value"]
+               for r in salted_sum(df, ["k"], salt_buckets=8).collect()}
+        assert got["hot"] == sum(i % 7 for i in range(10_000))
+        assert got["cold"] == 10.0
+
+    def test_chunk_meta(self, spark, tmp_path):
+        from filodb_spark.metadata import chunk_meta
+        p = str(tmp_path / "t.parquet")
+        spark.createDataFrame(
+            [(i, 1_700_000_000_000 + i) for i in range(100)],
+            "id long, ts long").coalesce(1).write.parquet(p)
+        meta = chunk_meta(spark, p).collect()
+        assert sum(r["num_rows"] for r in meta) == 100
+        assert min(r["ts_min"] for r in meta) == 1_700_000_000_000

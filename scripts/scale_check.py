@@ -36,24 +36,32 @@ def main():
     grid = grid_from_bounds(lo, hi, 6 * 3600 * 1000)
     window = 24 * 3600 * 1000
 
+    import shutil
+    import tempfile
+
     results = []
     for m in mults:
+        # materialize the replicated table to parquet first so the timed
+        # query reads a realistic on-disk table, not an m-way union plan
+        tmp = tempfile.mkdtemp(prefix="scale_check_")
         df = base
         for k in range(1, m):
             df = df.unionByName(base.withColumn(
                 "user_id", F.col("user_id") + F.lit(k * 1_000_000)))
-        df = df.repartition(spark.sparkContext.defaultParallelism).cache()
-        n = df.count()
-        # warm
-        range_function(df, "sum_over_time", ["event_type", "user_id"],
+        (df.repartition(spark.sparkContext.defaultParallelism)
+           .write.mode("overwrite").parquet(tmp))
+        tbl = spark.read.parquet(tmp)
+        n = tbl.count()
+        # warm (codegen/file listing)
+        range_function(tbl, "sum_over_time", ["event_type", "user_id"],
                        grid, window).count()
         t0 = time.time()
-        r = range_function(df, "rate", ["event_type", "user_id"], grid, window)
+        r = range_function(tbl, "rate", ["event_type", "user_id"], grid, window)
         out = aggregate(r.where(~F.isnan("value")), "sum", ["event_type"],
                         t_col="t")
         rows = out.count()
         dt = time.time() - t0
-        df.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
         results.append({"mult": m, "samples": n, "out_rows": rows,
                         "sum_rate_sec": round(dt, 2)})
         print(f"# x{m}: {n} samples -> {dt:.2f}s", file=sys.stderr)

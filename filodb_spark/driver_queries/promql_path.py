@@ -109,8 +109,32 @@ def pq_instant_chain(spark, sf_dir):
                       "t", F.round("value", 6).alias("value"))
 
 
+def pq_label_replace(spark, sf_dir):
+    # regex capture-group label rewrite through the engine
+    q = ('label_replace(count_over_time(purchase[24h]), '
+         '"user_bucket", "b$1", "user", "(\\\\d)\\\\d*")')
+    out = _run(spark, sf_dir, q)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      F.col("labels")["user_bucket"].alias("user_bucket"),
+                      "t", "value")
+
+
+def pq_topk(spark, sf_dir):
+    out = _run(spark, sf_dir, "topk(3, count_over_time(purchase[24h]))")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_absent(spark, sf_dir):
+    out = _run(spark, sf_dir, 'absent(nosuchmetric{user="42"})')
+    return out.select(F.col("labels")["user"].alias("user"), "t", "value")
+
+
 QUERIES = {
     "pq_sum_rate": pq_sum_rate,
+    "pq_label_replace": pq_label_replace,
+    "pq_topk": pq_topk,
+    "pq_absent": pq_absent,
     "pq_subquery": pq_subquery,
     "pq_offset": pq_offset,
     "pq_at_modifier": pq_at_modifier,
@@ -188,6 +212,28 @@ raw AS (
 """
 
 ORACLES = {
+    "pq_label_replace": _PURCHASE_GRID + r"""
+SELECT raw.user_id, 'b' || regexp_extract(CAST(raw.user_id AS VARCHAR),
+                                          '^(\d)\d*$', 1) AS user_bucket,
+       grid.t, CAST(count(*) AS DOUBLE) AS value
+FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+GROUP BY 1, 2, 3""",
+    "pq_topk": _PURCHASE_GRID + """
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT user_id, t, value,
+         row_number() OVER (PARTITION BY t
+                            ORDER BY value DESC,
+                                     CAST(user_id AS VARCHAR)) AS r
+  FROM cnt
+)
+SELECT user_id, t, value FROM rk WHERE r <= 3""",
+    "pq_absent": _PURCHASE_GRID + """
+SELECT '42' AS user, grid.t, 1.0 AS value FROM grid""",
     "pq_offset": _PURCHASE_GRID + f"""
 SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
 FROM grid JOIN raw

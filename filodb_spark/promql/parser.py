@@ -25,9 +25,9 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>
         0x[0-9a-fA-F]+
       | (?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?
-      | [iI][nN][fF] | [nN][aA][nN])
+      | (?:[iI][nN][fF]|[nN][aA][nN])(?![a-zA-Z0-9_:]))
   | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_:]*)
+  | (?P<IDENT_EXT>[_:]*[a-zA-Z][a-zA-Z0-9_:.\-]*|[a-zA-Z_][a-zA-Z0-9_:]*)
   | (?P<OP>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|@|:)
 """, re.VERBOSE)
 
@@ -66,7 +66,12 @@ def tokenize(query: str) -> list[Token]:
         kind = m.lastgroup
         if kind == "WS":
             continue
-        out.append(Token(kind, m.group()))
+        text = m.group()
+        if kind == "IDENT_EXT" and "-" not in text and "." not in text:
+            # plain identifier — extended form is reserved for
+            # graphite-style metric names (PromQL.g4 IDENTIFIER_EXTENDED)
+            kind = "IDENT"
+        out.append(Token(kind, text))
     out.append(Token("EOF", ""))
     return out
 
@@ -264,6 +269,9 @@ class Parser:
             if self.peek(1).text == "(" and name not in SET_OPS:
                 return self.parse_function()
             return self.parse_selector()
+        if t.kind == "IDENT_EXT":
+            # graphite-style metric name (foo:ba-r:a.b) — selector only
+            return self.parse_selector()
         if t.text == "{":
             return self.parse_selector()
         raise SyntaxError(f"unexpected token {t.text!r}")
@@ -310,7 +318,7 @@ class Parser:
 
     def parse_selector(self) -> Expr:
         metric = None
-        if self.peek().kind == "IDENT":
+        if self.peek().kind in ("IDENT", "IDENT_EXT"):
             metric = self.next().text
         matchers: list[LabelMatcher] = []
         if self.peek().text == "{":

@@ -34,6 +34,11 @@ MUST_PARSE = [
     '((1 + heap_size{a="b"}) + 5) * (3 - cpu_load{c="d"})',
     # recording-rule-style names
     "job:http_requests:rate5m",
+    # graphite-style metric names (ParserSpec:142-143)
+    'foo:ba-r:a.b{a="bc"}',
+    'foo:ba-001:a.b{a="b-c"}',
+    # inf/nan must not swallow identifier prefixes
+    "infinity_metric", "nano_seconds",
     # functions / aggregations
     'sum(rate(http_requests_total[5m]))',
     'sum by (job) (rate(m[5m]))',

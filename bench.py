@@ -62,6 +62,10 @@ def prom_shape_bench(spark, timings):
         "prom_quantile": 'quantile(0.75, heap_usage0{_ws_="demo"})',
     }
     for name, q in queries.items():
+        # JMH protocol (run_benchmarks.sh: 2 warmup iterations): the
+        # reference benchmark times steady-state queries against an
+        # already-ingested in-memory store; the cached df is that store
+        eng.query_range(q, start, end, 150_000).count()
         t0 = time.time()
         n = eng.query_range(q, start, end, 150_000).count()
         timings[name] = round(time.time() - t0, 3)
@@ -80,6 +84,8 @@ def prom_shape_bench(spark, timings):
         rows, "labels map<string,string>, ts long, value double").cache()
     hc.count()
     eng2 = PromQLEngine(spark, TsStore(hc))
+    eng2.query_range('hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
+                     t0_ms + 90 * 10_000, 60_000).count()  # warm-up
     t0 = time.time()
     n = eng2.query_range('hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
                          t0_ms + 90 * 10_000, 60_000).count()
@@ -109,6 +115,19 @@ def main():
     from filodb_spark.driver_queries.promql_events import _events_cached
     _events_cached(spark, sf_dir).count()
     _events_cached(spark, sf_dir, ("event_type", "user_id")).count()
+    # JMH protocol (run_benchmarks.sh:1-21: 2 warmup + 2 measurement
+    # iterations): warm each query's codegen/expression-compile path on
+    # the smallest fixture. A different data dir means no data or plan
+    # cache can carry over — only compiled code and session state warm.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and \
+            os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for _ in range(2):
+            for name in HEADLINE:
+                try:
+                    queries[name](spark, warm_dir).count()
+                except Exception as exc:   # warm-up must never fail bench
+                    print(f"# warm-up {name}: {exc}", file=sys.stderr)
     timings = {}
     total = 0.0
     for name in HEADLINE:

@@ -163,32 +163,54 @@ def _daily_counts(spark, sf_dir, event_type):
                           ["user_id"], grid, DAY)
 
 
+def _daily_pair(spark, sf_dir):
+    """Daily purchase/error counts per user in ONE pipeline.
+
+    Both sides of the binary-op queries below come from the same table,
+    so instead of two grid-explode pipelines joined on (user_id, t) —
+    two shuffles plus a join — explode once over both event types and
+    conditionally count: one shuffle, no join. At 100 TB this removes
+    the join exchange entirely; the set/join semantics become filters
+    over (pv, ev). pv/ev = NULL where that series has no samples in the
+    window (count_over_time emits no row there).
+    """
+    from filodb_spark.kernels.grid import drop_nan, explode_to_steps
+    ev = _events_cached(spark, sf_dir, ("event_type", "user_id"))
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, DAY)
+    both = drop_nan(ev.where(F.col("event_type").isin("purchase", "error")))
+    ex = explode_to_steps(both, grid, DAY)
+    pv = F.count(F.when(F.col("event_type") == "purchase", 1))
+    evc = F.count(F.when(F.col("event_type") == "error", 1))
+    return (ex.groupBy("user_id", "t")
+              .agg(F.when(pv > 0, pv.cast("double")).alias("pv"),
+                   F.when(evc > 0, evc.cast("double")).alias("ev")))
+
+
 def q_set_and(spark, sf_dir):
-    p = _daily_counts(spark, sf_dir, "purchase")
-    e = _daily_counts(spark, sf_dir, "error").select("user_id", "t")
-    return p.join(e, ["user_id", "t"], "left_semi").select("user_id", "t", "value")
+    pair = _daily_pair(spark, sf_dir)
+    return (pair.where(F.col("pv").isNotNull() & F.col("ev").isNotNull())
+                .select("user_id", "t", F.col("pv").alias("value")))
 
 
 def q_set_unless(spark, sf_dir):
-    p = _daily_counts(spark, sf_dir, "purchase")
-    e = _daily_counts(spark, sf_dir, "error").select("user_id", "t")
-    return p.join(e, ["user_id", "t"], "left_anti").select("user_id", "t", "value")
+    pair = _daily_pair(spark, sf_dir)
+    return (pair.where(F.col("pv").isNotNull() & F.col("ev").isNull())
+                .select("user_id", "t", F.col("pv").alias("value")))
 
 
 def q_set_or(spark, sf_dir):
-    p = _daily_counts(spark, sf_dir, "purchase")
-    e = _daily_counts(spark, sf_dir, "error")
-    e_only = e.join(p.select("user_id", "t"), ["user_id", "t"], "left_anti")
-    return p.unionByName(e_only).select("user_id", "t", "value")
+    pair = _daily_pair(spark, sf_dir)
+    return pair.select("user_id", "t",
+                       F.coalesce("pv", "ev").alias("value"))
 
 
 def q_join_ratio(spark, sf_dir):
     # purchase count / error count per (user, day) — one-to-one on (user, t)
-    p = _daily_counts(spark, sf_dir, "purchase")
-    e = _daily_counts(spark, sf_dir, "error").withColumnRenamed("value", "rv")
-    j = p.join(e, ["user_id", "t"], "inner")
-    return j.select("user_id", "t",
-                    F.round(F.col("value") / F.col("rv"), 6).alias("value"))
+    pair = _daily_pair(spark, sf_dir)
+    return (pair.where(F.col("pv").isNotNull() & F.col("ev").isNotNull())
+                .select("user_id", "t",
+                        F.round(F.col("pv") / F.col("ev"), 6).alias("value")))
 
 
 def q_join_group_left(spark, sf_dir):

@@ -37,6 +37,26 @@ def make_handler(engine):
             self._send({"status": "error", "errorType": "bad_data",
                         "error": msg}, code)
 
+        def do_POST(self):
+            # Prometheus remote read: snappy-compressed protobuf in/out
+            # (PrometheusApiRoute.scala:130)
+            url = urlparse(self.path)
+            if not url.path.rstrip("/").endswith("/api/v1/read"):
+                return self._error(f"unknown endpoint {url.path}", 404)
+            try:
+                from filodb_spark.remote_read import run_read_request
+                n = int(self.headers.get("Content-Length", "0"))
+                body = run_read_request(engine, self.rfile.read(n))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-protobuf")
+                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as ex:
+                traceback.print_exc()
+                self._error(f"remote read: {ex}", 400)
+
         def do_GET(self):
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}

@@ -117,12 +117,18 @@ def vector_binary_op(lhs: DataFrame, rhs: DataFrame, op: str,
                      bool_modifier: bool = False,
                      labels_col: str = "labels", t_col: str = "t",
                      value_col: str = "value",
-                     check_cardinality: bool = False) -> DataFrame:
+                     check_cardinality: bool = True) -> DataFrame:
     """Vector-vector binary operation with PromQL label matching.
 
     Inputs/outputs use the universal layout (labels map, t, value).
     cardinality: one-to-one | many-to-one (group_left) | one-to-many
     (group_right). Many-to-many is rejected (BinaryJoinExec.scala:72).
+
+    check_cardinality enforces the reference's duplicate-key error
+    (BinaryJoinExec.scala:127-148) LAZILY: the duplicate-key frame is
+    empty for legal queries, so the only added cost is one aggregation
+    over the "one" side inside the query's own job — no separate driver
+    action. A violation raises during execution via assert_true.
     """
     if cardinality not in ("one-to-one", "many-to-one", "one-to-many"):
         raise ValueError(f"unsupported cardinality: {cardinality}")
@@ -132,23 +138,26 @@ def vector_binary_op(lhs: DataFrame, rhs: DataFrame, op: str,
     r = jk(rhs).select(F.col(labels_col).alias("_rlab"), "_jk",
                        F.col(t_col).alias("t"), F.col(value_col).alias("_rv"))
 
+    err_frame = None
     if check_cardinality:
-        one = r if cardinality in ("one-to-one", "many-to-one") else l
-        lab = "_rlab" if cardinality in ("one-to-one", "many-to-one") else "_llab"
-        dupes = (one.groupBy("_jk")
-                    .agg(F.count_distinct(canonical_labels(F.col(lab))).alias("_n"))
-                    .where(F.col("_n") > 1).limit(1).collect())
-        if dupes:
-            raise ValueError(
-                f"Cardinality {cardinality} was used, but many found instead of one "
-                f"for join key {dupes[0]['_jk']}")
+        def _dups(side: DataFrame, lab: str) -> DataFrame:
+            return (side.groupBy("_jk")
+                        .agg(F.count_distinct(canonical_labels(F.col(lab)))
+                              .alias("_n"))
+                        .where(F.col("_n") > 1).select("_jk"))
+        one, lab = (r, "_rlab") if cardinality in ("one-to-one", "many-to-one") \
+            else (l, "_llab")
+        dup = _dups(one, lab)
         if cardinality == "one-to-one":
-            dupes = (l.groupBy("_jk")
-                      .agg(F.count_distinct(canonical_labels(F.col("_llab"))).alias("_n"))
-                      .where(F.col("_n") > 1).limit(1).collect())
-            if dupes:
-                raise ValueError("Cardinality one-to-one was used, but many found "
-                                 f"instead of one on LHS for join key {dupes[0]['_jk']}")
+            dup = dup.unionByName(_dups(l, "_llab"))
+        err_frame = dup.limit(1).select(
+            F.lit(None).cast("map<string,string>").alias(labels_col),
+            F.lit(0).cast("long").alias("t"),
+            F.assert_true(
+                F.lit(False),
+                F.concat(F.lit(f"Cardinality {cardinality} was used, but many "
+                               "found instead of one for join key "),
+                         F.col("_jk"))).cast("double").alias(value_col))
 
     joined = l.join(r, ["_jk", "t"], "inner")
 
@@ -181,6 +190,8 @@ def vector_binary_op(lhs: DataFrame, rhs: DataFrame, op: str,
                                 F.when(cond, 1.0).otherwise(0.0).alias(value_col))
         else:
             out = joined.where(cond).select(res.alias(labels_col), "t", lv.alias(value_col))
+    if err_frame is not None:
+        out = out.unionByName(err_frame)
     return out
 
 

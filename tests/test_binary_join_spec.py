@@ -92,15 +92,29 @@ class TestGroupLeft:
 
     def test_one_to_one_cardinality_error(self, spark, node_cpu):
         # violation: the "one" side has 2 series per join key
-        # (BinaryJoinExec.scala:143)
+        # (BinaryJoinExec.scala:143). Enforcement is lazy (inside the
+        # query's own job), so the error surfaces at action time as a
+        # Spark runtime error carrying the reference message.
         dup_rhs = ldf(spark, [
             ({"__name__": "node_role", "instance": "abc", "role": "a"}, T, 1.0),
             ({"__name__": "node_role", "instance": "abc", "role": "b"}, T, 2.0),
         ])
-        with pytest.raises(ValueError, match="many found instead of one"):
+        with pytest.raises(Exception, match="many found instead of one"):
             vector_binary_op(node_cpu, dup_rhs, "*", on=["instance"],
                              cardinality="many-to-one",
                              check_cardinality=True).collect()
+
+    def test_cardinality_error_without_matching_rows(self, spark):
+        # the reference errors while BUILDING the one-side hash map, even
+        # if the duplicate key never matches an LHS row — so must we
+        lhs = ldf(spark, [({"__name__": "m", "instance": "zzz"}, T, 1.0)])
+        dup_rhs = ldf(spark, [
+            ({"__name__": "o", "instance": "abc", "role": "a"}, T, 1.0),
+            ({"__name__": "o", "instance": "abc", "role": "b"}, T, 2.0),
+        ])
+        with pytest.raises(Exception, match="many found instead of one"):
+            vector_binary_op(lhs, dup_rhs, "*", on=["instance"],
+                             cardinality="many-to-one").collect()
 
 
 class TestSetOpsNaN:

@@ -221,7 +221,26 @@ class PromQLEngine:
             k = -(-(self.retention_floor_ms - start_ms) // step_ms)
             start_ms = min(start_ms + k * step_ms, end_ms)
         grid = StepGrid(start_ms, end_ms, step_ms)
-        res = self._eval(parse(promql), grid)
+        ast = parse(promql)
+        core = ast
+        while isinstance(core, A.Paren):
+            core = core.expr
+        if isinstance(core, A.MatrixSelector):
+            # raw-samples matrix query `m[5m]` — instant queries only
+            # (Prometheus rejects matrix-typed range queries)
+            if start_ms != end_ms:
+                raise ValueError("invalid expression type matrix for "
+                                 "range query")
+            if core.step_multiple:
+                raise ValueError("step-multiple range requires a function")
+            sel = core.base
+            at = sel.at_ms if sel.at_ms is not None else end_ms
+            t_end = at - sel.offset_ms
+            from filodb_spark.kernels.grid import drop_nan
+            df = drop_nan(self.store.select(sel).where(
+                F.col("ts").between(t_end - core.range_ms, t_end)))
+            return df.select("labels", F.col("ts").alias("t"), "value")
+        res = self._eval(ast, grid)
         if isinstance(res, Scalar):
             return self._scalar_to_vector(res, grid)
         if limit is not None:

@@ -274,6 +274,27 @@ class TestStepMultipleAndRetention:
         assert min(t for _, t, _ in res) >= T0 + 60_000
 
 
+class TestRawMatrixQuery:
+    def test_instant_matrix_returns_raw_samples(self, engine):
+        # Prometheus instant query `m[w]`: every raw sample in [t-w, t]
+        t = T0 + 120_000
+        res = rows_of(engine.query_instant('m{job="web",inst="1"}[30s]', t))
+        assert sorted((rt, v) for _, rt, v in res) == [
+            (T0 + 90_000, 9.0), (T0 + 100_000, 10.0),
+            (T0 + 110_000, 11.0), (T0 + 120_000, 12.0)]
+
+    def test_matrix_offset(self, engine):
+        t = T0 + 120_000
+        res = rows_of(engine.query_instant(
+            'm{job="web",inst="1"}[20s] offset 60s', t))
+        assert sorted(rt for _, rt, _ in res) == \
+            [T0 + 40_000, T0 + 50_000, T0 + 60_000]
+
+    def test_matrix_rejected_for_range_query(self, engine):
+        with pytest.raises(ValueError, match="matrix"):
+            engine.query_range('m[30s]', T0, T0 + 60_000, 10_000)
+
+
 class TestTopLevelSubquery:
     def test_standalone_subquery(self, engine):
         # m{...}[60s:20s] at top level: inner evaluated on the 20s grid

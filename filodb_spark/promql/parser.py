@@ -265,7 +265,11 @@ class Parser:
         if t.kind == "IDENT":
             name = t.text
             if name in AGG_OPS:
-                return self.parse_aggregation()
+                # aggregation only when called; otherwise the keyword is
+                # a metric name (PromQL.g4 metricKeyword: AGGREGATION_OP)
+                if self.peek(1).text in ("(", "by", "without"):
+                    return self.parse_aggregation()
+                return self.parse_selector()
             if self.peek(1).text == "(" and name not in SET_OPS:
                 return self.parse_function()
             return self.parse_selector()

@@ -39,6 +39,12 @@ MUST_PARSE = [
     'foo:ba-001:a.b{a="b-c"}',
     # inf/nan must not swallow identifier prefixes
     "infinity_metric", "nano_seconds",
+    # keywords as metric / label names (PromQL.g4 metricKeyword /
+    # labelKeyword; ParserSpec:317-319)
+    'sum{_ws_="w", _ns_="n"}',
+    'count:some_metric:dataset:1m{_ws_="w"}',
+    'limit{job="x"}', 'rate(avg{job="x"}[5m])',
+    'sum without(and, by, avg, count, alert, annotations)(some_metric)',
     # functions / aggregations
     'sum(rate(http_requests_total[5m]))',
     'sum by (job) (rate(m[5m]))',

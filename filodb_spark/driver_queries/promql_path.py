@@ -130,7 +130,17 @@ def pq_absent(spark, sf_dir):
     return out.select(F.col("labels")["user"].alias("user"), "t", "value")
 
 
+def pq_raw_matrix(spark, sf_dir):
+    # instant query with a top-level range selector: raw samples in the
+    # trailing window (t = sample timestamp, not a step instant)
+    eng, g6, _ = _engine(spark, sf_dir)
+    out = eng.query_instant("purchase[7d]", g6.end)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
 QUERIES = {
+    "pq_raw_matrix": pq_raw_matrix,
     "pq_sum_rate": pq_sum_rate,
     "pq_label_replace": pq_label_replace,
     "pq_topk": pq_topk,
@@ -212,6 +222,11 @@ raw AS (
 """
 
 ORACLES = {
+    "pq_raw_matrix": _PURCHASE_GRID + f"""
+SELECT raw.user_id, raw.ts AS t, raw.value
+FROM raw, bounds
+WHERE raw.ts BETWEEN bounds.gend - {7 * DAY} AND bounds.gend
+  AND NOT isnan(raw.value)""",
     "pq_label_replace": _PURCHASE_GRID + r"""
 SELECT raw.user_id, 'b' || regexp_extract(CAST(raw.user_id AS VARCHAR),
                                           '^(\d)\d*$', 1) AS user_bucket,

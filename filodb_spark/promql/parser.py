@@ -163,7 +163,12 @@ class Parser:
     def parse_unary(self) -> Expr:
         if self.peek().text in ("+", "-"):
             op = self.next().text
-            return Unary(op, self.parse_unary())
+            operand = self.parse_unary()
+            # unary +/- applies to scalars and instant vectors only
+            # (ParserSpec: -"string", -test[5m] are errors)
+            if isinstance(operand, (StringLiteral, MatrixSelector, Subquery)):
+                raise SyntaxError(f"unary {op!r} not allowed here")
+            return Unary(op, operand)
         return self.parse_postfix()
 
     # --- postfix: [range], [range:step], offset, @ ----------------------
@@ -341,6 +346,9 @@ class Parser:
             self.expect("}")
         if metric is None and not matchers:
             raise SyntaxError("empty selector")
+        if metric is not None and any(m.name == "__name__" for m in matchers):
+            # ParserSpec:59 — metric name and __name__ matcher conflict
+            raise SyntaxError("metric name must not be set twice")
         return VectorSelector(metric, tuple(matchers))
 
     def _label_list(self) -> tuple[str, ...]:

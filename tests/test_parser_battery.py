@@ -97,6 +97,12 @@ MUST_FAIL = [
     "m{",
     "m}",
     "m[5m] offset",
+    # ported from ParserSpec:145-178
+    "# just a comment\n\n", ".", "2.5.", "100..4", "1 /", "*1",
+    "(1))", "((1)", "inf{}", "+INF{}", "NaN{}", 'Inf{job="api-server"}',
+    "(", "1 !~ 1", "1 =~ 1", '-"string"', "-test[5m]", "*test",
+    "1 offset 1d",
+    'job{__name__="prometheus"}',   # metric name set twice (:59)
 ]
 
 

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from filodb_spark.driver_queries.promql_events import (_base, _series, STEP,
                                                        WINDOW)
 from filodb_spark.kernels.grid import drop_nan, explode_to_steps
-from filodb_spark.kernels.histogram import bucketize, hist_quantile, hist_sum
+from filodb_spark.kernels.histogram import (bucketize, hist_fraction,
+                                            hist_quantile, hist_sum)
 
 LES = [1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
 Q = 0.9
@@ -35,6 +36,36 @@ def q_hist_sum_quantile(spark, sf_dir):
     return summed.select("t",
                          F.round(hist_quantile(Q, F.col("hist")), 6)
                          .alias("value"))
+
+
+FRAC_LO, FRAC_HI = 2.0, 100.0   # exact bucket bounds: interpolation is exact
+BUCKET_LE = 10.0
+
+
+def q_hist_fraction(spark, sf_dir):
+    """histogram_fraction(lo, hi, h) with lo/hi on bucket boundaries —
+    the in-bucket interpolation factor is exactly 1.0, so the result is
+    a pure cumulative-count ratio and the SQL oracle is exact."""
+    ev, grid = _series(spark, sf_dir)
+    ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
+    h = bucketize(ex, ["event_type", "t"], LES)
+    return h.select(
+        "event_type", "t",
+        F.round(hist_fraction(FRAC_LO, FRAC_HI, F.col("hist")), 9)
+        .alias("value"))
+
+
+def q_hist_bucket(spark, sf_dir):
+    """histogram_bucket(le, h): extract one cumulative bucket as a series
+    (InstantFunction.scala:117)."""
+    ev, grid = _series(spark, sf_dir)
+    ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
+    h = bucketize(ex, ["event_type", "t"], LES)
+    hc = F.col("hist")
+    idx = F.array_position(hc["les"], BUCKET_LE)
+    val = F.when(idx > 0, F.element_at(hc["values"], idx.cast("int"))) \
+        .otherwise(F.lit(float("nan")))
+    return h.select("event_type", "t", val.alias("value"))
 
 
 def _quantile_case_sql(q: float, group: str, out_group: str) -> str:
@@ -67,10 +98,22 @@ SELECT {out_sel}, round({case}, 6) AS value FROM r"""
 QUERIES = {
     "ts_hist_quantile": q_hist_quantile,
     "ts_hist_sum_quantile": q_hist_sum_quantile,
+    "ts_hist_fraction": q_hist_fraction,
+    "ts_hist_bucket": q_hist_bucket,
 }
 
 ORACLES = {
     "ts_hist_quantile": _base(STEP, WINDOW)
         + _quantile_case_sql(Q, "sk", "sk AS event_type"),
     "ts_hist_sum_quantile": _base(STEP, WINDOW) + _quantile_case_sql(Q, "", ""),
+    "ts_hist_fraction": _base(STEP, WINDOW) + f"""
+SELECT sk AS event_type, t,
+       round((CAST(sum(CASE WHEN value <= {FRAC_HI} THEN 1 ELSE 0 END) AS DOUBLE)
+              - CAST(sum(CASE WHEN value <= {FRAC_LO} THEN 1 ELSE 0 END) AS DOUBLE))
+             / CAST(count(*) AS DOUBLE), 9) AS value
+FROM w GROUP BY sk, t""",
+    "ts_hist_bucket": _base(STEP, WINDOW) + f"""
+SELECT sk AS event_type, t,
+       CAST(sum(CASE WHEN value <= {BUCKET_LE} THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM w GROUP BY sk, t""",
 }

@@ -128,6 +128,13 @@ def q_agg_topk(spark, sf_dir):
     return _rounded(out, 6, ["event_type", "t"])
 
 
+def q_agg_bottomk(spark, sf_dir):
+    ev, grid = _series(spark, sf_dir)
+    s = range_function(ev, "sum_over_time", ["event_type"], grid, WINDOW)
+    out = topk(_no_nan(s), 2, [], ["event_type"], bottom=True)
+    return _rounded(out, 6, ["event_type", "t"])
+
+
 def q_agg_quantile(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
     last = range_function(ev, "last_over_time", ["event_type"], grid, WINDOW)
@@ -223,6 +230,17 @@ def q_join_group_left(spark, sf_dir):
                     F.round(F.col("value") / F.col("rv"), 9).alias("value"))
 
 
+def q_join_group_right(spark, sf_dir):
+    # one-to-many (group_right): day-total purchases (one side) matched
+    # to per-user errors (many side); value = many / one per user
+    p = _daily_counts(spark, sf_dir, "purchase")
+    e = _daily_counts(spark, sf_dir, "error")
+    tot = p.groupBy("t").agg(F.sum("value").alias("lv"))
+    j = e.join(tot, ["t"], "inner")
+    return j.select("user_id", "t",
+                    F.round(F.col("value") / F.col("lv"), 9).alias("value"))
+
+
 def q_ts_timestamp(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
     out = range_function(ev, "timestamp", ["event_type"], grid, WINDOW)
@@ -287,6 +305,7 @@ QUERIES = {
     "ts_max_over_time": _range_query("max_over_time", None),
     "ts_count_over_time": _range_query("count_over_time", None),
     "ts_stddev_over_time": _range_query("stddev_over_time", 6),
+    "ts_stdvar_over_time": _range_query("stdvar_over_time", 6),
     "ts_quantile_over_time": _range_query("quantile_over_time", 6, params=(0.9,)),
     "ts_mad_over_time": _range_query("mad_over_time", 6),
     "ts_rate": _range_query("rate", 9),
@@ -302,6 +321,7 @@ QUERIES = {
     "ts_agg_sum_rate": q_agg_sum_rate,
     "ts_agg_avg_by": q_agg_avg_by,
     "ts_agg_topk": q_agg_topk,
+    "ts_agg_bottomk": q_agg_bottomk,
     "ts_agg_quantile": q_agg_quantile,
     "ts_agg_count_values": q_agg_count_values,
     "ts_instant_math": q_instant_math,
@@ -310,6 +330,7 @@ QUERIES = {
     "ts_set_or": q_set_or,
     "ts_join_ratio": q_join_ratio,
     "ts_join_group_left": q_join_group_left,
+    "ts_join_group_right": q_join_group_right,
     "ts_timestamp": q_ts_timestamp,
     "ts_present_over_time": q_ts_present,
     "ts_absent": q_ts_absent,
@@ -470,6 +491,7 @@ ORACLES = {
     "ts_max_over_time": _simple_oracle("max(value)", None),
     "ts_count_over_time": _simple_oracle("CAST(count(*) AS DOUBLE)", None),
     "ts_stddev_over_time": _simple_oracle("stddev_pop(value)", 6),
+    "ts_stdvar_over_time": _simple_oracle("var_pop(value)", 6),
     "ts_quantile_over_time": _simple_oracle("quantile_cont(value, 0.9)", 6),
     "ts_mad_over_time": _base(STEP, WINDOW) + """,
 m AS (SELECT sk, t, quantile_cont(value, 0.5) AS med FROM w GROUP BY 1, 2)
@@ -531,6 +553,12 @@ rk AS (SELECT sk, t, value,
               row_number() OVER (PARTITION BY t ORDER BY value DESC, sk) AS r
        FROM sot)
 SELECT sk AS event_type, t, round(value, 6) AS value FROM rk WHERE r <= 2""",
+    "ts_agg_bottomk": _base(STEP, WINDOW) + """,
+sot AS (SELECT sk, t, sum(value) AS value FROM w GROUP BY 1, 2),
+rk AS (SELECT sk, t, value,
+              row_number() OVER (PARTITION BY t ORDER BY value ASC, sk) AS r
+       FROM sot)
+SELECT sk AS event_type, t, round(value, 6) AS value FROM rk WHERE r <= 2""",
     "ts_agg_quantile": _base(STEP, WINDOW) + """,
 last AS (SELECT sk, t, arg_max(value, ts) AS value FROM w GROUP BY 1, 2)
 SELECT t, round(quantile_cont(value, 0.5), 6) AS value FROM last GROUP BY t""",
@@ -561,6 +589,10 @@ FROM last""",
         ", tot AS (SELECT t, sum(value) AS rv FROM e GROUP BY t) "
         "SELECT p.user_id, p.t, round(p.value / tot.rv, 9) AS value "
         "FROM p JOIN tot ON p.t = tot.t"),
+    "ts_join_group_right": _daily2(
+        ", tot AS (SELECT t, sum(value) AS lv FROM p GROUP BY t) "
+        "SELECT e.user_id, e.t, round(e.value / tot.lv, 9) AS value "
+        "FROM e JOIN tot ON e.t = tot.t"),
     # holt_winters: the sequential recurrence is expressible as a
     # recursive CTE stepping through row_number order — same fold
     # sequence as the engine's sorted aggregate()

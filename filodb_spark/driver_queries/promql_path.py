@@ -130,6 +130,72 @@ def pq_absent(spark, sf_dir):
     return out.select(F.col("labels")["user"].alias("user"), "t", "value")
 
 
+def pq_bool_compare(spark, sf_dir):
+    # scalar comparison with bool modifier: 1/0 per series per step
+    out = _run(spark, sf_dir, "count_over_time(purchase[24h]) > bool 5")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_hist_bucket_quantile(spark, sf_dir):
+    """histogram_quantile over Prometheus-style `_bucket` series with an
+    `le` label (HistogramQuantileMapper path), end-to-end through the
+    engine. Bucket series are indicator gauges built from events: sample
+    value 1.0 when the event value <= le, so sum_over_time[24h] yields
+    the cumulative bucket count the oracle recomputes directly."""
+    from filodb_spark.driver_queries.histogram_queries import LES, Q
+    from filodb_spark.driver_queries.promql_events import _bounds, _events_cached
+    ev = _events_cached(spark, sf_dir)
+    bounds = [*LES, float("inf")]
+    pairs = F.array(*[
+        F.struct(F.lit("+Inf" if b == float("inf") else str(b)).alias("le"),
+                 (F.col("value") <= F.lit(b)).cast("double").alias("ind"))
+        for b in bounds])
+    bdf = (ev.select("event_type", "ts", F.explode(pairs).alias("p"))
+             .select(F.create_map(
+                         F.lit("__name__"), F.lit("ev_bucket"),
+                         F.lit("etype"), F.col("event_type"),
+                         F.lit("le"), F.col("p.le")).alias("labels"),
+                     "ts", F.col("p.ind").alias("value")))
+    lo, hi = _bounds(spark, sf_dir)
+    g = grid_from_bounds(lo, hi, STEP)
+    eng = PromQLEngine(spark, TsStore(bdf))
+    out = eng.query_range(
+        f"histogram_quantile({Q}, sum_over_time(ev_bucket[24h]))",
+        g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"), "t",
+                    F.round("value", 6).alias("value")))
+
+
+def pq_preagg_route(spark, sf_dir):
+    """Pre-aggregation routing rule end-to-end (AggLpOptimization analog):
+    the store materializes ONLY the preagg table `ev:::byday` (per-type
+    sums of the deduped events); the conceptual raw metric `ev` has no
+    data. The result is non-empty iff `sum by (etype)(sum_over_time(
+    ev[24h]))` is rewritten onto the preagg metric — the row-count match
+    against the oracle proves the optimizer fired."""
+    from filodb_spark.promql.compiler import AggRule
+    from filodb_spark.driver_queries.promql_events import _bounds, _events_cached
+    ev = _events_cached(spark, sf_dir, ("event_type", "user_id"))
+    pre = (ev.where(~F.isnan("value"))
+             .groupBy("event_type", "ts").agg(F.sum("value").alias("value"))
+             .select(F.create_map(
+                         F.lit("__name__"), F.lit("ev:::byday"),
+                         F.lit("etype"), F.col("event_type")).alias("labels"),
+                     "ts", "value"))
+    lo, hi = _bounds(spark, sf_dir)
+    g = grid_from_bounds(lo, hi, STEP)
+    store = TsStore(pre, agg_rules={
+        "ev": (AggRule("byday", include=frozenset({"etype"})),)})
+    eng = PromQLEngine(spark, store)
+    out = eng.query_range("sum by (etype) (sum_over_time(ev[24h]))",
+                          g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"), "t",
+                    F.round("value", 6).alias("value")))
+
+
 def pq_raw_matrix(spark, sf_dir):
     # instant query with a top-level range selector: raw samples in the
     # trailing window (t = sample timestamp, not a step instant)
@@ -141,6 +207,9 @@ def pq_raw_matrix(spark, sf_dir):
 
 QUERIES = {
     "pq_raw_matrix": pq_raw_matrix,
+    "pq_bool_compare": pq_bool_compare,
+    "pq_hist_bucket_quantile": pq_hist_bucket_quantile,
+    "pq_preagg_route": pq_preagg_route,
     "pq_sum_rate": pq_sum_rate,
     "pq_label_replace": pq_label_replace,
     "pq_topk": pq_topk,
@@ -222,6 +291,33 @@ raw AS (
 """
 
 ORACLES = {
+    "pq_bool_compare": _PURCHASE_GRID + """
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+)
+SELECT user_id, t,
+       CASE WHEN value > 5 THEN 1.0 ELSE 0.0 END AS value FROM cnt""",
+    "pq_preagg_route": f"""
+WITH raw AS (
+  SELECT event_type, user_id, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+pre AS (
+  SELECT event_type, ts, sum(value) AS value FROM raw GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(ceil((SELECT MIN(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM bounds),
+                                (SELECT gend FROM bounds), {STEP})) AS t
+)
+SELECT pre.event_type, grid.t, round(sum(pre.value), 6) AS value
+FROM grid JOIN pre ON pre.ts BETWEEN grid.t - 86400000 AND grid.t
+GROUP BY 1, 2""",
     "pq_raw_matrix": _PURCHASE_GRID + f"""
 SELECT raw.user_id, raw.ts AS t, raw.value
 FROM raw, bounds
@@ -356,3 +452,10 @@ SELECT event_type || ':' || CAST(user_id AS VARCHAR) AS uid, t,
        arg_max(value, ts) AS value
 FROM w GROUP BY event_type, user_id, t""",
 }
+
+# the engine's bucket-series quantile path must agree exactly with the
+# struct-histogram path (asserted in test_promql_hist); the oracle is
+# therefore shared with ts_hist_quantile (same LES, same Q)
+from filodb_spark.driver_queries.histogram_queries import ORACLES as _HIST_ORACLES  # noqa: E402
+
+ORACLES["pq_hist_bucket_quantile"] = _HIST_ORACLES["ts_hist_quantile"]

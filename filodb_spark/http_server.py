@@ -44,12 +44,22 @@ def make_handler(engine):
             if not url.path.rstrip("/").endswith("/api/v1/read"):
                 return self._error(f"unknown endpoint {url.path}", 404)
             try:
-                from filodb_spark.remote_read import run_read_request
+                from filodb_spark import remote_read as rr
                 n = int(self.headers.get("Content-Length", "0"))
-                body = run_read_request(engine, self.rfile.read(n))
+                raw = self.rfile.read(n)
+                accepted = rr.decode_accepted_types(rr.snappy_decompress(raw))
+                if rr.STREAMED_XOR_CHUNKS in accepted:
+                    body = rr.run_read_request_streamed(engine, raw)
+                    ctype = ("application/x-streamed-protobuf; "
+                             "proto=prometheus.ChunkedReadResponse")
+                    cenc = None
+                else:           # SAMPLES — the universal fallback
+                    body = rr.run_read_request(engine, raw)
+                    ctype, cenc = "application/x-protobuf", "snappy"
                 self.send_response(200)
-                self.send_header("Content-Type", "application/x-protobuf")
-                self.send_header("Content-Encoding", "snappy")
+                self.send_header("Content-Type", ctype)
+                if cenc:
+                    self.send_header("Content-Encoding", cenc)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -169,6 +169,27 @@ _MATCHER_OPS = {0: "=", 1: "!=", 2: "=~", 3: "!~"}
 _MATCHER_TYPES = {v: k for k, v in _MATCHER_OPS.items()}
 
 
+SAMPLES = 0                  # prompb ReadRequest.ResponseType
+STREAMED_XOR_CHUNKS = 1
+
+
+def decode_accepted_types(raw: bytes) -> list[int]:
+    """ReadRequest.accepted_response_types (field 2, packed or unpacked
+    varints). Empty means the client only understands SAMPLES."""
+    out: list[int] = []
+    for num, wire, val in _iter_fields(raw):
+        if num != 2:
+            continue
+        if wire == 0:
+            out.append(val)
+        elif wire == 2:                 # packed
+            i = 0
+            while i < len(val):
+                v, i = _read_uvarint(val, i)
+                out.append(v)
+    return out
+
+
 def decode_read_request(raw: bytes) -> list[dict]:
     """ReadRequest -> [{"start_ms", "end_ms", "matchers": [(op, name, value)]}]."""
     queries = []
@@ -195,7 +216,8 @@ def decode_read_request(raw: bytes) -> list[dict]:
     return queries
 
 
-def encode_read_request(queries: list[dict]) -> bytes:
+def encode_read_request(queries: list[dict],
+                        accepted_types: list[int] = ()) -> bytes:
     """Inverse of decode_read_request (used by tests / as a client)."""
     out = b""
     for q in queries:
@@ -206,6 +228,8 @@ def encode_read_request(queries: list[dict]) -> bytes:
               + _len_delim(2, name.encode()) + _len_delim(3, value.encode())
             body += _len_delim(3, m)
         out += _len_delim(1, body)
+    if accepted_types:
+        out += _len_delim(2, b"".join(_uvarint(t) for t in accepted_types))
     return out
 
 
@@ -267,35 +291,54 @@ def decode_read_response(raw: bytes) -> list[list[tuple[dict, list]]]:
 # --------------------------------------------------------------------------
 
 
-def run_read_request(engine, body: bytes) -> bytes:
-    """snappy(ReadRequest) -> snappy(ReadResponse) against the engine's
-    store. Raw samples per series — series grouping + in-series ordering
-    happen in one Spark aggregation (sort_array over collected structs),
-    so the scan parallelizes and only final series rows are collected."""
+def _query_series(engine, q: dict) -> list[tuple[dict, list]]:
+    """One ReadRequest Query -> sorted [(labels, [(ts, value)])]. Series
+    grouping + in-series ordering happen in one Spark aggregation
+    (sort_array over collected structs), so the scan parallelizes and
+    only final series rows are collected."""
     from pyspark.sql import functions as F
 
     from filodb_spark.promql import ast as A
 
-    results = []
-    for q in decode_read_request(snappy_decompress(body)):
-        metric = None
-        matchers = []
-        for op, name, value in q["matchers"]:
-            if name == "__name__" and op == "=" and metric is None:
-                metric = value
-            else:
-                matchers.append(A.LabelMatcher(name, op, value))
-        sel = A.VectorSelector(metric, tuple(matchers))
-        df = (engine.store.select(sel)
-              .where(F.col("ts").between(q["start_ms"], q["end_ms"]))
-              .where(~F.isnan("value")))
-        rows = (df.groupBy("labels")
-                  .agg(F.sort_array(F.collect_list(F.struct("ts", "value")))
-                        .alias("samples"))
-                  .collect())
-        series = [(dict(r["labels"]),
-                   [(s["ts"], s["value"]) for s in r["samples"]])
-                  for r in rows]
-        series.sort(key=lambda kv: sorted(kv[0].items()))
-        results.append(series)
+    metric = None
+    matchers = []
+    for op, name, value in q["matchers"]:
+        if name == "__name__" and op == "=" and metric is None:
+            metric = value
+        else:
+            matchers.append(A.LabelMatcher(name, op, value))
+    sel = A.VectorSelector(metric, tuple(matchers))
+    df = (engine.store.select(sel)
+          .where(F.col("ts").between(q["start_ms"], q["end_ms"]))
+          .where(~F.isnan("value")))
+    rows = (df.groupBy("labels")
+              .agg(F.sort_array(F.collect_list(F.struct("ts", "value")))
+                    .alias("samples"))
+              .collect())
+    series = [(dict(r["labels"]),
+               [(s["ts"], s["value"]) for s in r["samples"]])
+              for r in rows]
+    series.sort(key=lambda kv: sorted(kv[0].items()))
+    return series
+
+
+def run_read_request(engine, body: bytes) -> bytes:
+    """snappy(ReadRequest) -> snappy(ReadResponse) against the engine's
+    store. Raw samples per series (SAMPLES response type)."""
+    results = [_query_series(engine, q)
+               for q in decode_read_request(snappy_decompress(body))]
     return snappy_compress(encode_read_response(results))
+
+
+def run_read_request_streamed(engine, body: bytes) -> bytes:
+    """snappy(ReadRequest) -> framed STREAMED_XOR_CHUNKS stream (NOT
+    snappy-compressed — the chunk encoding already compresses; framing
+    per filodb_spark.xor_chunks). One frame per series."""
+    from filodb_spark import xor_chunks as xc
+
+    out = bytearray()
+    for qi, q in enumerate(decode_read_request(snappy_decompress(body))):
+        for series in _query_series(engine, q):
+            msg = xc.encode_chunked_read_response([series], qi)
+            out += xc.frame_message(msg)
+    return bytes(out)

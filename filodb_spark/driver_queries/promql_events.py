@@ -285,6 +285,17 @@ def q_ts_holt_winters(spark, sf_dir):
     return _rounded(_no_nan(out), 6, ["event_type", "t"])
 
 
+def q_ts_mad_outlier(spark, sf_dir):
+    # FiloDB extension: emit the last value when further than
+    # tolerance*MAD from the window median (bounds=1: both sides);
+    # non-outliers are NaN and filtered, so row membership itself is
+    # the assertion
+    ev, grid = _series(spark, sf_dir)
+    out = range_function(ev, "last_over_time_is_mad_outlier",
+                         ["event_type"], grid, WINDOW, params=(1.5, 1))
+    return _rounded(_no_nan(out), None, ["event_type", "t"])
+
+
 def q_label_values(spark, sf_dir):
     ev = events_ts(spark, sf_dir, dedupe=False)
     return ev.select("event_type").distinct()
@@ -336,6 +347,7 @@ QUERIES = {
     "ts_absent": q_ts_absent,
     "ts_day_of_week": q_ts_day_of_week,
     "ts_holt_winters": q_ts_holt_winters,
+    "ts_mad_outlier": q_ts_mad_outlier,
     "ts_label_values": q_label_values,
     "ts_series_cardinality": q_series_cardinality,
 }
@@ -628,6 +640,15 @@ hw AS (
   FROM hw JOIN w ON w.sk = hw.sk AND w.t = hw.t AND w.rn = hw.rn + 1
 )
 SELECT sk AS event_type, t, round(level, 6) AS value FROM hw WHERE rn = cnt""",
+    "ts_mad_outlier": _base(STEP, WINDOW) + """,
+m AS (SELECT sk, t, quantile_cont(value, 0.5) AS med FROM w GROUP BY 1, 2),
+o AS (SELECT w.sk, w.t,
+             quantile_cont(abs(w.value - m.med), 0.5) AS mad,
+             any_value(m.med) AS med,
+             arg_max(w.value, w.ts) AS last_val
+      FROM w JOIN m ON w.sk = m.sk AND w.t = m.t GROUP BY w.sk, w.t)
+SELECT sk AS event_type, t, last_val AS value
+FROM o WHERE last_val < med - 1.5 * mad OR last_val > med + 1.5 * mad""",
     "ts_timestamp": _simple_oracle("max(ts) / 1000.0", None),
     "ts_present_over_time": _simple_oracle("1.0", None),
     "ts_absent": _base(STEP, 3600_000, where="event_type = 'purchase'") + """

@@ -196,6 +196,14 @@ def pq_preagg_route(spark, sf_dir):
                     F.round("value", 6).alias("value")))
 
 
+def pq_scalar_vector(spark, sf_dir):
+    # ScalarFunctionMapper + VectorFunctionMapper chained through the
+    # engine: collapse a 1-series vector to a scalar, re-vectorize
+    out = _run(spark, sf_dir,
+               "vector(scalar(sum(count_over_time(purchase[24h]))))")
+    return out.select("t", "value")
+
+
 def pq_raw_matrix(spark, sf_dir):
     # instant query with a top-level range selector: raw samples in the
     # trailing window (t = sample timestamp, not a step instant)
@@ -208,6 +216,7 @@ def pq_raw_matrix(spark, sf_dir):
 QUERIES = {
     "pq_raw_matrix": pq_raw_matrix,
     "pq_bool_compare": pq_bool_compare,
+    "pq_scalar_vector": pq_scalar_vector,
     "pq_hist_bucket_quantile": pq_hist_bucket_quantile,
     "pq_preagg_route": pq_preagg_route,
     "pq_sum_rate": pq_sum_rate,
@@ -299,6 +308,10 @@ ORACLES = {
 )
 SELECT user_id, t,
        CASE WHEN value > 5 THEN 1.0 ELSE 0.0 END AS value FROM cnt""",
+    "pq_scalar_vector": _PURCHASE_GRID + """
+SELECT grid.t, CAST(count(*) AS DOUBLE) AS value
+FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+GROUP BY grid.t""",
     "pq_preagg_route": f"""
 WITH raw AS (
   SELECT event_type, user_id, epoch_ms(ts) AS ts, max(value) AS value

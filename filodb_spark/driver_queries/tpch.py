@@ -154,8 +154,57 @@ def q_tpch_q18(spark, sf_dir):
             .limit(20))
 
 
+def q_tpch_q7(spark, sf_dir):
+    # volume shipping between two nations, by direction and year
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31")))
+    n1 = broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation")))
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(broadcast(c), o.o_custkey == c.c_custkey)
+         .join(n1, s.s_nationkey == F.col("n1_key"))
+         .join(n2, c.c_nationkey == F.col("n2_key"))
+         .where(((F.col("supp_nation") == "NATION_3")
+                 & (F.col("cust_nation") == "NATION_19"))
+                | ((F.col("supp_nation") == "NATION_19")
+                   & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+def q_tpch_q19(spark, sf_dir):
+    # disjunctive predicate over joined fact+dim (fixture lacks
+    # p_container/l_shipmode; brand x size x quantity keeps the
+    # OR-of-ANDs pushdown shape)
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 15))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+               & F.col("l_quantity").between(10, 25))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+               & F.col("l_quantity").between(20, 35)))
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"))
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q19": q_tpch_q19,
     "tpch_q4": q_tpch_q4,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
@@ -166,6 +215,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q7": """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <= TIMESTAMP '1997-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year""",
+    "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 35)""",
     "tpch_q4": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

@@ -45,6 +45,13 @@ MUST_PARSE = [
     'count:some_metric:dataset:1m{_ws_="w"}',
     'limit{job="x"}', 'rate(avg{job="x"}[5m])',
     'sum without(and, by, avg, count, alert, annotations)(some_metric)',
+    'and{job="x"}', 'or{job="x"}', 'unless{job="x"}', 'by{job="x"}',
+    'without{job="x"}', 'offset{job="x"}',
+    'm{and="1", or="1", on="1", ignoring="1"}',
+    'm{group_left="1", group_right="1", bool="1"}',
+    'm{offset="1", limit="1", inf="1", nan="1", by="1", sum="1"}',
+    'sum by (and, offset) (m)', 'sum without (bool, inf) (m)',
+    'a + on (or, limit) b',
     # functions / aggregations
     'sum(rate(http_requests_total[5m]))',
     'sum by (job) (rate(m[5m]))',

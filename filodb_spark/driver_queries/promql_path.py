@@ -168,6 +168,40 @@ def pq_hist_bucket_quantile(spark, sf_dir):
                     F.round("value", 6).alias("value")))
 
 
+def pq_hist_struct_quantile(spark, sf_dir):
+    """histogram-SCHEMA metric end-to-end: struct-hist store ->
+    hist range function (bucket-explode -> scalar kernel -> reassemble,
+    the extrapolatedRateH shape) -> struct histogram_quantile. Each
+    sample's hist is the one-observation cumulative histogram of its
+    value, so sum_over_time[24h] rebuilds the window histogram and the
+    quantile equals ts_hist_quantile's (shared exact oracle)."""
+    from filodb_spark.driver_queries.histogram_queries import LES, Q
+    from filodb_spark.driver_queries.promql_events import _bounds, _events_cached
+    from filodb_spark.kernels.histogram import hist_struct
+    ev = _events_cached(spark, sf_dir)
+    bounds = [*LES, float("inf")]
+    les_col = F.array(*[F.lit(float(b)) for b in bounds])
+    vals_col = F.array(*[(F.col("value") <= F.lit(b)).cast("double")
+                         for b in bounds])
+    hist_df = ev.select(
+        F.create_map(F.lit("__name__"), F.lit("ev_hist"),
+                     F.lit("etype"), F.col("event_type")).alias("labels"),
+        "ts", F.col("value").alias("sum"), F.lit(1.0).alias("count"),
+        hist_struct(les_col, vals_col).alias("hist"))
+    gauge = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    lo, hi = _bounds(spark, sf_dir)
+    g = grid_from_bounds(lo, hi, STEP)
+    eng = PromQLEngine(spark, TsStore(gauge, hist_df=hist_df,
+                                      hist_metrics=("ev_hist",)))
+    out = eng.query_range(
+        f"histogram_quantile({Q}, sum_over_time(ev_hist[24h]))",
+        g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"), "t",
+                    F.round("value", 6).alias("value")))
+
+
 def pq_preagg_route(spark, sf_dir):
     """Pre-aggregation routing rule end-to-end (AggLpOptimization analog):
     the store materializes ONLY the preagg table `ev:::byday` (per-type
@@ -218,6 +252,7 @@ QUERIES = {
     "pq_bool_compare": pq_bool_compare,
     "pq_scalar_vector": pq_scalar_vector,
     "pq_hist_bucket_quantile": pq_hist_bucket_quantile,
+    "pq_hist_struct_quantile": pq_hist_struct_quantile,
     "pq_preagg_route": pq_preagg_route,
     "pq_sum_rate": pq_sum_rate,
     "pq_label_replace": pq_label_replace,
@@ -472,3 +507,4 @@ FROM w GROUP BY event_type, user_id, t""",
 from filodb_spark.driver_queries.histogram_queries import ORACLES as _HIST_ORACLES  # noqa: E402
 
 ORACLES["pq_hist_bucket_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
+ORACLES["pq_hist_struct_quantile"] = _HIST_ORACLES["ts_hist_quantile"]

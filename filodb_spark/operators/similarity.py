@@ -56,31 +56,66 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  .select("qid", "nid", "rank", "sim"))
 
 
+_SIGN_BITS = 6
+
+
+def _signs(vec_col: str) -> Column:
+    v = as_double(F.col(vec_col))
+    return F.transform(F.slice(v, 1, _SIGN_BITS),
+                       lambda x: F.when(x > 0, 1).otherwise(0))
+
+
+def _bucket_of(signs: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(F.concat_ws(",", signs.cast("array<string>"))),
+                  F.lit(n_buckets))
+
+
 def ivf_assign(df: DataFrame, n_buckets: int = 64,
                vec_col: str = "embedding") -> DataFrame:
     """Coarse bucket assignment: hash of the signs of the first 6
     components (cheap LSH-style random-hyperplane stand-in; a production
     fit would use k-means centroids trained on a sample)."""
-    v = as_double(F.col(vec_col))
-    signs = F.transform(F.slice(v, 1, 6), lambda x: F.when(x > 0, 1).otherwise(0))
-    bucket = F.pmod(F.xxhash64(F.concat_ws(",", signs.cast("array<string>"))),
-                    F.lit(n_buckets))
-    return df.withColumn("bucket", bucket)
+    return df.withColumn("bucket", _bucket_of(_signs(vec_col), n_buckets))
+
+
+def ivf_probe_buckets(vec_col: str, n_buckets: int,
+                      n_probes: int) -> Column:
+    """Multi-probe LSH bucket list for a query vector: its own bucket
+    plus the buckets of one-bit-flipped sign patterns (the standard
+    multi-probe trick — neighbors that straddle one hyperplane land one
+    flip away). Returns the first n_probes distinct buckets."""
+    signs = _signs(vec_col)
+    idx = F.sequence(F.lit(0), F.lit(_SIGN_BITS - 1))
+
+    def _flip_at(i: int):
+        return lambda x, j: F.when(j == i, 1 - x).otherwise(x)
+
+    variants = [signs]
+    for i in range(_SIGN_BITS):
+        variants.append(F.zip_with(signs, idx, _flip_at(i)))
+    buckets = F.array_distinct(
+        F.array(*[_bucket_of(v, n_buckets) for v in variants]))
+    return F.slice(buckets, 1, n_probes)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
              n_buckets: int = 64, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Bucketed ANN: per-bucket brute force — queries only meet corpus
-    vectors in their own bucket (equi-join on bucket, not a cross join)."""
+             vec_col: str = "embedding", n_probes: int = 4) -> DataFrame:
+    """Bucketed ANN: per-bucket brute force — each query meets corpus
+    vectors in its n_probes multi-probe buckets (equi-join on bucket,
+    not a cross join; probe fraction ≈ n_probes/n_buckets of the
+    corpus per query)."""
     c = ivf_assign(corpus, n_buckets, vec_col).select(
         F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nv"), "bucket")
-    q = ivf_assign(queries, n_buckets, vec_col).select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"), "bucket")
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        as_double(F.col(vec_col)).alias("qv"),
+                        F.explode(ivf_probe_buckets(vec_col, n_buckets,
+                                                    n_probes)).alias("bucket")))
     pairs = (c.join(broadcast(q), "bucket")
               .where(F.col("nid") != F.col("qid"))
               .select("qid", "nid",
-                      F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim")))
+                      F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("sim"))
+              .dropDuplicates(["qid", "nid"]))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .where(F.col("rank") <= k)

@@ -1,0 +1,113 @@
+"""Similarity-search operator tests: exact brute-force goldens on a
+hand-built corpus, IVF subset/recall properties on the fixture
+embeddings, and kernel math vs numpy."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # unit-ish vectors with known cosine structure: v1~v2 aligned,
+    # v3 orthogonal, v4 opposite to v1
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestBruteForce:
+    def test_known_neighbors(self, tiny):
+        out = sim.brute_force_topk(tiny, tiny.where(F.col("vec_id") == 1), k=3)
+        got = [(r["nid"], r["rank"]) for r in out.orderBy("rank").collect()]
+        # nearest: 2 (aligned), then 3 (orthogonal, sim 0), then 4 (opposite)
+        assert got == [(2, 1), (3, 2), (4, 3)]
+
+    def test_sim_values_match_numpy(self, tiny):
+        import numpy as np
+        out = {r["nid"]: r["sim"] for r in sim.brute_force_topk(
+            tiny, tiny.where(F.col("vec_id") == 1), k=3).collect()}
+        vecs = {1: [1.0, 0.0, 0.0], 2: [0.9, 0.1, 0.0],
+                3: [0.0, 1.0, 0.0], 4: [-1.0, 0.0, 0.0]}
+        for nid, s in out.items():
+            a, b = np.array(vecs[1]), np.array(vecs[nid])
+            expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert s == pytest.approx(expect, abs=1e-6)
+
+    def test_self_excluded_and_k_bound(self, tiny):
+        out = sim.brute_force_topk(tiny, tiny, k=2).collect()
+        assert all(r["nid"] != r["qid"] for r in out)
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["qid"], []).append(r["rank"])
+        assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+                   for v in per_q.values())
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_subset_of_bucket_bruteforce(self, emb):
+        """Every IVF result pair must be a corpus pair sharing the
+        query's bucket, with the same similarity brute force computes."""
+        q = emb.where(F.col("vec_id") < 10)
+        ivf = sim.ivf_topk(emb, q, k=3)
+        bf = sim.brute_force_topk(emb, q, k=10_000_000)
+        j = (ivf.select("qid", "nid", F.col("sim").alias("ivf_sim"))
+             .join(bf.select("qid", "nid", F.col("sim").alias("bf_sim")),
+                   ["qid", "nid"], "left"))
+        rows = j.collect()
+        assert rows and all(r["bf_sim"] is not None
+                            and r["ivf_sim"] == r["bf_sim"] for r in rows)
+
+    def test_recall_scales_with_probes(self, emb):
+        """Multi-probe LSH: recall@3 vs exact top-3 must rise with
+        n_probes and beat the random-bucket baseline (p/64). Measured on
+        this fixture: 0.067 / 0.187 / 0.300 at 1/4/7 probes — the test
+        asserts conservative floors (deterministic hashes, so stable)."""
+        q = emb.where(F.col("vec_id") < 50)
+        exact = {(r["qid"], r["nid"])
+                 for r in sim.brute_force_topk(emb, q, k=3).collect()}
+
+        def recall(p):
+            approx = {(r["qid"], r["nid"])
+                      for r in sim.ivf_topk(emb, q, k=3, n_probes=p).collect()}
+            return len(exact & approx) / len(exact)
+
+        r1, r4, r7 = recall(1), recall(4), recall(7)
+        assert r1 <= r4 <= r7
+        assert r4 >= 0.12 and r7 >= 0.25    # > random baseline p/64
+        # sub-linear probe: bucketed candidate pairs << full cross join
+        n = emb.count()
+        cand = (sim.ivf_assign(emb).groupBy("bucket").count()
+                .agg(F.sum(F.col("count") * F.col("count"))).first()[0])
+        assert cand < n * n / 4
+
+
+class TestKernels:
+    def test_dot_deterministic_order(self, spark):
+        df = spark.createDataFrame(
+            [([1e16, 1.0, -1e16],)], "v array<double>")
+        # sequential fold: (1e16 + 1.0) - 1e16 = 0.0 exactly in this
+        # order (1.0 is absorbed) — proves left-to-right determinism
+        ones = F.array(*[F.lit(1.0)] * 3)
+        got = df.select(sim.dot(F.col("v"), ones).alias("d")).first()["d"]
+        assert got == 0.0
+
+    def test_cosine_range(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0], [-3.0, 2.0, -1.0])], "a array<double>, b array<double>")
+        c = df.select(sim.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+        assert -1.0 <= c <= 1.0
+        assert c == pytest.approx((-3 + 4 - 3) / (math.sqrt(14) * math.sqrt(14)))

@@ -36,10 +36,19 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(e, q, k=3)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    # k-means-trained IVF (approximate; KMeans fit is partitioning-
+    # dependent across environments — rows-only check)
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_kmeans_topk(e, q, k=3)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
 ORACLES = {

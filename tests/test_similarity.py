@@ -94,6 +94,19 @@ class TestIVF:
                 .agg(F.sum(F.col("count") * F.col("count"))).first()[0])
         assert cand < n * n / 4
 
+    def test_kmeans_ivf_beats_sign_hash(self, emb):
+        """Trained centroids (spherical k-means) must beat the sign-hash
+        buckets at equal probe count. Measured: 0.25/0.44 recall@3 at
+        1/4 probes (vs 0.07/0.19 for sign-hash)."""
+        q = emb.where(F.col("vec_id") < 50)
+        exact = {(r["qid"], r["nid"])
+                 for r in sim.brute_force_topk(emb, q, k=3).collect()}
+        cents = sim.ivf_fit_centroids(emb)
+        for probes, floor in [(1, 0.15), (4, 0.35)]:
+            approx = {(r["qid"], r["nid"]) for r in sim.ivf_kmeans_topk(
+                emb, q, k=3, n_probes=probes, centroids=cents).collect()}
+            assert len(exact & approx) / len(exact) >= floor
+
 
 class TestKernels:
     def test_dot_deterministic_order(self, spark):

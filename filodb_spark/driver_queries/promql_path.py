@@ -175,7 +175,19 @@ def pq_hist_struct_quantile(spark, sf_dir):
     sample's hist is the one-observation cumulative histogram of its
     value, so sum_over_time[24h] rebuilds the window histogram and the
     quantile equals ts_hist_quantile's (shared exact oracle)."""
-    from filodb_spark.driver_queries.histogram_queries import LES, Q
+    from filodb_spark.driver_queries.histogram_queries import Q
+    eng, g = _hist_struct_engine(spark, sf_dir)
+    out = eng.query_range(
+        f"histogram_quantile({Q}, sum_over_time(ev_hist[24h]))",
+        g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"), "t",
+                    F.round("value", 6).alias("value")))
+
+
+def _hist_struct_engine(spark, sf_dir):
+    """Shared struct-hist store + engine for the pq_hist_* queries."""
+    from filodb_spark.driver_queries.histogram_queries import LES
     from filodb_spark.driver_queries.promql_events import _bounds, _events_cached
     from filodb_spark.kernels.histogram import hist_struct
     ev = _events_cached(spark, sf_dir)
@@ -194,12 +206,32 @@ def pq_hist_struct_quantile(spark, sf_dir):
     g = grid_from_bounds(lo, hi, STEP)
     eng = PromQLEngine(spark, TsStore(gauge, hist_df=hist_df,
                                       hist_metrics=("ev_hist",)))
+    return eng, g
+
+
+def pq_hist_fraction(spark, sf_dir):
+    # histogram_fraction over the struct schema through the engine;
+    # lo/hi on bucket bounds -> exact cumulative-count ratio oracle
+    from filodb_spark.driver_queries.histogram_queries import FRAC_HI, FRAC_LO
+    eng, g = _hist_struct_engine(spark, sf_dir)
     out = eng.query_range(
-        f"histogram_quantile({Q}, sum_over_time(ev_hist[24h]))",
+        f"histogram_fraction({FRAC_LO}, {FRAC_HI}, sum_over_time(ev_hist[24h]))",
         g.start, g.end, g.step)
     return (out.where(~F.isnan("value"))
             .select(F.col("labels")["etype"].alias("event_type"), "t",
-                    F.round("value", 6).alias("value")))
+                    F.round("value", 9).alias("value")))
+
+
+def pq_hist_to_prom(spark, sf_dir):
+    # hist_to_prom_vectors: struct histogram exploded to one series per
+    # bucket with an `le` label (HistToPromSeriesMapper)
+    eng, g = _hist_struct_engine(spark, sf_dir)
+    out = eng.query_range(
+        "hist_to_prom_vectors(sum_over_time(ev_hist[24h]))",
+        g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"),
+                    F.col("labels")["le"].alias("le"), "t", "value"))
 
 
 def pq_preagg_route(spark, sf_dir):
@@ -253,6 +285,8 @@ QUERIES = {
     "pq_scalar_vector": pq_scalar_vector,
     "pq_hist_bucket_quantile": pq_hist_bucket_quantile,
     "pq_hist_struct_quantile": pq_hist_struct_quantile,
+    "pq_hist_fraction": pq_hist_fraction,
+    "pq_hist_to_prom": pq_hist_to_prom,
     "pq_preagg_route": pq_preagg_route,
     "pq_sum_rate": pq_sum_rate,
     "pq_label_replace": pq_label_replace,
@@ -508,3 +542,19 @@ from filodb_spark.driver_queries.histogram_queries import ORACLES as _HIST_ORACL
 
 ORACLES["pq_hist_bucket_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
 ORACLES["pq_hist_struct_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
+ORACLES["pq_hist_fraction"] = _HIST_ORACLES["ts_hist_fraction"]
+
+
+def _hist_to_prom_oracle() -> str:
+    from filodb_spark.driver_queries.histogram_queries import LES
+    from filodb_spark.driver_queries.promql_events import _base
+    vals = ", ".join(f"({b}, '{int(b)}')" for b in LES) + ", (NULL, '+Inf')"
+    return _base(STEP, WINDOW) + f""",
+les AS (SELECT * FROM (VALUES {vals}) AS v(le_num, le_str))
+SELECT w.sk AS event_type, les.le_str AS le, w.t,
+       CAST(sum(CASE WHEN les.le_num IS NULL OR w.value <= les.le_num
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM w CROSS JOIN les GROUP BY 1, 2, 3"""
+
+
+ORACLES["pq_hist_to_prom"] = _hist_to_prom_oracle()

@@ -33,6 +33,15 @@ def hist_struct(les: Column, values: Column) -> Column:
     return F.struct(les.alias("les"), values.alias("values"))
 
 
+def le_label(le: Column) -> Column:
+    """Prometheus-style `le` label string for a bucket bound: +Inf for
+    the top bucket, integral bounds without a trailing .0."""
+    return F.when(le == F.lit(float("inf")), F.lit("+Inf")) \
+        .otherwise(F.when(le == F.floor(le),
+                          le.cast("long").cast("string"))
+                   .otherwise(le.cast("string")))
+
+
 def bucketize(df: DataFrame, group_cols: Sequence[str], les: Sequence[float],
               value_col: str = "value") -> DataFrame:
     """Aggregate raw observations into a cumulative-LE histogram per group.

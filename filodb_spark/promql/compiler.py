@@ -139,16 +139,12 @@ class TsStore:
                 df = df.select("labels", "ts", F.col("count").alias("value"))
             elif schema == "hist_bucket":
                 # explode to one series per bucket with an `le` label
-                from filodb_spark.kernels.histogram import explode_hist
+                from filodb_spark.kernels.histogram import (explode_hist,
+                                                            le_label)
                 ex = explode_hist(df.select("labels", "ts", "hist"))
-                le_str = F.when(
-                    F.col("bucket_le") == F.lit(float("inf")), F.lit("+Inf")
-                ).otherwise(
-                    F.when(F.col("bucket_le") == F.floor("bucket_le"),
-                           F.col("bucket_le").cast("long").cast("string"))
-                    .otherwise(F.col("bucket_le").cast("string")))
                 ex = ex.withColumn("labels", F.map_concat(
-                    "labels", F.create_map(F.lit("le"), le_str)))
+                    "labels", F.create_map(F.lit("le"),
+                                           le_label(F.col("bucket_le")))))
                 df = ex.select("labels", "ts", "value")
             else:
                 extra = [c for c in ("min", "max") if c in self.hist_df.columns]
@@ -538,6 +534,19 @@ class PromQLEngine:
             if name != "histogram_quantile":
                 raise ValueError(f"{name} requires a histogram-schema metric")
             return self._histogram_quantile_buckets(q, v)
+        if name == "hist_to_prom_vectors":
+            # histogram column -> one series per bucket with an `le`
+            # label (HistToPromSeriesMapper,
+            # RangeVectorTransformer.scala:497-573)
+            v = self._vector(e.args[0], grid)
+            if "hist" not in v.columns:
+                raise ValueError("hist_to_prom_vectors needs a histogram vector")
+            from filodb_spark.kernels.histogram import explode_hist, le_label
+            ex = explode_hist(v.select("labels", "t", "hist"))
+            ex = ex.withColumn("labels", F.map_concat(
+                "labels", F.create_map(F.lit("le"),
+                                       le_label(F.col("bucket_le")))))
+            return ex.select("labels", "t", "value")
         if name == "histogram_fraction":
             lo = self._const(e.args[0])
             hi = self._const(e.args[1])

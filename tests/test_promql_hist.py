@@ -106,6 +106,21 @@ class TestHistBucketAndSort:
         assert vals["a"] == 16.0  # 2 * 4 * 2
         assert vals["b"] == 8.0
 
+    def test_hist_to_prom_vectors(self, hist_engine):
+        # one series per bucket with an le label
+        # (HistToPromSeriesMapper, RangeVectorTransformer.scala:497-573)
+        res = hist_engine.query_range(
+            "hist_to_prom_vectors(http_latency)", self.T, self.T, 10_000
+        ).collect()
+        assert len(res) == 8              # 2 series x 4 buckets
+        by_series = {(r["labels"]["job"], r["labels"]["le"]): r["value"]
+                     for r in res}
+        # series a at i=4: buckets [8, 16, 24, 32]; le strings Prom-style
+        assert by_series[("a", "1")] == 8.0
+        assert by_series[("a", "2")] == 16.0
+        assert by_series[("a", "+Inf")] == 32.0
+        assert by_series[("b", "4")] == 12.0
+
     def test_sort_desc(self, hist_engine):
         res = hist_engine.query_range(
             "sort_desc(rate(http_latency_count[40s]))", self.T, self.T, 10_000

@@ -65,6 +65,10 @@ RANGE_FN_MAP = {
     "stdvar_over_time": "stdvar_over_time", "last_over_time": "last_over_time",
     "present_over_time": "present_over_time", "mad_over_time": "mad_over_time",
     "absent_over_time": "absent_over_time",
+    # `last` is the reference's alias of last_over_time
+    # (RangeFunctionId "last", PlanEnums.scala:57)
+    "last": "last_over_time",
+    "z_score": "z_score",
 }
 PARAM_RANGE_FNS = {"quantile_over_time": "quantile_over_time",
                    "predict_linear": "predict_linear",
@@ -504,6 +508,15 @@ class PromQLEngine:
                 else F.col("_lastv").desc()
             return (ordered.orderBy(key, F.col("_sk"), F.col("t"))
                     .select("labels", "t", "value"))
+        if name == "limit":
+            # limit(k, v): keep k series (LimitFunctionId,
+            # ApplyLimitFunction LogicalPlan.scala:948-963)
+            k = int(self._const(e.args[0]))
+            v = self._vector(e.args[1], grid)
+            from filodb_spark.kernels.range_fns import limit_series
+            return (v.withColumn("_lk", bin_k.canonical_labels(F.col("labels")))
+                     .transform(lambda d: limit_series(d, k, ["_lk"]))
+                     .drop("_lk"))
         if name == "histogram_bucket":
             # extract one bucket as a series (InstantFunction.scala:117)
             le = self._const(e.args[0])

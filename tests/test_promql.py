@@ -137,6 +137,33 @@ class TestSelectorsAndFunctions:
         assert res[0][2] == 24.0
 
 
+class TestLastZscoreLimit:
+    T = T0 + 120_000
+
+    def test_last_is_alias_of_last_over_time(self, engine):
+        a = sorted(map(repr, rows_of(engine.query_range(
+            "last(m[1m])", self.T, self.T, 10_000))))
+        b = sorted(map(repr, rows_of(engine.query_range(
+            "last_over_time(m[1m])", self.T, self.T, 10_000))))
+        assert a == b and a
+
+    def test_z_score(self, engine):
+        # db series is constant 100 -> stddev 0 -> NaN-filtered by kernel;
+        # web inst=1 over [60s, 120s]: samples 6..12, last=12,
+        # mean=9, stddev_pop=2 -> z=1.5
+        res = rows_of(engine.query_range(
+            'z_score(m{job="web"}[1m])', self.T, self.T, 10_000))
+        vals = {lab["inst"]: v for lab, _, v in res}
+        assert vals["1"] == pytest.approx(1.5)
+        assert vals["2"] == pytest.approx(1.5)  # scaled series, same z
+
+    def test_limit_function(self, engine):
+        res = rows_of(engine.query_range(
+            'limit(2, m)', self.T, self.T, 10_000))
+        series = {tuple(sorted(lab.items())) for lab, _, _ in res}
+        assert len(series) == 2
+
+
 class TestAggregations:
     def test_sum_by(self, engine):
         t = T0 + 120_000

@@ -22,7 +22,9 @@ class VectorSelector:
     metric: str | None
     matchers: tuple[LabelMatcher, ...] = ()
     offset_ms: int = 0
-    at_ms: int | None = None     # @ modifier (epoch ms)
+    # @ modifier: epoch ms, or the sentinels "start"/"end" (resolved
+    # against the query range by the compiler)
+    at_ms: int | str | None = None
     limit: int | None = None     # FiloDB ext: `selector limit N`
 
 
@@ -42,7 +44,7 @@ class Subquery:
     range_ms: int
     step_ms: int | None          # None -> default eval interval
     offset_ms: int = 0
-    at_ms: int | None = None
+    at_ms: int | str | None = None
 
 
 @dataclass(frozen=True)

@@ -55,6 +55,27 @@ class AggRule:
 def preagg_metric_name(metric: str, suffix: str) -> str:
     return f"{metric}:::{suffix}"
 
+
+def _resolve_at_sentinels(node, start_ms: int, end_ms: int):
+    """Replace `@ start()` / `@ end()` sentinels with the query range
+    bounds (Prometheus semantics: always the OUTER query's range, even
+    inside subqueries — hence one pre-pass over the whole AST)."""
+    import dataclasses
+    if isinstance(node, tuple):
+        return tuple(_resolve_at_sentinels(x, start_ms, end_ms) for x in node)
+    if not dataclasses.is_dataclass(node):
+        return node
+    changes = {}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if f.name == "at_ms" and isinstance(v, str):
+            changes[f.name] = start_ms if v == "start" else end_ms
+        elif dataclasses.is_dataclass(v) or isinstance(v, tuple):
+            nv = _resolve_at_sentinels(v, start_ms, end_ms)
+            if nv != v:
+                changes[f.name] = nv
+    return dataclasses.replace(node, **changes) if changes else node
+
 RANGE_FN_MAP = {
     "rate": "rate", "increase": "increase", "delta": "delta",
     "idelta": "idelta", "irate": "irate", "resets": "resets",
@@ -221,7 +242,7 @@ class PromQLEngine:
             k = -(-(self.retention_floor_ms - start_ms) // step_ms)
             start_ms = min(start_ms + k * step_ms, end_ms)
         grid = StepGrid(start_ms, end_ms, step_ms)
-        ast = parse(promql)
+        ast = _resolve_at_sentinels(parse(promql), start_ms, end_ms)
         core = ast
         while isinstance(core, A.Paren):
             core = core.expr

@@ -222,8 +222,15 @@ class Parser:
             elif t.text == "@":
                 self.next()
                 at = self.next()
-                at_ms = int(float(at.text) * 1000)
-                e = self._with_at(e, at_ms)
+                if at.text in ("start", "end"):
+                    # @ start() / @ end() (PromQL.g4:60,178-179): resolved
+                    # against the query range at evaluation time
+                    self.expect("(")
+                    self.expect(")")
+                    e = self._with_at(e, at.text)
+                else:
+                    at_ms = int(float(at.text) * 1000)
+                    e = self._with_at(e, at_ms)
             else:
                 return e
 

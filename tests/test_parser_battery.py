@@ -52,6 +52,9 @@ MUST_PARSE = [
     'm{offset="1", limit="1", inf="1", nan="1", by="1", sum="1"}',
     'sum by (and, offset) (m)', 'sum without (bool, inf) (m)',
     'a + on (or, limit) b',
+    # @ start()/end() (PromQL.g4:60,178-179)
+    'm @ start()', 'm @ end()', 'rate(m[5m] @ end())',
+    'max_over_time(m[1h:5m] @ start())',
     # functions / aggregations
     'sum(rate(http_requests_total[5m]))',
     'sum by (job) (rate(m[5m]))',

@@ -157,6 +157,21 @@ class TestLastZscoreLimit:
         assert vals["1"] == pytest.approx(1.5)
         assert vals["2"] == pytest.approx(1.5)  # scaled series, same z
 
+    def test_at_start_end_sentinels(self, engine):
+        # @ start()/@ end() resolve to the query range bounds and match
+        # the equivalent literal @ forms (PromQL.g4:60,178-179)
+        S, E = T0 + 60_000, T0 + 120_000
+
+        def run(q):
+            return sorted(map(repr, rows_of(
+                engine.query_range(q, S, E, 10_000))))
+
+        q = 'sum_over_time(m{job="web",inst="1"}[1m] %s)'
+        assert run(q % "@ end()") == run(q % f"@ {E / 1000.0}")
+        assert run(q % "@ start()") == run(q % f"@ {S / 1000.0}")
+        # windows [0,60s] sum=21 vs [60s,120s] sum=63 — genuinely distinct
+        assert run(q % "@ start()") != run(q % "@ end()")
+
     def test_limit_function(self, engine):
         res = rows_of(engine.query_range(
             'limit(2, m)', self.T, self.T, 10_000))

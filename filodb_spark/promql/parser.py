@@ -203,13 +203,18 @@ class Parser:
                         raise SyntaxError("range selector on non-selector")
                     e = MatrixSelector(e, duration_ms(rng.text))
             elif t.text == "limit" and self.peek(1).kind == "NUMBER":
-                # FiloDB extension: `selector limit N` (ParserSpec:19)
+                # FiloDB extension: `expr limit N` (PromQL.g4 limitOperation).
+                # Selectors push the limit into the scan; any other vector
+                # expression desugars to limit(N, expr) like the reference
+                # (AntlrParser.visitLimitOperation:244-249)
                 import dataclasses
                 self.next()
                 k = int(float(self.next().text))
-                if not isinstance(e, VectorSelector):
-                    raise SyntaxError("limit modifier on non-selector")
-                e = dataclasses.replace(e, limit=k)
+                if isinstance(e, VectorSelector):
+                    e = dataclasses.replace(e, limit=k)
+                else:
+                    e = FunctionCall("limit",
+                                     (NumberLiteral(float(k)), e))
             elif t.text == "offset":
                 self.next()
                 neg = self.accept("-")

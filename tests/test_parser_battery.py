@@ -55,6 +55,8 @@ MUST_PARSE = [
     # @ start()/end() (PromQL.g4:60,178-179)
     'm @ start()', 'm @ end()', 'rate(m[5m] @ end())',
     'max_over_time(m[1h:5m] @ start())',
+    # expr-level limit (PromQL.g4 limitOperation; desugars to limit(N, e))
+    'sum(m) limit 5', 'rate(m[5m]) limit 3', 'sum(m) limit 5 + n',
     # functions / aggregations
     'sum(rate(http_requests_total[5m]))',
     'sum by (job) (rate(m[5m]))',

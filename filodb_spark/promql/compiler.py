@@ -452,8 +452,18 @@ class PromQLEngine:
 
     # ---- functions ------------------------------------------------------
 
+    TIME_COMPONENT_FNS = {"days_in_month", "day_of_month", "day_of_week",
+                          "hour", "minute", "month", "year"}
+
     def _eval_function(self, e: A.FunctionCall, grid: StepGrid):
         name = e.name
+        if name in self.TIME_COMPONENT_FNS and not e.args:
+            # no-arg form: component of the evaluation timestep
+            # (ScalarFunctionId + TimeScalarGeneratorExec,
+            # ScalarBinaryOperationExec.scala family; Prometheus defines
+            # hour() == hour(vector(time())))
+            e = A.FunctionCall(
+                name, (A.FunctionCall("vector", (A.FunctionCall("time", ()),)),))
         if name in ("no_optimize", "optimize_with_agg"):
             # FiloDB plan-rewrite hints (PlanEnums.scala:183-184,
             # LogicalPlan.scala:74-119): toggle preagg routing for the

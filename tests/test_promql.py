@@ -157,6 +157,17 @@ class TestLastZscoreLimit:
         assert vals["1"] == pytest.approx(1.5)
         assert vals["2"] == pytest.approx(1.5)  # scaled series, same z
 
+    def test_noarg_time_component_functions(self, engine):
+        # hour() == hour(vector(time())) etc. (ScalarFunctionId /
+        # TimeScalarGeneratorExec). T0 = 2023-11-14 22:13:20 UTC.
+        t = T0
+        expect = {"hour()": 22.0, "minute()": 13.0, "month()": 11.0,
+                  "year()": 2023.0, "day_of_week()": 2.0,
+                  "day_of_month()": 14.0, "days_in_month()": 30.0}
+        for q, want in expect.items():
+            res = rows_of(engine.query_range(q, t, t, 1))
+            assert [v for _, _, v in res] == [want], q
+
     def test_at_start_end_sentinels(self, engine):
         # @ start()/@ end() resolve to the query range bounds and match
         # the equivalent literal @ forms (PromQL.g4:60,178-179)

@@ -158,6 +158,64 @@ class TestRandomizedKernels:
         check(run_all(spark, df, "resets"), clean, resets, "resets")
         check(run_all(spark, df, "changes"), clean, changes, "changes")
 
+    def test_idelta_irate(self, spark, random_series):
+        # last two in-window samples; irate is reset-aware
+        # (RangeInstantFunctions.scala:168-303)
+        df, clean = random_series
+
+        def idelta(t, w):
+            if len(w) < 2:
+                return None
+            return w[-1][1] - w[-2][1]
+
+        def irate(t, w):
+            if len(w) < 2:
+                return None
+            (t1, v1), (t2, v2) = w[-2], w[-1]
+            num = v2 - v1 if v2 >= v1 else v2
+            return num / ((t2 - t1) / 1000.0)
+
+        check(run_all(spark, df, "idelta"), clean, idelta, "idelta")
+        check(run_all(spark, df, "irate"), clean, irate, "irate")
+
+    def test_deriv(self, spark, random_series):
+        # least-squares slope, x anchored at the step instant (seconds)
+        df, clean = random_series
+
+        def model(t, w):
+            if len(w) < 2:
+                return None
+            xs = [(ts - t) / 1000.0 for ts, _ in w]
+            ys = [v for _, v in w]
+            n = len(w)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx = sum(x * x for x in xs)
+            cov = sxy / n - (sx / n) * (sy / n)
+            var = sxx / n - (sx / n) * (sx / n)
+            return cov / var if var > 0 else None
+
+        check(run_all(spark, df, "deriv"), clean, model, "deriv")
+
+    def test_z_score_and_mad(self, spark, random_series):
+        import statistics
+        df, clean = random_series
+
+        def z(t, w):
+            vs = [v for _, v in w]
+            m = sum(vs) / len(vs)
+            sd = math.sqrt(sum((x - m) ** 2 for x in vs) / len(vs))
+            return (w[-1][1] - m) / sd if sd > 0 else None
+
+        def mad(t, w):
+            vs = [v for _, v in w]
+            med = statistics.median(vs)
+            return statistics.median([abs(x - med) for x in vs])
+
+        check(run_all(spark, df, "z_score"), clean, z, "z_score")
+        check(run_all(spark, df, "mad_over_time"), clean, mad,
+              "mad_over_time")
+
 
 class TestRandomizedSetOps:
     """Random label universes x timesteps vs a python model of

@@ -83,6 +83,31 @@ class TestJoinShapes:
         plan = plan_of(q_tpch_q5(spark, "/root/testdata/sf0.001"))
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
+    def test_tpch_q7_nation_pair_broadcasts(self, spark):
+        # 5-way join: all dims broadcast, no sort-merge on the fact side
+        from filodb_spark.driver_queries.tpch import q_tpch_q7
+        plan = plan_of(q_tpch_q7(spark, "/root/testdata/sf0.001"))
+        assert plan.count("BroadcastHashJoin") >= 4
+        assert "CartesianProduct" not in plan
+
+    def test_ivf_join_is_bucket_equi_join(self, spark):
+        # IVF candidate generation must be an equi-join on bucket with
+        # the (small) query side broadcast — never a cartesian product
+        from filodb_spark.operators import similarity as sim
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10)
+        plan = plan_of(sim.ivf_topk(emb, q, k=3))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_minhash_band_join_no_cartesian(self, spark):
+        from filodb_spark.operators import dedup
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet").limit(300)
+        plan = plan_of(dedup.minhash_lsh_pairs(docs, threshold=0.5))
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+
 
 class TestSeriesTableRoundtrip:
     def test_roundtrip_values(self, spark, series_table):

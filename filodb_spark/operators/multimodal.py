@@ -44,16 +44,54 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _be_u32(content, offset_1based: int):
+    """Big-endian uint32 at a 1-based byte offset of a binary column —
+    pure JVM expression (hex slice -> base conversion)."""
+    return F.conv(F.hex(F.substring(content, offset_1based, 4)), 16, 10) \
+        .cast("long")
+
+
+def _le_u32(content, offset_1based: int):
+    """Little-endian uint32: per-byte extraction, recombined."""
+    b = [F.conv(F.hex(F.substring(content, offset_1based + i, 1)), 16, 10)
+         .cast("long") for i in range(4)]
+    return b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"        # \x89PNG\r\n\x1a\n
+_RIFF_HEX = "52494646"                   # "RIFF"
+_WAVE_HEX = "57415645"                   # "WAVE"
+
+
 def with_media_meta(df: DataFrame, content_col: str = "content",
-                    mime: str = "image/png") -> DataFrame:
-    """Attach a typed metadata struct for an opaque binary column.
-    (Real pipelines fill this at ingest from container headers.)"""
+                    mime: str | None = None) -> DataFrame:
+    """Attach a typed metadata struct for an opaque binary column,
+    parsing real container headers JVM-side (no Python, no codec libs —
+    the header layouts are public formats):
+
+    - PNG: width/height are big-endian uint32s in the IHDR chunk
+      (bytes 17-24 after the 8-byte signature).
+    - WAV (RIFF/WAVE): sample_rate is a little-endian uint32 at byte 25
+      of the canonical fmt chunk.
+
+    Unrecognized content gets a NULL-field struct (mime from the `mime`
+    hint if given). Real pipelines would extend the dispatch per format."""
+    c = F.col(content_col)
+    is_png = F.hex(F.substring(c, 1, 8)) == _PNG_SIG_HEX
+    is_wav = (F.hex(F.substring(c, 1, 4)) == _RIFF_HEX) & \
+             (F.hex(F.substring(c, 9, 4)) == _WAVE_HEX)
+    null_i, null_l = F.lit(None).cast("int"), F.lit(None).cast("long")
     return df.withColumn("media_meta", F.struct(
-        F.lit(mime).alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-        F.lit(None).cast("int").alias("sample_rate"),
+        F.when(is_png, F.lit("image/png"))
+         .when(is_wav, F.lit("audio/wav"))
+         .otherwise(F.lit(mime).cast("string")).alias("mime"),
+        F.when(is_png, _be_u32(c, 17).cast("int")).otherwise(null_i)
+         .alias("width"),
+        F.when(is_png, _be_u32(c, 21).cast("int")).otherwise(null_i)
+         .alias("height"),
+        null_l.alias("duration_ms"),
+        F.when(is_wav, _le_u32(c, 25).cast("int")).otherwise(null_i)
+         .alias("sample_rate"),
     ))
 
 

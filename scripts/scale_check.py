@@ -44,10 +44,14 @@ def main():
         # materialize the replicated table to parquet first so the timed
         # query reads a realistic on-disk table, not an m-way union plan
         tmp = tempfile.mkdtemp(prefix="scale_check_")
-        df = base
-        for k in range(1, m):
-            df = df.unionByName(base.withColumn(
-                "user_id", F.col("user_id") + F.lit(k * 1_000_000)))
+        # replicate via crossJoin with a k-range: ONE plan node instead
+        # of m-1 unions (a 1000-branch union spends minutes in plan
+        # analysis before any data moves)
+        ks = spark.range(m).select(F.col("id").alias("_k"))
+        df = (base.crossJoin(ks)
+              .withColumn("user_id",
+                          F.col("user_id") + F.col("_k") * 1_000_000)
+              .drop("_k"))
         (df.repartition(spark.sparkContext.defaultParallelism)
            .write.mode("overwrite").parquet(tmp))
         tbl = spark.read.parquet(tmp)

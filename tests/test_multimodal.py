@@ -49,6 +49,28 @@ class TestResizeAndMeta:
         assert out.schema["media_meta"].dataType.fieldNames() == \
             ["mime", "width", "height", "duration_ms", "sample_rate"]
 
+    def test_header_parsing_png_wav(self, spark):
+        # hand-built valid headers: the parse is pure JVM byte math
+        import struct
+        png = (b"\x89PNG\r\n\x1a\n"                  # signature
+               + struct.pack(">I", 13) + b"IHDR"     # IHDR chunk
+               + struct.pack(">II", 640, 480)        # width, height
+               + b"\x08\x02\x00\x00\x00" + b"crc0")
+        wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16))
+        other = b"not-a-container"
+        df = spark.createDataFrame(
+            [(1, png), (2, wav), (3, other)], "doc_id long, content binary")
+        rows = {r["doc_id"]: r["media_meta"]
+                for r in with_media_meta(df).collect()}
+        assert rows[1]["mime"] == "image/png"
+        assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+        assert rows[2]["mime"] == "audio/wav"
+        assert rows[2]["sample_rate"] == 44100
+        assert rows[2]["width"] is None
+        assert rows[3]["mime"] is None and rows[3]["width"] is None
+
 
 class TestFrameSampling:
     def test_sample_offsets(self, spark):

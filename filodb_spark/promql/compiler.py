@@ -122,7 +122,7 @@ class TsStore:
         """Open a partitioned series table written by
         sources.table.write_series_table."""
         df = spark.read.parquet(path).select("labels", "ts", "value")
-        return cls(df, **kw)
+        return cls(df, table_path=path, **kw)
     # metrics whose samples are per-interval deltas rather than cumulative
     # counters (delta-counter schema): rate/increase toggle kernels
     # (CumlDeltaTogglerChunkedFunction, AggrOverTimeFunctions.scala:653-692)
@@ -133,6 +133,9 @@ class TsStore:
     # histogram metrics with base-2 exponential bucket schemes
     # (otel-exp-*-histogram): quantile uses log interpolation
     exp_hist_metrics: tuple[str, ...] = ()
+    # on-disk location (set by from_table): enables the
+    # _filodb_chunkmeta_all debug function
+    table_path: str | None = None
     # ds-gauge rollup table (labels, ts, min, max, sum, count, avg) +
     # the instant before which raw data is no longer retained: queries
     # spanning the boundary split raw/DS and stitch
@@ -464,6 +467,16 @@ class PromQLEngine:
             # hour() == hour(vector(time())))
             e = A.FunctionCall(
                 name, (A.FunctionCall("vector", (A.FunctionCall("time", ()),)),))
+        if name == "_filodb_chunkmeta_all":
+            # debug: physical chunk metadata (FiloFunctionId.ChunkMetaAll,
+            # SelectChunkInfosExec) — parquet row-group stats are the
+            # engine's "chunks"; file-backed stores only
+            if self.store.table_path is None:
+                raise ValueError(
+                    "_filodb_chunkmeta_all requires a file-backed store "
+                    "(TsStore.from_table)")
+            from filodb_spark.metadata import chunk_meta
+            return chunk_meta(self.spark, self.store.table_path)
         if name in ("no_optimize", "optimize_with_agg"):
             # FiloDB plan-rewrite hints (PlanEnums.scala:183-184,
             # LogicalPlan.scala:74-119): toggle preagg routing for the

@@ -110,6 +110,17 @@ class TestJoinShapes:
 
 
 class TestSeriesTableRoundtrip:
+    def test_chunkmeta_function(self, spark, series_table):
+        # _filodb_chunkmeta_all (FiloFunctionId / SelectChunkInfosExec):
+        # row-group stats of the file-backed store through the engine
+        from filodb_spark.promql import PromQLEngine
+        from filodb_spark.promql.compiler import TsStore
+        eng = PromQLEngine(spark, TsStore.from_table(spark, series_table))
+        rows = eng.query_range("_filodb_chunkmeta_all(m)",
+                               1_700_000_000_000, 1_700_000_000_000, 1).collect()
+        assert rows and all(r["num_rows"] > 0 and r["ts_min"] is not None
+                            for r in rows)
+
     def test_roundtrip_values(self, spark, series_table):
         df = read_series_table(spark, series_table)
         assert df.count() == 100

@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame
 
 
 def _fmt(v: float) -> str:
-    # Prometheus sample values are strings; integral floats render bare
-    if v == int(v) and abs(v) < 1e15 and not math.isinf(v):
+    # Prometheus sample values are strings; integral floats render bare,
+    # infinities as +Inf/-Inf (PrometheusModel value rendering)
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
 

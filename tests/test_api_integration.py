@@ -55,3 +55,13 @@ class TestLifecycle:
         df = eng.query_range('{_ns_="purchase"}', hi, hi, 1000)
         names = {r["labels"]["__name__"] for r in df.collect()}
         assert names == {"purchase"}
+
+
+def test_fmt_prometheus_value_strings():
+    # Prometheus renders sample values as strings: bare integers,
+    # +Inf/-Inf for infinities (PrometheusModel value rendering)
+    from filodb_spark.api import _fmt
+    assert _fmt(5.0) == "5"
+    assert _fmt(2.5) == "2.5"
+    assert _fmt(float("inf")) == "+Inf"
+    assert _fmt(float("-inf")) == "-Inf"

@@ -726,21 +726,36 @@ class PromQLEngine:
     # ---- aggregation ----------------------------------------------------
 
     PREAGG_FNS = {"sum_over_time", "rate", "increase", "count_over_time"}
+    # min(min_over_time) / max(max_over_time) route to the preagg
+    # min/max columns (AggLpOptimization.scala:179-193)
+    PREAGG_MINMAX = {("min", "min_over_time"): ":min",
+                     ("max", "max_over_time"): ":max"}
 
     def _maybe_preagg_rewrite(self, e: A.Aggregation) -> A.Aggregation:
         """AggLpOptimization.optimizeWithPreaggregatedDataset: rewrite
-        sum(fn(m[w])) [by (...)] to the pre-aggregated metric when a rule
+        sum(fn(m[w])) [by (...)] — and min(min_over_time)/
+        max(max_over_time) — to the pre-aggregated metric when a rule
         retains every label the query touches. count_over_time becomes
         sum_over_time of the preagg count metric."""
         rules = self.store.agg_rules or {}
-        if e.op != "sum" or not self._preagg_enabled:
+        if e.op not in ("sum", "min", "max") or not self._preagg_enabled:
             return e
         f = e.expr
         if isinstance(f, A.Paren):
             f = f.expr
-        if not (isinstance(f, A.FunctionCall) and f.name in self.PREAGG_FNS
+        if not (isinstance(f, A.FunctionCall)
                 and len(f.args) == 1 and isinstance(f.args[0], A.MatrixSelector)):
             return e
+        if e.op == "sum":
+            if f.name not in self.PREAGG_FNS:
+                return e
+            col_suffix = ":count" if f.name == "count_over_time" else ""
+            fn_name = "sum_over_time" if f.name == "count_over_time" else f.name
+        else:
+            col_suffix = self.PREAGG_MINMAX.get((e.op, f.name))
+            if col_suffix is None:
+                return e
+            fn_name = f.name
         sel = f.args[0].base
         if sel.metric not in rules or e.without is not None:
             return e
@@ -750,12 +765,8 @@ class PromQLEngine:
         for rule in rules[sel.metric]:
             if rule.retains(touched):
                 import dataclasses
-                suffix = rule.suffix
-                fn_name = f.name
-                metric = preagg_metric_name(sel.metric, suffix)
-                if f.name == "count_over_time":
-                    fn_name = "sum_over_time"
-                    metric = preagg_metric_name(sel.metric, suffix + ":count")
+                metric = preagg_metric_name(sel.metric,
+                                            rule.suffix + col_suffix)
                 new_sel = dataclasses.replace(sel, metric=metric)
                 new_fn = A.FunctionCall(
                     fn_name, (dataclasses.replace(f.args[0], base=new_sel),))

@@ -28,6 +28,8 @@ def preagg_engine(spark):
     for job in ("web", "db"):
         series("m:::agg", {"job": job}, 100.0)
         series("m:::agg:count", {"job": job}, 7.0)
+        series("m:::agg:min", {"job": job}, 3.0)
+        series("m:::agg:max", {"job": job}, 200.0)
     df = spark.createDataFrame(
         rows, "labels map<string,string>, ts long, value double")
     store = TsStore(df, agg_rules={
@@ -71,6 +73,28 @@ class TestPreaggRouting:
             f'sum(sum_over_time(m{{job="web"}}{self.W}))',
             self.T, self.T, 10_000).collect()
         assert res[0]["value"] == 500.0  # preagg
+
+    def test_min_max_route_to_minmax_columns(self, preagg_engine):
+        # min(min_over_time) / max(max_over_time) -> :min/:max metrics
+        # (AggLpOptimization.scala:179-193)
+        res = preagg_engine.query_range(
+            f"min by (job) (min_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 3.0, "db": 3.0}   # from m:::agg:min
+        res = preagg_engine.query_range(
+            f"max by (job) (max_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 200.0, "db": 200.0}  # from m:::agg:max
+
+    def test_minmax_mismatched_fn_reads_raw(self, preagg_engine):
+        # min(max_over_time) must NOT route — falls back to raw (value 1)
+        res = preagg_engine.query_range(
+            f"min by (job) (max_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 1.0, "db": 1.0}
 
 
 class TestLongTimeRangeRouting:

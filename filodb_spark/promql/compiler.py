@@ -136,6 +136,9 @@ class TsStore:
     # on-disk location (set by from_table): enables the
     # _filodb_chunkmeta_all debug function
     table_path: str | None = None
+    # preagg freshness watermark (AggLpOptimization aggDelay analog):
+    # queries whose range ends after this instant read raw
+    preagg_ready_until_ms: int | None = None
     # ds-gauge rollup table (labels, ts, min, max, sum, count, avg) +
     # the instant before which raw data is no longer retained: queries
     # spanning the boundary split raw/DS and stitch
@@ -731,7 +734,8 @@ class PromQLEngine:
     PREAGG_MINMAX = {("min", "min_over_time"): ":min",
                      ("max", "max_over_time"): ":max"}
 
-    def _maybe_preagg_rewrite(self, e: A.Aggregation) -> A.Aggregation:
+    def _maybe_preagg_rewrite(self, e: A.Aggregation,
+                              grid: StepGrid | None = None) -> A.Aggregation:
         """AggLpOptimization.optimizeWithPreaggregatedDataset: rewrite
         sum(fn(m[w])) [by (...)] — and min(min_over_time)/
         max(max_over_time) — to the pre-aggregated metric when a rule
@@ -739,6 +743,11 @@ class PromQLEngine:
         sum_over_time of the preagg count metric."""
         rules = self.store.agg_rules or {}
         if e.op not in ("sum", "min", "max") or not self._preagg_enabled:
+            return e
+        # freshness guard (AggLpOptimization aggDelay: pre-aggregated data
+        # lags ingest): don't route queries that reach past the watermark
+        ready = self.store.preagg_ready_until_ms
+        if ready is not None and grid is not None and grid.end > ready:
             return e
         f = e.expr
         if isinstance(f, A.Paren):
@@ -774,7 +783,7 @@ class PromQLEngine:
         return e
 
     def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
-        e = self._maybe_preagg_rewrite(e)
+        e = self._maybe_preagg_rewrite(e, grid)
         v = self._vector(e.expr, grid)
         labels = F.col("labels")
         if "hist" in v.columns:

@@ -88,6 +88,25 @@ class TestPreaggRouting:
         vals = {r["labels"]["job"]: r["value"] for r in res}
         assert vals == {"web": 200.0, "db": 200.0}  # from m:::agg:max
 
+    def test_freshness_watermark_blocks_routing(self, spark, preagg_engine):
+        # AggLpOptimization aggDelay analog: a query range ending past
+        # the preagg watermark must read raw even when a rule matches
+        store = preagg_engine.store
+        import dataclasses
+        stale = dataclasses.replace(store, preagg_ready_until_ms=self.T - 1)
+        eng = PromQLEngine(spark, stale)
+        res = eng.query_range(
+            f"sum by (job) (sum_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        vals = {r["labels"]["job"]: r["value"] for r in res}
+        assert vals == {"web": 10.0, "db": 10.0}  # raw: 2 inst x 1.0 x 5
+        fresh = dataclasses.replace(store, preagg_ready_until_ms=self.T)
+        res = PromQLEngine(spark, fresh).query_range(
+            f"sum by (job) (sum_over_time(m{self.W}))",
+            self.T, self.T, 10_000).collect()
+        assert {r["labels"]["job"]: r["value"] for r in res} == \
+            {"web": 500.0, "db": 500.0}           # preagg again
+
     def test_minmax_mismatched_fn_reads_raw(self, preagg_engine):
         # min(max_over_time) must NOT route — falls back to raw (value 1)
         res = preagg_engine.query_range(

@@ -201,9 +201,24 @@ def q_tpch_q19(spark, sf_dir):
         .alias("revenue"))
 
 
+def q_tpch_q17(spark, sf_dir):
+    # small-quantity-order revenue: correlated avg-per-part subquery
+    # decorrelated into an aggregate + broadcast join
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    avg_q = (l.groupBy("l_partkey")
+             .agg((0.2 * F.avg("l_quantity")).alias("qty_thresh")))
+    j = (l.join(broadcast(p), l.l_partkey == p.p_partkey)
+         .join(avg_q, "l_partkey")
+         .where(F.col("l_quantity") < F.col("qty_thresh")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly"))
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q7": q_tpch_q7,
+    "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
     "tpch_q4": q_tpch_q4,
     "tpch_q14": q_tpch_q14,
@@ -234,6 +249,13 @@ FROM (
     AND l_shipdate <= TIMESTAMP '1997-12-31'
 )
 GROUP BY supp_nation, cust_nation, l_year""",
+    "tpch_q17": """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey) t ON l_partkey = t.pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_thresh""",
     "tpch_q19": """
 SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -20,6 +20,51 @@ from filodb_spark import api as render
 from filodb_spark import metadata as md
 
 
+def run_with_timeout(spark, fn, timeout_s: float | None):
+    """Per-query timeout (PerQueryLimits / ExecPlan.scala:214-226
+    enforcement analog): run fn in a worker thread under a dedicated
+    Spark job group; on timeout cancel the group's jobs and raise.
+    setJobGroup is thread-local, so concurrent requests are isolated."""
+    if not timeout_s:
+        return fn()
+    import threading
+    import uuid
+    group = f"query-{uuid.uuid4().hex[:12]}"
+    result: list = []
+    err: list = []
+
+    def work():
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "http query", interruptOnCancel=True)
+        try:
+            result.append(fn())
+        except Exception as ex:           # noqa: BLE001 — re-raised below
+            err.append(ex)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise TimeoutError(f"query exceeded {timeout_s}s deadline")
+    if err:
+        raise err[0]
+    return result[0]
+
+
+def _parse_timeout(q: dict) -> float | None:
+    """Prometheus `timeout=` request parameter: seconds, or a duration
+    like 30s/1m."""
+    raw = q.get("timeout")
+    if not raw:
+        return None
+    units = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}
+    for suffix, mult in units.items():
+        if raw.endswith(suffix) and raw[:-len(suffix)].replace(".", "").isdigit():
+            return float(raw[:-len(suffix)]) * mult
+    return float(raw)
+
+
 def make_handler(engine):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -72,13 +117,20 @@ def make_handler(engine):
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
                 path = url.path.rstrip("/")
+                timeout_s = _parse_timeout(q)
                 if path.endswith("/api/v1/query_range"):
-                    resp = render.query_range_api(
-                        engine, q["query"], float(q["start"]),
-                        float(q["end"]), float(q.get("step", "60")))
+                    resp = run_with_timeout(
+                        engine.spark,
+                        lambda: render.query_range_api(
+                            engine, q["query"], float(q["start"]),
+                            float(q["end"]), float(q.get("step", "60"))),
+                        timeout_s)
                 elif path.endswith("/api/v1/query"):
-                    resp = render.query_api(engine, q["query"],
-                                            float(q["time"]))
+                    resp = run_with_timeout(
+                        engine.spark,
+                        lambda: render.query_api(engine, q["query"],
+                                                 float(q["time"])),
+                        timeout_s)
                 elif path.endswith("/api/v1/labels"):
                     resp = {"status": "success",
                             "data": [r["label"] for r in
@@ -98,6 +150,9 @@ def make_handler(engine):
                 else:
                     return self._error(f"unknown endpoint {url.path}", 404)
                 self._send(resp)
+            except TimeoutError as ex:
+                self._send({"status": "error", "errorType": "timeout",
+                            "error": str(ex)}, 503)
             except (SyntaxError, ValueError, KeyError) as ex:
                 self._error(f"{type(ex).__name__}: {ex}")
             except Exception as ex:  # pragma: no cover

@@ -61,3 +61,36 @@ class TestHttpApi:
         with pytest.raises(urllib.error.HTTPError) as e:
             get(server, "/api/v1/nope")
         assert e.value.code == 404
+
+
+class TestQueryTimeout:
+    def test_run_with_timeout_mechanics(self, spark):
+        import time
+        from filodb_spark.http_server import run_with_timeout
+        # fast fn completes under deadline
+        assert run_with_timeout(spark, lambda: 42, 5.0) == 42
+        # no deadline -> direct call
+        assert run_with_timeout(spark, lambda: 7, None) == 7
+        # slow fn raises TimeoutError
+        with pytest.raises(TimeoutError):
+            run_with_timeout(spark, lambda: time.sleep(3) or 1, 0.2)
+        # exceptions propagate
+        with pytest.raises(ValueError, match="boom"):
+            run_with_timeout(spark, lambda: (_ for _ in ()).throw(
+                ValueError("boom")), 5.0)
+
+    def test_timeout_param_parsing(self):
+        from filodb_spark.http_server import _parse_timeout
+        assert _parse_timeout({}) is None
+        assert _parse_timeout({"timeout": "30"}) == 30.0
+        assert _parse_timeout({"timeout": "30s"}) == 30.0
+        assert _parse_timeout({"timeout": "500ms"}) == 0.5
+        assert _parse_timeout({"timeout": "2m"}) == 120.0
+
+    def test_http_timeout_param_accepted(self, server):
+        # generous deadline: query completes normally with timeout= set
+        status, resp = get(server, "/api/v1/query_range",
+                           query="count_over_time(purchase[24h])",
+                           start=1704153600, end=1704240000, step=21600,
+                           timeout="120s")
+        assert status == 200 and resp["status"] == "success"

@@ -36,6 +36,10 @@ def run_with_timeout(spark, fn, timeout_s: float | None):
     def work():
         sc = spark.sparkContext
         sc.setJobGroup(group, "http query", interruptOnCancel=True)
+        # per-query scheduler pool (FiloSchedulers/QueryActor isolation
+        # analog): under spark.scheduler.mode=FAIR each request's jobs
+        # share the cluster fairly; a no-op under FIFO
+        sc.setLocalProperty("spark.scheduler.pool", group)
         try:
             result.append(fn())
         except Exception as ex:           # noqa: BLE001 — re-raised below

@@ -63,6 +63,26 @@ _DS_REWRITE = {
 }
 
 
+def downsample_cascade(ds: DataFrame, series_cols: Sequence[str],
+                       resolution_ms: int,
+                       ts_col: str = "ts") -> DataFrame:
+    """Re-roll a ds-gauge table to a coarser resolution (the reference
+    runs a 5m AND a 1h downsampler; the 1h rollup is derivable from the
+    5m one because every ds-gauge aggregate re-aggregates exactly:
+    min(min), max(max), sum(sum), sum(count), avg = sum/count).
+    Bucketing keys on the bucket START of the source rows' tTime, so a
+    coarse bucket owns exactly the fine buckets that start inside it."""
+    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(resolution_ms)))
+    return (ds.withColumn("_bucket", bucket)
+            .groupBy(*series_cols, "_bucket")
+            .agg(F.max(ts_col).alias("ttime"),
+                 F.min("min").alias("min"), F.max("max").alias("max"),
+                 F.sum("sum").alias("sum"), F.sum("count").alias("count"))
+            .withColumn("avg", F.col("sum") / F.col("count"))
+            .withColumn("ts", F.col("ttime"))
+            .drop("_bucket"))
+
+
 def range_function_ds(ds: DataFrame, fn: str, series_cols: Sequence[str],
                       grid: StepGrid, window: int) -> DataFrame:
     """Evaluate a *_over_time function over a ds-gauge table with the

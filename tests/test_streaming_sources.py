@@ -62,6 +62,25 @@ class TestDownsample:
             ds_v = range_function_ds(ds, fn, ["series"], grid, window).first()["value"]
             assert ds_v == pytest.approx(raw_v), fn
 
+    def test_cascade_matches_direct_rollup(self, spark):
+        # 1h-from-5m must equal 1h-from-raw on every ds-gauge aggregate
+        # (the reference's two-resolution downsampler pipeline)
+        from filodb_spark.streaming.downsample import downsample_cascade
+        rows = [("a", i * 60_000, float((i * 7) % 13)) for i in range(120)]
+        raw = spark.createDataFrame(
+            rows, "series string, ts long, value double")
+        ds5 = downsample(raw, ["series"], 300_000)
+        via5 = {r["ts"] - r["ts"] % 3_600_000: r
+                for r in downsample_cascade(ds5, ["series"], 3_600_000)
+                .collect()}
+        direct = {r["ts"] - r["ts"] % 3_600_000: r
+                  for r in downsample(raw, ["series"], 3_600_000).collect()}
+        assert via5.keys() == direct.keys() and via5
+        for k in direct:
+            for c in ("min", "max", "sum", "count", "ttime"):
+                assert via5[k][c] == direct[k][c], (k, c)
+            assert via5[k]["avg"] == pytest.approx(direct[k]["avg"])
+
     def test_stitch(self, spark):
         raw = self._raw(spark)
         ds = downsample(raw, ["series"], 300_000)

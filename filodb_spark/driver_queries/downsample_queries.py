@@ -47,9 +47,23 @@ def q_ds_avg_rewrite(spark, sf_dir):
     return out.select("event_type", "t", F.round("_v", 6).alias("value"))
 
 
+def q_ds_cascade(spark, sf_dir):
+    # 24h rollup derived from the 6h rollup (downsample_cascade): must
+    # equal the direct 24h rollup — the oracle computes it from raw
+    from filodb_spark.streaming.downsample import downsample_cascade
+    ev = events_ts(spark, sf_dir)
+    ds6 = downsample(ev, ["event_type"], RES)
+    ds24 = downsample_cascade(ds6, ["event_type"], DAY)
+    return ds24.select("event_type", "ts", "ttime", "min", "max",
+                       F.round("sum", 2).alias("sum"), "count",
+                       F.round(F.round("sum", 2) / F.col("count"), 6)
+                       .alias("avg"))
+
+
 QUERIES = {
     "ds_rollup": q_ds_rollup,
     "ds_avg_rewrite": q_ds_avg_rewrite,
+    "ds_cascade": q_ds_cascade,
 }
 
 _ROLLUP_CTE = f"""
@@ -68,6 +82,21 @@ ds AS (
 
 ORACLES = {
     "ds_rollup": _ROLLUP_CTE + """
+SELECT event_type, ttime AS ts, ttime, "min", "max",
+       round("sum", 2) AS "sum", "count",
+       round(round("sum", 2) / "count", 6) AS "avg"
+FROM ds""",
+    "ds_cascade": f"""
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+ds AS (
+  SELECT event_type, ts - (ts % {DAY}) AS bucket,
+         max(ts) AS ttime, min(value) AS "min", max(value) AS "max",
+         sum(value) AS "sum", CAST(count(*) AS DOUBLE) AS "count"
+  FROM raw GROUP BY 1, 2
+)
 SELECT event_type, ttime AS ts, ttime, "min", "max",
        round("sum", 2) AS "sum", "count",
        round(round("sum", 2) / "count", 6) AS "avg"

@@ -44,14 +44,36 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return similarity.ivf_kmeans_topk(e, q, k=3)
 
 
+def q_emb_near_dup(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs, blocked by label (the
+    # within-block exact self-join the 100 TB path runs per LSH bucket)
+    e = _emb(spark, sf_dir)
+    return similarity.cosine_near_dup_pairs(e, 0.1, block_col="label")
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "emb_near_dup": q_emb_near_dup,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
 ORACLES = {
+    "emb_near_dup": """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) *
+              sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) /
+            (sqrt(list_inner_product(a.v, a.v)) *
+             sqrt(list_inner_product(b.v, b.v))), 6) >= 0.1""",
     "ann_bruteforce": """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

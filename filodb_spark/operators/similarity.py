@@ -126,6 +126,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  .select("qid", "nid", "rank", "sim"))
 
 
+def cosine_near_dup_pairs(corpus: DataFrame, threshold: float,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          block_col: str | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (d1 < d2) with
+    cosine >= threshold. With block_col, the self-join is an equi-join
+    within blocks (label, LSH bucket, shard …) — the scale path; without
+    it the join is exact but O(n²) (small corpora / per-bucket step).
+    Output: (d1, d2, sim)."""
+    a = corpus.select(F.col(id_col).alias("d1"),
+                      as_double(F.col(vec_col)).alias("v1"),
+                      *([F.col(block_col).alias("_b")] if block_col else []))
+    b = corpus.select(F.col(id_col).alias("d2"),
+                      as_double(F.col(vec_col)).alias("v2"),
+                      *([F.col(block_col).alias("_b")] if block_col else []))
+    cond = F.col("d1") < F.col("d2")
+    j = a.join(b, ["_b"]).where(cond) if block_col \
+        else a.crossJoin(b).where(cond)
+    sim = F.round(cosine(F.col("v1"), F.col("v2")), 6)
+    return (j.select("d1", "d2", sim.alias("sim"))
+             .where(F.col("sim") >= threshold))
+
+
 # --------------------------------------------------------------------------
 # k-means-trained IVF (the production path: real centroids, not sign hashes)
 # --------------------------------------------------------------------------

@@ -25,6 +25,21 @@ def q_doc_token_count(spark, sf_dir):
     return d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_doc_subword_count(spark, sf_dir):
+    # BPE-ish regex pre-tokenizer count (GPT-2 split-pattern shape)
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    text.subword_count(F.col("text")).alias("n_subwords"))
+
+
+def q_doc_rolling_fp(spark, sf_dir):
+    # rolling-hash (Rabin-Karp min over char 8-grams) fingerprint —
+    # plain modular arithmetic, reproduced exactly by the SQL oracle
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    text.rolling_fingerprint(F.col("text")).alias("fp"))
+
+
 def q_doc_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     t = F.col("text")
@@ -67,6 +82,8 @@ QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_count": q_doc_token_count,
+    "doc_subword_count": q_doc_subword_count,
+    "doc_rolling_fp": q_doc_rolling_fp,
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -82,6 +99,24 @@ ORACLES = {
     "doc_fingerprint": r"""
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
 FROM documents""",
+    # SQL literal: each ' in the regex doubles ('' = one quote char)
+    "doc_subword_count": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +')) AS n_subwords
+FROM documents""",
+    "doc_rolling_fp": """
+WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents)
+SELECT doc_id,
+       CASE WHEN length(trim(lt)) >= 8 THEN
+         list_min(list_transform(
+           generate_series(1, length(lt) - 7),
+           i -> list_reduce(
+                  list_transform(generate_series(i, i + 7),
+                                 j -> CAST(ascii(substring(lt, j, 1)) AS BIGINT)),
+                  (acc, c) -> (acc * 257 + c) % 1000000007)))
+       END AS fp
+FROM d""",
     "doc_token_count": r"""
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0

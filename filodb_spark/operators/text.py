@@ -53,6 +53,44 @@ def quality_score(text: Column) -> Column:
     return length_part * shape_part
 
 
+# GPT-2-style pre-tokenizer shape (contractions, letter runs, digit
+# runs, punctuation runs, residual whitespace) restricted to portable
+# regex constructs so the SQL oracle evaluates the identical pattern
+BPE_SPLIT_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                     r"| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +")
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer split
+    pattern. Approximates (upper-bounds the granularity of) a trained
+    BPE vocabulary's token count without shipping merges — the standard
+    cheap estimator for length filtering in training-data pipelines."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)) \
+        .cast("long")
+
+
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007        # products stay < 2^63 — portable SQL math
+
+
+def rolling_fingerprint(text: Column, k: int = 8) -> Column:
+    """Rolling-hash document fingerprint: the MINIMUM Rabin-Karp
+    polynomial hash over all character k-grams of the lowercased text
+    (winnowing with one global window). Robust to local edits anywhere
+    outside the minimizing gram — unlike whole-document hashes. The
+    arithmetic is plain modular integer math so any engine reproduces
+    it bit-for-bit. NULL for texts shorter than k."""
+    grams = char_shingles(text, k)
+    poly = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.sequence(F.lit(1), F.length(g)),
+            F.lit(0).cast("long"),
+            lambda acc, i: (acc * ROLL_BASE
+                            + F.ascii(F.substr(g, i, F.lit(1)))) % ROLL_MOD))
+    return F.when(F.length(F.trim(text)) >= k, F.array_min(poly))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, whitespace collapsed). Used for exact dedup across

@@ -296,6 +296,15 @@ def q_ts_mad_outlier(spark, sf_dir):
     return _rounded(_no_nan(out), None, ["event_type", "t"])
 
 
+def q_salted_sum(spark, sf_dir):
+    # two-phase salted aggregation (skew utility): per-event_type totals
+    # must equal a plain sum — rounded to absorb fold-order ulp noise
+    from filodb_spark.kernels.aggregations import salted_sum
+    ev = _events_cached(spark, sf_dir)
+    out = salted_sum(_no_nan(ev), ["event_type"])
+    return out.select("event_type", F.round("value", 4).alias("value"))
+
+
 def q_label_values(spark, sf_dir):
     ev = events_ts(spark, sf_dir, dedupe=False)
     return ev.select("event_type").distinct()
@@ -350,6 +359,7 @@ QUERIES = {
     "ts_mad_outlier": q_ts_mad_outlier,
     "ts_label_values": q_label_values,
     "ts_series_cardinality": q_series_cardinality,
+    "ts_salted_sum": q_salted_sum,
 }
 
 # ---------------------------------------------------------------------------
@@ -657,6 +667,12 @@ WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.t = grid.t)""",
     "ts_day_of_week": _simple_oracle(
         "CAST(dayofweek(to_timestamp(max(ts) / 1000.0)) AS DOUBLE)", None),
     "ts_label_values": "SELECT DISTINCT event_type FROM events",
+    "ts_salted_sum": """
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, round(sum(value), 4) AS value FROM raw GROUP BY 1""",
     "ts_series_cardinality":
         "SELECT event_type, count(DISTINCT user_id) AS card "
         "FROM events GROUP BY event_type",

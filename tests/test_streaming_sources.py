@@ -94,6 +94,41 @@ class TestDownsample:
 
 
 class TestStreamingIngest:
+    def test_checkpoint_restart_recovery(self, spark, tmp_path):
+        """Restart semantics (TimeSeriesShard offset-watermark recovery
+        analog): a second run from the same checkpoint processes only
+        new files, and dropDuplicates state persisted across the restart
+        drops re-sent records."""
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+
+        def write_batch(name, recs):
+            with open(src / name, "w") as f:
+                for r in recs:
+                    f.write(json.dumps({"value": json.dumps(r)}) + "\n")
+
+        def rec(i):
+            return {"metric": "m", "tags": {"job": "w"},
+                    "ts": 1_700_000_000_000 + i * 1000, "value": float(i)}
+
+        def run_once():
+            raw = spark.readStream.schema("value string").json(str(src))
+            q = start_ingest(parse_json_records(raw), str(out), str(ckpt),
+                             trigger_once=True)
+            q.awaitTermination(120)
+
+        write_batch("b1.json", [rec(i) for i in range(5)])
+        run_once()
+        assert spark.read.parquet(str(out)).count() == 5
+        # restart: 2 re-sent duplicates + 3 new records
+        write_batch("b2.json", [rec(0), rec(1), rec(5), rec(6), rec(7)])
+        run_once()
+        got = spark.read.parquet(str(out))
+        assert got.count() == 8            # dups dropped across restart
+        assert got.select("ts").distinct().count() == 8
+
     def test_file_stream_end_to_end(self, spark, tmp_path):
         src = tmp_path / "in"
         out = tmp_path / "out"

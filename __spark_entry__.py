@@ -5,7 +5,8 @@
 - ``queries()``: one entry per implemented operator (SURVEY.md §2 +
   training-data pipeline ops) — see filodb_spark.driver_queries.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for
-  genuinely approximate ops: MinHash-LSH, SimHash, IVF-ANN).
+  genuinely approximate ops: MinHash-LSH, SimHash, both IVF-ANN
+  variants).
 """
 
 from __future__ import annotations

@@ -296,6 +296,22 @@ def q_ts_mad_outlier(spark, sf_dir):
     return _rounded(_no_nan(out), None, ["event_type", "t"])
 
 
+def q_influx_roundtrip(spark, sf_dir):
+    """Influx line-protocol gateway path in the driver gate: format the
+    deduped events as protocol lines (measurement,tag field=v ts_ns),
+    parse them back with the pure-column parser, and compare to the
+    source — the oracle recomputes the source directly, so any parse
+    defect breaks the value hash."""
+    from filodb_spark.sources.influx import parse_influx_lines
+    ev = _events_cached(spark, sf_dir)
+    line = F.concat(F.lit("events,etype="), F.col("event_type"),
+                    F.lit(" value="), F.col("value").cast("string"),
+                    F.lit(" "), (F.col("ts") * 1_000_000).cast("string"))
+    parsed = parse_influx_lines(ev.select(line.alias("value")))
+    return parsed.select(F.col("labels")["etype"].alias("event_type"),
+                         "ts", F.round("value", 2).alias("value"))
+
+
 def q_salted_sum(spark, sf_dir):
     # two-phase salted aggregation (skew utility): per-event_type totals
     # must equal a plain sum — rounded to absorb fold-order ulp noise
@@ -360,6 +376,7 @@ QUERIES = {
     "ts_label_values": q_label_values,
     "ts_series_cardinality": q_series_cardinality,
     "ts_salted_sum": q_salted_sum,
+    "ts_influx_roundtrip": q_influx_roundtrip,
 }
 
 # ---------------------------------------------------------------------------
@@ -673,6 +690,12 @@ WITH raw AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, round(sum(value), 4) AS value FROM raw GROUP BY 1""",
+    "ts_influx_roundtrip": """
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ts, round(value, 2) AS value FROM raw""",
     "ts_series_cardinality":
         "SELECT event_type, count(DISTINCT user_id) AS card "
         "FROM events GROUP BY event_type",

@@ -312,6 +312,22 @@ def q_influx_roundtrip(spark, sf_dir):
                          "ts", F.round("value", 2).alias("value"))
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV source path (CsvStream.scala analog) in the driver gate:
+    write the deduped events as CSV, load them back through
+    read_csv_series into the universal (labels, ts, value) layout."""
+    import tempfile
+
+    from filodb_spark.sources.csv import read_csv_series
+    ev = _events_cached(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="csvsrc_") + "/ev"
+    (ev.select(F.col("event_type").alias("metric"), "ts", "value")
+       .write.mode("overwrite").option("header", "true").csv(tmp))
+    out = read_csv_series(spark, tmp, "metric", "ts", "value")
+    return out.select(F.col("labels")["__name__"].alias("event_type"),
+                      "ts", F.round("value", 2).alias("value"))
+
+
 def q_salted_sum(spark, sf_dir):
     # two-phase salted aggregation (skew utility): per-event_type totals
     # must equal a plain sum — rounded to absorb fold-order ulp noise
@@ -377,6 +393,7 @@ QUERIES = {
     "ts_series_cardinality": q_series_cardinality,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
+    "ts_csv_roundtrip": q_csv_roundtrip,
 }
 
 # ---------------------------------------------------------------------------
@@ -691,6 +708,12 @@ WITH raw AS (
 )
 SELECT event_type, round(sum(value), 4) AS value FROM raw GROUP BY 1""",
     "ts_influx_roundtrip": """
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ts, round(value, 2) AS value FROM raw""",
+    "ts_csv_roundtrip": """
 WITH raw AS (
   SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
   FROM events GROUP BY 1, 2

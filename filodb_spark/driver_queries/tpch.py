@@ -215,8 +215,278 @@ def q_tpch_q17(spark, sf_dir):
                  .alias("avg_yearly"))
 
 
+def q_tpch_q2(spark, sf_dir):
+    # minimum-cost supplier (correlated-min subquery shape). Fixture has
+    # no partsupp: unit cost := min(l_extendedprice / l_quantity) per
+    # (part, supplier) observed in lineitem; suppliers restricted to
+    # EUROPE as in the original's region predicate.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    supply = (
+        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("cost")))
+    minc = (supply.groupBy(F.col("l_partkey").alias("mc_partkey"))
+            .agg(F.min("cost").alias("min_cost")))
+    return (
+        supply.join(minc, (supply.l_partkey == minc.mc_partkey)
+                    & (supply.cost == minc.min_cost))
+        .join(broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.round("cost", 4).alias("cost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100))
+
+
+def q_tpch_q8(spark, sf_dir):
+    # national market share: NATION_3's share of PROMO-part revenue
+    # delivered into EUROPE customers, by order year.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31")))
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n1 = broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_regionkey").alias("n1_region")))
+    n2 = broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("supp_nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (l.join(broadcast(p), l.l_partkey == p.p_partkey)
+         .join(o, l.l_orderkey == o.o_orderkey)
+         .join(broadcast(c), o.o_custkey == c.c_custkey)
+         .join(n1, c.c_nationkey == F.col("n1_key"))
+         .join(broadcast(r), F.col("n1_region") == r.r_regionkey)
+         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+         .join(n2, s.s_nationkey == F.col("n2_key")))
+    return (j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(0.0)) / F.sum(vol), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+def q_tpch_q9(spark, sf_dir):
+    # product-type profit by nation and year. No partsupp: supply cost
+    # proxied as 0.1 * p_retailprice * l_quantity (keeps the
+    # profit-expression + two-fact join + (nation, year) rollup shape).
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc()))
+
+
+def q_tpch_q11(spark, sf_dir):
+    # important stock identification: per-part value from
+    # EUROPE-supplier lineitems, HAVING value > 1% of the total
+    # (scalar-subquery threshold shape).
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    supply = (l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+              .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(broadcast(r), n.n_regionkey == r.r_regionkey))
+    per_part = (supply.groupBy("l_partkey")
+                .agg(F.sum("l_extendedprice").alias("value")))
+    # threshold = 1.2x the mean per-part value (the original's
+    # 0.0001/SF fraction, made scale-invariant for the fixtures)
+    total = supply.agg(
+        (1.2 * F.sum("l_extendedprice")
+         / F.countDistinct("l_partkey")).alias("threshold"))
+    return (per_part.crossJoin(broadcast(total))
+            .where(F.col("value") > F.col("threshold"))
+            .select("l_partkey", F.round("value", 4).alias("value"))
+            .orderBy(F.col("value").desc(), "l_partkey"))
+
+
+def q_tpch_q12(spark, sf_dir):
+    # shipping-priority counts (fixture lacks l_shipmode/commitdate:
+    # l_linestatus stands in for shipmode, late := shipped > 30 days
+    # after order) — conditional-aggregation shape.
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("l_linestatus"))
+
+
+def q_tpch_q13(spark, sf_dir):
+    # customer order-count distribution: left outer join + two-level
+    # aggregation; urgent orders excluded (stand-in for the original's
+    # comment-pattern exclusion).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q15(spark, sf_dir):
+    # top supplier by quarterly revenue (revenue view + scalar-max
+    # selection).
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (l.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.crossJoin(broadcast(mx))
+            .where(F.col("total_revenue") == F.col("max_revenue"))
+            .join(broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_revenue", 4).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q16(spark, sf_dir):
+    # parts/supplier relationship: distinct-supplier counts per part
+    # attribute group; lineitem is the part-supplier bridge and
+    # low-balance suppliers are excluded via anti-join (the original's
+    # NOT IN complaint-supplier subquery).
+    s_bad = (_t(spark, sf_dir, "supplier")
+             .where(F.col("s_acctbal") < 1000)
+             .select(F.col("s_suppkey").alias("bad_suppkey")))
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#23")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(broadcast(s_bad), l.l_suppkey == F.col("bad_suppkey"),
+               "left_anti")
+        .join(broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"))
+
+
+def q_tpch_q20(spark, sf_dir):
+    # potential part promotion: nested semi-join chain. A supplier
+    # qualifies if for some 'small%' part their 1996 shipped quantity
+    # exceeds 30% of that part's total 1996 shipments (availqty
+    # analogue); suppliers restricted to EUROPE.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    l96 = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    per_ps = (l96.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("l_quantity").alias("qty")))
+    per_p = (l96.groupBy(F.col("l_partkey").alias("pp_partkey"))
+             .agg(F.sum("l_quantity").alias("total_qty")))
+    qual = (per_ps.join(per_p, F.col("l_partkey") == F.col("pp_partkey"))
+            .where(F.col("qty") > 0.3 * F.col("total_qty"))
+            .join(broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .select(F.col("l_suppkey").alias("q_suppkey")))
+    return (s.join(qual, s.s_suppkey == F.col("q_suppkey"), "left_semi")
+            .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    # suppliers who kept orders waiting: EXISTS(other supplier on the
+    # order) + NOT EXISTS(other late supplier) self-joins. Fixture lacks
+    # commit/receipt dates: late := shipped > 60 days after order.
+    s = _t(spark, sf_dir, "supplier")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    li = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .withColumn("late", F.col("l_shipdate")
+                      > F.date_add(F.col("o_orderdate"), 60)))
+    l1 = li.where(F.col("late"))
+    l2 = li.select(F.col("l_orderkey").alias("ok2"),
+                   F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("late")).select(F.col("l_orderkey").alias("ok3"),
+                                        F.col("l_suppkey").alias("sk3"))
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == F.col("ok2"))
+                & (l1.l_suppkey != F.col("sk2")), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("ok3"))
+              & (l1.l_suppkey != F.col("sk3")), "left_anti"))
+    return (waiting.join(broadcast(s), waiting.l_suppkey == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
+def q_tpch_q22(spark, sf_dir):
+    # global sales opportunity: scalar-avg threshold + anti-join on
+    # orders. Country code := c_nationkey (fixture has no phone);
+    # candidate countries = the ASIA nation keys; "no orders" adapted to
+    # "no premium order" (> 450000) so the anti-join is non-trivially
+    # selective at every fixture SF.
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(2, 7, 12, 17, 22))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 450000.0).select("o_custkey"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("cntrycode"))
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "tpch_q7": q_tpch_q7,
     "tpch_q17": q_tpch_q17,
     "tpch_q19": q_tpch_q19,
@@ -230,6 +500,159 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tpch_q2": """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey, s_name, s_acctbal, n_name)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       round(cost, 4) AS cost
+FROM supply
+JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size <= 10
+  AND cost = (SELECT min(cost) FROM supply s2
+              WHERE s2.l_partkey = supply.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q8": """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <= TIMESTAMP '1997-12-31'
+GROUP BY o_year ORDER BY o_year""",
+    "tpch_q9": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate) ORDER BY nation, o_year DESC""",
+    "tpch_q11": """
+WITH supply AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT l_partkey, round(sum(l_extendedprice), 4) AS value
+FROM supply
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > (SELECT 1.2 * sum(l_extendedprice)
+                                      / count(DISTINCT l_partkey)
+                               FROM supply)
+ORDER BY value DESC, l_partkey""",
+    "tpch_q12": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q15": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+    "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#23'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q20": """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey) ps
+    JOIN (
+      SELECT l_partkey AS pp_partkey, sum(l_quantity) AS total_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey) pp ON ps.l_partkey = pp.pp_partkey
+    JOIN part ON ps.l_partkey = p_partkey
+    WHERE qty > 0.3 * total_qty AND p_name LIKE 'small%')
+ORDER BY s_name""",
+    "tpch_q21": """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+    "tpch_q22": """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (2, 7, 12, 17, 22)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_nationkey IN (2, 7, 12, 17, 22))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 450000.0)
+GROUP BY cntrycode ORDER BY cntrycode""",
     "tpch_q7": """
 SELECT supp_nation, cust_nation, l_year,
        round(sum(volume), 4) AS revenue

@@ -100,6 +100,32 @@ class TestJoinShapes:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
 
+    def test_tpch_q21_semi_anti_joins(self, spark):
+        # EXISTS/NOT EXISTS compile to hash semi/anti joins on the order
+        # key — never a nested-loop over the fact table
+        from filodb_spark.driver_queries.tpch import q_tpch_q21
+        plan = plan_of(q_tpch_q21(spark, "/root/testdata/sf0.001"))
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_q2_min_cost_join_broadcasts_dims(self, spark):
+        from filodb_spark.driver_queries.tpch import q_tpch_q2
+        plan = plan_of(q_tpch_q2(spark, "/root/testdata/sf0.001"))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_tpch_scalar_subquery_broadcasts(self, spark):
+        # q11/q15/q22 join a 1-row scalar threshold: must be a broadcast
+        # (BroadcastNestedLoopJoin over one row is fine; a shuffled
+        # cartesian product is not)
+        from filodb_spark.driver_queries.tpch import (q_tpch_q11,
+                                                      q_tpch_q15,
+                                                      q_tpch_q22)
+        for q in (q_tpch_q11, q_tpch_q15, q_tpch_q22):
+            plan = plan_of(q(spark, "/root/testdata/sf0.001"))
+            assert "CartesianProduct" not in plan, q.__name__
+
     def test_minhash_band_join_no_cartesian(self, spark):
         from filodb_spark.operators import dedup
         docs = spark.read.parquet(

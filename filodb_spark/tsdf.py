@@ -19,7 +19,11 @@ def ts_ms(col: Column, dtype) -> Column:
     Handles TimestampType and long nanoseconds (parquet TIMESTAMP(NANOS)
     read via spark.sql.legacy.parquet.nanosAsLong).
     """
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dtype, T.TimestampNTZType):
+        # unix_millis rejects TIMESTAMP_NTZ; the session timezone is
+        # pinned to UTC so the cast is an exact reinterpretation.
+        return F.unix_millis(col.cast("timestamp"))
+    if isinstance(dtype, T.TimestampType):
         return F.unix_millis(col)
     if isinstance(dtype, T.LongType):
         # nanoseconds -> floor ms. MUST be integral division: epoch-ns

@@ -280,8 +280,10 @@ def pq_raw_matrix(spark, sf_dir):
 
 
 QUERIES = {
-    "pq_raw_matrix": pq_raw_matrix,
-    "pq_bool_compare": pq_bool_compare,
+    # Order matters: the driver's correctness gate covers the first 50
+    # registered queries overall; entries already driver-verified in a past
+    # round (pq_raw_matrix, pq_bool_compare in CORRECTNESS_r01) sort last so
+    # never-gated ones rotate into the window first.
     "pq_scalar_vector": pq_scalar_vector,
     "pq_hist_bucket_quantile": pq_hist_bucket_quantile,
     "pq_hist_struct_quantile": pq_hist_struct_quantile,
@@ -301,6 +303,8 @@ QUERIES = {
     "pq_set_unless": pq_set_unless,
     "pq_quantile_last": pq_quantile_last,
     "pq_label_join": pq_label_join,
+    "pq_raw_matrix": pq_raw_matrix,
+    "pq_bool_compare": pq_bool_compare,
 }
 
 # --- oracles ---------------------------------------------------------------

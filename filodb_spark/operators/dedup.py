@@ -24,14 +24,14 @@ from filodb_spark.operators.text import char_shingles, fingerprint
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Small-file inputs arrive as 1-2 partitions; the shingle explode +
-    hashing below is compute-bound, so spread it across the cluster
-    first (hash-partitioned by doc so downstream per-doc aggregation
-    needs no extra shuffle)."""
+    """Hash-repartition by doc id before the shingle explode: spreads the
+    compute-bound hashing across the cluster and pre-aligns with the
+    downstream per-doc aggregation, which reuses the partitioning instead
+    of shuffling the (much larger) exploded rows. Unconditional — probing
+    the current partition count via the RDD API would force an analyzer
+    pass per call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(id_col))
-    return df
+    return df.repartition(target, F.col(id_col))
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",

@@ -105,11 +105,14 @@ def char_shingles(text: Column, n: int = 3) -> Column:
     Expressed with transform(sequence(...)) so it stays JVM-side; used by
     the n-gram Jaccard and MinHash dedup operators.
     """
-    # substr is 1-based; i ranges 0..len-n
-    return F.array_distinct(F.expr(
-        f"transform(sequence(0, greatest(length(lower(text)) - {n}, -1)), "
-        f"i -> substr(lower(text), i + 1, {n}))"
-    ))
+    low = F.lower(text)
+    # substr is 1-based; i ranges 0..len-n. Texts shorter than n have no
+    # n-grams -> empty array (Spark's sequence(0, -1) would DESCEND, so
+    # guard explicitly; the SQL oracles guard with length(text) >= n).
+    grams = F.transform(F.sequence(F.lit(0), F.length(low) - n),
+                        lambda i: F.substr(low, i + 1, F.lit(n)))
+    return F.when(F.length(low) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 # minimal function-word profiles per language (deterministic heuristic;

@@ -68,6 +68,79 @@ def q_hist_bucket(spark, sf_dir):
     return h.select("event_type", "t", val.alias("value"))
 
 
+MIX_B = [3.0, 30.0, 300.0]          # coarser second scheme (layout change)
+MIX_UNION = sorted(set(LES) | set(MIX_B))
+INF = float("inf")
+
+
+def q_hist_mixed_sum(spark, sf_dir):
+    """Sum over histograms with two different bucket schemes for the same
+    metric (a mid-stream bucket-layout change): even-length event_types
+    observe into LES, odd-length into the coarser MIX_B. hist_sum
+    reconciles by projecting both onto the union grid (cum_at_le linear
+    interpolation — Histogram.scala:367-420 addNoCorrection's
+    scheme-merge branch generalized beyond exp schemes) before summing.
+    Output: one row per (t, union bound le) of the merged histogram."""
+    from filodb_spark.kernels.histogram import explode_hist
+    ev, grid = _series(spark, sf_dir)
+    ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
+    ha = bucketize(ex.where(F.length("event_type") % 2 == 0), ["t"], LES)
+    hb = bucketize(ex.where(F.length("event_type") % 2 == 1), ["t"], MIX_B)
+    summed = hist_sum(ha.unionByName(hb), ["t"],
+                      target_les=[*MIX_UNION, INF])
+    return (explode_hist(summed)
+            .where(F.col("bucket_le") != INF)
+            .select("t", F.col("bucket_le").alias("le"),
+                    F.round("value", 6).alias("value")))
+
+
+def _proj_sql(les: list, prefix: str, x: float) -> str:
+    """SQL mirror of cum_at_le for a scheme with cumulative conditional
+    counts {prefix}{i} over `les` (+ Inf top bucket = {prefix}tot) at
+    threshold x — identical arithmetic, term order included, so the
+    oracle is bit-exact against the Spark fold."""
+    import bisect
+    if x == INF:
+        return f"{prefix}tot"
+    if x in les:
+        return f"{prefix}{les.index(x)}"
+    j = bisect.bisect_left(les, x)
+    if j == len(les):               # above last finite bound, +Inf clamp
+        return f"{prefix}{len(les) - 1}"
+    lo_le = 0.0 if j == 0 else les[j - 1]
+    lo_c = "0.0" if j == 0 else f"{prefix}{j - 1}"
+    return (f"({lo_c} + ({prefix}{j} - {lo_c}) * "
+            f"(({x!r} - {lo_le!r}) / ({les[j]!r} - {lo_le!r})))")
+
+
+def _mixed_sum_sql() -> str:
+    def counts(les, prefix, parity):
+        sums = ",\n         ".join(
+            f"CAST(sum(CASE WHEN value <= {b!r} THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" AS {prefix}{i}" for i, b in enumerate(les))
+        return (f"SELECT t,\n         {sums},\n"
+                f"         CAST(count(*) AS DOUBLE) AS {prefix}tot\n"
+                f"  FROM w WHERE length(sk) % 2 = {parity} GROUP BY t")
+    rows = "\n  UNION ALL\n  ".join(
+        f"SELECT t, {x!r} AS le, round(coalesce({_proj_sql(LES, 'e', x)}, 0.0)"
+        f" + coalesce({_proj_sql(MIX_B, 'o', x)}, 0.0), 6) AS value FROM j"
+        for x in MIX_UNION)
+    return f""",
+he AS (
+  {counts(LES, 'e', 0)}
+),
+ho AS (
+  {counts(MIX_B, 'o', 1)}
+),
+j AS (
+  SELECT coalesce(he.t, ho.t) AS t, he.*EXCLUDE(t), ho.*EXCLUDE(t)
+  FROM he FULL JOIN ho ON he.t = ho.t
+)
+SELECT * FROM (
+  {rows}
+)"""
+
+
 def _quantile_case_sql(q: float, group: str, out_group: str) -> str:
     """CASE-chain mirror of Histogram.quantile over conditional-count
     buckets c0..cN (cumulative, cN = total)."""
@@ -96,6 +169,7 @@ SELECT {out_sel}, round({case}, 6) AS value FROM r"""
 
 
 QUERIES = {
+    "ts_hist_mixed_sum": q_hist_mixed_sum,
     "ts_hist_quantile": q_hist_quantile,
     "ts_hist_sum_quantile": q_hist_sum_quantile,
     "ts_hist_fraction": q_hist_fraction,
@@ -103,6 +177,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_hist_mixed_sum": _base(STEP, WINDOW) + _mixed_sum_sql(),
     "ts_hist_quantile": _base(STEP, WINDOW)
         + _quantile_case_sql(Q, "sk", "sk AS event_type"),
     "ts_hist_sum_quantile": _base(STEP, WINDOW) + _quantile_case_sql(Q, "", ""),

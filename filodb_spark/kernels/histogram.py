@@ -93,16 +93,111 @@ def hist_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                          [*series_cols, "t"])
 
 
+def cum_at_le(hist: Column, x: Column) -> Column:
+    """Projected cumulative count of `hist` at threshold `x`: exact when x
+    is one of the histogram's bounds, linear interpolation inside buckets
+    otherwise (from (0, 0) below the first bound); clamps to the last
+    finite bucket's count under a +Inf top bucket and returns the total at
+    x = +Inf. The per-bucket linear model is the same assumption
+    Histogram.quantile makes (Histogram.scala:62-112)."""
+    inf = F.lit(float("inf"))
+    return F.when(x == inf, F.element_at(hist["values"], -1)).otherwise(
+        F.aggregate(
+            F.zip_with(hist["les"], hist["values"],
+                       lambda l, v: F.struct(l.alias("le"), v.alias("v"))),
+            F.struct(F.lit(0.0).alias("prev_le"), F.lit(0.0).alias("prev_v"),
+                     F.lit(None).cast("double").alias("res")),
+            lambda acc, b: F.struct(
+                b["le"].alias("prev_le"), b["v"].alias("prev_v"),
+                F.when(acc["res"].isNotNull(), acc["res"])
+                 .when(x == b["le"], b["v"])
+                 .when(x < b["le"],
+                       F.when(b["le"] == inf, acc["prev_v"])
+                        .otherwise(acc["prev_v"] + (b["v"] - acc["prev_v"])
+                                   * ((x - acc["prev_le"])
+                                      / (b["le"] - acc["prev_le"]))))
+                 .otherwise(F.lit(None).cast("double")).alias("res")),
+            lambda acc: F.coalesce(acc["res"], acc["prev_v"])))
+
+
+def reconcile_hist(hist: Column, target_les: Sequence[float]) -> Column:
+    """Project a cumulative-LE histogram onto an explicit target bound
+    grid: value at each target bound = cum_at_le. Exact (no interpolation
+    error) whenever the target bounds are a subset of the source bounds —
+    the situation the reference's exponential-scheme merge engineers by
+    construction (Base2ExpHistogramBuckets.addValues,
+    Histogram.scala:809-840: a coarser scale's bounds are every 2^k-th of
+    the finer scale's)."""
+    les_col = F.array(*[F.lit(float(b)) for b in target_les])
+    vals = F.transform(les_col, lambda x: cum_at_le(hist, x))
+    return hist_struct(les_col, vals)
+
+
 def hist_sum(df: DataFrame, group_cols: Sequence[str],
-             hist_col: str = "hist") -> DataFrame:
+             hist_col: str = "hist",
+             target_les: Sequence[float] | None = None) -> DataFrame:
     """Bucket-wise sum of histograms across series
-    (HistSumRowAggregator.scala:1-34; bucket add Histogram.scala:322-420).
-    Requires compatible bucket schemes (mixed schemes: rows grouped by
-    their les array, like the reference's same-scheme requirement)."""
+    (HistSumRowAggregator.scala:1-34; add semantics
+    Histogram.scala:367-420 MutableHistogram.addNoCorrection).
+
+    Default (reference parity): groups whose histograms all share one
+    bucket scheme sum bucket-wise; a group mixing schemes yields an
+    all-NaN histogram, like addNoCorrection's mismatched-scheme branch.
+    (Deviation, documented: the reference's accumulate order determines
+    whose bounds the NaN histogram carries and later same-scheme adds can
+    resurrect it — order-dependent by its own TODO admission; we emit the
+    union grid with all-NaN values, deterministically.)
+
+    target_les: reconcile mixed schemes by projecting every histogram
+    onto this grid first (cum_at_le), then summing — the generalization
+    of the reference's exponential-scheme merge; exact when each
+    histogram's bounds are a subset of the target grid."""
+    if target_les is not None:
+        projected = df.select(
+            *group_cols, reconcile_hist(F.col(hist_col), target_les)
+            .alias(hist_col))
+        exploded = explode_hist(projected, hist_col)
+        summed = (exploded.groupBy(*group_cols, "bucket_le")
+                  .agg(F.sum("value").alias("value")))
+        return assemble_hist(summed, group_cols)
     exploded = explode_hist(df, hist_col)
     summed = (exploded.groupBy(*group_cols, "bucket_le")
               .agg(F.sum("value").alias("value")))
-    return assemble_hist(summed, group_cols)
+    # scheme check: >1 distinct les array in a group -> all-NaN values
+    schemes = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(hist_col)["les"]).alias("_n_schemes"))
+    out = assemble_hist(summed, group_cols).join(schemes, list(group_cols))
+    h = F.col("hist")
+    nan_hist = hist_struct(h["les"], F.transform(
+        h["values"], lambda _: F.lit(float("nan"))))
+    return out.select(*group_cols,
+                      F.when(F.col("_n_schemes") > 1, nan_hist)
+                       .otherwise(h).alias("hist"))
+
+
+def base2_exp_merged_scheme(
+        schemes: Sequence[tuple[int, int, int]],
+        max_pos_buckets: int = 180) -> tuple[int, int, int]:
+    """Merged OTel base-2 exponential scheme accommodating every input
+    scheme (scale, start_index, num_pos) — Base2ExpHistogramBuckets.add
+    (Histogram.scala:772-801): scale = min of inputs, bucket range = union
+    of input ranges, scale reduced further until the positive-bucket count
+    fits max_pos_buckets. Combine with base2_exp_les + hist_sum(
+    target_les=...) for the exp-scheme histogram merge; the coarser
+    scale's bounds are every 2^k-th of the finer's, so the projection is
+    an exact bucket-index remap (addValues, Histogram.scala:809-840)."""
+    # bucketTop(no) = base^(start_index + no); start top = top(1), end = top(num_pos)
+    start_tops = [2.0 ** (2.0 ** -s * (st + 1)) for s, st, n in schemes]
+    end_tops = [2.0 ** (2.0 ** -s * (st + n)) for s, st, n in schemes]
+    min_top, max_top = min(start_tops), max(end_tops)
+    new_scale = min(s for s, _, _ in schemes)
+    while True:
+        log_base = math.log(2.0) * (2.0 ** -new_scale)
+        end_i = math.ceil(math.log(max_top) / log_base) - 1    # inclusive
+        start_i = math.floor(math.log(min_top) / log_base) - 1
+        if end_i - start_i + 1 <= max_pos_buckets:
+            return new_scale, start_i, end_i - start_i + 1
+        new_scale -= 1
 
 
 def base2_exp_les(scale: int, start_index: int, num_pos: int) -> list[float]:
@@ -110,8 +205,12 @@ def base2_exp_les(scale: int, start_index: int, num_pos: int) -> list[float]:
     bounds (Base2ExpHistogramBuckets, Histogram.scala:655-700):
     base = 2^(2^-scale); bucket 0 is the zero bucket, then
     top(i) = base^(start_index + i) for i = 1..num_pos."""
-    base = 2.0 ** (2.0 ** -scale)
-    return [0.0] + [base ** (start_index + i) for i in range(1, num_pos + 1)]
+    # 2^(k * 2^-scale) rather than base**k: the exponent k * 2^-scale is a
+    # dyadic rational (exact in double), so the same bound computed under
+    # two different scales yields the SAME double — which makes the
+    # coarse-grid projection in hist_sum(target_les=...) an exact lookup
+    return [0.0] + [2.0 ** ((start_index + i) * 2.0 ** -scale)
+                    for i in range(1, num_pos + 1)]
 
 
 def hist_quantile(q: Column | float, hist: Column,

@@ -146,3 +146,89 @@ class TestExponentialBuckets:
             "histogram_quantile(0.5, last_over_time(exph[30s]))",
             t, t, 10_000).collect()
         assert res[0]["value"] == pytest.approx(2 ** 1.5)
+
+
+class TestMixedSchemeSum:
+    """hist_sum over heterogeneous bucket schemes
+    (MutableHistogram.addNoCorrection, Histogram.scala:367-420)."""
+
+    def test_strict_mixed_schemes_nan(self, spark):
+        # mismatched non-exp schemes -> all-NaN histogram (reference parity)
+        df = hist_df(spark, [("a", [1.0, INF], [1.0, 2.0]),
+                             ("b", [2.0, INF], [3.0, 4.0])])
+        out = hist_sum(df.withColumn("g", F.lit("x")), ["g"]).first()["hist"]
+        assert all(math.isnan(v) for v in out["values"])
+
+    def test_strict_same_scheme_untouched(self, spark):
+        les = [1.0, 2.0, INF]
+        df = hist_df(spark, [("a", les, [1.0, 2.0, 3.0]),
+                             ("b", les, [1.0, 1.0, 1.0]),
+                             ("c", les, [0.0, 2.0, 5.0])])
+        out = hist_sum(df.withColumn("g", F.lit("x")), ["g"]).first()["hist"]
+        assert list(out["les"]) == les
+        assert list(out["values"]) == [2.0, 5.0, 9.0]
+
+    def test_reconcile_subset_grid_exact(self, spark):
+        # fine scheme projected onto coarse grid that is a subset of its
+        # bounds: exact bucket-index remap, no interpolation error
+        fine = [1.0, 2.0, 4.0, 8.0, INF]
+        coarse = [2.0, 8.0, INF]
+        df = hist_df(spark, [("a", fine, [1.0, 3.0, 5.0, 7.0, 9.0]),
+                             ("b", coarse, [2.0, 4.0, 6.0])])
+        out = hist_sum(df.withColumn("g", F.lit("x")), ["g"],
+                       target_les=coarse).first()["hist"]
+        assert list(out["les"]) == coarse
+        # a projects exactly: cum(2)=3, cum(8)=7, cum(inf)=9
+        assert list(out["values"]) == [5.0, 11.0, 15.0]
+
+    def test_reconcile_interpolates_between_bounds(self, spark):
+        df = hist_df(spark, [("a", [2.0, 4.0, INF], [10.0, 20.0, 20.0])])
+        out = hist_sum(df.withColumn("g", F.lit("x")), ["g"],
+                       target_les=[1.0, 3.0, INF]).first()["hist"]
+        # cum(1) = 10 * 1/2 = 5; cum(3) = 10 + 10*(3-2)/(4-2) = 15
+        assert out["values"][0] == pytest.approx(5.0)
+        assert out["values"][1] == pytest.approx(15.0)
+        assert out["values"][2] == 20.0  # total
+
+    def test_base2_exp_merged_scheme(self, spark):
+        from filodb_spark.kernels.histogram import (base2_exp_les,
+                                                    base2_exp_merged_scheme)
+        # same scale, overlapping ranges -> union range, same scale
+        s = base2_exp_merged_scheme([(0, 0, 3), (0, 2, 3)])
+        assert s == (0, 0, 5)
+        # different scales -> min scale; start floored to cover the finer
+        # scheme's first bound (sqrt2 -> bucket top 1.0 at scale 0)
+        s2 = base2_exp_merged_scheme([(1, 0, 4), (0, 0, 3)])
+        assert s2 == (0, -1, 4)
+        merged_les = base2_exp_les(*s2)
+        assert merged_les == [0.0, 1.0, 2.0, 4.0, 8.0]
+        # in-range merged bounds are bitwise-identical to finer-scale
+        # bounds (dyadic-exponent computation) -> exact projection
+        fine_les = base2_exp_les(1, 0, 4)
+        assert set(merged_les[2:]) - {8.0} <= set(fine_les)
+        # bucket-count cap forces scale reduction
+        s3 = base2_exp_merged_scheme([(3, 0, 100), (3, 700, 100)],
+                                     max_pos_buckets=180)
+        assert s3[0] < 3
+        assert s3[2] <= 180
+
+    def test_exp_merge_end_to_end(self, spark):
+        from filodb_spark.kernels.histogram import (base2_exp_les,
+                                                    base2_exp_merged_scheme)
+        # two exp schemes: scale 1 (sqrt2 base) and scale 0 (base 2)
+        a_scheme, b_scheme = (1, 0, 4), (0, 0, 3)
+        a_les = base2_exp_les(*a_scheme)   # [0, r2, 2, 2r2, 4]
+        b_les = base2_exp_les(*b_scheme)   # [0, 2, 4, 8]
+        df = hist_df(spark, [("a", a_les, [1.0, 2.0, 3.0, 4.0, 5.0]),
+                             ("b", b_les, [10.0, 20.0, 30.0, 40.0])])
+        merged = base2_exp_merged_scheme([a_scheme, b_scheme])
+        out = hist_sum(df.withColumn("g", F.lit("x")), ["g"],
+                       target_les=base2_exp_les(*merged)).first()["hist"]
+        vals = list(out["values"])
+        # merged (0, -1, 4): les [0, 1, 2, 4, 8]
+        # a: cum(0)=1, cum(1)=1+1*(1/sqrt2)~1.707 (below-range interp),
+        #    cum(2)=3 exact, cum(4)=5 exact, cum(8)=5 (clamp above range)
+        # b: 10, 15 (in-bucket interp), 20, 30, 40
+        assert vals[0] == 11.0
+        assert vals[1] == pytest.approx(1 + 2 ** -0.5 + 15.0)
+        assert vals[2:] == [23.0, 35.0, 45.0]

@@ -172,3 +172,52 @@ class TestMaxQuantile:
         # bucket rates keep shape; rank in +Inf bucket -> interpolate to
         # window-max 3.5: same 3.2 as counts are proportional
         assert res[0]["value"] == pytest.approx(3.2)
+
+
+class TestMixedSchemeThroughEngine:
+    """sum() over histogram series with heterogeneous bucket schemes:
+    reference parity = all-NaN result histogram (addNoCorrection's
+    mismatched-scheme branch, Histogram.scala:367-420)."""
+
+    def test_sum_mixed_schemes_is_nan(self, spark):
+        import math
+        rows = []
+        for job, les in [("a", [1.0, 2.0, INF]), ("b", [1.5, 3.0, INF])]:
+            for i in range(3):
+                vals = [float(i), float(2 * i), float(3 * i)]
+                rows.append(({"__name__": "lat_mixed", "job": job},
+                             T0 + i * 10_000, float(i), float(i),
+                             (les, vals)))
+        hist_df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        gauge_df = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        eng = PromQLEngine(spark, TsStore(gauge_df, hist_df=hist_df,
+                                          hist_metrics=("lat_mixed",)))
+        t = T0 + 20_000
+        res = eng.query_range("sum(lat_mixed)", t, t, 10_000).collect()
+        assert len(res) == 1
+        assert all(math.isnan(v) for v in res[0]["hist"]["values"])
+        # and quantile over the NaN histogram is NaN, not garbage
+        q = eng.query_range("histogram_quantile(0.9, sum(lat_mixed))",
+                            t, t, 10_000).collect()
+        assert len(q) == 1 and math.isnan(q[0]["value"])
+
+    def test_sum_same_scheme_unaffected(self, spark):
+        rows = []
+        for job in ["a", "b"]:
+            rows.append(({"__name__": "lat_same", "job": job}, T0,
+                         1.0, 1.0, ([1.0, INF], [1.0, 2.0])))
+        hist_df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        gauge_df = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        eng = PromQLEngine(spark, TsStore(gauge_df, hist_df=hist_df,
+                                          hist_metrics=("lat_same",)))
+        res = eng.query_range("sum(lat_same)", T0, T0, 10_000).collect()
+        assert len(res) == 1
+        assert list(res[0]["hist"]["values"]) == [2.0, 4.0]

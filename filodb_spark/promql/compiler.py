@@ -216,13 +216,17 @@ class PromQLEngine:
 
     def __init__(self, spark: SparkSession, store: TsStore,
                  lookback_ms: int = STALE_SAMPLE_AFTER_MS,
-                 retention_floor_ms: int | None = None):
+                 retention_floor_ms: int | None = None,
+                 groupby_cardinality_limit: int | None = None):
         self.spark = spark
         self.store = store
         self.lookback_ms = lookback_ms
         # boundToStartTimeToEarliestRetained
         # (SingleClusterPlanner.scala:873-897)
         self.retention_floor_ms = retention_floor_ms
+        # enforcedLimits.groupByCardinality
+        # (AggrOverRangeVectors.scala:236-253); None = unenforced
+        self.groupby_cardinality_limit = groupby_cardinality_limit
         self._preagg_enabled = True
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
@@ -782,6 +786,29 @@ class PromQLEngine:
                 return dataclasses.replace(e, expr=new_fn)
         return e
 
+    def _enforce_groupby_limit(self, grouped: DataFrame, out: DataFrame,
+                               value_field: str = "value") -> DataFrame:
+        """Group-by cardinality limit (AggrOverRangeVectors.scala:236-253)
+        in the same lazy assert_true pattern as the join duplicate-key
+        check: union a frame that is empty while the distinct-group count
+        stays within the limit, so a violation raises DURING execution —
+        no separate driver action."""
+        lim = self.groupby_cardinality_limit
+        if lim is None:
+            return out
+        viol = (grouped.agg(F.count_distinct("_gk").alias("_n"))
+                .where(F.col("_n") > lim))
+        err = F.assert_true(
+            F.lit(False),
+            F.concat(F.lit(f"Query exceeded group-by cardinality limit "
+                           f"{lim} (got "), F.col("_n").cast("string"),
+                     F.lit(" groups). Try applying more filters or reduce "
+                           "query range.")))
+        return out.unionByName(viol.select(
+            F.lit(None).cast("map<string,string>").alias("labels"),
+            F.lit(0).cast("long").alias("t"),
+            err.cast(out.schema[value_field].dataType).alias(value_field)))
+
     def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
         e = self._maybe_preagg_rewrite(e, grid)
         v = self._vector(e.expr, grid)
@@ -802,7 +829,9 @@ class PromQLEngine:
                  .withColumn("_gk", bin_k.canonical_labels(nl))
             out = hist_sum(v, ["_gk", "t"])
             lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
-            return out.join(lab, "_gk").select("labels", "t", "hist")
+            return self._enforce_groupby_limit(
+                v, out.join(lab, "_gk").select("labels", "t", "hist"),
+                "hist")
         if e.by is not None:
             new_labels = F.map_filter(labels, lambda k, _: k.isin([*e.by]))
         elif e.without is not None:
@@ -817,7 +846,8 @@ class PromQLEngine:
             v = (v.withColumn("_gk", bin_k.canonical_labels(new_labels))
                   .withColumn("_sk", bin_k.canonical_labels(labels)))
             out = agg_k.topk(v, k, ["_gk"], ["_sk"], bottom=e.op == "bottomk")
-            return out.select("labels", "t", "value")
+            return self._enforce_groupby_limit(
+                v, out.select("labels", "t", "value"))
         v = v.withColumn("labels", new_labels) \
              .withColumn("_gk", bin_k.canonical_labels(new_labels))
         if e.op == "count_values":
@@ -833,11 +863,13 @@ class PromQLEngine:
                      .groupBy("_gk", "t")
                      .agg(F.first("labels").alias("labels"),
                           F.count(F.lit(1)).cast("double").alias("value")))
-            return out.select("labels", "t", "value")
+            return self._enforce_groupby_limit(
+                v2, out.select("labels", "t", "value"))
         params = (self._const(e.param),) if e.param is not None else ()
         out = agg_k.aggregate(v, e.op, ["_gk"], params=params,
                               carry_cols=["labels"])
-        return out.select("labels", "t", "value")
+        return self._enforce_groupby_limit(
+            v, out.select("labels", "t", "value"))
 
     # ---- binary ---------------------------------------------------------
 

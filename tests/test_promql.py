@@ -359,3 +359,44 @@ class TestTopLevelSubquery:
         assert ts == [T0 + 60_000, T0 + 80_000, T0 + 100_000, T0 + 120_000]
         vals = {rt: v for _, rt, v in res}
         assert vals[T0 + 120_000] == 12.0  # last sample at each instant
+
+
+class TestGroupByCardinalityLimit:
+    """enforcedLimits.groupByCardinality
+    (AggrOverRangeVectors.scala:236-253): raised lazily during execution
+    via the assert_true pattern — no extra driver action."""
+
+    @pytest.fixture(scope="class")
+    def limited_engine(self, spark):
+        rows = []
+        for inst in range(4):
+            for i in range(3):
+                rows.append(({"__name__": "m", "job": "web",
+                              "inst": str(inst)}, T0 + i * 10_000, float(i)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        return PromQLEngine(spark, TsStore(df),
+                            groupby_cardinality_limit=2)
+
+    def test_within_limit_passes(self, limited_engine):
+        out = limited_engine.query_range("sum by (job) (m)",
+                                         T0 + 20_000, T0 + 20_000, 10_000)
+        assert out.count() == 1  # 1 group <= 2
+
+    def test_violation_raises_during_execution(self, limited_engine):
+        out = limited_engine.query_range("sum by (inst) (m)",
+                                         T0 + 20_000, T0 + 20_000, 10_000)
+        with pytest.raises(Exception, match="group-by cardinality limit"):
+            out.collect()
+
+    def test_topk_bucketing_counts_groups(self, limited_engine):
+        out = limited_engine.query_range("topk by (inst) (1, m)",
+                                         T0 + 20_000, T0 + 20_000, 10_000)
+        with pytest.raises(Exception, match="group-by cardinality limit"):
+            out.collect()
+
+    def test_unlimited_by_default(self, spark, limited_engine):
+        eng = PromQLEngine(spark, limited_engine.store)
+        out = eng.query_range("sum by (inst) (m)",
+                              T0 + 20_000, T0 + 20_000, 10_000)
+        assert out.count() == 4

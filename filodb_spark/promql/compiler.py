@@ -684,8 +684,9 @@ class PromQLEngine:
             dst, repl, src, regex = (self._str(a) for a in e.args[1:5])
             src_val = F.coalesce(labels[src], F.lit(""))
             anchored = f"^(?:{regex})$"
-            new_val = F.regexp_replace(src_val, anchored,
-                                       repl.replace("$", "$"))
+            # PromQL's $1..$n group references match Java's regexp_replace
+            # syntax directly — no translation needed
+            new_val = F.regexp_replace(src_val, anchored, repl)
             matches = src_val.rlike(anchored)
             updated = F.when(
                 matches & (new_val != ""),

@@ -20,8 +20,17 @@ def ts_ms(col: Column, dtype) -> Column:
     read via spark.sql.legacy.parquet.nanosAsLong).
     """
     if isinstance(dtype, T.TimestampNTZType):
-        # unix_millis rejects TIMESTAMP_NTZ; the session timezone is
-        # pinned to UTC so the cast is an exact reinterpretation.
+        # unix_millis rejects TIMESTAMP_NTZ; the cast below reinterprets
+        # in the SESSION timezone, so it is only exact under UTC. Fail
+        # fast instead of silently shifting epochs when called from a
+        # session that did not come through filodb_spark.session.get_spark.
+        active = SparkSession.getActiveSession()
+        tz = active.conf.get("spark.sql.session.timeZone") if active else None
+        if tz != "UTC":
+            raise RuntimeError(
+                f"ts_ms on TIMESTAMP_NTZ requires spark.sql.session."
+                f"timeZone=UTC (got {tz!r}); create the session via "
+                "filodb_spark.session.get_spark")
         return F.unix_millis(col.cast("timestamp"))
     if isinstance(dtype, T.TimestampType):
         return F.unix_millis(col)

@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+# The exact frame Spark's kafka source emits (Structured Streaming Kafka
+# Integration Guide). Tests without a broker replay files of this shape
+# through kafka_frame_to_records, so everything downstream of .load() is
+# identical to the live-broker path.
+KAFKA_WIRE_SCHEMA = ("key binary, value binary, topic string, "
+                     "partition int, offset long, timestamp timestamp, "
+                     "timestampType int")
+
+
 def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     """Kafka ingestion stream (KafkaIngestionStream.scala equivalent).
     Payload: JSON {metric, tags, ts, value} per record."""
@@ -32,6 +41,15 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
            .option("subscribe", topic)
            .option("startingOffsets", "earliest")
            .load())
+    return kafka_frame_to_records(raw)
+
+
+def kafka_frame_to_records(raw: DataFrame) -> DataFrame:
+    """Kafka wire frame (KAFKA_WIRE_SCHEMA columns) -> universal record
+    layout (labels, ts, value). Shared by the live-broker source and the
+    broker-less e2e tests; the only delta a real broker adds is the
+    consumer itself (connection, offset tracking — which Structured
+    Streaming checkpoints own anyway)."""
     return parse_json_records(raw.select(F.col("value").cast("string")))
 
 

@@ -42,6 +42,11 @@ def get_spark(app_name: str = "filodb-spark", master: str | None = None,
         # Spark's parquet reader rejects by default; read as long (ns)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # bucketed series tables (sources/table.py) exist precisely for
+        # planning-time bucket pruning; the DisableUnnecessaryBucketedScan
+        # rule would trade that away for file-split parallelism
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

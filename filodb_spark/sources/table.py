@@ -24,28 +24,69 @@ from filodb_spark.kernels.binary import canonical_labels
 SHARD_KEY_LABELS = ("_ws_", "_ns_")
 
 
-def write_series_table(df: DataFrame, path: str,
-                       shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
-                       mode: str = "overwrite") -> None:
-    """Write (labels, ts, value...) to a partitioned parquet table.
-
-    Shard-key labels and the UTC date become physical partition columns;
-    rows are sorted by (metric, series, ts) within partitions.
-    """
+def _prepped(df: DataFrame, shard_labels: tuple[str, ...]) -> DataFrame:
     out = df
     for lab in shard_labels:
         out = out.withColumn(lab, F.coalesce(F.col("labels")[lab],
                                              F.lit("__none__")))
-    out = (out.withColumn("date",
-                          F.date_format(F.timestamp_millis(F.col("ts")),
-                                        "yyyy-MM-dd"))
-              .withColumn("_metric", F.col("labels")["__name__"])
-              .withColumn("_sk", canonical_labels(F.col("labels"))))
-    (out.repartition(*[F.col(c) for c in [*shard_labels, "date"]])
+    return (out.withColumn("date",
+                           F.date_format(F.timestamp_millis(F.col("ts")),
+                                         "yyyy-MM-dd"))
+               .withColumn("_metric", F.col("labels")["__name__"])
+               .withColumn("_sk", canonical_labels(F.col("labels"))))
+
+
+def write_series_table(df: DataFrame, path: str,
+                       shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
+                       mode: str = "overwrite",
+                       files_per_partition: int | None = None) -> None:
+    """Write (labels, ts, value...) to a partitioned parquet table.
+
+    Shard-key labels and the UTC date become physical partition columns;
+    rows are sorted by (metric, series, ts) within partitions.
+
+    files_per_partition: at scale one (ws, ns, date) directory is far too
+    big for a single task/file — set this to also split each directory by
+    a series-hash so every file stays executor-sized while (metric,
+    series, ts) sorting inside each file keeps row-group min/max skipping
+    tight. Series rows never straddle files within a directory.
+    """
+    out = _prepped(df, shard_labels)
+    keys = [F.col(c) for c in [*shard_labels, "date"]]
+    if files_per_partition:
+        keys.append(F.pmod(F.xxhash64(F.col("_sk")),
+                           F.lit(files_per_partition)))
+    (out.repartition(*keys)
         .sortWithinPartitions("_metric", "_sk", "ts")
         .write.mode(mode)
         .partitionBy(*shard_labels, "date")
         .parquet(path))
+
+
+def write_series_table_bucketed(df: DataFrame, table_name: str,
+                                n_buckets: int = 32,
+                                shard_labels: tuple[str, ...]
+                                = SHARD_KEY_LABELS,
+                                mode: str = "overwrite") -> None:
+    """Bucketed variant: files within each (ws, ns, date) directory are
+    hash-bucketed by metric and sorted by (metric, series, ts).
+
+    This is the storage-level replacement for the reference's per-shard
+    part-key index lookup (PartKeyLuceneIndex.partIdsFromFilters): a
+    metric-equality query prunes to 1 bucket in n_buckets at PLANNING
+    time (SelectedBucketsCount in the scan node) — it never opens the
+    other files' footers — and the sort bounds the row groups read inside
+    the surviving bucket. Requires saveAsTable (bucket metadata lives in
+    the catalog)."""
+    out = _prepped(df, shard_labels)
+    (out.repartition(*[F.col(c) for c in [*shard_labels, "date"]],
+                     F.pmod(F.xxhash64(F.col("_metric")), F.lit(n_buckets)))
+        .write.mode(mode)
+        .partitionBy(*shard_labels, "date")
+        .bucketBy(n_buckets, "_metric")
+        .sortBy("_metric", "_sk", "ts")
+        .format("parquet")
+        .saveAsTable(table_name))
 
 
 def read_series_table(spark: SparkSession, path: str) -> DataFrame:

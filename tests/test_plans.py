@@ -153,3 +153,65 @@ class TestSeriesTableRoundtrip:
         sub = df.where((F.col("_ns_") == "App-1")
                        & (F.col("labels")["inst"] == "3"))
         assert sub.count() == 10
+
+
+class TestBucketedStorage:
+    """write_series_table_bucketed: metric-equality queries must prune to
+    a single bucket at planning time (the storage-level analog of the
+    reference's part-key index lookup) — SelectedBucketsCount in the scan
+    proves files outside the owning bucket are never opened."""
+
+    N_BUCKETS = 8
+
+    @pytest.fixture(scope="class")
+    def bucketed_table(self, spark):
+        rows = []
+        for m in [f"metric_{i}" for i in range(10)]:
+            for i in range(20):
+                rows.append(({"__name__": m, "_ws_": "demo", "_ns_": "App-0",
+                              "inst": str(i % 3)},
+                             1_700_000_000_000 + i * 60_000, float(i)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        from filodb_spark.sources.table import write_series_table_bucketed
+        name = "t_bucketed_plan_test"
+        write_series_table_bucketed(df, name, n_buckets=self.N_BUCKETS)
+        yield name
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def test_single_metric_prunes_buckets(self, spark, bucketed_table):
+        df = spark.table(bucketed_table).where(F.col("_metric") == "metric_3")
+        plan = plan_of(df)
+        assert f"SelectedBucketsCount: 1 out of {self.N_BUCKETS}" in plan
+        assert df.count() == 20
+
+    def test_no_filter_reads_all_buckets(self, spark, bucketed_table):
+        plan = plan_of(spark.table(bucketed_table))
+        assert "SelectedBucketsCount: 1 out of" not in plan
+
+    def test_file_split_plain_table(self, spark, tmp_path):
+        # files_per_partition bounds per-file size: each (ws,ns,date) dir
+        # gets several series-hash-split files instead of one giant file
+        rows = [({"__name__": "m", "_ws_": "w", "_ns_": "n",
+                  "inst": str(i)}, 1_700_000_000_000 + (i % 7) * 60_000,
+                 float(i)) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        p = str(tmp_path / "split")
+        # AQE coalescing rightly re-merges tiny partitions at fixture
+        # scale (at real scale it sizes them to the advisory partition
+        # bytes); disable it to observe the salt split itself
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "false")
+        try:
+            write_series_table(df, p, files_per_partition=4)
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                           "true")
+        import glob
+        files = glob.glob(f"{p}/_ws_=w/_ns_=n/date=*/*.parquet")
+        # salts hash into shuffle partitions, so collisions can merge
+        # some; the contract is that the directory is split at all
+        assert 2 <= len(files) <= 4
+        got = spark.read.parquet(p)
+        assert got.count() == 200

@@ -32,7 +32,8 @@ def q_hist_sum_quantile(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
     ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
     h = bucketize(ex, ["event_type", "t"], LES)
-    summed = hist_sum(h, ["t"])
+    # one bucketize -> identical schemes by construction
+    summed = hist_sum(h, ["t"], check_schemes=False)
     return summed.select("t",
                          F.round(hist_quantile(Q, F.col("hist")), 6)
                          .alias("value"))

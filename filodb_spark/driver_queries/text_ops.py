@@ -67,6 +67,29 @@ def q_doc_ngram_jaccard(spark, sf_dir):
                                      bucket_cols=("lang", "source"))
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: blocked exact Jaccard pairs (>= 0.4)
+    -> connected components (min-id label propagation) -> one canonical
+    cluster id per paired document. The oracle recomputes components via
+    a recursive transitive-closure CTE."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.4,
+                                      bucket_cols=("lang", "source"))
+    return dedup.dedup_clusters(pairs)
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5-bucket hash, 90/5/5)
+    reported per language — shows the split is stratified-stable."""
+    d = text.assign_split(_docs(spark, sf_dir))
+    return d.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (broadcast doc-frequency join,
+    bounded per-doc window)."""
+    return text.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def q_doc_minhash_lsh(spark, sf_dir):
     # approximate — no SQL oracle (driver records rows-only check)
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -87,6 +110,9 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_split": q_doc_split,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_minhash_lsh": q_doc_minhash_lsh,
     "doc_simhash": q_doc_simhash,
 }
@@ -163,8 +189,14 @@ SELECT doc_id,
   round(s_de, 6) AS score_de, round(s_en, 6) AS score_en,
   round(s_es, 6) AS score_es, round(s_fr, 6) AS score_fr
 FROM sc""",
-    "doc_ngram_jaccard": """
-WITH sh AS (
+}
+
+
+def _jaccard_ctes(threshold: float) -> str:
+    """Shared CTE block: blocked exact n-gram Jaccard pairs >= threshold
+    (mirrors dedup.ngram_jaccard_pairs bit-for-bit)."""
+    return f"""
+sh AS (
   SELECT doc_id, lang, source,
          unnest(list_distinct(list_transform(
            generate_series(0, length(lower(text)) - 3),
@@ -178,11 +210,62 @@ common AS (
     ON a.g = b.g AND a.lang = b.lang AND a.source = b.source
    AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2,
+         round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) AS jaccard
+  FROM common
+  JOIN cnt c1 ON c1.doc_id = d1
+  JOIN cnt c2 ON c2.doc_id = d2
+  WHERE round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) >= {threshold}
+)"""
+
+
+ORACLES["doc_ngram_jaccard"] = \
+    "WITH " + _jaccard_ctes(0.7) + "\nSELECT d1, d2, jaccard FROM pairs"
+
+ORACLES["doc_dedup_clusters"] = "WITH RECURSIVE " + _jaccard_ctes(0.4) + """,
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
 )
-SELECT d1, d2,
-       round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN cnt c1 ON c1.doc_id = d1
-JOIN cnt c2 ON c2.doc_id = d2
-WHERE round(inter / CAST(c1.c + c2.c - inter AS DOUBLE), 6) >= 0.7""",
-}
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n"""
+
+ORACLES["doc_split"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1, 2"""
+
+ORACLES["doc_tfidf_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln((SELECT nd FROM n) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5"""

@@ -135,7 +135,8 @@ def reconcile_hist(hist: Column, target_les: Sequence[float]) -> Column:
 
 def hist_sum(df: DataFrame, group_cols: Sequence[str],
              hist_col: str = "hist",
-             target_les: Sequence[float] | None = None) -> DataFrame:
+             target_les: Sequence[float] | None = None,
+             check_schemes: bool = True) -> DataFrame:
     """Bucket-wise sum of histograms across series
     (HistSumRowAggregator.scala:1-34; add semantics
     Histogram.scala:367-420 MutableHistogram.addNoCorrection).
@@ -151,7 +152,11 @@ def hist_sum(df: DataFrame, group_cols: Sequence[str],
     target_les: reconcile mixed schemes by projecting every histogram
     onto this grid first (cum_at_le), then summing — the generalization
     of the reference's exponential-scheme merge; exact when each
-    histogram's bounds are a subset of the target grid."""
+    histogram's bounds are a subset of the target grid.
+
+    check_schemes=False skips the mixed-scheme detection (one aggregate +
+    join) — for callers that constructed every input with the same
+    bucketize() bounds, where schemes are identical by construction."""
     if target_les is not None:
         projected = df.select(
             *group_cols, reconcile_hist(F.col(hist_col), target_les)
@@ -163,6 +168,8 @@ def hist_sum(df: DataFrame, group_cols: Sequence[str],
     exploded = explode_hist(df, hist_col)
     summed = (exploded.groupBy(*group_cols, "bucket_le")
               .agg(F.sum("value").alias("value")))
+    if not check_schemes:
+        return assemble_hist(summed, group_cols)
     # scheme check: >1 distinct les array in a group -> all-NaN values
     schemes = df.groupBy(*group_cols).agg(
         F.count_distinct(F.col(hist_col)["les"]).alias("_n_schemes"))

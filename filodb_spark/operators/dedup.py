@@ -181,6 +181,46 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
+                   max_iterations: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document gets
+    the MIN doc id reachable through pair edges as its cluster id — the
+    canonical-representative step after any pairwise dedup (keep one doc
+    per cluster).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the min per node — one shuffle per iteration, iteration count
+    bounded by cluster diameter (near-dup clusters are shallow).
+    Convergence check is O(1) driver-side: the label sum is monotonically
+    non-increasing and stalls exactly at the fixpoint. localCheckpoint
+    cuts the iterative plan lineage so the job count stays linear in
+    iterations — the same execution shape GraphFrames' connected
+    components uses, so it carries to 100 TB edge sets.
+    """
+    edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+             .unionByName(
+                 pairs.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("n"))
+              .unionByName(edges.select(F.col("b").alias("n")))
+              .distinct()
+              .select("n", F.col("n").alias("lbl"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iterations):
+        prop = (edges.join(labels, edges["a"] == labels["n"])
+                .select(F.col("b").alias("n"), F.col("lbl")))
+        labels = (labels.unionByName(prop)
+                  .groupBy("n").agg(F.min("lbl").alias("lbl"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("n").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
     """Docs sharing an identical 64-bit simhash (strong near-dup signal)."""

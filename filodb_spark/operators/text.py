@@ -8,6 +8,8 @@ shuffle, no Python.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,6 +147,65 @@ def lang_id(text: Column) -> Column:
     for lang in sorted(LANG_MARKERS, reverse=True):
         out = F.when(scores[lang] == m, F.lit(lang)).otherwise(out)
     return F.when(m > 0, out).otherwise(F.lit("und"))
+
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_hash(id_col: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 8 hex chars of
+    md5(id) as an integer. Pure column math, portable — any engine with
+    md5 reproduces it bit-for-bit (the SQL oracles do), so train/val/test
+    membership is stable across engines, runs, and repartitions."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % buckets
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id",
+                 splits: Sequence[tuple[str, float]] = (
+                     ("train", 0.9), ("val", 0.05), ("test", 0.05)),
+                 ) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash — the standard
+    leakage-safe split for training-data pipelines (a document keeps its
+    split across incremental re-runs; near-dup HANDLING must still happen
+    first so members of one dup cluster don't straddle splits). Map-only,
+    no shuffle."""
+    bucket = split_hash(F.col(id_col))
+    out = None
+    acc = 0.0
+    for name, frac in splits:
+        acc += frac
+        cond = bucket < int(round(acc * SPLIT_BUCKETS))
+        out = F.when(cond, F.lit(name)) if out is None else \
+            out.when(cond, F.lit(name))
+    return df.withColumn("split", out.otherwise(F.lit(splits[-1][0])))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc term count over
+    lowercased whitespace tokens, idf = ln(N / df). Ranking uses the
+    ROUNDED (6 dp) score with term as tie-break so membership is
+    deterministic and engine-portable.
+
+    Scale shape: one (doc, term) hash-aggregation; the doc-frequency side
+    is |vocab| rows — broadcast join; top-k is a bounded window per doc.
+    """
+    from pyspark.sql import Window
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("tfidf", F.round(
+                    F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf", "df", "tfidf", "rank"))
 
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

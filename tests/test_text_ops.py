@@ -74,3 +74,51 @@ def test_simhash_renamed_column(spark, docs_body):
     ham12 = bin(by_id[1] ^ by_id[2]).count("1")
     ham13 = bin(by_id[1] ^ by_id[3]).count("1")
     assert ham12 < ham13  # near-dups closer in Hamming space
+
+
+class TestDedupClusters:
+    def test_chain_and_isolated_components(self, spark):
+        # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+        # pair (10,11), and (20,21)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], "d1 long, d2 long")
+        from filodb_spark.operators.dedup import dedup_clusters
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        # 12-node chain: min label must ripple end to end
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "d1 long, d2 long")
+        from filodb_spark.operators.dedup import dedup_clusters
+        got = dedup_clusters(pairs).collect()
+        assert {r.cluster_id for r in got} == {0}
+        assert len(got) == 13
+
+
+class TestSplitAndTfidf:
+    def test_split_deterministic_and_proportional(self, spark):
+        from filodb_spark.operators.text import assign_split
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = assign_split(df)
+        counts = {r.split: r.cnt for r in
+                  out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+        assert abs(counts["train"] / 5000 - 0.9) < 0.03
+        assert abs(counts["val"] / 5000 - 0.05) < 0.02
+        assert abs(counts["test"] / 5000 - 0.05) < 0.02
+        # stable across calls (hash of id, not row position)
+        again = {r.doc_id: r.split for r in assign_split(df).collect()}
+        first = {r.doc_id: r.split for r in out.collect()}
+        assert first == again
+
+    def test_tfidf_ranks_distinctive_terms(self, spark):
+        from filodb_spark.operators.text import tfidf_topk
+        df = spark.createDataFrame(
+            [(1, "common common zebra"),
+             (2, "common common yak"),
+             (3, "common common common")], ["doc_id", "text"])
+        out = tfidf_topk(df, k=1).collect()
+        top = {r.doc_id: r.term for r in out}
+        # 'common' appears in every doc -> idf 0; unique terms win
+        assert top[1] == "zebra" and top[2] == "yak"
+        assert top[3] == "common"  # only term present

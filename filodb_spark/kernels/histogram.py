@@ -207,6 +207,32 @@ def base2_exp_merged_scheme(
         new_scale -= 1
 
 
+def les_to_base2_exp_scheme(les: Sequence[float]
+                            ) -> tuple[int, int, int] | None:
+    """Recover (scale, start_index, num_pos) from materialized base-2 exp
+    bounds — the inverse of base2_exp_les. Returns None unless the array
+    reproduces EXACTLY under base2_exp_les (bitwise), so arbitrary custom
+    grids can never be misclassified as exponential schemes."""
+    les = list(les)
+    if len(les) < 3 or les[0] != 0.0 or les[1] <= 0.0:
+        return None
+    num_pos = len(les) - 1
+    ratio = les[2] / les[1]
+    if not (ratio > 1.0) or not math.isfinite(ratio):
+        return None
+    inv = math.log2(ratio)              # = 2^-scale
+    if inv <= 0:
+        return None
+    scale = round(-math.log2(inv))
+    try:
+        start = round(math.log2(les[1]) / (2.0 ** -scale)) - 1
+        if base2_exp_les(scale, start, num_pos) != les:
+            return None
+    except (OverflowError, ValueError):
+        return None
+    return scale, start, num_pos
+
+
 def base2_exp_les(scale: int, start_index: int, num_pos: int) -> list[float]:
     """Materialize OTel base-2 exponential bucket tops to explicit LE
     bounds (Base2ExpHistogramBuckets, Histogram.scala:655-700):

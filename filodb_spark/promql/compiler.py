@@ -787,6 +787,44 @@ class PromQLEngine:
                 return dataclasses.replace(e, expr=new_fn)
         return e
 
+    def _exp_merge_target(self, e: A.Expr) -> list[float] | None:
+        """If the aggregated expression reads base-2 exponential histogram
+        metrics whose stored series mix bucket schemes, return the merged
+        scheme's bounds (min scale, union range, capped positive-bucket
+        count — Base2ExpHistogramBuckets.add); else None (strict same-
+        scheme semantics). One small plan-time distinct over the store's
+        pruned hist scan — scheme counts per metric are tiny."""
+        if not self._arg_is_exp_hist(e) or self.store.hist_df is None:
+            return None
+        from filodb_spark.kernels.histogram import (base2_exp_les,
+                                                    base2_exp_merged_scheme,
+                                                    les_to_base2_exp_scheme)
+
+        def selector_metrics(x: A.Expr) -> set:
+            if isinstance(x, A.VectorSelector):
+                return {x.metric} if x.metric else set()
+            if isinstance(x, A.MatrixSelector):
+                return selector_metrics(x.base)
+            if isinstance(x, A.Paren):
+                return selector_metrics(x.expr)
+            if isinstance(x, (A.FunctionCall, A.Aggregation)):
+                args = x.args if isinstance(x, A.FunctionCall) else (x.expr,)
+                return set().union(*(selector_metrics(a) for a in args))
+            return set()
+
+        metrics = [m for m in selector_metrics(e)
+                   if m in self.store.exp_hist_metrics]
+        if not metrics:
+            return None
+        schemes_rows = (self.store.hist_df
+                        .where(F.col("labels")["__name__"].isin(metrics))
+                        .select(F.col("hist")["les"].alias("les"))
+                        .distinct().collect())
+        parsed = [les_to_base2_exp_scheme(r["les"]) for r in schemes_rows]
+        if len(parsed) < 2 or any(p is None for p in parsed):
+            return None
+        return base2_exp_les(*base2_exp_merged_scheme(parsed))
+
     def _enforce_groupby_limit(self, grouped: DataFrame, out: DataFrame,
                                value_field: str = "value") -> DataFrame:
         """Group-by cardinality limit (AggrOverRangeVectors.scala:236-253)
@@ -819,6 +857,13 @@ class PromQLEngine:
             if e.op != "sum":
                 raise ValueError(f"{e.op} is not defined over histograms")
             from filodb_spark.kernels.histogram import hist_sum
+            # exp-scheme reconciliation (addNoCorrection's Base2Exp merge
+            # branch, Histogram.scala:377-410): discover the distinct
+            # bucket schemes of the exp metric at PLAN time (a small
+            # distinct over the store — the same class of lookup as the
+            # reference's schema discovery) and, if heterogeneous, sum
+            # onto the reference's merged scheme
+            target = self._exp_merge_target(e.expr)
             if e.by is not None:
                 nl = F.map_filter(labels, lambda k, _: k.isin([*e.by]))
             elif e.without is not None:
@@ -828,7 +873,7 @@ class PromQLEngine:
                 nl = F.create_map().cast("map<string,string>")
             v = v.withColumn("labels", nl) \
                  .withColumn("_gk", bin_k.canonical_labels(nl))
-            out = hist_sum(v, ["_gk", "t"])
+            out = hist_sum(v, ["_gk", "t"], target_les=target)
             lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
             return self._enforce_groupby_limit(
                 v, out.join(lab, "_gk").select("labels", "t", "hist"),

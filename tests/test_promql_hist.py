@@ -221,3 +221,53 @@ class TestMixedSchemeThroughEngine:
         res = eng.query_range("sum(lat_same)", T0, T0, 10_000).collect()
         assert len(res) == 1
         assert list(res[0]["hist"]["values"]) == [2.0, 4.0]
+
+
+class TestExpSchemeMergeThroughEngine:
+    """sum() over base-2 exponential histograms with two different
+    scales: the engine discovers the schemes at plan time and merges
+    onto the reference's merged scheme (min scale, union range) instead
+    of NaN-ing — Base2ExpHistogramBuckets.add via hist_sum(target_les)."""
+
+    def _engine(self, spark):
+        from filodb_spark.kernels.histogram import base2_exp_les
+        a_les = base2_exp_les(1, 0, 4)       # scale 1: [0, r2, 2, 2r2, 4]
+        b_les = base2_exp_les(0, 0, 3)       # scale 0: [0, 2, 4, 8]
+        rows = [
+            ({"__name__": "exp_lat", "job": "a"}, T0, 1.0, 1.0,
+             (a_les, [1.0, 2.0, 3.0, 4.0, 5.0])),
+            ({"__name__": "exp_lat", "job": "b"}, T0, 1.0, 1.0,
+             (b_les, [10.0, 20.0, 30.0, 40.0])),
+        ]
+        hist_df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        gauge_df = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        return PromQLEngine(spark, TsStore(
+            gauge_df, hist_df=hist_df, hist_metrics=("exp_lat",),
+            exp_hist_metrics=("exp_lat",)))
+
+    def test_sum_merges_exp_scales(self, spark):
+        eng = self._engine(spark)
+        res = eng.query_range("sum(exp_lat)", T0, T0, 10_000).collect()
+        assert len(res) == 1
+        h = res[0]["hist"]
+        # merged scheme (0, -1, 4): les [0, 1, 2, 4, 8]
+        assert list(h["les"]) == [0.0, 1.0, 2.0, 4.0, 8.0]
+        vals = list(h["values"])
+        assert vals[0] == 11.0                 # zero buckets 1 + 10
+        assert vals[2:] == [23.0, 35.0, 45.0]  # exact in-range remaps
+        import math
+        assert not any(math.isnan(v) for v in vals)
+
+    def test_quantile_over_merged(self, spark):
+        eng = self._engine(spark)
+        res = eng.query_range(
+            "histogram_quantile(0.5, sum(exp_lat))", T0, T0, 10_000
+        ).collect()
+        assert len(res) == 1
+        v = res[0]["value"]
+        import math
+        assert math.isfinite(v) and 0.0 < v <= 8.0

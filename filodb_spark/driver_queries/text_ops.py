@@ -95,6 +95,20 @@ def q_doc_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_doc_minhash_portable(spark, sf_dir):
+    """MinHash+LSH on the engine-portable hash (md5 + Mersenne-31
+    universal permutations): the full approximate pipeline — signatures,
+    band keys, collision join, similarity estimate — reproduced
+    bit-exactly by the SQL oracle."""
+    return dedup.minhash_lsh_pairs_portable(_docs(spark, sf_dir),
+                                            threshold=0.5)
+
+
+def q_doc_simhash_portable(spark, sf_dir):
+    """SimHash on the portable 31-bit hash — exact SQL oracle."""
+    return dedup.simhash_portable(_docs(spark, sf_dir))
+
+
 def q_doc_simhash(spark, sf_dir):
     # 64-bit signed-projection hash per doc (xxhash64-based — not
     # reproducible in the SQL oracle; rows-only check)
@@ -114,7 +128,9 @@ QUERIES = {
     "doc_split": q_doc_split,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_minhash_portable": q_doc_minhash_portable,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_portable": q_doc_simhash_portable,
 }
 
 _STOP_SQL = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'"
@@ -249,6 +265,78 @@ SELECT lang,
             ELSE 'test' END AS split,
        count(*) AS n
 FROM b GROUP BY 1, 2"""
+
+def _portable_hash_ctes(n: int) -> str:
+    """Shingles (char n-grams, distinct) + the portable 31-bit hash —
+    mirrors dedup._portable_shingle_hash/char_shingles bit-for-bit."""
+    return f"""
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(0, length(lower(text)) - {n}),
+           i -> substring(lower(text), i + 1, {n})))) AS g
+  FROM documents WHERE length(text) >= {n}
+),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+           % 2147483647 AS h
+  FROM sh
+)"""
+
+
+def _minhash_portable_sql(num_perm: int = 16, bands: int = 4,
+                          threshold: float = 0.5, n: int = 5) -> str:
+    from filodb_spark.operators.dedup import MERSENNE31, _perm_coeffs
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in ((i, _perm_coeffs(i)) for i in range(num_perm)))
+    banded = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ") AS bk FROM sig" for b in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_perm))
+    return "WITH " + _portable_hash_ctes(n) + f""",
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+banded AS (
+  {banded}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+       round(({matches}) / {float(num_perm)}, 6) AS est_jaccard
+FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2
+WHERE round(({matches}) / {float(num_perm)}, 6) >= {threshold}"""
+
+
+def _simhash_portable_sql(bits: int = 31, n: int = 4) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    mask = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits))
+    return "WITH " + _portable_hash_ctes(n) + f""",
+agg AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({mask} AS BIGINT) AS simhash FROM agg"""
+
+
+ORACLES["doc_minhash_portable"] = _minhash_portable_sql()
+ORACLES["doc_simhash_portable"] = _simhash_portable_sql()
 
 ORACLES["doc_tfidf_topk"] = """
 WITH toks AS (

@@ -181,6 +181,101 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def _portable_shingle_hash(g: Column) -> Column:
+    """32-bit shingle hash reproducible in ANY engine with md5: first 8
+    hex chars of md5 -> integer, reduced mod 2^31-1. Slower than
+    xxhash64 (cryptographic hash) but bit-identical across engines."""
+    return (F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+            % MERSENNE31)
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    # deterministic universal-hash coefficients, a != 0
+    a = (2654435761 * (i + 1)) % MERSENNE31 or 1
+    b = (40503 * (i + 1) + 17) % MERSENNE31
+    return a, b
+
+
+def minhash_signatures_portable(df: DataFrame, num_perm: int = 16,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                n: int = 5) -> DataFrame:
+    """Engine-portable MinHash signatures: permutation i is the universal
+    hash (a_i*h + b_i) mod p over a Mersenne-31 modulus, so every
+    intermediate stays below 2^62 — no 64-bit wraparound, hence
+    bit-reproducible in DuckDB/ANSI SQL (which errors on BIGINT overflow
+    instead of wrapping). The xxhash64 variant (minhash_signatures) stays
+    the fast default; this one exists so even the APPROXIMATE dedup path
+    has an exact cross-engine oracle. Output: wide columns m0..m{k-1}."""
+    sh = (_spread(df, id_col)
+          .select(F.col(id_col),
+                  F.explode(char_shingles(F.col(text_col), n)).alias("g"))
+          .withColumn("_h", _portable_shingle_hash(F.col("g"))))
+    mins = []
+    for i in range(num_perm):
+        a, b = _perm_coeffs(i)
+        mins.append(F.min((F.col("_h") * a + b) % MERSENNE31).alias(f"m{i}"))
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs_portable(df: DataFrame, num_perm: int = 16,
+                               bands: int = 4, threshold: float = 0.5,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n: int = 5) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the portable signature: band key is
+    the concatenation of the band's signature components (string equality
+    joins identically in any engine). Same sub-quadratic band-collision
+    shape as minhash_lsh_pairs. Output: d1 < d2, est_jaccard."""
+    rows = num_perm // bands
+    sigs = minhash_signatures_portable(df, num_perm, id_col, text_col,
+                                       n).cache()
+    band_keys = F.array(*[
+        F.concat_ws("_", *[F.col(f"m{b * rows + r}").cast("string")
+                           for r in range(rows)])
+        for b in range(bands)])
+    banded = sigs.select(id_col, *[f"m{i}" for i in range(num_perm)],
+                         F.posexplode(band_keys).alias("band", "bk"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("d1"),
+                     F.col(f"b.{id_col}").alias("d2"),
+                     *[F.col(f"a.m{i}").alias(f"am{i}")
+                       for i in range(num_perm)],
+                     *[F.col(f"b.m{i}").alias(f"bm{i}")
+                       for i in range(num_perm)])
+             .dropDuplicates(["d1", "d2"]))
+    matches = sum([F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+                   for i in range(num_perm)], F.lit(0))
+    est = F.round(matches.cast("double") / float(num_perm), 6)
+    return (cand.withColumn("est_jaccard", est)
+                .where(F.col("est_jaccard") >= threshold)
+                .select("d1", "d2", "est_jaccard"))
+
+
+def simhash_portable(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 4,
+                     bits: int = 31) -> DataFrame:
+    """Engine-portable SimHash over the md5-derived 31-bit shingle hash:
+    non-negative masks only (no sign-bit games), so the bit arithmetic
+    ((h >> j) & 1, sum of 2^j masks) is identical in any engine."""
+    sh = (_spread(df, id_col)
+          .select(F.col(id_col),
+                  F.explode(char_shingles(F.col(text_col), n)).alias("g"))
+          .withColumn("_h", _portable_shingle_hash(F.col("g"))))
+    sums = [F.sum(F.when(F.shiftright(F.col("_h"), j).bitwiseAND(1) == 1, 1)
+                  .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
+    agg = sh.groupBy(id_col).agg(*sums)
+    sim = sum([F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(0)
+               for j in range(bits)], F.lit(0))
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
 def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                    max_iterations: int = 25) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets

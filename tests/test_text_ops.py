@@ -122,3 +122,24 @@ class TestSplitAndTfidf:
         # 'common' appears in every doc -> idf 0; unique terms win
         assert top[1] == "zebra" and top[2] == "yak"
         assert top[3] == "common"  # only term present
+
+
+class TestPortableVariants:
+    """md5/Mersenne-31 variants: engine-portable (bit-exact SQL oracles
+    in the driver gate) — behavior must still find near-dups."""
+
+    def test_minhash_portable_finds_near_dup(self, spark, docs_body):
+        from filodb_spark.operators.dedup import minhash_lsh_pairs_portable
+        pairs = minhash_lsh_pairs_portable(docs_body, threshold=0.5,
+                                           text_col="body").collect()
+        assert [(r.d1, r.d2) for r in pairs] == [(1, 2)]
+
+    def test_simhash_portable_hamming_orders(self, spark, docs_body):
+        from filodb_spark.operators.dedup import simhash_portable
+        by_id = {r.doc_id: r.simhash
+                 for r in simhash_portable(docs_body, text_col="body")
+                 .collect()}
+        assert all(0 <= v < (1 << 31) for v in by_id.values())
+        ham12 = bin(by_id[1] ^ by_id[2]).count("1")
+        ham13 = bin(by_id[1] ^ by_id[3]).count("1")
+        assert ham12 < ham13

@@ -44,6 +44,15 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return similarity.ivf_kmeans_topk(e, q, k=3)
 
 
+def q_ann_ivf_portable(spark, sf_dir):
+    """Bucketed ANN with the hash-free sign-bit bucket: approximate
+    pipeline (assignment, XOR multi-probe, collision join, top-k) —
+    reproduced bit-exactly by the SQL oracle."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk_portable(e, q, k=3, n_probes=4)
+
+
 def q_emb_near_dup(spark, sf_dir):
     # embedding-cosine near-duplicate pairs, blocked by label (the
     # within-block exact self-join the 100 TB path runs per LSH bucket)
@@ -56,6 +65,7 @@ QUERIES = {
     "emb_near_dup": q_emb_near_dup,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_portable": q_ann_ivf_portable,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
@@ -86,6 +96,40 @@ pairs AS (
                (sqrt(list_inner_product(q.qv, q.qv)) *
                 sqrt(list_inner_product(e.v, e.v))), 6) AS sim
   FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, rank, sim FROM rk WHERE rank <= 3""",
+    "ann_ivf_portable": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+  FROM e
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4)])
+           AS bucket
+  FROM b WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, b.vec_id AS nid,
+         round(list_inner_product(q.qv, b.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid
 ),
 rk AS (
   SELECT qid, nid, sim,

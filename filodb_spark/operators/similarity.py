@@ -126,6 +126,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  .select("qid", "nid", "rank", "sim"))
 
 
+def sign_bucket(vec_col: str) -> Column:
+    """Portable coarse bucket: the sign bits of the leading _SIGN_BITS
+    components encoded DIRECTLY as an integer 0..2^bits-1 — a bijection,
+    no hash involved, so any engine reproduces the assignment exactly and
+    the standard one-hyperplane multi-probe neighbors are plain XORs of
+    the bucket id."""
+    v = as_double(F.col(vec_col))
+    out = F.lit(0)
+    for i in range(_SIGN_BITS):
+        out = out + F.when(F.element_at(v, i + 1) > 0, 1 << i).otherwise(0)
+    return out
+
+
+def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_probes: int = 4) -> DataFrame:
+    """ivf_topk with the hash-free sign-bit bucket (64 buckets): the
+    entire approximate pipeline — bucket assignment, XOR multi-probe
+    list, collision join, cosine, top-k — is bit-reproducible in the SQL
+    oracle. Same sub-quadratic equi-join shape as ivf_topk."""
+    b = sign_bucket(vec_col)
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      as_double(F.col(vec_col)).alias("nv"),
+                      b.alias("bucket"))
+    probes = F.array(*[b.bitwiseXOR(0 if p == 0 else 1 << (p - 1))
+                       for p in range(n_probes)])
+    q = queries.select(F.col(id_col).alias("qid"),
+                       as_double(F.col(vec_col)).alias("qv"),
+                       F.explode(probes).alias("bucket"))
+    pairs = (c.join(broadcast(q), "bucket")
+              .where(F.col("nid") != F.col("qid"))
+              .select("qid", "nid",
+                      F.round(cosine(F.col("qv"), F.col("nv")), 6)
+                      .alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("qid", "nid", "rank", "sim"))
+
+
 def cosine_near_dup_pairs(corpus: DataFrame, threshold: float,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",

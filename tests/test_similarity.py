@@ -124,3 +124,31 @@ class TestKernels:
         c = df.select(sim.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
         assert -1.0 <= c <= 1.0
         assert c == pytest.approx((-3 + 4 - 3) / (math.sqrt(14) * math.sqrt(14)))
+
+
+class TestPortableIVF:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_bucket_is_hashfree_bijection(self, emb):
+        # 6 sign bits -> bucket ids are exactly the 0..63 integer range
+        buckets = (emb.select(sim.sign_bucket("embedding").alias("b"))
+                   .distinct().collect())
+        vals = {r["b"] for r in buckets}
+        assert vals <= set(range(64)) and len(vals) > 1
+
+    def test_portable_recall_above_random(self, emb):
+        q = emb.where(F.col("vec_id") < 50)
+        exact = {(r["qid"], r["nid"])
+                 for r in sim.brute_force_topk(emb, q, k=3).collect()}
+        approx = {(r["qid"], r["nid"])
+                  for r in sim.ivf_topk_portable(emb, q, k=3,
+                                                 n_probes=4).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.10            # ~2x the random baseline 4/64
+        # sims of returned pairs match brute force exactly
+        bf = {(r["qid"], r["nid"]): r["sim"]
+              for r in sim.brute_force_topk(emb, q, k=10_000_000).collect()}
+        for r in sim.ivf_topk_portable(emb, q, k=3, n_probes=4).collect():
+            assert bf[(r["qid"], r["nid"])] == r["sim"]

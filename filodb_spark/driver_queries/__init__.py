@@ -12,7 +12,8 @@ def all_queries():
     from filodb_spark.driver_queries import (downsample_queries,
                                              histogram_queries, mm_ops,
                                              promql_events, promql_path,
-                                             text_ops, tpch, vector_ops)
+                                             text_ops, timeseries_ops, tpch,
+                                             vector_ops)
     q: dict = {}
     o: dict = {}
     # Registration order is the driver's gating order: its CORRECTNESS gate
@@ -22,7 +23,8 @@ def all_queries():
     # = 42, plus the first 8 ungated promql_path entries) into the window.
     # Rotate again next round until every family has a green driver row.
     for mod in (tpch, text_ops, vector_ops, mm_ops, downsample_queries,
-                promql_path, histogram_queries, promql_events):
+                timeseries_ops, promql_path, histogram_queries,
+                promql_events):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     return q, o

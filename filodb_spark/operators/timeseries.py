@@ -1,0 +1,127 @@
+"""General time-series operators beyond PromQL: as-of join,
+sessionization, gap fill.
+
+The reference's only join is the per-timestep equi-join
+(BinaryJoinExec.scala — SURVEY §2.6 notes no as-of/range joins exist);
+these are the operators a warehouse-grade pipeline needs around a
+metrics store. All are single-shuffle window compositions — no range
+join, no cartesian product, no Python:
+
+- asof_join: union the two sides, one sort per key, carry the latest
+  right payload forward — O(n log n) per key partition, the standard
+  scalable shape (vs. an O(n*m) range join).
+- sessionize: gap > threshold starts a session; session index is a
+  running sum over one window.
+- gap_fill: explode a step grid per series, forward-fill with
+  last(ignorenulls) — same staleness-carry discipline as the PromQL
+  instant lookback.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              ts_col: str = "ts", payload_cols: Sequence[str] = (),
+              tolerance_ms: int | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts per `on` key (backward as-of join; DuckDB/pandas
+    `ASOF JOIN` semantics — ties at equal ts match).
+
+    Implementation: tag + union both sides, then one window per key
+    ordered by (ts, side) carrying the last right payload forward.
+    Exactly one shuffle on the key; at 100 TB this sort-merge shape
+    beats a range join (no per-row interval probe, no blowup).
+
+    tolerance_ms: matches older than `left.ts - tolerance_ms` are
+    nulled out (still one pass). Output: left columns + prefixed right
+    payload columns + `<prefix>ts`.
+    """
+    payload = F.struct(F.col(ts_col).alias("__ts"),
+                       *[F.col(c) for c in payload_cols])
+    r = right.select(*on, F.col(ts_col).alias(ts_col),
+                     payload.alias("__p"), F.lit(0).alias("__side"))
+    lcols = [c for c in left.columns]
+    l = left.select(*lcols, F.lit(None).cast(r.schema["__p"].dataType)
+                    .alias("__p"), F.lit(1).alias("__side"))
+    u = l.unionByName(r.select(*on, ts_col, "__p", "__side"),
+                      allowMissingColumns=True)
+    # right rows sort before left rows at the same ts -> ties match
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1)
+    match = F.col("__last")
+    if tolerance_ms is not None:
+        match = F.when(F.col(ts_col) - F.col("__last")["__ts"]
+                       <= tolerance_ms, F.col("__last"))
+    sel = [F.col(c) for c in lcols]
+    sel.append(match["__ts"].alias(f"{prefix}ts"))
+    sel += [match[c].alias(f"{prefix}{c}") for c in payload_cols]
+    return out.select(*sel)
+
+
+def sessionize(df: DataFrame, key_cols: Sequence[str], ts_col: str = "ts",
+               gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Assign session indexes per key: a new session starts when the gap
+    from the previous event exceeds gap_ms. Adds `session_idx` (0-based
+    per key, ordered by ts). One window over one shuffle."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(prev.isNull() | (F.col(ts_col) - prev > gap_ms), 1) \
+        .otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         - 1).cast("long"))
+
+
+def session_stats(df: DataFrame, key_cols: Sequence[str],
+                  ts_col: str = "ts",
+                  gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Per (key, session): event count, start/end, duration_ms."""
+    s = sessionize(df, key_cols, ts_col, gap_ms)
+    return (s.groupBy(*key_cols, "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts"))
+            .withColumn("duration_ms",
+                        F.col("end_ts") - F.col("start_ts")))
+
+
+def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
+             end_ms: int, step_ms: int, ts_col: str = "ts",
+             value_col: str = "value",
+             max_stale_ms: int | None = None) -> DataFrame:
+    """Regularize each series onto the [start, end] step grid, forward-
+    filling the last observed value (locf). max_stale_ms bounds how far
+    a value carries (the PromQL staleness analog). Output: (series...,
+    t, value) with value NULL where nothing carries."""
+    grid = df.select(*series_cols).distinct().select(
+        *series_cols,
+        F.explode(F.sequence(F.lit(start_ms), F.lit(end_ms),
+                             F.lit(step_ms))).alias("t"))
+    samples = df.select(*series_cols, F.col(ts_col).alias("t"),
+                        F.struct(F.col(ts_col).alias("__ts"),
+                                 F.col(value_col).alias("__v")).alias("__p"),
+                        F.lit(0).alias("__side"))
+    g = grid.withColumn("__p", F.lit(None).cast(samples.schema["__p"]
+                                                .dataType)) \
+            .withColumn("__side", F.lit(1))
+    u = g.unionByName(samples)
+    w = (Window.partitionBy(*series_cols)
+         .orderBy(F.col("t").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    out = carried.where(F.col("__side") == 1)
+    v = F.col("__last")["__v"]
+    if max_stale_ms is not None:
+        v = F.when(F.col("t") - F.col("__last")["__ts"] <= max_stale_ms, v)
+    return out.select(*series_cols, "t", v.alias(value_col))

@@ -280,3 +280,68 @@ class TestRandomizedSetOps:
             (lab, t, v) for lab, t, v in rhs_rows
             if (self._key(lab, on), t) not in l_present]
         assert canon(got) == canon(exp)
+
+
+class TestTimeseriesOpsRandomized:
+    """asof_join / dedup_clusters vs brute-force pure-Python models on
+    randomized inputs (deterministic seed)."""
+
+    def test_asof_join_matches_bruteforce_model(self, spark):
+        rng = random.Random(7)
+        keys = [f"k{i}" for i in range(8)]
+        left = [(k, rng.randint(0, 1000), float(i))
+                for i, k in enumerate(rng.choices(keys, k=80))]
+        right = [(k, rng.randint(0, 1000), float(1000 + i))
+                 for i, k in enumerate(rng.choices(keys, k=60))]
+        # unique (k, ts) per side (asof contract after dedupe)
+        left = list({(k, t): (k, t, v) for k, t, v in left}.values())
+        right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+        tol = 150
+
+        from filodb_spark.operators.timeseries import asof_join
+        ldf = spark.createDataFrame(left, "k string, ts long, lv double")
+        rdf = spark.createDataFrame(right, "k string, ts long, rv double")
+        got = {(r.k, r.ts): (r.r_ts, r.r_rv)
+               for r in asof_join(ldf, rdf, ["k"], payload_cols=["rv"],
+                                  tolerance_ms=tol).collect()}
+
+        for k, t, _ in left:
+            cands = [(rt, rv) for rk, rt, rv in right
+                     if rk == k and rt <= t and t - rt <= tol]
+            want = max(cands) if cands else (None, None)
+            assert got[(k, t)] == want, (k, t)
+
+    def test_dedup_clusters_matches_union_find(self, spark):
+        rng = random.Random(11)
+        edges = {(rng.randint(0, 60), rng.randint(0, 60))
+                 for _ in range(70)}
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        want = {n: find(n) for n in parent}
+
+        from filodb_spark.operators.dedup import dedup_clusters
+        pdf = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(pdf).collect()}
+        # min-id of each component == union-find root chosen as min
+        comp = {}
+        for n, r in want.items():
+            comp.setdefault(r, []).append(n)
+        expect = {n: min(members) for r, members in comp.items()
+                  for n in members}
+        assert got == expect

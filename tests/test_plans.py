@@ -215,3 +215,32 @@ class TestBucketedStorage:
         assert 2 <= len(files) <= 4
         got = spark.read.parquet(p)
         assert got.count() == 200
+
+
+class TestNewOpPlanShapes:
+    def test_asof_join_is_single_shuffle_no_join(self, spark):
+        """asof_join must compile to ONE exchange + ONE sort and no join
+        operator (the union+carry window shape) — at scale this is the
+        whole point vs a range join."""
+        from filodb_spark.operators.timeseries import asof_join
+        l = spark.createDataFrame([("a", 1, 1.0)],
+                                  "k string, ts long, lv double")
+        r = spark.createDataFrame([("a", 1, 2.0)],
+                                  "k string, ts long, rv double")
+        plan = plan_of(asof_join(l, r, ["k"], payload_cols=["rv"]))
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+
+    def test_gap_fill_no_join(self, spark):
+        from filodb_spark.operators.timeseries import gap_fill
+        df = spark.createDataFrame([("a", 0, 1.0)],
+                                   "k string, ts long, value double")
+        plan = plan_of(gap_fill(df, ["k"], 0, 1000, 100))
+        assert "Join" not in plan
+
+    def test_tfidf_docfreq_join_broadcasts(self, spark):
+        from filodb_spark.operators.text import tfidf_topk
+        d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = plan_of(tfidf_topk(d))
+        assert "BroadcastHashJoin" in plan   # doc-freq side broadcast
+        assert "SortMergeJoin" not in plan

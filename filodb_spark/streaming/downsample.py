@@ -52,6 +52,32 @@ def downsample(df: DataFrame, series_cols: Sequence[str], resolution_ms: int,
             .drop("_bucket"))
 
 
+def streaming_downsample(stream: DataFrame, series_cols: Sequence[str],
+                         resolution_ms: int, ts_col: str = "ts",
+                         value_col: str = "value",
+                         watermark_delay: str = "10 minutes") -> DataFrame:
+    """Continuous rollup: the batch downsampler's aggregate set over
+    event-time windows in Structured Streaming (append mode — a window
+    emits once its watermark passes; late data beyond the delay is
+    dropped, where the reference's batch job instead re-reads closed
+    chunks on its next run). Output schema matches downsample(), so
+    range_function_ds and the raw/DS stitch work unchanged on the sink
+    table."""
+    v = F.col(value_col)
+    ev = (drop_nan(stream, value_col)
+          .withColumn("_event_time", F.timestamp_millis(F.col(ts_col))))
+    win = F.window("_event_time", f"{resolution_ms} milliseconds")
+    agg = (ev.withWatermark("_event_time", watermark_delay)
+           .groupBy(*series_cols, win.alias("_w"))
+           .agg(F.max(ts_col).alias("ttime"),
+                F.min(v).alias("min"), F.max(v).alias("max"),
+                F.sum(v).alias("sum"),
+                F.count(v).cast("double").alias("count"),
+                F.avg(v).alias("avg")))
+    return agg.select(*series_cols, F.col("ttime").alias("ts"),
+                      "min", "max", "sum", "count", "avg", "ttime")
+
+
 # ds-gauge rewrite: fn name -> (source column, window aggregate)
 _DS_REWRITE = {
     "min_over_time": ("min", F.min),

@@ -304,3 +304,43 @@ class TestKafkaWireE2E:
         rate = eng.query_range("sum(rate(kafka_m[50s]))", t, t, 10_000
                                ).collect()
         assert rate[0]["value"] == pytest.approx(0.2, rel=1e-6)
+
+
+class TestStreamingDownsample:
+    def test_matches_batch_downsample(self, spark, tmp_path):
+        """The streaming rollup must agree row-for-row with the batch
+        downsampler on the same closed windows."""
+        import json as _json
+        from filodb_spark.streaming.downsample import (downsample,
+                                                       streaming_downsample)
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        rows = [("a", i * 60_000, float((i * 7) % 13)) for i in range(30)] \
+             + [("b", i * 60_000, float(i)) for i in range(30)]
+        with open(src / "b1.json", "w") as f:
+            for s, t, v in rows:
+                f.write(_json.dumps({"series": s, "ts": t, "value": v})
+                        + "\n")
+        stream = spark.readStream.schema(
+            "series string, ts long, value double").json(str(src))
+        ds = streaming_downsample(stream, ["series"], 300_000,
+                                  watermark_delay="0 seconds")
+        q = (ds.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(str(out))
+        batch = downsample(
+            spark.createDataFrame(rows, "series string, ts long, "
+                                        "value double"),
+            ["series"], 300_000)
+        cols = ["series", "ts", "min", "max", "sum", "count", "avg",
+                "ttime"]
+        g = {tuple(r[c] for c in cols) for r in got.collect()}
+        b = {tuple(r[c] for c in cols) for r in batch.collect()}
+        # append mode emits only watermark-closed windows; every emitted
+        # row must match batch exactly, and most windows must have closed
+        assert g <= b
+        assert len(g) >= len(b) - 2     # at most the last window per series open

@@ -142,6 +142,56 @@ SELECT * FROM (
 )"""
 
 
+from filodb_spark.kernels.histogram import base2_exp_les
+
+EXP_SCHEME = (0, 2, 7)                    # base-2, tops 8..1024
+EXP_LES = base2_exp_les(*EXP_SCHEME)      # [0, 8, 16, ..., 1024]
+LN2 = 0.6931471805599453
+
+
+def q_exp_hist_quantile(spark, sf_dir):
+    """histogram_quantile over a base-2 exponential bucket scheme:
+    log-scale interpolation inside buckets (Histogram.scala:97-105), the
+    zero bucket staying linear. Exact CASE-chain SQL oracle."""
+    ev, grid = _series(spark, sf_dir)
+    ex = explode_to_steps(drop_nan(ev), grid, WINDOW)
+    h = bucketize(ex, ["event_type", "t"], EXP_LES)
+    return h.select(
+        "event_type", "t",
+        F.round(hist_quantile(Q, F.col("hist"), exponential=True), 6)
+        .alias("value"))
+
+
+def _exp_quantile_case_sql(q: float) -> str:
+    bounds = list(EXP_LES)                # finite bounds; +Inf appended
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN value <= {b!r} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS c{i}" for i, b in enumerate(bounds))
+    whens = []
+    for i, b in enumerate(bounds):
+        lo_le = 0.0 if i == 0 else bounds[i - 1]
+        lo_cum = "0.0" if i == 0 else f"c{i - 1}"
+        frac = f"((rank - {lo_cum}) / (c{i} - {lo_cum}))"
+        if b == 0.0 or lo_le == 0.0:
+            # zero bucket / from-zero first bucket: linear interpolation
+            expr = f"{lo_le!r} + ({b!r} - {lo_le!r}) * {frac}"
+        else:
+            expr = (f"pow(2.0, (ln({lo_le!r}) / {LN2!r}) + "
+                    f"((ln({b!r}) / {LN2!r}) - (ln({lo_le!r}) / {LN2!r}))"
+                    f" * {frac})")
+        whens.append(f"WHEN c{i} >= rank THEN {expr}")
+    case = "CASE " + " ".join(whens) + f" ELSE {bounds[-1]!r} END"
+    return f""",
+h AS (
+  SELECT sk, t,
+         {sums},
+         CAST(count(*) AS DOUBLE) AS ctot
+  FROM w GROUP BY sk, t
+),
+r AS (SELECT *, {q} * ctot AS rank FROM h)
+SELECT sk AS event_type, t, round({case}, 6) AS value FROM r"""
+
+
 def _quantile_case_sql(q: float, group: str, out_group: str) -> str:
     """CASE-chain mirror of Histogram.quantile over conditional-count
     buckets c0..cN (cumulative, cN = total)."""
@@ -170,6 +220,7 @@ SELECT {out_sel}, round({case}, 6) AS value FROM r"""
 
 
 QUERIES = {
+    "ts_exp_hist_quantile": q_exp_hist_quantile,
     "ts_hist_mixed_sum": q_hist_mixed_sum,
     "ts_hist_quantile": q_hist_quantile,
     "ts_hist_sum_quantile": q_hist_sum_quantile,
@@ -178,6 +229,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_exp_hist_quantile": _base(STEP, WINDOW) + _exp_quantile_case_sql(Q),
     "ts_hist_mixed_sum": _base(STEP, WINDOW) + _mixed_sum_sql(),
     "ts_hist_quantile": _base(STEP, WINDOW)
         + _quantile_case_sql(Q, "sk", "sk AS event_type"),

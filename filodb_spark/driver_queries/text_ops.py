@@ -77,6 +77,25 @@ def q_doc_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_doc_dedup_summary(spark, sf_dir):
+    """Full dedup pipeline in one number set: pairs -> clusters -> keep
+    one canonical doc per cluster. Output: corpus size, paired docs,
+    clusters, docs removed, docs kept."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.4,
+                                      bucket_cols=("lang", "source"))
+    clusters = dedup.dedup_clusters(pairs)
+    stats = clusters.agg(
+        F.count(F.lit(1)).alias("n_paired"),
+        F.count_distinct("cluster_id").alias("n_clusters"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (total.crossJoin(stats)
+            .withColumn("n_removed", F.col("n_paired") - F.col("n_clusters"))
+            .withColumn("n_kept", F.col("n_docs") - F.col("n_removed"))
+            .select("n_docs", "n_paired", "n_clusters", "n_removed",
+                    "n_kept"))
+
+
 def q_doc_split(spark, sf_dir):
     """Deterministic train/val/test assignment (md5-bucket hash, 90/5/5)
     reported per language — shows the split is stratified-stable."""
@@ -125,6 +144,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_dedup_clusters": q_doc_dedup_clusters,
+    "doc_dedup_summary": q_doc_dedup_summary,
     "doc_split": q_doc_split,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_minhash_lsh": q_doc_minhash_lsh,
@@ -251,6 +271,27 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
 )
 SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n"""
+
+ORACLES["doc_dedup_summary"] = "WITH RECURSIVE " + _jaccard_ctes(0.4) + """,
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+stats AS (
+  SELECT count(*) AS n_paired, count(DISTINCT cluster_id) AS n_clusters
+  FROM clusters
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       n_paired, n_clusters,
+       n_paired - n_clusters AS n_removed,
+       (SELECT count(*) FROM documents) - (n_paired - n_clusters) AS n_kept
+FROM stats"""
 
 ORACLES["doc_split"] = """
 WITH b AS (

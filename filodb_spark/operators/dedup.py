@@ -283,14 +283,16 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     canonical-representative step after any pairwise dedup (keep one doc
     per cluster).
 
-    Min-label propagation: each iteration joins labels across edges and
-    takes the min per node — one shuffle per iteration, iteration count
-    bounded by cluster diameter (near-dup clusters are shallow).
+    Min-label propagation with pointer jumping: each round (a) joins
+    labels across edges and takes the min per node, then (b) shortcuts
+    every label to ITS label (path compression), which squares the
+    propagation distance — convergence in O(log diameter) rounds instead
+    of O(diameter), so deep chains cannot exhaust the iteration cap.
     Convergence check is O(1) driver-side: the label sum is monotonically
     non-increasing and stalls exactly at the fixpoint. localCheckpoint
     cuts the iterative plan lineage so the job count stays linear in
-    iterations — the same execution shape GraphFrames' connected
-    components uses, so it carries to 100 TB edge sets.
+    rounds — the same execution shape GraphFrames' connected components
+    uses, so it carries to 100 TB edge sets.
     """
     edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
              .unionByName(
@@ -305,8 +307,17 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     for _ in range(max_iterations):
         prop = (edges.join(labels, edges["a"] == labels["n"])
                 .select(F.col("b").alias("n"), F.col("lbl")))
-        labels = (labels.unionByName(prop)
-                  .groupBy("n").agg(F.min("lbl").alias("lbl"))
+        new = (labels.unionByName(prop)
+               .groupBy("n").agg(F.min("lbl").alias("lbl")))
+        # pointer jump: lbl <- label(lbl). Labels are always node ids, so
+        # the self-join matches; min() keeps monotonicity. (Renamed-column
+        # copy, not alias: a self-join of the same plan object hits
+        # attribute dedup ambiguity.)
+        jump = new.select(F.col("n").alias("__jn"),
+                          F.col("lbl").alias("__jlbl"))
+        labels = (new.join(jump, new["lbl"] == jump["__jn"])
+                  .select(new["n"].alias("n"),
+                          F.least(new["lbl"], jump["__jlbl"]).alias("lbl"))
                   .localCheckpoint(eager=True))
         cur_sum = labels.agg(F.sum("lbl")).first()[0]
         if cur_sum == prev_sum:

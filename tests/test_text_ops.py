@@ -143,3 +143,15 @@ class TestPortableVariants:
         ham12 = bin(by_id[1] ^ by_id[2]).count("1")
         ham13 = bin(by_id[1] ^ by_id[3]).count("1")
         assert ham12 < ham13
+
+
+def test_dedup_clusters_deep_chain(spark):
+    """A 300-node chain needs ~log2(300) rounds with pointer jumping —
+    plain propagation would exhaust the 25-round cap and silently
+    return unconverged labels."""
+    from filodb_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "d1 long, d2 long")
+    got = dedup_clusters(pairs).collect()
+    assert len(got) == 301
+    assert {r.cluster_id for r in got} == {0}

@@ -102,8 +102,9 @@ g AS (
 ),
 s AS (
   SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - 1 AS session_idx
   FROM g
 )
 SELECT user_id, session_idx, count(*) AS n_events,

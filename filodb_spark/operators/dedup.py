@@ -130,8 +130,12 @@ def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
     """
     rows = num_perm // bands
     # the banded frame feeds BOTH sides of the self-join; without a
-    # persist the whole signature computation runs twice
-    sigs = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
+    # materialization the whole signature computation runs twice.
+    # localCheckpoint, not cache(): cached plans pin a CacheManager entry
+    # until an explicit unpersist, leaking across repeated invocations;
+    # checkpoint blocks are freed with the frame.
+    sigs = (minhash_signatures(df, num_perm, id_col, text_col, n)
+            .localCheckpoint(eager=True))
     band_cols = F.array(*[
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
         for b in range(bands)
@@ -231,8 +235,9 @@ def minhash_lsh_pairs_portable(df: DataFrame, num_perm: int = 16,
     joins identically in any engine). Same sub-quadratic band-collision
     shape as minhash_lsh_pairs. Output: d1 < d2, est_jaccard."""
     rows = num_perm // bands
-    sigs = minhash_signatures_portable(df, num_perm, id_col, text_col,
-                                       n).cache()
+    # localCheckpoint for the same no-leak reason as minhash_lsh_pairs
+    sigs = (minhash_signatures_portable(df, num_perm, id_col, text_col, n)
+            .localCheckpoint(eager=True))
     band_keys = F.array(*[
         F.concat_ws("_", *[F.col(f"m{b * rows + r}").cast("string")
                            for r in range(rows)])
@@ -288,11 +293,16 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     every label to ITS label (path compression), which squares the
     propagation distance — convergence in O(log diameter) rounds instead
     of O(diameter), so deep chains cannot exhaust the iteration cap.
-    Convergence check is O(1) driver-side: the label sum is monotonically
-    non-increasing and stalls exactly at the fixpoint. localCheckpoint
-    cuts the iterative plan lineage so the job count stays linear in
-    rounds — the same execution shape GraphFrames' connected components
-    uses, so it carries to 100 TB edge sets.
+    Convergence is detected type-agnostically: a round that changes no
+    node's label is the fixpoint (checked with an anti-condition join +
+    isEmpty, which Spark executes as a limit-1 probe). This works for
+    string doc ids too — labels are ordered by the column type's own
+    ordering, so string-keyed clusters get the lexicographic-min id as
+    their cluster id. Raises if the iteration cap is hit before the
+    fixpoint rather than silently returning unconverged labels.
+    localCheckpoint cuts the iterative plan lineage so the job count
+    stays linear in rounds — the same execution shape GraphFrames'
+    connected components uses, so it carries to 100 TB edge sets.
     """
     edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
              .unionByName(
@@ -303,7 +313,7 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
               .distinct()
               .select("n", F.col("n").alias("lbl"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         prop = (edges.join(labels, edges["a"] == labels["n"])
                 .select(F.col("b").alias("n"), F.col("lbl")))
@@ -315,14 +325,24 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         # attribute dedup ambiguity.)
         jump = new.select(F.col("n").alias("__jn"),
                           F.col("lbl").alias("__jlbl"))
+        prev = labels.select(F.col("n").alias("__pn"),
+                             F.col("lbl").alias("__plbl"))
         labels = (new.join(jump, new["lbl"] == jump["__jn"])
                   .select(new["n"].alias("n"),
                           F.least(new["lbl"], jump["__jlbl"]).alias("lbl"))
                   .localCheckpoint(eager=True))
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]
-        if cur_sum == prev_sum:
+        # type-agnostic fixpoint probe: any label changed this round?
+        # (sum-based stall detection breaks on non-numeric ids: sum of a
+        # string column is NULL, and None == None exits after one round)
+        changed = (labels.join(prev, labels["n"] == prev["__pn"])
+                   .where(labels["lbl"] != F.col("__plbl")))
+        if changed.isEmpty():
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds; "
+            "raise max_iterations (pointer jumping needs ~log2(diameter))")
     return labels.select(F.col("n").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

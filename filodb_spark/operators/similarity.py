@@ -145,7 +145,18 @@ def ivf_topk_portable(corpus: DataFrame, queries: DataFrame, k: int,
     """ivf_topk with the hash-free sign-bit bucket (64 buckets): the
     entire approximate pipeline — bucket assignment, XOR multi-probe
     list, collision join, cosine, top-k — is bit-reproducible in the SQL
-    oracle. Same sub-quadratic equi-join shape as ivf_topk."""
+    oracle. Same sub-quadratic equi-join shape as ivf_topk.
+
+    n_probes is capped at _SIGN_BITS + 1 (identity + one flip per sign
+    bit): a larger probe index would XOR-flip a bit outside the bucket
+    space, probing buckets no corpus vector can occupy (silent recall
+    loss, found in round-2 advice)."""
+    if n_probes > _SIGN_BITS + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds {_SIGN_BITS + 1} "
+            f"(identity probe + one single-bit flip per of the "
+            f"{_SIGN_BITS} bucket bits); larger probe indices would "
+            "address buckets outside the bucket space")
     b = sign_bucket(vec_col)
     c = corpus.select(F.col(id_col).alias("nid"),
                       as_double(F.col(vec_col)).alias("nv"),

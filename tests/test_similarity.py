@@ -152,3 +152,13 @@ class TestPortableIVF:
               for r in sim.brute_force_topk(emb, q, k=10_000_000).collect()}
         for r in sim.ivf_topk_portable(emb, q, k=3, n_probes=4).collect():
             assert bf[(r["qid"], r["nid"])] == r["sim"]
+
+    def test_portable_rejects_probes_beyond_bucket_bits(self, emb):
+        # probe index p flips bit p-1; p-1 >= _SIGN_BITS addresses buckets
+        # outside the bucket space (unoccupiable -> silent recall loss)
+        import pytest
+        q = emb.where(F.col("vec_id") < 5)
+        with pytest.raises(ValueError, match="n_probes"):
+            sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 2)
+        # boundary value is legal
+        sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 1)

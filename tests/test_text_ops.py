@@ -95,6 +95,28 @@ class TestDedupClusters:
         assert {r.cluster_id for r in got} == {0}
         assert len(got) == 13
 
+    def test_string_ids_deep_chain(self, spark):
+        # string doc ids, chain diameter 9: the old sum('lbl')-based
+        # convergence probe returned NULL on strings and exited after ONE
+        # round, yielding wrong cluster ids for any diameter > ~3
+        # (round-2 advice). Cluster id is the lexicographic-min doc id.
+        ids = [f"doc-{i:03d}" for i in range(10)]
+        pairs = spark.createDataFrame(
+            list(zip(ids, ids[1:])) + [("zzz-1", "zzz-2")],
+            "d1 string, d2 string")
+        from filodb_spark.operators.dedup import dedup_clusters
+        got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert got == {**{i: "doc-000" for i in ids},
+                       "zzz-1": "zzz-1", "zzz-2": "zzz-1"}
+
+    def test_raises_when_cap_exhausted(self, spark):
+        import pytest
+        from filodb_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                      "d1 long, d2 long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup_clusters(pairs, max_iterations=2)
+
 
 class TestSplitAndTfidf:
     def test_split_deterministic_and_proportional(self, spark):

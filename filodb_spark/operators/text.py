@@ -182,22 +182,37 @@ def assign_split(df: DataFrame, id_col: str = "doc_id",
 
 
 def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               vocab_rows: int | None = None,
+               broadcast_threshold: int = 1_000_000) -> DataFrame:
     """Top-k TF-IDF terms per document: tf = in-doc term count over
     lowercased whitespace tokens, idf = ln(N / df). Ranking uses the
     ROUNDED (6 dp) score with term as tie-break so membership is
     deterministic and engine-portable.
 
     Scale shape: one (doc, term) hash-aggregation; the doc-frequency side
-    is |vocab| rows — broadcast join; top-k is a bounded window per doc.
+    is |vocab| rows; top-k is a bounded window per doc. The vocab join is
+    SIZE-GATED (round-2 verdict: an unconditional broadcast OOMs once
+    |vocab| tracks a 100 TB corpus): pass ``vocab_rows`` (an estimate is
+    fine) to broadcast only when it is under ``broadcast_threshold``,
+    else a shuffled hash join on the well-distributed term key. With
+    ``vocab_rows=None`` (default) neither side is forced and AQE's
+    runtime statistics make the call — broadcast when the built vocab is
+    actually small, shuffle otherwise.
     """
     from pyspark.sql import Window
     toks = df.select(F.col(id_col),
                      F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if vocab_rows is None:
+        pass                                  # AQE decides at runtime
+    elif vocab_rows < broadcast_threshold:
+        dfreq = F.broadcast(dfreq)
+    else:
+        dfreq = dfreq.hint("shuffle_hash")    # no sort; term key is uniform
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("_n"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (tf.join(dfreq, "term")
                 .crossJoin(F.broadcast(n_docs))
                 .withColumn("tfidf", F.round(
                     F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)))

@@ -133,6 +133,23 @@ class TestSplitAndTfidf:
         first = {r.doc_id: r.split for r in out.collect()}
         assert first == again
 
+    def test_tfidf_vocab_join_is_size_gated(self, spark):
+        # round-2 verdict item 3: vocab under the threshold -> broadcast;
+        # over -> shuffled hash join (never a driver-side broadcast of an
+        # unbounded vocab). Values must not depend on the join strategy.
+        from filodb_spark.operators.text import tfidf_topk
+        df = spark.createDataFrame(
+            [(i, f"alpha beta w{i}") for i in range(20)], ["doc_id", "text"])
+        small = tfidf_topk(df, k=2, vocab_rows=10)
+        big = tfidf_topk(df, k=2, vocab_rows=10_000_000)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_small
+        assert "BroadcastHashJoin" not in plan_big
+        assert "ShuffledHashJoin" in plan_big
+        rows = lambda d: sorted(map(tuple, d.collect()))
+        assert rows(small) == rows(big)
+
     def test_tfidf_ranks_distinctive_terms(self, spark):
         from filodb_spark.operators.text import tfidf_topk
         df = spark.createDataFrame(

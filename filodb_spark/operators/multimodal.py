@@ -11,12 +11,14 @@ Design for a 100 TB training-data pipeline:
   (`target_partition_bytes`) before the Python stage to keep Arrow
   batches bounded.
 
-The actual codec calls are STUBBED (pillow/ffmpeg are not in this
-container): `decode_backend="fake"` produces a deterministic
-md5-derived feature vector so the plumbing (schemas, batch shapes,
-partitioning, null handling) is real and testable end-to-end;
-`decode_backend="real"` raises NotImplementedError at the exact call
-site where a codec would plug in.
+Codec backends: `decode_backend="fake"` (default) produces a
+deterministic md5-derived feature vector so the plumbing (schemas,
+batch shapes, partitioning, null handling) is real and testable
+end-to-end with no codec libs. `decode_backend="real"` uses pillow for
+image decode/resize behind an import guard (`_pillow`) — it works
+wherever pillow is installed and raises NotImplementedError where it
+is not (as in the build container). Video frame sampling's real
+backend would need ffmpeg and remains a documented stub.
 """
 
 from __future__ import annotations
@@ -95,6 +97,32 @@ def with_media_meta(df: DataFrame, content_col: str = "content",
     ))
 
 
+def _pillow():
+    """Import guard for the real image backend: pillow is an optional
+    dependency (absent in the build container); raise the documented
+    NotImplementedError only when it is genuinely unavailable."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decode_backend='real' requires pillow; "
+            "use decode_backend='fake'") from exc
+
+
+def _real_features(data: bytes, dim: int = 4) -> list[float]:
+    """Pillow-backed decode: [width, height, mean, std] over grayscale
+    pixels — a deterministic true-decode feature vector (stand-in for a
+    model embedding; the Spark-side contract is the same array<double>)."""
+    import io
+    img = _pillow().open(io.BytesIO(data)).convert("L")
+    px = list(img.getdata())
+    n = max(1, len(px))
+    mean = sum(px) / n
+    var = sum((p - mean) ** 2 for p in px) / n
+    return [float(img.size[0]), float(img.size[1]), mean, var ** 0.5][:dim]
+
+
 def _fake_features(data: bytes, dim: int = 4) -> list[float]:
     """Deterministic stand-in for a decoded-image embedding: consecutive
     4-byte big-endian slices of md5(data), as doubles. Reproducible in
@@ -122,13 +150,12 @@ def image_features(df: DataFrame, id_col: str = "doc_id",
                 if data is None:
                     continue
                 data = bytes(data)
-                if decode_backend == "real":
-                    # codec plug-in point: PIL.Image.open(io.BytesIO(data))
-                    raise NotImplementedError(
-                        "real image decode requires pillow; use decode_backend='fake'")
                 out_ids.append(doc_id)
                 out_nb.append(len(data))
-                out_feats.append(_fake_features(data))
+                if decode_backend == "real":
+                    out_feats.append(_real_features(data))
+                else:
+                    out_feats.append(_fake_features(data))
             yield pd.DataFrame({"doc_id": out_ids, "n_bytes": out_nb,
                                 "features": out_feats})
 
@@ -151,13 +178,21 @@ def resize_images(df: DataFrame, width: int, height: int,
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_backend == "real":
-                raise NotImplementedError(
-                    "real resize requires pillow; use decode_backend='fake'")
+                import io
+                Image = _pillow()
+                content = []
+                for data in pdf[content_col]:
+                    img = Image.open(io.BytesIO(bytes(data)))
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    content.append(buf.getvalue())
+            else:
+                content = pdf[content_col]
             metas = [{"mime": "image/png", "width": width, "height": height,
                       "duration_ms": None, "sample_rate": None}
                      for _ in range(len(pdf))]
             yield pd.DataFrame({"doc_id": pdf[id_col],
-                                "content": pdf[content_col],
+                                "content": content,
                                 "media_meta": metas})
 
     return df.select(F.col(id_col), F.col(content_col)) \

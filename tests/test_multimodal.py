@@ -2,12 +2,32 @@
 deterministic fake decode; real backend raises at the plug-in point."""
 
 import hashlib
+import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
 
 from filodb_spark.operators.multimodal import (image_features, resize_images,
                                                sample_frames, with_media_meta)
+
+try:
+    import PIL  # noqa: F401
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def _make_png(w: int, h: int, value: int = 128) -> bytes:
+    """Minimal valid 8-bit grayscale PNG built with stdlib only (real
+    IHDR/IDAT/IEND chunks + CRCs) — decodable by any PNG library."""
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value]) * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
 @pytest.fixture()
@@ -29,11 +49,37 @@ class TestImageFeatures:
         assert list(by_id[3]["features"]) == expected
         assert by_id[3]["n_bytes"] == len(data)
 
-    def test_real_backend_raises(self, spark, media_df):
+    @pytest.mark.skipif(HAS_PIL, reason="pillow present: real path works")
+    def test_real_backend_raises_without_pillow(self, spark, media_df):
         with pytest.raises(Exception) as e:
             image_features(media_df, decode_backend="real").collect()
         assert "NotImplementedError" in str(e.value) or \
             isinstance(e.value, NotImplementedError)
+
+    @pytest.mark.skipif(not HAS_PIL, reason="pillow not installed")
+    def test_real_decode_agrees_with_header_parse(self, spark):
+        # the JVM-side header math (with_media_meta) and a true pillow
+        # decode must report the same dimensions
+        df = spark.createDataFrame(
+            [(1, _make_png(7, 3)), (2, _make_png(32, 16))],
+            "doc_id long, content binary")
+        hdr = {r["doc_id"]: r["media_meta"]
+               for r in with_media_meta(df).collect()}
+        feats = {r["doc_id"]: list(r["features"])
+                 for r in image_features(df, decode_backend="real").collect()}
+        for i, (w, h) in [(1, (7, 3)), (2, (32, 16))]:
+            assert (hdr[i]["width"], hdr[i]["height"]) == (w, h)
+            assert feats[i][:2] == [float(w), float(h)]
+
+    @pytest.mark.skipif(not HAS_PIL, reason="pillow not installed")
+    def test_real_resize_reencodes(self, spark):
+        df = spark.createDataFrame([(1, _make_png(8, 8))],
+                                   "doc_id long, content binary")
+        out = resize_images(df, 4, 2, decode_backend="real")
+        row = with_media_meta(out.select("doc_id", "content")).first()
+        # re-encoded PNG's own header carries the new dims
+        assert (row["media_meta"]["width"],
+                row["media_meta"]["height"]) == (4, 2)
 
 
 class TestResizeAndMeta:

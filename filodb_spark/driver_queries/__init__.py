@@ -11,14 +11,15 @@ from __future__ import annotations
 def all_queries():
     from filodb_spark.driver_queries import (downsample_queries,
                                              histogram_queries, mm_ops,
-                                             promql_events, promql_path,
-                                             text_ops, timeseries_ops, tpch,
+                                             pipeline_ops, promql_events,
+                                             promql_path, text_ops,
+                                             timeseries_ops, tpch,
                                              vector_ops)
     q: dict = {}
     o: dict = {}
     for mod in (tpch, text_ops, vector_ops, mm_ops, downsample_queries,
                 timeseries_ops, promql_path, histogram_queries,
-                promql_events):
+                promql_events, pipeline_ops):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
@@ -41,16 +42,19 @@ def all_queries():
         "ts_exp_hist_quantile", "ts_hist_mixed_sum",
         # never-gated rows-only
         "doc_minhash_lsh", "doc_simhash", "ann_ivf", "ann_ivf_kmeans",
+        # round-3 additions (operators/pipeline.py + quantize_embeddings)
+        "pl_contamination", "pl_repetition", "pl_pii_scrub",
+        "pl_strat_sample", "pl_strat_topk", "pl_quality_filter",
+        "pl_dataset_card", "emb_quantize",
         # family canaries
-        "tpch_q1", "tpch_q5", "tpch_q9", "tpch_q12", "tpch_q18",
+        "tpch_q1", "tpch_q5", "tpch_q12",
         "ev_sessions", "ev_asof_join", "ev_gap_fill",
         "doc_dedup_exact", "doc_dedup_clusters", "doc_tfidf_topk",
-        "doc_minhash_portable", "doc_simhash_portable", "doc_langid",
-        "doc_split",
+        "doc_minhash_portable",
         "ann_bruteforce", "ann_ivf_portable", "emb_near_dup",
-        "mm_image_features", "mm_frame_sample",
-        "ds_rollup", "ds_avg_rewrite", "ds_cascade",
-        "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile", "ts_instant_last",
+        "mm_image_features",
+        "ds_rollup", "ds_cascade",
+        "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -1,0 +1,286 @@
+"""Driver queries for the training-data pipeline operators
+(operators/pipeline.py + quantize_embeddings): benchmark-contamination
+scan, repetition signals, PII scrubbing, deterministic stratified
+sampling, quality gating, dataset-card cube, embedding quantization.
+
+Every query has an exact DuckDB oracle: the operators are restricted to
+md5 bucketing, RE2-compatible regexes, and list/array math that both
+engines evaluate bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- queries
+
+CONTAM_N = 6
+
+
+def q_contamination(spark, sf_dir):
+    """Docs vs a deterministic 'benchmark' subset (every 50th doc, which
+    is itself in-corpus — those score contamination 1.0 by construction,
+    a built-in sanity signal)."""
+    from filodb_spark.operators.pipeline import contamination_check
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    out = contamination_check(docs, bench, n=CONTAM_N)
+    return out.select("doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+                      F.col("n_hits").cast("long").alias("n_hits"),
+                      "contamination")
+
+
+def q_repetition(spark, sf_dir):
+    from filodb_spark.operators.pipeline import ngram_repetition
+    out = ngram_repetition(_docs(spark, sf_dir))
+    return out.select("doc_id", "dup2_frac", "dup3_frac")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """The fixture corpus is synthetic word salad with no PII, so the
+    query INJECTS deterministic PII-shaped strings for a subset of docs
+    (id-derived emails/IPs/SSNs/phones) and scrubs them — both engines
+    synthesize and scrub identically, and the untouched docs prove the
+    no-false-positive path."""
+    from filodb_spark.operators.pipeline import pii_scrub
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    aug = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(i % 7 == 0, F.concat(F.lit(" mail user"), i,
+                                        F.lit("@example.com"))).otherwise(""),
+            F.when(i % 11 == 0, F.concat(F.lit(" host 10.0."), (i % 200),
+                                         F.lit(".25"))).otherwise(""),
+            F.when(i % 13 == 0, F.lit(" id 123-45-6789")).otherwise(""),
+            F.when(i % 17 == 0, F.concat(F.lit(" call +1 555 000 "),
+                                         (1000 + i % 9000))).otherwise("")))
+    from filodb_spark.operators.pipeline import PII_PATTERNS
+    out = pii_scrub(aug, "text2")
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}")
+          for n, _, _ in PII_PATTERNS],
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.md5("redacted").alias("redacted_fp"))
+
+
+SAMPLE_FRACTIONS = {"es": 0.5, "de": 0.3, "zh": 0.2}
+
+
+def q_strat_sample(spark, sf_dir):
+    from filodb_spark.operators.pipeline import stratified_sample
+    out = stratified_sample(_docs(spark, sf_dir), "lang", SAMPLE_FRACTIONS,
+                            default_fraction=0.1)
+    return out.select("doc_id", "lang")
+
+
+def q_strat_topk(spark, sf_dir):
+    from filodb_spark.operators.pipeline import stratified_topk
+    out = stratified_topk(_docs(spark, sf_dir), "lang", k=5)
+    return out.select("doc_id", "lang")
+
+
+QF_ARGS = dict(min_tokens=20, min_quality=0.3, max_dup3=0.08)
+
+
+def q_quality_filter(spark, sf_dir):
+    from filodb_spark.operators.pipeline import quality_filter
+    out = quality_filter(_docs(spark, sf_dir), **QF_ARGS)
+    return out.select("doc_id", "keep", "drop_reason")
+
+
+def q_dataset_card(spark, sf_dir):
+    from filodb_spark.operators.pipeline import dataset_card
+    return dataset_card(_docs(spark, sf_dir))
+
+
+def q_emb_quantize(spark, sf_dir):
+    from filodb_spark.operators.similarity import quantize_embeddings
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
+QUERIES = {
+    "pl_contamination": q_contamination,
+    "pl_repetition": q_repetition,
+    "pl_pii_scrub": q_pii_scrub,
+    "pl_strat_sample": q_strat_sample,
+    "pl_strat_topk": q_strat_topk,
+    "pl_quality_filter": q_quality_filter,
+    "pl_dataset_card": q_dataset_card,
+    "emb_quantize": q_emb_quantize,
+}
+
+
+# ---------------------------------------------------------------- oracles
+
+# whitespace tokens of lowercased text; [] for blank docs (mirrors
+# operators.text.tokens)
+_TOK = """
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\\s+')
+                 END AS t
+  FROM documents
+"""
+
+
+def _grams_sql(n: int, col: str = "t") -> str:
+    """Word n-grams over the token list (mirrors word_ngrams)."""
+    return (f"list_transform(range(1, len({col}) - {n} + 2), "
+            f"i -> array_to_string({col}[i:i+{n - 1}], ' '))")
+
+
+_MD5_BUCKET = ("CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+               "AS BIGINT) % 10000")
+
+ORACLES = {
+    "pl_contamination": f"""
+WITH tok AS ({_TOK}),
+g AS (SELECT doc_id, {_grams_sql(CONTAM_N)} AS gs FROM tok),
+bench AS (SELECT DISTINCT unnest(gs) AS bg FROM g WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM g),
+h AS (SELECT dg.doc_id, count(*) AS n_grams, count(bench.bg) AS n_hits
+      FROM dg LEFT JOIN bench ON dg.g = bench.bg GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(h.n_grams, 0) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       CASE WHEN coalesce(h.n_grams, 0) > 0
+            THEN round(h.n_hits / CAST(h.n_grams AS DOUBLE), 6)
+            ELSE 0.0 END AS contamination
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""",
+    "pl_repetition": f"""
+WITH tok AS ({_TOK}),
+g AS (SELECT doc_id, {_grams_sql(2)} AS g2, {_grams_sql(3)} AS g3 FROM tok)
+SELECT doc_id,
+       CASE WHEN len(g2) > 0
+            THEN round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup2_frac,
+       CASE WHEN len(g3) > 0
+            THEN round(1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup3_frac
+FROM g""",
+    # replacement order (email, ssn, ipv4, phone) is the operator
+    # contract; counts are taken on the progressively-redacted string.
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # always-global behavior.
+    "pl_pii_scrub": """
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' host 10.0.' || (doc_id % 200) || '.25' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN ' call +1 555 000 ' || (1000 + doc_id % 9000) ELSE '' END
+    AS s0
+  FROM documents),
+s1 AS (SELECT doc_id,
+              len(regexp_extract_all(s0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(s0,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS s FROM aug),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+              regexp_replace(s, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS s
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+              len(regexp_extract_all(s,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+              regexp_replace(s,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS s FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ssn, n_ipv4,
+              len(regexp_extract_all(s, '\\+?\\d[\\d -]{7,}\\d')) AS n_phone,
+              regexp_replace(s, '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS s
+       FROM s3)
+SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
+       n_email + n_ssn + n_ipv4 + n_phone AS n_pii,
+       md5(s) AS redacted_fp
+FROM s4""",
+    "pl_strat_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {_MD5_BUCKET} <
+      CASE lang WHEN 'es' THEN 5000 WHEN 'de' THEN 3000 WHEN 'zh' THEN 2000
+                ELSE 1000 END""",
+    "pl_strat_topk": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents)
+WHERE rk <= 5""",
+    # mirrors quality_filter(min_tokens=20, min_quality=0.3, max_dup3=.08)
+    # and the quality_score / token_count column expressions exactly
+    "pl_quality_filter": f"""
+WITH tok AS ({_TOK}),
+m AS (
+  SELECT d.doc_id, len(tk.t) AS n_tok,
+         length(regexp_replace(trim(d.text), '\\s+', '', 'g'))
+           / CAST(len(tk.t) AS DOUBLE) AS wl,
+         {_grams_sql(3, 'tk.t')} AS g3
+  FROM documents d JOIN tok tk ON d.doc_id = tk.doc_id),
+q AS (
+  SELECT doc_id, n_tok,
+         least(1.0, n_tok / 100.0)
+           * (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.5 END)
+           AS quality,
+         CASE WHEN len(g3) > 0
+              THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+              ELSE 0.0 END AS dup3
+  FROM m)
+SELECT doc_id,
+       CASE WHEN n_tok < 20 THEN 'too_short'
+            WHEN n_tok > 100000 THEN 'too_long'
+            WHEN quality < 0.3 THEN 'low_quality'
+            WHEN dup3 > 0.08 THEN 'repetitive'
+       END AS drop_reason,
+       (CASE WHEN n_tok < 20 THEN 'too_short'
+             WHEN n_tok > 100000 THEN 'too_long'
+             WHEN quality < 0.3 THEN 'low_quality'
+             WHEN dup3 > 0.08 THEN 'repetitive'
+        END) IS NULL AS keep
+FROM q""",
+    "pl_dataset_card": """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY CUBE (lang, source)""",
+    "emb_quantize": """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         list_aggregate(e, 'min') AS mn,
+         (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0
+           AS scale
+  FROM v),
+qz AS (
+  SELECT vec_id, e, mn, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(e, x -> CAST(floor((x - mn) / scale + 0.5)
+                                               AS INTEGER))
+              ELSE list_transform(e, x -> 0) END AS codes
+  FROM s)
+SELECT vec_id, codes,
+       round(mn, 6) AS vmin,
+       round(scale, 6) AS scale,
+       round(list_aggregate(
+           list_transform(range(1, len(e) + 1),
+                          i -> abs(e[i] - (codes[i] * scale + mn))),
+           'max'), 6) AS max_abs_err
+FROM qz"""
+}

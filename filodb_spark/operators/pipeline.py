@@ -1,0 +1,215 @@
+"""Training-data pipeline operators: contamination checks, repetition
+filters, PII scrubbing, stratified sampling, quality gating, dataset
+cards.
+
+These are the corpus-hygiene stages a large-scale LLM data pipeline runs
+between raw ingest and tokenization. All hot paths are pure column
+expressions (JVM-side, codegen) or single hash-aggregations; nothing
+here drops to Python. Every computation is restricted to constructs
+expressible identically in ANSI SQL (md5 bucketing, RE2-safe regexes,
+list/array higher-order functions) so the driver's DuckDB oracles check
+them bit-for-bit.
+
+No counterpart in the reference (a metrics/time-series engine); these
+extend the engine the way SURVEY.md §2.12 extends the UDF surface.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from filodb_spark.operators.text import SPLIT_BUCKETS, split_hash, tokens
+
+__all__ = [
+    "word_ngrams", "ngram_repetition", "contamination_check",
+    "pii_scrub", "stratified_sample", "stratified_topk",
+    "quality_filter", "dataset_card",
+]
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams (space-joined) over lowercased whitespace tokens.
+    Shorter-than-n docs yield an empty array. Pure array math — the SQL
+    mirror is list_transform over the same slice windows."""
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(df: DataFrame, text_col: str = "text",
+                     ns: Sequence[int] = (2, 3)) -> DataFrame:
+    """Gopher-style repetition signals: for each n, the fraction of the
+    doc's word n-grams that are repeats of an earlier occurrence
+    (1 - distinct/total). Boilerplate and looped generations score high.
+    Map-only — per-row array folds, no shuffle, no Python; at 100 TB this
+    is an embarrassingly parallel scan stage."""
+    out = df
+    for n in ns:
+        g = word_ngrams(F.col(text_col), n)
+        frac = F.when(F.size(g) > 0,
+                      F.round(1.0 - F.size(F.array_distinct(g))
+                              .cast("double") / F.size(g), 6)) \
+                .otherwise(F.lit(0.0))
+        out = out.withColumn(f"dup{n}_frac", frac)
+    return out
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str | None = None,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark-contamination scan: fraction of each training doc's
+    distinct word n-grams that appear anywhere in an evaluation set —
+    the standard n-gram-overlap decontamination test run before
+    training (WebText/GPT-2 used n=8).
+
+    Shape: one explode + distinct per side, an equi-join on the gram
+    string, one hash-agg per doc. The benchmark gram set is usually
+    tiny relative to the corpus — broadcast by default; pass
+    broadcast_benchmark=False for giant eval suites and the join
+    shuffles on the well-distributed gram key instead.
+
+    Output: (id, n_grams, n_hits, contamination) — distinct-gram counts,
+    ratio rounded to 6 dp, 0.0 for docs shorter than n tokens.
+    """
+    bcol = bench_text_col or text_col
+    bench = (benchmark
+             .select(F.explode(word_ngrams(F.col(bcol), n)).alias("g"))
+             .distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+        .alias("g"))
+    hits = (doc_grams.join(bench.withColumn("_hit", F.lit(1)), "g", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("_hit").alias("n_hits")))
+    base = docs.select(F.col(id_col))
+    return (base.join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.round(F.col("n_hits").cast("double")
+                               / F.col("n_grams"), 6))
+                .otherwise(F.lit(0.0)).alias("contamination")))
+
+
+# PII patterns restricted to constructs Java regex and RE2 (DuckDB)
+# interpret identically: no backrefs, no lookaround. Replacement order
+# matters (email before phone so the digits in a redacted token can't
+# re-match) and is part of the operator contract.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "redacted") -> DataFrame:
+    """Detect-and-redact PII-shaped substrings (emails, SSN-shaped ids,
+    IPv4s, long digit runs) with per-type match counts. Map-only regexp
+    work in codegen; counts are taken on the progressively-redacted text
+    in the same fixed order as the replacements, so each character is
+    attributed to exactly one type."""
+    out = df
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = sum((F.col(f"n_{name}") for name, _, _ in PII_PATTERNS[1:]),
+                F.col(f"n_{PII_PATTERNS[0][0]}"))
+    return out.withColumn(out_col, cur).withColumn("n_pii", total)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: Mapping[str, float],
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum subsample: a row survives iff its
+    md5-bucket (same hash as train/val/test splitting) falls under the
+    stratum's fraction. Map-only — no shuffle, no sampling RNG, stable
+    across engines/runs/repartitions, and composable with assign_split
+    (independent md5 inputs would be needed for independence; here the
+    sample NESTS across fraction changes, which is what you want for
+    scaling-law subset ladders: the 10% set is a subset of the 20%)."""
+    bucket = split_hash(F.col(id_col))
+    thresh = None
+    for name, frac in fractions.items():
+        cut = int(round(frac * SPLIT_BUCKETS))
+        cond = F.col(strata_col) == name
+        thresh = F.when(cond, cut) if thresh is None else \
+            thresh.when(cond, cut)
+    thresh = thresh.otherwise(int(round(default_fraction * SPLIT_BUCKETS)))
+    return df.where(bucket < thresh)
+
+
+def stratified_topk(df: DataFrame, strata_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Exactly k rows per stratum, chosen deterministically by md5 rank —
+    the distributed stand-in for per-stratum reservoir sampling (same
+    guarantee: k uniform-ish rows per group, stable across runs). One
+    shuffle on the stratum key; rank is a bounded window. For heavily
+    skewed strata sizes the per-partition sort is the cost — k is small,
+    so Spark's TopK (rank <= k) window stays memory-bounded."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_tokens: int = 10, max_tokens: int = 100_000,
+                   min_quality: float = 0.25,
+                   max_dup3: float = 0.25,
+                   langs: Sequence[str] | None = None,
+                   lang_col: str = "lang") -> DataFrame:
+    """Compose the text-quality signals into a keep/drop decision with
+    the FIRST failing rule as the drop reason (rule order is the
+    contract, mirroring how production filter stacks report attrition).
+    Map-only; the output feeds the dataset card's attrition table."""
+    from filodb_spark.operators.text import quality_score, token_count
+    t = F.col(text_col)
+    g3 = word_ngrams(t, 3)
+    dup3 = F.when(F.size(g3) > 0,
+                  1.0 - F.size(F.array_distinct(g3)).cast("double")
+                  / F.size(g3)).otherwise(F.lit(0.0))
+    checks = [
+        ("too_short", token_count(t) < min_tokens),
+        ("too_long", token_count(t) > max_tokens),
+        ("low_quality", quality_score(t) < min_quality),
+        ("repetitive", dup3 > max_dup3),
+    ]
+    if langs is not None:
+        checks.append(("lang", ~F.col(lang_col).isin(*langs)))
+    reason = None
+    for name, cond in checks:
+        reason = F.when(cond, F.lit(name)) if reason is None else \
+            reason.when(cond, F.lit(name))
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return (df.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull()))
+
+
+def dataset_card(df: DataFrame, dims: Sequence[str] = ("lang", "source"),
+                 chars_col: str = "n_chars") -> DataFrame:
+    """Dataset-card rollup: doc counts and char volumes at every
+    combination of the card dimensions (full cube, so one pass serves
+    the per-lang table, the per-source table, and the grand total).
+    Spark's cube is partial-aggregate friendly — one shuffle at the
+    combined grouping-set key."""
+    return (df.cube(*dims)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col(chars_col)).cast("long").alias("total_chars"),
+                 F.round(F.avg(F.col(chars_col)), 6).alias("avg_chars")))

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: contamination, repetition, PII
+scrub, stratified sampling, quality gate, dataset card, quantization.
+
+Driver-gate oracles check cross-engine exactness; these tests pin the
+operator-level semantics on small hand-built frames."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.operators.pipeline import (contamination_check,
+                                             dataset_card, ngram_repetition,
+                                             pii_scrub, quality_filter,
+                                             stratified_sample,
+                                             stratified_topk, word_ngrams)
+
+
+class TestNgrams:
+    def test_word_ngrams_and_short_doc(self, spark):
+        df = spark.createDataFrame([(1, "A b c d"), (2, "x"), (3, " ")],
+                                   ["doc_id", "text"])
+        out = {r.doc_id: list(r.g) for r in
+               df.select("doc_id",
+                         word_ngrams(F.col("text"), 3).alias("g")).collect()}
+        assert out[1] == ["a b c", "b c d"]   # lowercased, sliding
+        assert out[2] == [] and out[3] == []
+
+    def test_repetition_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"),     # all bigrams identical
+             (2, "all words here differ")],
+            ["doc_id", "text"])
+        out = {r.doc_id: (r.dup2_frac, r.dup3_frac)
+               for r in ngram_repetition(df).collect()}
+        # 3 bigrams, 1 distinct -> 2/3; 2 trigrams, 1 distinct -> 1/2
+        assert out[1] == (round(2 / 3, 6), 0.5)
+        assert out[2] == (0.0, 0.0)
+
+
+class TestContamination:
+    def test_hits_and_misses(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"),
+             (2, "totally novel training text here"),
+             (3, "too short")],
+            ["doc_id", "text"])
+        bench = spark.createDataFrame(
+            [(100, "we saw the quick brown fox jumps over it")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               contamination_check(docs, bench, n=5).collect()}
+        assert out[1].n_hits == 1 and out[1].contamination == 1.0
+        assert out[2].n_hits == 0 and out[2].contamination == 0.0
+        assert out[3].n_grams == 0 and out[3].contamination == 0.0
+
+    def test_shuffle_join_variant_same_result(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"shared prefix tokens one two three w{i}")
+             for i in range(6)], ["doc_id", "text"])
+        bench = docs.where(F.col("doc_id") == 0)
+        a = sorted(map(tuple, contamination_check(docs, bench, n=4).collect()))
+        b = sorted(map(tuple, contamination_check(
+            docs, bench, n=4, broadcast_benchmark=False).collect()))
+        assert a == b
+
+
+class TestPiiScrub:
+    def test_each_type_detected_and_redacted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.io or 10.1.2.3 ssn 123-45-6789 "
+                 "tel +1 555 123 4567 end"),
+             (2, "clean text, no identifiers at all")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        r = out[1]
+        assert (r.n_email, r.n_ssn, r.n_ipv4, r.n_phone) == (1, 1, 1, 1)
+        assert r.n_pii == 4
+        assert r.redacted == ("mail <EMAIL> or <IP> ssn <SSN> "
+                              "tel <PHONE> end")
+        assert out[2].n_pii == 0 and out[2].redacted == df.collect()[1].text \
+            or out[2].redacted == "clean text, no identifiers at all"
+
+    def test_order_prevents_double_count(self, spark):
+        # the digits inside an email's domain must not count as a phone
+        df = spark.createDataFrame([(1, "x 123456789@mail99.com y")],
+                                   ["doc_id", "text"])
+        r = pii_scrub(df).first()
+        assert r.n_email == 1 and r.n_phone == 0
+
+
+class TestSampling:
+    def test_stratified_sample_fractions_and_nesting(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        half = stratified_sample(df, "lang", {"en": 0.5, "de": 0.25})
+        counts = {r.lang: r.n for r in
+                  half.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["en"] / 2000 - 0.5) < 0.05
+        assert abs(counts["de"] / 2000 - 0.25) < 0.05
+        # nesting: the 25% en-sample is a subset of the 50% en-sample
+        quarter = stratified_sample(df, "lang", {"en": 0.25, "de": 0.25})
+        h = {r.doc_id for r in half.where(F.col("lang") == "en").collect()}
+        q = {r.doc_id for r in quarter.where(F.col("lang") == "en").collect()}
+        assert q <= h
+
+    def test_stratified_topk_exact_k_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+            ["doc_id", "lang"])
+        out1 = stratified_topk(df, "lang", k=4).collect()
+        out2 = stratified_topk(df.repartition(7), "lang", k=4).collect()
+        by_lang: dict = {}
+        for r in out1:
+            by_lang.setdefault(r.lang, set()).add(r.doc_id)
+        assert all(len(v) == 4 for v in by_lang.values())
+        assert sorted((r.lang, r.doc_id) for r in out1) == \
+            sorted((r.lang, r.doc_id) for r in out2)
+
+
+class TestQualityAndCard:
+    def test_first_failing_rule_wins(self, spark):
+        df = spark.createDataFrame(
+            [(1, "short"),                                  # too_short
+             (2, " ".join(f"w{i}" for i in range(50))),     # ok
+             (3, " ".join(["dup dup dup"] * 20))],          # repetitive
+            ["doc_id", "text"])
+        out = {r.doc_id: (r.keep, r.drop_reason)
+               for r in quality_filter(df, min_tokens=10, min_quality=0.0,
+                                       max_dup3=0.2).collect()}
+        assert out[1] == (False, "too_short")
+        assert out[2] == (True, None)
+        assert out[3] == (False, "repetitive")
+
+    def test_dataset_card_cube_totals(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", "s1", 10), (2, "en", "s2", 20), (3, "de", "s1", 30)],
+            ["doc_id", "lang", "source", "n_chars"])
+        rows = {(r.lang, r.source): (r.n_docs, r.total_chars)
+                for r in dataset_card(df).collect()}
+        assert rows[(None, None)] == (3, 60)        # grand total
+        assert rows[("en", None)] == (2, 30)        # per-lang subtotal
+        assert rows[(None, "s1")] == (2, 40)        # per-source subtotal
+        assert rows[("en", "s2")] == (1, 20)        # leaf
+
+
+class TestQuantize:
+    def test_roundtrip_error_bound_and_constant_vector(self, spark):
+        from filodb_spark.operators.similarity import quantize_embeddings
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0, 2.0, 255.0]), (2, [5.0, 5.0, 5.0, 5.0])],
+            ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+        r1 = out[1]
+        assert r1.codes == [0, 1, 2, 255]
+        assert r1.vmin == 0.0 and r1.scale == 1.0
+        # error bounded by scale/2
+        assert r1.max_abs_err <= r1.scale / 2 + 1e-9
+        r2 = out[2]
+        assert r2.codes == [0, 0, 0, 0] and r2.scale == 0.0
+        assert r2.max_abs_err == 0.0

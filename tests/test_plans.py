@@ -239,8 +239,43 @@ class TestNewOpPlanShapes:
         assert "Join" not in plan
 
     def test_tfidf_docfreq_join_broadcasts(self, spark):
+        # under the size gate a small vocab estimate pins the broadcast;
+        # the over-threshold branch is asserted in test_text_ops
         from filodb_spark.operators.text import tfidf_topk
         d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
-        plan = plan_of(tfidf_topk(d))
+        plan = plan_of(tfidf_topk(d, vocab_rows=10))
         assert "BroadcastHashJoin" in plan   # doc-freq side broadcast
         assert "SortMergeJoin" not in plan
+
+    def test_repetition_and_sampling_are_map_only(self, spark):
+        """The corpus-hygiene scan stages must stay shuffle-free: at
+        100 TB they run as pure map tasks over the input splits."""
+        from filodb_spark.operators.pipeline import (ngram_repetition,
+                                                     pii_scrub,
+                                                     quality_filter,
+                                                     stratified_sample)
+        d = spark.createDataFrame([(1, "a b c", "en")],
+                                  ["doc_id", "text", "lang"])
+        for df in (ngram_repetition(d), pii_scrub(d),
+                   quality_filter(d),
+                   stratified_sample(d, "lang", {"en": 0.5})):
+            plan = plan_of(df)
+            assert "Exchange" not in plan and "Join" not in plan
+
+    def test_contamination_benchmark_broadcasts(self, spark):
+        from filodb_spark.operators.pipeline import contamination_check
+        d = spark.createDataFrame([(1, "a b c d e f g h")],
+                                  ["doc_id", "text"])
+        plan = plan_of(contamination_check(d, d.limit(1), n=4))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # over-threshold variant keeps an equi-join, never a cartesian
+        plan2 = plan_of(contamination_check(d, d.limit(1), n=4,
+                                            broadcast_benchmark=False))
+        assert "CartesianProduct" not in plan2
+
+    def test_quantize_is_map_only(self, spark):
+        from filodb_spark.operators.similarity import quantize_embeddings
+        d = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
+        plan = plan_of(quantize_embeddings(d))
+        assert "Exchange" not in plan and "Join" not in plan

@@ -110,8 +110,41 @@ def q_emb_quantize(spark, sf_dir):
     return quantize_embeddings(_emb(spark, sf_dir))
 
 
+def q_url_filter(spark, sf_dir):
+    """The fixture corpus has no URLs, so the query injects
+    deterministic ones (benign + blocklisted, id-derived) and runs the
+    domain blocklist filter — both engines synthesize identically and
+    the untouched docs prove the no-false-positive path."""
+    from filodb_spark.operators.pipeline import url_domain_filter
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    aug = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(i % 5 == 0,
+                   F.concat(F.lit(" see https://site"), (i % 7),
+                            F.lit(".example.org/page/"), i)).otherwise(""),
+            F.when(i % 9 == 0,
+                   F.lit(" ref https://spam.example.com/x?q=1")).otherwise(""),
+            F.when(i % 14 == 0, F.lit(" via http://ads.invalid")).otherwise("")))
+    out = url_domain_filter(aug, "text2")
+    return out.select("doc_id", "n_urls", "n_blocked", "domains", "keep")
+
+
+PACK_BUDGET, PACK_SHARDS = 64, 4
+
+
+def q_pack_sequences(spark, sf_dir):
+    from filodb_spark.operators.pipeline import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET,
+                          shards=PACK_SHARDS)
+
+
 QUERIES = {
     "pl_contamination": q_contamination,
+    "pl_url_filter": q_url_filter,
+    "pl_pack_sequences": q_pack_sequences,
     "pl_repetition": q_repetition,
     "pl_pii_scrub": q_pii_scrub,
     "pl_strat_sample": q_strat_sample,
@@ -258,6 +291,60 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY CUBE (lang, source)""",
+    # the URL pattern is RE2-safe and identical on both sides; DuckDB
+    # regexp_extract_all takes the group index like Spark's
+    "pl_url_filter": """
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' see https://site' || (doc_id % 7) || '.example.org/page/'
+                 || doc_id ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN ' ref https://spam.example.com/x?q=1' ELSE '' END
+    || CASE WHEN doc_id % 14 = 0 THEN ' via http://ads.invalid' ELSE '' END
+    AS s
+  FROM documents),
+x AS (
+  SELECT doc_id,
+         regexp_extract_all(s, 'https?://([A-Za-z0-9.-]+)(/[^\\s]*)?', 1)
+           AS doms
+  FROM aug)
+SELECT doc_id,
+       CAST(len(doms) AS BIGINT) AS n_urls,
+       CAST(len(list_filter(doms, d -> d IN ('spam.example.com',
+            'ads.invalid', 'tracker.test'))) AS BIGINT) AS n_blocked,
+       list_sort(list_distinct(doms)) AS domains,
+       len(list_filter(doms, d -> d IN ('spam.example.com', 'ads.invalid',
+           'tracker.test'))) = 0 AS keep
+FROM x""",
+    # window sum cast to BIGINT (DuckDB widens to HUGEINT — the round-2
+    # hash-artifact lesson); all arithmetic below is integer-exact
+    "pl_pack_sequences": f"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents),
+base AS (
+  SELECT doc_id,
+         ({_MD5_BUCKET}) % {PACK_SHARDS} AS shard, n
+  FROM tok WHERE n > 0),
+sp AS (
+  SELECT doc_id, shard, n,
+         CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM base),
+pieces AS (
+  SELECT shard, doc_id, e - n AS s, e,
+         unnest(range(CAST(floor((e - n) / {float(PACK_BUDGET)}) AS BIGINT),
+                      CAST(floor((e - 1) / {float(PACK_BUDGET)}) AS BIGINT)
+                      + 1)) AS seq_id
+  FROM sp)
+SELECT shard, seq_id, doc_id,
+       greatest(s, seq_id * {PACK_BUDGET}) - s + 1 AS tok_start,
+       least(e, (seq_id + 1) * {PACK_BUDGET})
+         - greatest(s, seq_id * {PACK_BUDGET}) AS n_tok
+FROM pieces""",
     "emb_quantize": """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

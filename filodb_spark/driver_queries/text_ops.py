@@ -134,8 +134,35 @@ def q_doc_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 16, 12
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping context-window chunking (16-token windows, stride 12):
+    the retrieval/embedding chunking stage. Map-only explode."""
+    return text.chunk_documents(_docs(spark, sf_dir),
+                                chunk_tokens=CHUNK_TOKENS,
+                                stride=CHUNK_STRIDE)
+
+
+def q_doc_segment_dedup(spark, sf_dir):
+    """Sub-document exact dedup over deterministic 10-token segments
+    (first occurrence survives), with a fingerprint of the reassembled
+    text."""
+    return dedup.segment_dedup(_docs(spark, sf_dir), seg_tokens=10)
+
+
+def q_doc_unigram_lp(spark, sf_dir):
+    """Add-one-smoothed corpus-unigram mean log-prob per doc — the
+    perplexity-filter stand-in."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_chunks": q_doc_chunks,
+    "doc_segment_dedup": q_doc_segment_dedup,
+    "doc_unigram_lp": q_doc_unigram_lp,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_count": q_doc_token_count,
     "doc_subword_count": q_doc_subword_count,
@@ -378,6 +405,77 @@ SELECT doc_id, CAST({mask} AS BIGINT) AS simhash FROM agg"""
 
 ORACLES["doc_minhash_portable"] = _minhash_portable_sql()
 ORACLES["doc_simhash_portable"] = _simhash_portable_sql()
+
+# whitespace tokens of the ORIGINAL-case text (chunking keeps case)
+_TOK_RAW = r"""
+  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+')
+                 END AS t
+  FROM documents
+"""
+
+ORACLES["doc_chunks"] = f"""
+WITH tok AS ({_TOK_RAW}),
+c AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) = 0 THEN 0
+              WHEN len(t) <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(floor((len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                              / {float(CHUNK_STRIDE)}) AS BIGINT) + 1
+         END AS nc
+  FROM tok),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, nc), j -> {{
+             'chunk_idx': j,
+             'chunk_text': array_to_string(
+                 t[j*{CHUNK_STRIDE}+1 : j*{CHUNK_STRIDE}+{CHUNK_TOKENS}], ' '),
+             'n_tok': least({CHUNK_TOKENS}, n - j*{CHUNK_STRIDE})}})) AS ch
+  FROM c)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.chunk_text AS chunk_text,
+       CAST(ch.n_tok AS BIGINT) AS n_tok
+FROM g"""
+
+ORACLES["doc_segment_dedup"] = f"""
+WITH tok AS ({_TOK_RAW}),
+c AS (SELECT doc_id, t, len(t) AS n,
+             CAST(ceil(len(t) / 10.0) AS BIGINT) AS ns FROM tok),
+segs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, ns), j -> {{
+             'seg_idx': j,
+             'seg': array_to_string(t[j*10+1 : j*10+10], ' ')}})) AS s
+  FROM c),
+e AS (SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg,
+             md5(lower(s.seg)) AS h FROM segs),
+r AS (SELECT *, row_number() OVER (PARTITION BY h
+                                   ORDER BY doc_id, seg_idx) AS rn FROM e),
+p AS (SELECT doc_id, count(*) AS n_seg,
+             count(*) FILTER (WHERE rn = 1) AS n_kept,
+             md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                          FILTER (WHERE rn = 1), '')) AS clean_fp
+      FROM r GROUP BY doc_id)
+SELECT d.doc_id, coalesce(p.n_seg, 0) AS n_seg,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.clean_fp, md5('')) AS clean_fp
+FROM documents d LEFT JOIN p USING (doc_id)"""
+
+ORACLES["doc_unigram_lp"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM vocab),
+sc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         round(sum(tf * ln((c + 1) / CAST(total + v AS DOUBLE))) / sum(tf), 6)
+           AS avg_logprob
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.n_tok, 0) AS n_tok, sc.avg_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)"""
 
 ORACLES["doc_tfidf_topk"] = """
 WITH toks AS (

@@ -60,8 +60,19 @@ def q_emb_near_dup(spark, sf_dir):
     return similarity.cosine_near_dup_pairs(e, 0.1, block_col="label")
 
 
+SEMDEDUP_THRESHOLD = 0.55
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style keep/drop per vector (lower-id-wins within the
+    portable sign-bit bucket) — exact SQL oracle."""
+    e = _emb(spark, sf_dir)
+    return similarity.semantic_dedup(e, threshold=SEMDEDUP_THRESHOLD)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_near_dup": q_emb_near_dup,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
@@ -70,6 +81,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_semantic_dedup": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+  FROM e
+),
+dups AS (
+  SELECT b2.vec_id AS vec_id, min(b1.vec_id) AS dup_of
+  FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+  WHERE round(list_inner_product(b1.v, b2.v) /
+              (sqrt(list_inner_product(b1.v, b1.v)) *
+               sqrt(list_inner_product(b2.v, b2.v))), 6)
+        >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b2.vec_id
+)
+SELECT e.vec_id, dup_of IS NULL AS keep, dup_of
+FROM e LEFT JOIN dups USING (vec_id)""",
     "emb_near_dup": """
 WITH e AS (
   SELECT vec_id, label,

@@ -34,6 +34,61 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(target, F.col(id_col))
 
 
+def segment_dedup(df: DataFrame, seg_tokens: int = 10,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Sub-document exact dedup (the line/paragraph-level pass of
+    RefinedWeb/CCNet-style pipelines): cut each doc into consecutive
+    `seg_tokens`-token segments (a deterministic stand-in for
+    line/paragraph boundaries — the fixture corpus has neither), drop
+    every segment whose lowercased md5 already occurred earlier in the
+    corpus (first occurrence by (doc_id, seg_idx) survives), and
+    reassemble what remains of each doc in order.
+
+    Scale shape: one explode, one window over the well-distributed
+    segment-hash key (row_number picks the global first occurrence —
+    partial sort per hash group, group sizes are tiny), one per-doc
+    re-aggregation. Both shuffle keys (hash, doc id) are uniform; no
+    Python, no driver-side work.
+
+    Output: (id, n_seg, n_kept, clean_fp) — clean_fp = md5 of the
+    surviving segments joined by single spaces ('' when everything was
+    a repeat, md5 still defined).
+    """
+    from pyspark.sql import Window
+    from filodb_spark.operators.text import tokens
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_seg = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    idx = F.when(n_seg >= 1, F.sequence(F.lit(0), n_seg - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    segs = F.transform(
+        idx, lambda j: F.struct(
+            j.cast("long").alias("seg_idx"),
+            F.concat_ws(" ", F.slice(toks, j * seg_tokens + 1, seg_tokens))
+            .alias("seg")))
+    exploded = (df.select(F.col(id_col), F.explode(segs).alias("s"))
+                .select(id_col, "s.seg_idx", "s.seg",
+                        F.md5(F.lower(F.col("s.seg"))).alias("h")))
+    w = Window.partitionBy("h").orderBy(F.col(id_col), F.col("seg_idx"))
+    marked = exploded.withColumn("_rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("_rn") == 1,
+                         F.struct(F.col("seg_idx"), F.col("seg")))
+    per_doc = (marked.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_seg"),
+                    F.count(kept_struct).cast("long").alias("n_kept"),
+                    F.array_sort(F.collect_list(kept_struct)).alias("_ks")))
+    clean = F.concat_ws(" ", F.transform(F.col("_ks"), lambda s: s["seg"]))
+    scored = per_doc.select(id_col, "n_seg", "n_kept",
+                            F.md5(clean).alias("clean_fp"))
+    base = df.select(F.col(id_col))
+    return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_seg", F.lit(0)).alias("n_seg"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_fp", F.md5(F.lit(""))).alias("clean_fp")))
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Group identical texts: (doc_id = min id of group, n = group size)."""

@@ -26,7 +26,8 @@ from filodb_spark.operators.text import SPLIT_BUCKETS, split_hash, tokens
 __all__ = [
     "word_ngrams", "ngram_repetition", "contamination_check",
     "pii_scrub", "stratified_sample", "stratified_topk",
-    "quality_filter", "dataset_card",
+    "quality_filter", "dataset_card", "url_domain_filter",
+    "pack_sequences",
 ]
 
 
@@ -200,6 +201,79 @@ def quality_filter(df: DataFrame, text_col: str = "text",
     reason = reason.otherwise(F.lit(None).cast("string"))
     return (df.withColumn("drop_reason", reason)
             .withColumn("keep", F.col("drop_reason").isNull()))
+
+
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
+DEFAULT_DOMAIN_BLOCKLIST: tuple[str, ...] = (
+    "spam.example.com", "ads.invalid", "tracker.test",
+)
+
+
+def url_domain_filter(df: DataFrame, text_col: str = "text",
+                      blocklist: Sequence[str] = DEFAULT_DOMAIN_BLOCKLIST,
+                      ) -> DataFrame:
+    """URL/domain hygiene pass: extract every URL's host with one
+    RE2-safe regex, count URLs and blocklisted-domain hits, and flag the
+    doc for drop when any domain matches the blocklist (the standard
+    adult/ads/tracker-domain filter of web-scraped corpora).
+
+    The blocklist here is an in-expression literal list (fine up to a
+    few thousand entries — it ships inside the serialized plan); a
+    production-size list (millions of domains) becomes a broadcast-join
+    dimension table against the exploded domain column instead — same
+    semantics, one extra equi-join.
+
+    Map-only regexp work in codegen. Output adds: n_urls, n_blocked,
+    domains (distinct, sorted), keep."""
+    domains = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 1)
+    blocked = F.filter(domains, lambda d: d.isin(*blocklist))
+    return (df.withColumn("n_urls", F.size(domains).cast("long"))
+            .withColumn("n_blocked", F.size(blocked).cast("long"))
+            .withColumn("domains", F.array_sort(F.array_distinct(domains)))
+            .withColumn("keep", F.size(blocked) == 0))
+
+
+def pack_sequences(df: DataFrame, budget: int = 256, shards: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in a deterministic order and cut into fixed `budget`-token
+    training sequences; a document that straddles a boundary is split
+    across the adjacent sequences (no padding waste — the packing is
+    exactly token-dense).
+
+    Distribution: docs are md5-sharded into `shards` independent streams
+    and packed per shard, so the only non-map step is one cumulative-sum
+    window per shard — `shards` bounds parallelism, so size it to the
+    cluster (its fixture default is small; at 100 TB use thousands).
+    Within a shard the order is (doc_id) — deterministic across engines,
+    runs, and repartitions, like every sampling op here.
+
+    Output: one row per (document x sequence it participates in):
+    (shard, seq_id, id, tok_start, n_tok) where tok_start is the 1-based
+    token offset inside the document and n_tok is the piece length.
+    Zero-token docs pack nothing and are dropped."""
+    from pyspark.sql import Window
+    from filodb_spark.operators.text import token_count
+    base = df.select(
+        F.col(id_col),
+        (split_hash(F.col(id_col)) % shards).alias("shard"),
+        token_count(F.col(text_col)).alias("_n")).where(F.col("_n") > 0)
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (base.withColumn("_end", F.sum("_n").over(w))
+             .withColumn("_start", F.col("_end") - F.col("_n")))
+    seqs = F.sequence(F.floor(F.col("_start") / budget),
+                      F.floor((F.col("_end") - 1) / budget))
+    pieces = spans.select(
+        "shard", F.col(id_col), "_start", "_end",
+        F.explode(seqs).alias("seq_id"))
+    lo = F.greatest(F.col("_start"), F.col("seq_id") * budget)
+    hi = F.least(F.col("_end"), (F.col("seq_id") + 1) * budget)
+    return pieces.select(
+        "shard", "seq_id", id_col,
+        (lo - F.col("_start") + 1).cast("long").alias("tok_start"),
+        (hi - lo).cast("long").alias("n_tok"))
 
 
 def dataset_card(df: DataFrame, dims: Sequence[str] = ("lang", "source"),

@@ -276,6 +276,44 @@ def ivf_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  .select("qid", "nid", "rank", "sim"))
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bucket_col: Column | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    a vector is a duplicate iff some LOWER-id vector in the same coarse
+    bucket has cosine >= threshold with it (lower-id-wins is the
+    deterministic, engine-portable stand-in for SemDeDup's
+    keep-one-per-group greedy; `dup_of` reports the smallest such id).
+
+    Bucketing bounds the pairwise work exactly like cosine_near_dup_pairs:
+    the default is the hash-free sign-bit bucket (64 cells, bit-exact in
+    the SQL oracle); production passes a k-means bucket column from
+    ivf_fit_centroids/_nearest_buckets for better recall at the same
+    cost. Cross-bucket near-dups are missed by construction — the
+    standard SemDeDup trade.
+
+    Shape: one within-bucket self-equi-join (never cartesian), one
+    min-aggregation on the duplicate side, one left join back. Output:
+    (id, keep, dup_of).
+    """
+    b = bucket_col if bucket_col is not None else sign_bucket(vec_col)
+    assigned = corpus.select(F.col(id_col), as_double(F.col(vec_col))
+                             .alias("_v"), b.alias("_b"))
+    a = assigned.select(F.col(id_col).alias("d1"), F.col("_v").alias("v1"),
+                        "_b")
+    c = assigned.select(F.col(id_col).alias("d2"), F.col("_v").alias("v2"),
+                        "_b")
+    dups = (a.join(c, "_b")
+            .where(F.col("d1") < F.col("d2"))
+            .where(F.round(cosine(F.col("v1"), F.col("v2")), 6)
+                   >= threshold)
+            .groupBy("d2").agg(F.min("d1").alias("dup_of")))
+    return (corpus.select(F.col(id_col))
+            .join(dups.withColumnRenamed("d2", id_col), id_col, "left")
+            .select(id_col, F.col("dup_of").isNull().alias("keep"),
+                    "dup_of"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         levels: int = 255) -> DataFrame:

@@ -223,6 +223,90 @@ def tfidf_topk(df: DataFrame, k: int = 5, id_col: str = "doc_id",
             .select(id_col, "term", "tf", "df", "tfidf", "rank"))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping context windows of
+    `chunk_tokens` whitespace tokens, starting every `stride` tokens —
+    the retrieval/embedding chunking stage of a training or RAG
+    pipeline. Chunk j covers tokens [j*stride+1, j*stride+chunk_tokens];
+    the number of chunks is 1 for docs that fit, else
+    floor((n - chunk + stride - 1)/stride) + 1, so the final window is
+    the only one allowed to run short. Empty docs produce no chunks.
+
+    Map-only: per-row array slicing + one explode, no shuffle, no
+    Python — embarrassingly parallel at 100 TB. Output: (id, chunk_idx,
+    chunk_text, n_tok).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n == 0, F.lit(0)) \
+        .when(n <= chunk_tokens, F.lit(1)) \
+        .otherwise(F.floor((n - chunk_tokens + stride - 1)
+                           / F.lit(float(stride))).cast("int") + 1)
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, j * stride + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - j * stride).cast("long")
+            .alias("n_tok")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tok"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    vocab_rows: int | None = None,
+                    broadcast_threshold: int = 1_000_000) -> DataFrame:
+    """Corpus-unigram language-model score per document: mean natural-log
+    probability of the doc's (lowercased, whitespace) tokens under an
+    add-one-smoothed unigram model fit on the corpus itself — the cheap
+    stand-in for the KenLM perplexity filter in CCNet-style pipelines
+    (low scores = rare-token gibberish, high = stereotyped boilerplate;
+    both tails get reviewed).
+
+    Shape: one (doc, term) hash-aggregation, one term-count aggregation
+    (|vocab| rows), a join back on the well-distributed term key, one
+    final per-doc aggregation. The vocab join is size-gated exactly like
+    tfidf_topk: pass ``vocab_rows`` to force broadcast (< threshold) or
+    shuffle-hash (>=); default None lets AQE decide from runtime stats.
+
+    Output: (id, n_tok, avg_logprob) — avg_logprob rounded to 6 dp,
+    NULL for empty docs.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    if vocab_rows is None:
+        pass                                  # AQE decides at runtime
+    elif vocab_rows < broadcast_threshold:
+        vocab = F.broadcast(vocab)
+    else:
+        vocab = vocab.hint("shuffle_hash")
+    totals = vocab.agg(F.sum("c").alias("_total"),
+                       F.count(F.lit(1)).alias("_v"))
+    logp = F.log((F.col("c") + 1).cast("double")
+                 / (F.col("_total") + F.col("_v")).cast("double"))
+    scored = (tf.join(vocab, "term")
+                .crossJoin(F.broadcast(totals))
+                .groupBy(id_col)
+                .agg(F.sum("tf").cast("long").alias("n_tok"),
+                     F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6)
+                     .alias("avg_logprob")))
+    base = df.select(F.col(id_col))
+    return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+                    "avg_logprob"))
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(t))

@@ -157,3 +157,75 @@ class TestQuantize:
         r2 = out[2]
         assert r2.codes == [0, 0, 0, 0] and r2.scale == 0.0
         assert r2.max_abs_err == 0.0
+
+
+class TestUrlDomainFilter:
+    def test_extract_block_and_keep(self, spark):
+        from filodb_spark.operators.pipeline import url_domain_filter
+        df = spark.createDataFrame(
+            [(1, "see https://ok.example.org/a and http://spam.example.com"),
+             (2, "no links here"),
+             (3, "dup https://ok.example.org/x https://ok.example.org/y")],
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in url_domain_filter(df).collect()}
+        assert out[1].n_urls == 2 and out[1].n_blocked == 1
+        assert not out[1].keep
+        assert list(out[1].domains) == ["ok.example.org", "spam.example.com"]
+        assert out[2].n_urls == 0 and out[2].keep
+        # distinct domains, but every URL counted
+        assert out[3].n_urls == 2 and list(out[3].domains) == ["ok.example.org"]
+        assert out[3].keep
+
+
+class TestPackSequences:
+    def _df(self, spark, docs):
+        return spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n)))
+             for i, n in docs], ["doc_id", "text"])
+
+    def test_boundary_split_single_shard(self, spark):
+        from filodb_spark.operators.pipeline import pack_sequences
+        # shards=1 -> order is doc_id; budget 5 over docs of 3,4,2 tokens
+        df = self._df(spark, [(1, 3), (2, 4), (3, 2)])
+        rows = sorted((r.seq_id, r.doc_id, r.tok_start, r.n_tok)
+                      for r in pack_sequences(df, budget=5,
+                                              shards=1).collect())
+        assert rows == [
+            (0, 1, 1, 3),            # doc1 fully in seq 0
+            (0, 2, 1, 2),            # doc2 splits across the boundary
+            (1, 2, 3, 2),
+            (1, 3, 1, 2),            # doc3 fully in seq 1
+        ]
+
+    def test_token_conservation_and_density(self, spark):
+        from filodb_spark.operators.pipeline import pack_sequences
+        from filodb_spark.operators.text import token_count
+        df = self._df(spark, [(i, 1 + (i * 7) % 13) for i in range(40)])
+        out = pack_sequences(df, budget=16, shards=3)
+        # every token of every doc lands in exactly one piece
+        per_doc = {r.doc_id: r.s for r in
+                   out.groupBy("doc_id").agg(F.sum("n_tok").alias("s"))
+                   .collect()}
+        want = {r.doc_id: r.n for r in
+                df.select("doc_id",
+                          token_count(F.col("text")).alias("n")).collect()}
+        assert per_doc == want
+        # sequences are token-dense: every seq but the shard-final one
+        # holds exactly `budget` tokens
+        seqs = (out.groupBy("shard", "seq_id")
+                .agg(F.sum("n_tok").alias("s")).collect())
+        last = {}
+        for r in seqs:
+            last[r.shard] = max(last.get(r.shard, -1), r.seq_id)
+        for r in seqs:
+            if r.seq_id != last[r.shard]:
+                assert r.s == 16, (r.shard, r.seq_id, r.s)
+            else:
+                assert r.s <= 16
+
+    def test_empty_docs_dropped(self, spark):
+        from filodb_spark.operators.pipeline import pack_sequences
+        df = spark.createDataFrame([(1, ""), (2, "a b")],
+                                   ["doc_id", "text"])
+        rows = pack_sequences(df, budget=4, shards=1).collect()
+        assert [(r.doc_id, r.n_tok) for r in rows] == [(2, 2)]

@@ -162,3 +162,30 @@ class TestPortableIVF:
             sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 2)
         # boundary value is legal
         sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 1)
+
+
+class TestSemanticDedup:
+    def test_lower_id_wins_within_bucket(self, spark):
+        from filodb_spark.operators.similarity import semantic_dedup
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+             (2, [2.0, 2.0, 2.0, 2.0, 2.0, 2.0]),    # cos=1 with 1
+             (3, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # other bucket
+             (4, [1.0, 2.0, 1.0, 1.0, 1.0, 1.0])],   # cos~0.95 with 1
+            ["vec_id", "embedding"])
+        out = {r.vec_id: (r.keep, r.dup_of)
+               for r in semantic_dedup(df, threshold=0.9).collect()}
+        assert out[1] == (True, None)
+        assert out[2] == (False, 1)
+        assert out[3] == (True, None)    # bucket boundary blocks the pair
+        assert out[4] == (False, 1)
+
+    def test_threshold_excludes_far_pairs(self, spark):
+        from filodb_spark.operators.similarity import semantic_dedup
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+             (2, [5.0, 1.0, 0.1, 0.1, 0.1, 0.1])],   # same bucket, low cos
+            ["vec_id", "embedding"])
+        out = {r.vec_id: r.keep
+               for r in semantic_dedup(df, threshold=0.99).collect()}
+        assert out == {1: True, 2: True}

@@ -194,3 +194,78 @@ def test_dedup_clusters_deep_chain(spark):
     got = dedup_clusters(pairs).collect()
     assert len(got) == 301
     assert {r.cluster_id for r in got} == {0}
+
+
+class TestChunkDocuments:
+    def test_overlap_and_short_tail(self, spark):
+        from filodb_spark.operators.text import chunk_documents
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y"), (3, " ")], ["doc_id", "text"])
+        out = sorted((r.doc_id, r.chunk_idx, r.chunk_text, r.n_tok)
+                     for r in chunk_documents(df, chunk_tokens=3,
+                                              stride=2).collect())
+        assert out == [
+            (1, 0, "a b c", 3), (1, 1, "c d e", 3),   # stride-2 overlap
+            (2, 0, "x y", 2),                          # short doc: 1 chunk
+        ]                                              # empty doc: none
+
+    def test_last_window_runs_short(self, spark):
+        from filodb_spark.operators.text import chunk_documents
+        df = spark.createDataFrame([(1, "a b c d e f g")],
+                                   ["doc_id", "text"])
+        out = sorted((r.chunk_idx, r.n_tok) for r in
+                     chunk_documents(df, chunk_tokens=4, stride=3).collect())
+        assert out == [(0, 4), (1, 4)]   # tokens 1-4, 4-7
+
+    def test_rejects_bad_params(self, spark):
+        import pytest
+        from filodb_spark.operators.text import chunk_documents
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, stride=-1)
+
+
+class TestSegmentDedup:
+    def test_cross_doc_first_occurrence_wins(self, spark):
+        from filodb_spark.operators.dedup import segment_dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d"),          # segs: "a b", "c d"
+             (2, "A B x y"),          # "a b" (dup, case-folded), "x y"
+             (3, "q q q q"),          # within-doc dup: "q q" twice
+             (4, "")],                # empty
+            ["doc_id", "text"])
+        out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=2).collect()}
+        assert (out[1].n_seg, out[1].n_kept) == (2, 2)
+        assert (out[2].n_seg, out[2].n_kept) == (2, 1)
+        assert (out[3].n_seg, out[3].n_kept) == (2, 1)
+        assert (out[4].n_seg, out[4].n_kept) == (0, 0)
+        import hashlib
+        # doc2 reassembles to just "x y" (original case preserved)
+        assert out[2].clean_fp == hashlib.md5(b"x y").hexdigest()
+        assert out[4].clean_fp == hashlib.md5(b"").hexdigest()
+
+
+class TestUnigramLogprob:
+    def test_add_one_smoothed_model(self, spark):
+        import math
+        from filodb_spark.operators.text import unigram_logprob
+        # counts: a=2, b=1; total=3, V=2 -> p(a)=3/5, p(b)=2/5
+        df = spark.createDataFrame(
+            [(1, "a a"), (2, "b"), (3, "")], ["doc_id", "text"])
+        out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+        assert out[1].n_tok == 2
+        assert out[1].avg_logprob == round(math.log(3 / 5), 6)
+        assert out[2].avg_logprob == round(math.log(2 / 5), 6)
+        assert out[3].n_tok == 0 and out[3].avg_logprob is None
+
+    def test_size_gate_branches_agree(self, spark):
+        from filodb_spark.operators.text import unigram_logprob
+        df = spark.createDataFrame(
+            [(i, f"w{i % 5} w{(i + 1) % 5} shared") for i in range(20)],
+            ["doc_id", "text"])
+        a = sorted(map(tuple, unigram_logprob(df, vocab_rows=10).collect()))
+        b = sorted(map(tuple,
+                       unigram_logprob(df, vocab_rows=10_000_000).collect()))
+        assert a == b

@@ -337,7 +337,8 @@ def simhash_portable(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
-                   max_iterations: int = 25) -> DataFrame:
+                   max_iterations: int = 25,
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over near-duplicate pairs: every document gets
     the MIN doc id reachable through pair edges as its cluster id — the
     canonical-representative step after any pairwise dedup (keep one doc
@@ -369,7 +370,9 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
               .select("n", F.col("n").alias("lbl"))
               .localCheckpoint(eager=True))
     converged = False
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         prop = (edges.join(labels, edges["a"] == labels["n"])
                 .select(F.col("b").alias("n"), F.col("lbl")))
         new = (labels.unionByName(prop)
@@ -394,6 +397,8 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         if changed.isEmpty():
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds       # observability hook for probes
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iterations} rounds; "

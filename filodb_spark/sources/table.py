@@ -89,6 +89,60 @@ def write_series_table_bucketed(df: DataFrame, table_name: str,
         .saveAsTable(table_name))
 
 
+def _zvalue(cols: tuple[str, ...], bits: int = 16):
+    """Morton z-value over xxhash64-bucketed columns: interleaves `bits`
+    bits of each column's hash so a z-range is simultaneously compact in
+    every dimension. Hash-based (not raw-value-ranked) interleaving
+    clusters EQUALITY neighborhoods — the PromQL label-matcher shape —
+    not lexicographic ranges; range predicates over raw values would
+    need Delta-style range_partition_id ranks instead."""
+    h = [F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(1 << bits))
+         for c in cols]
+    out = F.lit(0).cast("long")
+    k = len(h)
+    for i in range(bits):
+        for j, c in enumerate(h):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(1), i * k + j))
+    return out
+
+
+def write_series_table_zorder(df: DataFrame, path: str,
+                              index_labels: tuple[str, ...] = ("inst",),
+                              shard_labels: tuple[str, ...]
+                              = SHARD_KEY_LABELS,
+                              n_files: int = 32,
+                              mode: str = "overwrite") -> None:
+    """Z-order layout for LABEL-addressed queries: metric-sorted files
+    (write_series_table) answer `__name__ = m` scans with tight row-group
+    pruning, but a query addressing only a non-metric label (`inst=42`
+    across all metrics) must read every row group. Here the named index
+    labels are materialized as physical columns and files are
+    range-partitioned + sorted by the Morton interleave of
+    (metric-hash, label-hashes), so each file holds a small cross-section
+    of EVERY indexed dimension: an equality predicate on any of them
+    skips most files via parquet dictionary/bloom filtering (bloom
+    filters are written for each indexed column). This is the
+    storage-level stand-in for the reference's per-label Lucene postings
+    (PartKeyLuceneIndex.partIdsFromFilters) when the query has no metric.
+
+    Trade-off vs write_series_table: metric-equality scans touch more
+    files (the metric dimension shares the z-space), so keep the
+    metric-sorted/bucketed layout as the primary store and z-order as
+    the secondary projection for label-first workloads."""
+    out = _prepped(df, shard_labels)
+    for lab in index_labels:
+        out = out.withColumn(f"_ix_{lab}", F.col("labels")[lab])
+    zcols = ("_metric", *[f"_ix_{lab}" for lab in index_labels])
+    out = out.withColumn("_z", _zvalue(zcols))
+    w = (out.repartitionByRange(n_files, F.col("_z"))
+         .sortWithinPartitions("_z", "_sk", "ts")
+         .write.mode(mode))
+    for c in zcols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.partitionBy(*shard_labels, "date").parquet(path)
+
+
 def read_series_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back to the universal layout. Filters on shard labels /
     __name__ / ts prune partitions and row groups (Catalyst pushes the

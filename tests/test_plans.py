@@ -279,3 +279,47 @@ class TestNewOpPlanShapes:
         d = spark.createDataFrame([(1, [0.0, 1.0])], ["vec_id", "embedding"])
         plan = plan_of(quantize_embeddings(d))
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestZOrderStorage:
+    """write_series_table_zorder: label-addressed queries (no metric)
+    filter on the materialized _ix_* column — the predicate must reach
+    the parquet scan (PushedFilters) so dictionary/bloom skipping can
+    drop files, and results must match the map-value filter exactly."""
+
+    def test_label_filter_pushed_and_values_match(self, spark, tmp_path):
+        from filodb_spark.sources.table import (write_series_table,
+                                                write_series_table_zorder)
+        rows = []
+        for m in range(6):
+            for i in range(40):
+                rows.append(({"__name__": f"metric_{m}", "_ws_": "w",
+                              "_ns_": "n", "inst": str(i % 5)},
+                             1_700_000_000_000 + i * 60_000, float(m * i)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+        write_series_table_zorder(df, zp, index_labels=("inst",), n_files=4)
+        write_series_table(df, sp)
+
+        z = spark.read.parquet(zp).where(F.col("_ix_inst") == "3")
+        plan = plan_of(z)
+        assert "PushedFilters" in plan and "_ix_inst" in plan
+        want = sorted((r["_metric"], r.ts, r.value) for r in
+                      spark.read.parquet(sp)
+                      .where(F.col("labels")["inst"] == "3")
+                      .select("_metric", "ts", "value").collect())
+        got = sorted((r["_metric"], r.ts, r.value) for r in
+                     z.select("_metric", "ts", "value").collect())
+        assert got == want and len(got) == 6 * 8
+
+    def test_zvalue_interleave_bijection_low_bits(self, spark):
+        # two distinct column combos must land on distinct z-values
+        # (hash collisions aside) and z stays within 2*bits bits
+        from filodb_spark.sources.table import _zvalue
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "c1: string, c2: string")
+        vals = [r.z for r in
+                df.select(_zvalue(("c1", "c2"), bits=16).alias("z")).collect()]
+        assert len(set(vals)) == 4
+        assert all(0 <= v < (1 << 32) for v in vals)

@@ -141,10 +141,27 @@ def q_pack_sequences(spark, sf_dir):
                           shards=PACK_SHARDS)
 
 
+MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 1.25}
+
+
+def q_mix_sources(spark, sf_dir):
+    from filodb_spark.operators.pipeline import mix_sources
+    out = mix_sources(_docs(spark, sf_dir), MIX_WEIGHTS)
+    return out.select("doc_id", "source",
+                      F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
+def q_source_divergence(spark, sf_dir):
+    from filodb_spark.operators.pipeline import source_divergence
+    return source_divergence(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "pl_contamination": q_contamination,
     "pl_url_filter": q_url_filter,
     "pl_pack_sequences": q_pack_sequences,
+    "pl_mix_sources": q_mix_sources,
+    "pl_source_divergence": q_source_divergence,
     "pl_repetition": q_repetition,
     "pl_pii_scrub": q_pii_scrub,
     "pl_strat_sample": q_strat_sample,
@@ -291,6 +308,34 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY CUBE (lang, source)""",
+    # weights: src0 -> 2.0 (2 copies), src1 -> 0.5 (md5-gated half),
+    # src2 -> 1.25 (1 + gated quarter), default 1.0
+    "pl_mix_sources": f"""
+WITH b AS (SELECT doc_id, source, {_MD5_BUCKET} AS bk FROM documents),
+c AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 1 ELSE 1 END
+       + CASE WHEN bk < (CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 5000
+                              WHEN 'src2' THEN 2500 ELSE 0 END)
+              THEN 1 ELSE 0 END AS n_copies
+  FROM b)
+SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_idx
+FROM c WHERE n_copies >= 1""",
+    "pl_source_divergence": """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+st AS (SELECT source, term, count(*) AS sc FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, CAST(sum(sc) AS BIGINT) AS cc FROM st GROUP BY 1),
+stot AS (SELECT source, CAST(sum(sc) AS BIGINT) AS s_n FROM st GROUP BY 1),
+ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS c_n FROM ct)
+SELECT st.source, CAST(sum(sc) AS BIGINT) AS n_tokens,
+       round(sum((sc / CAST(s_n AS DOUBLE))
+                 * ln((sc / CAST(s_n AS DOUBLE))
+                      / (cc / CAST(c_n AS DOUBLE)))), 6) AS kl
+FROM st JOIN ct USING (term) JOIN stot USING (source) CROSS JOIN ctot
+GROUP BY st.source""",
     # the URL pattern is RE2-safe and identical on both sides; DuckDB
     # regexp_extract_all takes the group index like Spark's
     "pl_url_filter": """

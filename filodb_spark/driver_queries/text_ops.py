@@ -158,8 +158,16 @@ def q_doc_unigram_lp(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_doc_split_leakage(spark, sf_dir):
+    """Near-dup pairs (portable MinHash) straddling train/val/test —
+    the leakage audit after deterministic splitting."""
+    from filodb_spark.operators.pipeline import split_leakage
+    return split_leakage(_docs(spark, sf_dir), threshold=0.5)
+
+
 QUERIES = {
     "doc_dedup_exact": q_doc_dedup_exact,
+    "doc_split_leakage": q_doc_split_leakage,
     "doc_chunks": q_doc_chunks,
     "doc_segment_dedup": q_doc_segment_dedup,
     "doc_unigram_lp": q_doc_unigram_lp,
@@ -405,6 +413,27 @@ SELECT doc_id, CAST({mask} AS BIGINT) AS simhash FROM agg"""
 
 ORACLES["doc_minhash_portable"] = _minhash_portable_sql()
 ORACLES["doc_simhash_portable"] = _simhash_portable_sql()
+
+# composition: the full portable-MinHash pipeline as a subquery (DuckDB
+# allows WITH inside a parenthesized subselect), joined to the md5
+# split buckets — mirrors operators.pipeline.split_leakage
+ORACLES["doc_split_leakage"] = f"""
+WITH pr AS (SELECT * FROM ({_minhash_portable_sql()}) mh),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < 9000 THEN 'train'
+              WHEN CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 10000 < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT d1, d2, est_jaccard, s1.split AS split1, s2.split AS split2
+FROM pr
+JOIN sp s1 ON s1.doc_id = pr.d1
+JOIN sp s2 ON s2.doc_id = pr.d2
+WHERE s1.split <> s2.split"""
 
 # whitespace tokens of the ORIGINAL-case text (chunking keeps case)
 _TOK_RAW = r"""

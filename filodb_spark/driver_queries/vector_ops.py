@@ -70,9 +70,16 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return similarity.semantic_dedup(e, threshold=SEMDEDUP_THRESHOLD)
 
 
+def q_emb_outliers(spark, sf_dir):
+    """Per-bucket centroid-distance z-scores — mis-embedded-sample
+    screening; exact SQL oracle."""
+    return similarity.embedding_outliers(_emb(spark, sf_dir))
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_semantic_dedup": q_emb_semantic_dedup,
+    "emb_outliers": q_emb_outliers,
     "emb_near_dup": q_emb_near_dup,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
@@ -81,6 +88,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_outliers": """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+  FROM e
+),
+comp AS (
+  SELECT vec_id, bucket, c.pos AS pos, c.x AS x
+  FROM (SELECT vec_id, bucket,
+               unnest(list_transform(range(1, len(v) + 1),
+                                     i -> {'pos': i, 'x': v[i]})) AS c
+        FROM b)
+),
+cent AS (SELECT bucket, pos, avg(x) AS mu FROM comp GROUP BY 1, 2),
+dist AS (
+  SELECT vec_id, bucket, sqrt(sum((x - mu) * (x - mu))) AS d
+  FROM comp JOIN cent USING (bucket, pos) GROUP BY 1, 2
+),
+st AS (SELECT bucket, avg(d) AS m, stddev_samp(d) AS s
+       FROM dist GROUP BY 1)
+SELECT vec_id, bucket, round(d, 6) AS dist,
+       round(CASE WHEN s > 0 THEN (d - m) / s END, 6) AS z,
+       coalesce(round(CASE WHEN s > 0 THEN (d - m) / s END, 6) >= 2.0,
+                false) AS is_outlier
+FROM dist JOIN st USING (bucket)""",
     "emb_semantic_dedup": f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

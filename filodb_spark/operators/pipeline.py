@@ -27,7 +27,8 @@ __all__ = [
     "word_ngrams", "ngram_repetition", "contamination_check",
     "pii_scrub", "stratified_sample", "stratified_topk",
     "quality_filter", "dataset_card", "url_domain_filter",
-    "pack_sequences",
+    "pack_sequences", "mix_sources", "source_divergence",
+    "split_leakage",
 ]
 
 
@@ -274,6 +275,99 @@ def pack_sequences(df: DataFrame, budget: int = 256, shards: int = 8,
         "shard", "seq_id", id_col,
         (lo - F.col("_start") + 1).cast("long").alias("tok_start"),
         (hi - lo).cast("long").alias("n_tok"))
+
+
+def mix_sources(df: DataFrame, weights: Mapping[str, float],
+                id_col: str = "doc_id", source_col: str = "source",
+                default_weight: float = 1.0) -> DataFrame:
+    """Training-mixture construction: each source is up/down-weighted to
+    its target epoch count — weight 2.0 repeats every doc twice, 0.5
+    keeps a deterministic half, 2.25 repeats twice plus a deterministic
+    quarter (the Pile/Dolma-style mixing step before tokenization).
+
+    The fractional part reuses the md5 split-bucket hash, so the
+    sampled subset NESTS as weights change and membership is stable
+    across engines/runs/repartitions. Map-only: a per-row sequence
+    explode, no shuffle, no RNG.
+
+    Output: input rows with a `copy_idx` column (1..n_copies); docs
+    whose source rounds down to zero copies are dropped."""
+    base = None
+    frac = None
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for source {name!r}")
+        cond = F.col(source_col) == name
+        k, f = int(w), w - int(w)
+        base = F.when(cond, k) if base is None else base.when(cond, k)
+        frac = F.when(cond, int(round(f * SPLIT_BUCKETS))) if frac is None \
+            else frac.when(cond, int(round(f * SPLIT_BUCKETS)))
+    dk, df_ = int(default_weight), default_weight - int(default_weight)
+    base = F.lit(dk) if base is None else base.otherwise(dk)
+    frac = F.lit(int(round(df_ * SPLIT_BUCKETS))) if frac is None \
+        else frac.otherwise(int(round(df_ * SPLIT_BUCKETS)))
+    n_copies = base + F.when(split_hash(F.col(id_col)) < frac, 1) \
+        .otherwise(0)
+    return (df.withColumn("copy_idx",
+                          F.explode(F.when(n_copies >= 1,
+                                           F.sequence(F.lit(1), n_copies))
+                                    .otherwise(F.array().cast("array<int>")))))
+
+
+def source_divergence(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Distribution-shift report: KL(source || corpus) over unigram
+    token distributions — how far each source's token mix sits from the
+    blend it is being mixed into (the dataset-card companion that
+    catches a source of boilerplate or another language drifting in).
+    KL is exact (no smoothing needed: every source token exists in the
+    corpus distribution by construction).
+
+    Shape: one (source, term) aggregation, one (term) aggregation, a
+    join on the well-distributed term key, one per-source fold.
+    Output: (source, n_tokens, kl) with kl rounded to 6 dp."""
+    toks = df.select(F.col(source_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    st = toks.groupBy(source_col, "term").agg(F.count(F.lit(1)).alias("sc"))
+    ct = st.groupBy("term").agg(F.sum("sc").alias("cc"))
+    s_tot = st.groupBy(source_col).agg(F.sum("sc").alias("s_n"))
+    c_tot = ct.agg(F.sum("cc").alias("c_n"))
+    p = F.col("sc") / F.col("s_n")           # in-source probability
+    q = F.col("cc") / F.col("c_n")           # corpus probability
+    return (st.join(ct, "term")
+            .join(s_tot, source_col)
+            .crossJoin(F.broadcast(c_tot))
+            .groupBy(source_col)
+            .agg(F.sum("sc").cast("long").alias("n_tokens"),
+                 F.round(F.sum(p * F.log(p / q)), 6).alias("kl")))
+
+
+def split_leakage(df: DataFrame, threshold: float = 0.5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Cross-split near-duplicate leakage audit: after deterministic
+    train/val/test assignment, find near-dup pairs (portable
+    MinHash+LSH) that STRADDLE splits — the documents that leak eval
+    signal into training. This is the check assign_split's docstring
+    demands ('near-dup handling must happen first'); run it after any
+    split to quantify what slipped through.
+
+    Composition of two existing operators (assign_split +
+    minhash_lsh_pairs_portable) — inherits their scale shapes (map-only
+    split, band-collision equi-join). Output: (d1, d2, est_jaccard,
+    split1, split2), split1 != split2."""
+    from filodb_spark.operators.dedup import minhash_lsh_pairs_portable
+    from filodb_spark.operators.text import assign_split
+    splits = assign_split(df, id_col=id_col).select(F.col(id_col), "split")
+    pairs = minhash_lsh_pairs_portable(df, threshold=threshold,
+                                       id_col=id_col, text_col=text_col)
+    s1 = splits.select(F.col(id_col).alias("d1"),
+                       F.col("split").alias("split1"))
+    s2 = splits.select(F.col(id_col).alias("d2"),
+                       F.col("split").alias("split2"))
+    return (pairs.join(s1, "d1").join(s2, "d2")
+            .where(F.col("split1") != F.col("split2"))
+            .select("d1", "d2", "est_jaccard", "split1", "split2"))
 
 
 def dataset_card(df: DataFrame, dims: Sequence[str] = ("lang", "source"),

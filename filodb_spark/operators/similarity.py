@@ -314,6 +314,43 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                     "dup_of"))
 
 
+def embedding_outliers(corpus: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       z_threshold: float = 2.0) -> DataFrame:
+    """Embedding-space outlier scoring: distance of each vector from its
+    coarse-bucket centroid, z-scored within the bucket — the cheap
+    filter for mis-embedded/corrupted/off-distribution samples before
+    they poison ANN indexes or dedup thresholds.
+
+    Exact and engine-portable: buckets are the hash-free sign-bit cells,
+    centroids are per-(bucket, component) means computed by one explode +
+    hash-aggregation (never a driver-side fit), distances and the
+    per-bucket mean/stddev are plain aggregations. Scale shape: the
+    explode shuffles (bucket, pos) keys — dim * n rows but tiny ones;
+    everything downstream is bounded by bucket count.
+
+    Output: (id, bucket, dist, z, is_outlier) — dist/z rounded to 6 dp;
+    z is NULL (and is_outlier false) for single-vector buckets."""
+    b = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"),
+                      sign_bucket(vec_col).alias("bucket"))
+    comp = b.select(id_col, "bucket",
+                    F.posexplode(F.col("_v")).alias("pos", "x"))
+    cent = comp.groupBy("bucket", "pos").agg(F.avg("x").alias("mu"))
+    dist = (comp.join(cent, ["bucket", "pos"])
+            .groupBy(id_col, "bucket")
+            .agg(F.sqrt(F.sum((F.col("x") - F.col("mu"))
+                              * (F.col("x") - F.col("mu")))).alias("_d")))
+    stats = dist.groupBy("bucket").agg(F.avg("_d").alias("_m"),
+                                       F.stddev_samp("_d").alias("_s"))
+    z = F.when(F.col("_s") > 0, (F.col("_d") - F.col("_m")) / F.col("_s"))
+    return (dist.join(stats, "bucket")
+            .select(F.col(id_col), "bucket",
+                    F.round(F.col("_d"), 6).alias("dist"),
+                    F.round(z, 6).alias("z"),
+                    F.coalesce(F.round(z, 6) >= z_threshold,
+                               F.lit(False)).alias("is_outlier")))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         levels: int = 255) -> DataFrame:

@@ -229,3 +229,79 @@ class TestPackSequences:
                                    ["doc_id", "text"])
         rows = pack_sequences(df, budget=4, shards=1).collect()
         assert [(r.doc_id, r.n_tok) for r in rows] == [(2, 2)]
+
+
+class TestMixSources:
+    def test_integer_and_fractional_weights(self, spark):
+        from filodb_spark.operators.pipeline import mix_sources
+        from filodb_spark.operators.text import SPLIT_BUCKETS, split_hash
+        df = spark.createDataFrame(
+            [(i, "a" if i < 10 else "b") for i in range(20)],
+            ["doc_id", "source"])
+        out = mix_sources(df, {"a": 2.0, "b": 0.5}, default_weight=1.0)
+        rows = [(r.doc_id, r.copy_idx) for r in out.collect()]
+        a_rows = [r for r in rows if r[0] < 10]
+        # every 'a' doc exactly twice, copy_idx 1..2
+        assert len(a_rows) == 20
+        assert sorted(set(c for _, c in a_rows)) == [1, 2]
+        # 'b' docs kept iff md5-bucket < 5000 — recompute expectation
+        buckets = {r.doc_id: r.b for r in
+                   df.select("doc_id",
+                             split_hash(F.col("doc_id")).alias("b"))
+                   .collect()}
+        want_b = {i for i in range(10, 20) if buckets[i] < SPLIT_BUCKETS / 2}
+        assert {d for d, _ in rows if d >= 10} == want_b
+
+    def test_fraction_nests_as_weight_grows(self, spark):
+        from filodb_spark.operators.pipeline import mix_sources
+        df = spark.createDataFrame([(i, "s") for i in range(100)],
+                                   ["doc_id", "source"])
+        keep25 = {r.doc_id for r in mix_sources(df, {"s": 0.25}).collect()}
+        keep50 = {r.doc_id for r in mix_sources(df, {"s": 0.5}).collect()}
+        assert keep25 <= keep50
+
+    def test_negative_weight_rejected(self, spark):
+        from filodb_spark.operators.pipeline import mix_sources
+        df = spark.createDataFrame([(1, "s")], ["doc_id", "source"])
+        with pytest.raises(ValueError):
+            mix_sources(df, {"s": -1.0})
+
+
+class TestSourceDivergence:
+    def test_identical_source_has_zero_kl(self, spark):
+        from filodb_spark.operators.pipeline import source_divergence
+        # both sources share one token distribution -> corpus == source
+        df = spark.createDataFrame(
+            [(1, "a", "x y"), (2, "a", "x y"), (3, "b", "x y"), (4, "b", "x y")],
+            ["doc_id", "source", "text"])
+        out = {r.source: r for r in source_divergence(df).collect()}
+        assert out["a"].kl == 0.0 and out["b"].kl == 0.0
+        assert out["a"].n_tokens == 4
+
+    def test_skewed_source_positive_kl(self, spark):
+        import math
+        from filodb_spark.operators.pipeline import source_divergence
+        df = spark.createDataFrame(
+            [(1, "a", "x x"), (2, "b", "y y")],
+            ["doc_id", "source", "text"])
+        out = {r.source: r.kl for r in source_divergence(df).collect()}
+        # p(x|a)=1, q(x)=0.5 -> KL = ln 2
+        assert out["a"] == round(math.log(2), 6)
+        assert out["b"] == round(math.log(2), 6)
+
+
+class TestSplitLeakage:
+    def test_only_cross_split_pairs_survive(self, spark):
+        from filodb_spark.operators.pipeline import split_leakage
+        from filodb_spark.operators.text import assign_split
+        # many identical docs: every pair is a near-dup; ids chosen so
+        # splits differ for at least one pair
+        df = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in
+             range(40)], ["doc_id", "text"])
+        out = split_leakage(df, threshold=0.5).collect()
+        splits = {r.doc_id: r.split for r in assign_split(df).collect()}
+        assert len(out) > 0
+        for r in out:
+            assert r.split1 != r.split2
+            assert splits[r.d1] == r.split1 and splits[r.d2] == r.split2

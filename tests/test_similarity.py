@@ -189,3 +189,28 @@ class TestSemanticDedup:
         out = {r.vec_id: r.keep
                for r in semantic_dedup(df, threshold=0.99).collect()}
         assert out == {1: True, 2: True}
+
+
+class TestEmbeddingOutliers:
+    def test_far_vector_flagged(self, spark):
+        from filodb_spark.operators.similarity import embedding_outliers
+        base = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+        rows = [(i, [v + 0.01 * i for v in base]) for i in range(8)]
+        rows.append((99, [50.0, 1.0, 1.0, 1.0, 1.0, 1.0]))  # same bucket, far
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in embedding_outliers(df).collect()}
+        assert out[99].is_outlier
+        assert all(not out[i].is_outlier for i in range(8))
+        # all in the all-positive sign bucket
+        assert len({r.bucket for r in out.values()}) == 1
+
+    def test_singleton_bucket_null_z(self, spark):
+        from filodb_spark.operators.similarity import embedding_outliers
+        df = spark.createDataFrame(
+            [(1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+             (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0])],
+            ["vec_id", "embedding"])
+        out = {r.vec_id: r for r in embedding_outliers(df).collect()}
+        for r in out.values():
+            assert r.z is None and not r.is_outlier
+            assert r.dist == 0.0   # centroid of a singleton is itself

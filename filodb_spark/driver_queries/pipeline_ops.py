@@ -156,12 +156,18 @@ def q_source_divergence(spark, sf_dir):
     return source_divergence(_docs(spark, sf_dir))
 
 
+def q_length_quantiles(spark, sf_dir):
+    from filodb_spark.operators.pipeline import length_quantiles
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "pl_contamination": q_contamination,
     "pl_url_filter": q_url_filter,
     "pl_pack_sequences": q_pack_sequences,
     "pl_mix_sources": q_mix_sources,
     "pl_source_divergence": q_source_divergence,
+    "pl_length_quantiles": q_length_quantiles,
     "pl_repetition": q_repetition,
     "pl_pii_scrub": q_pii_scrub,
     "pl_strat_sample": q_strat_sample,
@@ -308,6 +314,18 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY CUBE (lang, source)""",
+    # exact linear-interpolated percentile == quantile_cont
+    "pl_length_quantiles": """
+WITH t AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n, 0.5), 6) AS q50,
+       round(quantile_cont(n, 0.9), 6) AS q90,
+       round(quantile_cont(n, 0.99), 6) AS q99
+FROM t GROUP BY source""",
     # weights: src0 -> 2.0 (2 copies), src1 -> 0.5 (md5-gated half),
     # src2 -> 1.25 (1 + gated quarter), default 1.0
     "pl_mix_sources": f"""

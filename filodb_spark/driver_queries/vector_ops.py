@@ -76,10 +76,22 @@ def q_emb_outliers(spark, sf_dir):
     return similarity.embedding_outliers(_emb(spark, sf_dir))
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@3 of the portable IVF against the exact brute force —
+    index-quality measurement as a first-class engine query (both sides
+    deterministic, so the recall itself has an exact oracle)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(e, q, k=3)
+    approx = similarity.ivf_topk_portable(e, q, k=3, n_probes=4)
+    return similarity.topk_recall(approx, exact)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_outliers": q_emb_outliers,
+    "ann_recall": q_ann_recall,
     "emb_near_dup": q_emb_near_dup,
     "emb_norm_stats": q_emb_norm_stats,
     "ann_ivf": q_ann_ivf,
@@ -226,3 +238,14 @@ SELECT label, round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
        round(max(nrm), 6) AS max_norm, count(*) AS n
 FROM n GROUP BY label""",
 }
+
+# composition: both constituent oracles nested as sub-CTEs — the recall
+# of a deterministic approximate search is itself exactly checkable
+ORACLES["ann_recall"] = f"""
+WITH ex AS (SELECT * FROM ({ORACLES['ann_bruteforce']}) t1),
+ap AS (SELECT * FROM ({ORACLES['ann_ivf_portable']}) t2)
+SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(ap.nid) AS BIGINT) AS n_hit,
+       round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+GROUP BY ex.qid"""

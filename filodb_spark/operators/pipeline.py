@@ -28,7 +28,7 @@ __all__ = [
     "pii_scrub", "stratified_sample", "stratified_topk",
     "quality_filter", "dataset_card", "url_domain_filter",
     "pack_sequences", "mix_sources", "source_divergence",
-    "split_leakage",
+    "split_leakage", "length_quantiles",
 ]
 
 
@@ -368,6 +368,28 @@ def split_leakage(df: DataFrame, threshold: float = 0.5,
     return (pairs.join(s1, "d1").join(s2, "d2")
             .where(F.col("split1") != F.col("split2"))
             .select("d1", "d2", "est_jaccard", "split1", "split2"))
+
+
+def length_quantiles(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text",
+                     qs: Sequence[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Exact interpolated token-length quantiles per group — the
+    length-distribution panel of a dataset card (median/tail lengths
+    drive chunking and packing budget choices). EXACT percentile
+    (linear interpolation, identical to SQL quantile_cont) rather than
+    approx_percentile: the sketch's answer is engine- and
+    merge-order-dependent, the exact one is oracle-checkable; per-group
+    sort cost is the trade, acceptable because groups (sources) are few
+    and the sorted value is one long per doc.
+
+    Output: (group, n_docs, q50, q90, q99)."""
+    n = tokens(F.col(text_col))
+    base = df.select(F.col(group_col), F.size(n).cast("long").alias("_n"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for q in qs:
+        aggs.append(F.round(F.percentile(F.col("_n"), F.lit(q)), 6)
+                    .alias(f"q{int(q * 100)}"))
+    return base.groupBy(group_col).agg(*aggs)
 
 
 def dataset_card(df: DataFrame, dims: Sequence[str] = ("lang", "source"),

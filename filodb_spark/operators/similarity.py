@@ -314,6 +314,26 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.9,
                     "dup_of"))
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one:
+    per query, the fraction of true neighbors the approximate search
+    returned (the standard ANN quality metric, computed IN the engine so
+    index-quality regression checks live next to the index itself).
+
+    Both inputs use the (qid, nid, rank, sim) shape every *_topk
+    operator here emits. One equi-join on (qid, nid) + one hash-agg —
+    negligible next to the searches themselves.
+    Output: (qid, n_true, n_hit, recall)."""
+    t = exact.select("qid", "nid")
+    a = approx.select("qid", "nid").withColumn("_hit", F.lit(1))
+    return (t.join(a, ["qid", "nid"], "left")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_true"),
+                 F.count("_hit").cast("long").alias("n_hit"))
+            .withColumn("recall", F.round(F.col("n_hit")
+                                          / F.col("n_true"), 6)))
+
+
 def embedding_outliers(corpus: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        z_threshold: float = 2.0) -> DataFrame:

@@ -81,6 +81,41 @@ def dedupe_batch(batch: DataFrame, series_cols: list[str],
             .agg(F.max(value_col).alias(value_col)))
 
 
+def start_doc_dedup_stream(stream: DataFrame, out_path: str,
+                           checkpoint: str, text_col: str = "text",
+                           event_time_col: str = "event_time",
+                           watermark_delay: str = "1 hour",
+                           trigger_once: bool = False):
+    """Streaming exact document dedup: the incremental-ingest variant of
+    operators.dedup.exact_duplicates_by_fingerprint — as new documents
+    stream in, only the first occurrence of each normalized-text md5
+    fingerprint within the watermark horizon is emitted downstream.
+
+    State is BOUNDED: dropDuplicatesWithinWatermark expires fingerprint
+    state once the watermark passes it, so 100 TB of historical corpus
+    never accumulates in the state store — the stream deduplicates
+    against a sliding horizon, and a periodic batch
+    exact_duplicates_by_fingerprint pass owns cross-horizon dedup (the
+    same split the reference draws between real-time ingest dedup and
+    its batch downsampler jobs, SURVEY §2.11).
+
+    Output rows keep the input schema plus the `fp` fingerprint column
+    (downstream near-dup stages key on it)."""
+    from filodb_spark.operators.text import fingerprint
+    out = (stream
+           .withColumn("fp", fingerprint(F.col(text_col)))
+           .withWatermark(event_time_col, watermark_delay)
+           .dropDuplicatesWithinWatermark(["fp"]))
+    writer = (out.writeStream
+              .format("parquet")
+              .option("path", out_path)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
                  watermark_delay: str = "10 minutes",
                  trigger_once: bool = False):

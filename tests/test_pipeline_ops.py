@@ -305,3 +305,18 @@ class TestSplitLeakage:
         for r in out:
             assert r.split1 != r.split2
             assert splits[r.d1] == r.split1 and splits[r.d2] == r.split2
+
+
+class TestLengthQuantiles:
+    def test_exact_interpolated_percentiles(self, spark):
+        from filodb_spark.operators.pipeline import length_quantiles
+        # group 'a': lengths 1..5 -> p50 = 3, p90 = 4.6 (type-7 interp)
+        rows = [(i, "a", " ".join(["w"] * n))
+                for i, n in enumerate([1, 2, 3, 4, 5])]
+        rows.append((9, "b", "w w"))
+        df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = {r.source: r for r in length_quantiles(df).collect()}
+        assert out["a"].n_docs == 5
+        assert out["a"].q50 == 3.0
+        assert out["a"].q90 == 4.6
+        assert out["b"].q99 == 2.0

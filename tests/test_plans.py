@@ -323,3 +323,53 @@ class TestZOrderStorage:
                 df.select(_zvalue(("c1", "c2"), bits=16).alias("z")).collect()]
         assert len(set(vals)) == 4
         assert all(0 <= v < (1 << 32) for v in vals)
+
+
+class TestPipelineOpPlanShapes:
+    """Scale-shape pins for the round-3 pipeline operators: map-only ops
+    must compile to ZERO exchanges; join-bearing ops must never emit a
+    cartesian/nested-loop join."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"alpha beta w{i} gamma delta", "s" + str(i % 3))
+             for i in range(8)], ["doc_id", "text", "source"])
+
+    def test_map_only_ops_have_no_exchange(self, spark):
+        from filodb_spark.operators.pipeline import (mix_sources,
+                                                     url_domain_filter)
+        from filodb_spark.operators.text import chunk_documents
+        d = self._docs(spark)
+        for df in [chunk_documents(d),
+                   url_domain_filter(d),
+                   mix_sources(d, {"s0": 2.0, "s1": 0.5})]:
+            plan = plan_of(df)
+            assert "Exchange" not in plan, plan[:500]
+
+    def test_pack_sequences_single_window_exchange_no_join(self, spark):
+        from filodb_spark.operators.pipeline import pack_sequences
+        plan = plan_of(pack_sequences(self._docs(spark), budget=8, shards=2))
+        assert plan.count("Exchange") == 1     # the per-shard window only
+        assert "Join" not in plan
+
+    def test_join_ops_never_cartesian(self, spark):
+        from filodb_spark.operators.dedup import segment_dedup
+        from filodb_spark.operators.pipeline import source_divergence
+        from filodb_spark.operators.similarity import (embedding_outliers,
+                                                       semantic_dedup)
+        from filodb_spark.operators.text import unigram_logprob
+        d = self._docs(spark)
+        e = spark.createDataFrame(
+            [(i, [float(i % 3) + 0.5, 1.0, -1.0, 0.5, 1.0, 1.0])
+             for i in range(6)], ["vec_id", "embedding"])
+        # scalar_joins: a broadcast cross join against a ONE-ROW totals
+        # aggregate compiles to BroadcastNestedLoopJoin — O(1) payload,
+        # the documented acceptable shape; everything else must have none
+        for df, scalar_joins in [(segment_dedup(d, seg_tokens=2), 0),
+                                 (unigram_logprob(d), 1),
+                                 (source_divergence(d), 1),
+                                 (semantic_dedup(e, threshold=0.9), 0),
+                                 (embedding_outliers(e), 0)]:
+            plan = plan_of(df)
+            assert "CartesianProduct" not in plan
+            assert plan.count("BroadcastNestedLoopJoin") <= scalar_joins

@@ -214,3 +214,19 @@ class TestEmbeddingOutliers:
         for r in out.values():
             assert r.z is None and not r.is_outlier
             assert r.dist == 0.0   # centroid of a singleton is itself
+
+
+class TestTopkRecall:
+    def test_counts_overlap_per_query(self, spark):
+        from filodb_spark.operators.similarity import topk_recall
+        exact = spark.createDataFrame(
+            [(1, 10, 1, 0.9), (1, 11, 2, 0.8), (1, 12, 3, 0.7),
+             (2, 20, 1, 0.9), (2, 21, 2, 0.8)],
+            ["qid", "nid", "rank", "sim"])
+        approx = spark.createDataFrame(
+            [(1, 10, 1, 0.9), (1, 99, 2, 0.5), (1, 12, 3, 0.7),
+             (2, 98, 1, 0.4)],
+            ["qid", "nid", "rank", "sim"])
+        out = {r.qid: r for r in topk_recall(approx, exact).collect()}
+        assert (out[1].n_true, out[1].n_hit, out[1].recall) == (3, 2, round(2/3, 6))
+        assert (out[2].n_true, out[2].n_hit, out[2].recall) == (2, 0, 0.0)

@@ -344,3 +344,50 @@ class TestStreamingDownsample:
         # row must match batch exactly, and most windows must have closed
         assert g <= b
         assert len(g) >= len(b) - 2     # at most the last window per series open
+
+
+class TestStreamingDocDedup:
+    def test_first_occurrence_survives_across_batches(self, spark, tmp_path):
+        """Streaming exact dedup: duplicates inside a batch AND re-sent
+        in a later batch (within the watermark) are dropped; the
+        fingerprint normalizes case/whitespace like the batch operator."""
+        from filodb_spark.streaming.ingest import start_doc_dedup_stream
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+
+        def write_batch(name, docs):
+            with open(src / name, "w") as f:
+                for i, (ts, text) in enumerate(docs):
+                    f.write(json.dumps(
+                        {"doc_id": f"{name}-{i}", "event_time": ts,
+                         "text": text}) + "\n")
+
+        def run_once():
+            raw = spark.readStream.schema(
+                "doc_id string, event_time timestamp, text string"
+            ).json(str(src))
+            q = start_doc_dedup_stream(raw, str(out), str(ckpt),
+                                       trigger_once=True)
+            q.awaitTermination(120)
+
+        t = "2026-01-01T00:0{m}:00.000Z"
+        write_batch("b1.json", [
+            (t.format(m=0), "alpha beta gamma"),
+            (t.format(m=1), "Alpha  beta GAMMA"),     # dup modulo norm
+            (t.format(m=1), "delta epsilon"),
+        ])
+        run_once()
+        got1 = spark.read.parquet(str(out))
+        assert got1.count() == 2
+        # second run: one re-sent dup (state persisted), one new doc
+        write_batch("b2.json", [
+            (t.format(m=2), "alpha beta gamma"),
+            (t.format(m=3), "zeta eta"),
+        ])
+        run_once()
+        got2 = spark.read.parquet(str(out))
+        assert got2.count() == 3
+        fps = [r.fp for r in got2.collect()]
+        assert len(set(fps)) == 3

@@ -161,8 +161,32 @@ def q_length_quantiles(spark, sf_dir):
     return length_quantiles(_docs(spark, sf_dir))
 
 
+def q_manifest(spark, sf_dir):
+    """Flagship end-to-end pipeline composition: quality gate -> exact
+    dedup (min-id canonical per fingerprint) -> deterministic split ->
+    embedding attach. The output is the training manifest a downstream
+    tokenizer would consume; every stage is an existing operator, so the
+    oracle is the same composition in SQL."""
+    from pyspark.sql import Window
+    from filodb_spark.operators.pipeline import quality_filter
+    from filodb_spark.operators.text import assign_split, fingerprint
+    d = _docs(spark, sf_dir)
+    kept = quality_filter(d, **QF_ARGS).where(F.col("keep"))
+    fp = kept.withColumn("fp", fingerprint(F.col("text")))
+    w = Window.partitionBy("fp")
+    canon = (fp.withColumn("_m", F.min("doc_id").over(w))
+             .where(F.col("doc_id") == F.col("_m")))
+    sp = assign_split(canon)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id"))
+    return (sp.join(emb, sp["doc_id"] == emb["vec_id"], "left")
+            .select("doc_id", "lang", "source", "split",
+                    F.col("vec_id").isNotNull().alias("has_embedding"),
+                    F.col("n_chars")))
+
+
 QUERIES = {
     "pl_contamination": q_contamination,
+    "pl_manifest": q_manifest,
     "pl_url_filter": q_url_filter,
     "pl_pack_sequences": q_pack_sequences,
     "pl_mix_sources": q_mix_sources,
@@ -314,6 +338,43 @@ SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY CUBE (lang, source)""",
+    # end-to-end composition: quality gate -> fingerprint dedup ->
+    # split -> embedding attach (each stage mirrors its operator oracle)
+    "pl_manifest": f"""
+WITH tok AS ({_TOK}),
+m AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars, d.text, len(tk.t) AS n_tok,
+         length(regexp_replace(trim(d.text), '\\s+', '', 'g'))
+           / CAST(len(tk.t) AS DOUBLE) AS wl,
+         {_grams_sql(3, 'tk.t')} AS g3
+  FROM documents d JOIN tok tk ON d.doc_id = tk.doc_id),
+q AS (
+  SELECT *, least(1.0, n_tok / 100.0)
+            * (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.5 END)
+            AS quality,
+         CASE WHEN len(g3) > 0
+              THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+              ELSE 0.0 END AS dup3
+  FROM m),
+kept AS (
+  SELECT doc_id, lang, source, n_chars, text FROM q
+  WHERE n_tok >= 20 AND n_tok <= 100000 AND quality >= 0.3
+    AND dup3 <= 0.08),
+fp AS (
+  SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS f
+  FROM kept),
+canon AS (
+  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS mn FROM fp)
+  WHERE doc_id = mn),
+sp AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN {_MD5_BUCKET} < 9000 THEN 'train'
+              WHEN {_MD5_BUCKET} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM canon)
+SELECT sp.doc_id, sp.lang, sp.source, sp.split,
+       e.vec_id IS NOT NULL AS has_embedding, sp.n_chars
+FROM sp LEFT JOIN embeddings e ON e.vec_id = sp.doc_id""",
     # exact linear-interpolated percentile == quantile_cont
     "pl_length_quantiles": """
 WITH t AS (

@@ -345,3 +345,117 @@ class TestTimeseriesOpsRandomized:
         expect = {n: min(members) for r, members in comp.items()
                   for n in members}
         assert got == expect
+
+
+class TestPipelineOpsRandomized:
+    """Round-3 pipeline operators vs pure-Python models on randomized
+    corpora (deterministic seed)."""
+
+    def _corpus(self, rng, n=40):
+        words = [f"w{i}" for i in range(30)]
+        return [(i, " ".join(rng.choices(words, k=rng.randint(0, 25))))
+                for i in range(n)]
+
+    def test_chunk_documents_model(self, spark):
+        rng = random.Random(3)
+        docs = self._corpus(rng)
+        chunk, stride = 7, 4
+        from filodb_spark.operators.text import chunk_documents
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tok)
+               for r in chunk_documents(df, chunk, stride).collect()}
+
+        want = {}
+        for i, text in docs:
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            nc = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+            for j in range(nc):
+                piece = toks[j * stride: j * stride + chunk]
+                want[(i, j)] = (" ".join(piece), len(piece))
+        assert got == want
+        # coverage property: every token index lands in >= 1 chunk
+        for i, text in docs:
+            n = len(text.split())
+            covered = set()
+            for (d, j), (_, ln) in want.items():
+                if d == i:
+                    covered.update(range(j * stride, j * stride + ln))
+            assert covered == set(range(n))
+
+    def test_segment_dedup_model(self, spark):
+        rng = random.Random(5)
+        docs = self._corpus(rng)
+        seg_tokens = 3
+        from filodb_spark.operators.dedup import segment_dedup
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_seg, r.n_kept) for r in
+               segment_dedup(df, seg_tokens=seg_tokens).collect()}
+
+        seen = set()
+        for i, text in sorted(docs):
+            toks = text.split()
+            segs = [" ".join(toks[j: j + seg_tokens])
+                    for j in range(0, len(toks), seg_tokens)]
+            kept = 0
+            for s in segs:
+                key = s.lower()
+                if key not in seen:
+                    seen.add(key)
+                    kept += 1
+            assert got[i] == (len(segs), kept), i
+
+    def test_pack_sequences_model(self, spark):
+        rng = random.Random(9)
+        docs = self._corpus(rng, n=60)
+        budget, shards = 10, 3
+        from filodb_spark.operators.pipeline import pack_sequences
+        from filodb_spark.operators.text import split_hash
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        shard_of = {r.doc_id: r.s % shards for r in
+                    df.select("doc_id",
+                              split_hash(F.col("doc_id")).alias("s"))
+                    .collect()}
+        got = sorted((r.shard, r.seq_id, r.doc_id, r.tok_start, r.n_tok)
+                     for r in pack_sequences(df, budget=budget,
+                                             shards=shards).collect())
+
+        want = []
+        for sh in range(shards):
+            off = 0
+            for i, text in sorted(d for d in docs if shard_of[d[0]] == sh):
+                n = len(text.split())
+                if n == 0:
+                    continue
+                start, end = off, off + n
+                for seq in range(start // budget, (end - 1) // budget + 1):
+                    lo = max(start, seq * budget)
+                    hi = min(end, (seq + 1) * budget)
+                    want.append((sh, seq, i, lo - start + 1, hi - lo))
+                off = end
+        assert got == sorted(want)
+
+    def test_mix_sources_model(self, spark):
+        rng = random.Random(13)
+        from filodb_spark.operators.pipeline import mix_sources
+        from filodb_spark.operators.text import SPLIT_BUCKETS, split_hash
+        from pyspark.sql import functions as F
+        docs = [(i, rng.choice(["a", "b", "c"])) for i in range(50)]
+        weights = {"a": 2.25, "b": 0.5}
+        df = spark.createDataFrame(docs, ["doc_id", "source"])
+        buckets = {r.doc_id: r.b for r in
+                   df.select("doc_id",
+                             split_hash(F.col("doc_id")).alias("b"))
+                   .collect()}
+        got = sorted((r.doc_id, r.copy_idx)
+                     for r in mix_sources(df, weights).collect())
+        want = []
+        for i, s in docs:
+            w = weights.get(s, 1.0)
+            k = int(w) + (1 if buckets[i] < round((w - int(w)) * SPLIT_BUCKETS)
+                          else 0)
+            want.extend((i, c) for c in range(1, k + 1))
+        assert got == sorted(want)

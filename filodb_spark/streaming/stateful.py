@@ -45,6 +45,36 @@ def _detect_resets(key: Tuple[str],
     yield pd.DataFrame(out, columns=["series", "ts", "value", "prev_value"])
 
 
+def streaming_sessionize(stream: DataFrame, key_cols: Iterable[str],
+                         gap: str = "30 minutes",
+                         event_time_col: str = "event_time",
+                         watermark_delay: str = "10 minutes",
+                         value_col: str | None = "value") -> DataFrame:
+    """Streaming sessionization: the incremental variant of
+    operators.timeseries.sessionize, built on Spark's native
+    session_window (dynamic-gap session state in the state store — no
+    custom stateful UDF needed; state for a session is evicted once the
+    watermark passes its close, so it is bounded by watermark + gap).
+
+    Emits one row per CLOSED session (append mode semantics): keys,
+    session start/end, event count, value sum. Late events within the
+    watermark re-open/merge sessions exactly like the batch gap rule.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("value_sum"))
+    keys = [F.col(k) for k in key_cols]
+    return (stream
+            .withWatermark(event_time_col, watermark_delay)
+            .groupBy(*keys, F.session_window(F.col(event_time_col), gap))
+            .agg(*aggs)
+            .select(*keys,
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events",
+                    *(["value_sum"] if value_col is not None else [])))
+
+
 def reset_events(stream: DataFrame, series_col: str = "series",
                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Streaming counter-reset events per series.

@@ -391,3 +391,48 @@ class TestStreamingDocDedup:
         assert got2.count() == 3
         fps = [r.fp for r in got2.collect()]
         assert len(set(fps)) == 3
+
+
+class TestStreamingSessionize:
+    def test_sessions_close_after_gap(self, spark, tmp_path):
+        """Native session_window sessionization: events within the gap
+        merge into one session; a quiet period splits; closed sessions
+        flush once the watermark passes (a far-future fence event
+        advances it)."""
+        from filodb_spark.streaming.stateful import streaming_sessionize
+        src = tmp_path / "in"
+        out = tmp_path / "out"
+        ckpt = tmp_path / "ckpt"
+        src.mkdir()
+        t0 = 1_700_000_000  # epoch seconds
+
+        def ev(user, sec, v):
+            import datetime as dt
+            ts = dt.datetime.fromtimestamp(t0 + sec, dt.timezone.utc)
+            return {"user": user, "event_time": ts.isoformat(),
+                    "value": float(v)}
+
+        events = [ev("u1", 0, 1), ev("u1", 60, 2),        # session A
+                  ev("u1", 60 + 700, 5),                  # gap > 600s -> B
+                  ev("u2", 30, 7),
+                  ev("fence", 100_000, 0)]                # watermark pump
+        with open(src / "b.json", "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        raw = spark.readStream.schema(
+            "user string, event_time timestamp, value double").json(str(src))
+        sess = streaming_sessionize(raw, ["user"], gap="600 seconds",
+                                    watermark_delay="1 second")
+        q = (sess.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r.user, r.n_events, r.value_sum,
+                (r.session_end - r.session_start).total_seconds())
+               for r in spark.read.parquet(str(out)).collect()}
+        # u1 session A: 2 events spanning 60s + 600s gap tail
+        assert ("u1", 2, 3.0, 660.0) in got
+        assert ("u1", 1, 5.0, 600.0) in got
+        assert ("u2", 1, 7.0, 600.0) in got

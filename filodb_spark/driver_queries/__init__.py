@@ -31,7 +31,10 @@ def all_queries():
     #         construction; their exact portable twins are also in-window),
     #   24-50 one-per-family regression canaries, including tpch_q12 and
     #         ev_sessions whose oracles gained the ::BIGINT casts this round
-    #         (DuckDB HUGEINT hash artifact, VERDICT r2 item 1).
+    #         (DuckDB HUGEINT hash artifact, VERDICT r2 item 1), plus six of
+    #         the late round-3 additions in place of canaries whose family is
+    #         already represented (the remaining late additions rotate in r4;
+    #         every displaced canary already holds a green r1/r2 row).
     window = [
         # never-gated exact
         "pq_hist_struct_quantile", "pq_hist_fraction", "pq_hist_to_prom",
@@ -48,13 +51,15 @@ def all_queries():
         "pl_dataset_card", "emb_quantize",
         # family canaries
         "tpch_q1", "tpch_q5", "tpch_q12",
-        "ev_sessions", "ev_asof_join", "ev_gap_fill",
-        "doc_dedup_exact", "doc_dedup_clusters", "doc_tfidf_topk",
-        "doc_minhash_portable",
-        "ann_bruteforce", "ann_ivf_portable", "emb_near_dup",
+        "ev_sessions", "ev_asof_join",
+        "doc_dedup_clusters", "doc_tfidf_topk",
+        "ann_bruteforce",
         "mm_image_features",
-        "ds_rollup", "ds_cascade",
+        "ds_rollup",
         "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile",
+        # late round-3 additions (exact oracles, never gated)
+        "pl_manifest", "pl_pack_sequences", "pl_mix_sources",
+        "doc_segment_dedup", "emb_semantic_dedup", "ann_recall",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -184,7 +184,26 @@ def q_manifest(spark, sf_dir):
                     F.col("n_chars")))
 
 
+TOKEN_BUDGET = 20_000
+
+
+def q_token_budget(spark, sf_dir):
+    """Budgeted selection with a banded (never single-partition) global
+    prefix sum; the oracle's naive ordered window checks it exactly."""
+    from filodb_spark.operators.pipeline import token_budget_select
+    return token_budget_select(_docs(spark, sf_dir), TOKEN_BUDGET)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup with deterministic membership;
+    per-doc status (new / dup_corpus / dup_batch)."""
+    from filodb_spark.operators.pipeline import incremental_dedup
+    return incremental_dedup(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "pl_token_budget": q_token_budget,
+    "pl_dedup_incremental": q_dedup_incremental,
     "pl_contamination": q_contamination,
     "pl_manifest": q_manifest,
     "pl_url_filter": q_url_filter,
@@ -495,3 +514,42 @@ SELECT vec_id, codes,
            'max'), 6) AS max_abs_err
 FROM qz"""
 }
+
+ORACLES["pl_token_budget"] = f"""
+WITH tok AS ({_TOK}),
+m AS (
+  SELECT d.doc_id, len(tk.t) AS n_tok,
+         length(regexp_replace(trim(d.text), '\\s+', '', 'g'))
+           / CAST(len(tk.t) AS DOUBLE) AS wl
+  FROM documents d JOIN tok tk ON d.doc_id = tk.doc_id),
+q AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS tok,
+         round(least(1.0, n_tok / 100.0)
+               * (CASE WHEN wl >= 3.0 AND wl <= 8.0 THEN 1.0 ELSE 0.5 END),
+               6) AS quality
+  FROM m),
+r AS (
+  SELECT doc_id, tok, quality,
+         CAST(sum(tok) OVER (ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS running
+  FROM q)
+SELECT doc_id, tok, quality, running FROM r WHERE running <= {TOKEN_BUDGET}"""
+
+ORACLES["pl_dedup_incremental"] = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS b
+  FROM documents),
+corpus AS (SELECT DISTINCT fp FROM fp WHERE b < 8000),
+batch AS (SELECT doc_id, fp FROM fp WHERE b >= 8000),
+first AS (SELECT fp, min(doc_id) AS first_id FROM batch GROUP BY fp)
+SELECT b1.doc_id, b1.fp,
+       CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+            WHEN b1.doc_id = f.first_id THEN 'new'
+            ELSE 'dup_batch' END AS status
+FROM batch b1
+LEFT JOIN corpus c ON b1.fp = c.fp
+JOIN first f ON b1.fp = f.fp"""

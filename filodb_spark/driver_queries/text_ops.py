@@ -128,6 +128,13 @@ def q_doc_simhash_portable(spark, sf_dir):
     return dedup.simhash_portable(_docs(spark, sf_dir))
 
 
+def q_doc_lsh_verify(spark, sf_dir):
+    """Two-phase near-dup: portable-LSH candidates (est >= 0.2) verified
+    with TRUE 3-gram Jaccard (>= 0.5) — candidates only, never all
+    pairs; exact SQL oracle for the full composition."""
+    return dedup.lsh_verified_pairs(_docs(spark, sf_dir))
+
+
 def q_doc_simhash(spark, sf_dir):
     # 64-bit signed-projection hash per doc (xxhash64-based — not
     # reproducible in the SQL oracle; rows-only check)
@@ -186,6 +193,7 @@ QUERIES = {
     "doc_minhash_portable": q_doc_minhash_portable,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_portable": q_doc_simhash_portable,
+    "doc_lsh_verify": q_doc_lsh_verify,
 }
 
 _STOP_SQL = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'"
@@ -525,3 +533,29 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5"""
+
+# two-phase dedup: the full portable-MinHash pipeline as the candidate
+# subquery, TRUE 3-gram Jaccard computed only for those pairs
+ORACLES["doc_lsh_verify"] = f"""
+WITH cand AS (
+  SELECT d1, d2 FROM ({_minhash_portable_sql(threshold=0.2)}) mh
+),
+sh3 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(0, length(lower(text)) - 3),
+           i -> substring(lower(text), i + 1, 3)))) AS g
+  FROM documents WHERE length(text) >= 3
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh3 GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, count(*) AS inter
+  FROM cand c JOIN sh3 a ON a.doc_id = c.d1
+              JOIN sh3 b ON b.doc_id = c.d2 AND b.g = a.g
+  GROUP BY c.d1, c.d2
+)
+SELECT i.d1, i.d2,
+       round(i.inter / CAST(c1.c + c2.c - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i JOIN cnt c1 ON c1.doc_id = i.d1
+             JOIN cnt c2 ON c2.doc_id = i.d2
+WHERE round(i.inter / CAST(c1.c + c2.c - i.inter AS DOUBLE), 6) >= 0.5"""

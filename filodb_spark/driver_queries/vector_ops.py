@@ -87,8 +87,37 @@ def q_ann_recall(spark, sf_dir):
     return similarity.topk_recall(approx, exact)
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Deterministic Lloyd's k-means assignment (seeded by lowest ids,
+    2 rounds) — exact SQL oracle unrolls the same two rounds."""
+    return similarity.kmeans_portable(_emb(spark, sf_dir), k=4, iterations=2)
+
+
+def q_emb_kmeans_summary(spark, sf_dir):
+    """Per-cluster size + inertia of the deterministic k-means — the
+    cluster-balance report a curation pipeline reads before sampling."""
+    a = similarity.kmeans_portable(_emb(spark, sf_dir), k=4, iterations=2)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("dist2"), 3).alias("inertia"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"))
+
+
+def q_ann_filtered(spark, sf_dir):
+    """Filtered vector search: top-3 neighbors restricted to a metadata
+    predicate (label = 3) — the filter composes into the scan, so the
+    candidate set shrinks BEFORE the distance math (predicate-then-rank,
+    not rank-then-filter)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e.where(F.col("label") == 3), q, k=3)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_kmeans_summary": q_emb_kmeans_summary,
+    "ann_filtered": q_ann_filtered,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_outliers": q_emb_outliers,
     "ann_recall": q_ann_recall,
@@ -238,6 +267,94 @@ SELECT label, round(avg(nrm), 6) AS avg_norm, round(min(nrm), 6) AS min_norm,
        round(max(nrm), 6) AS max_norm, count(*) AS n
 FROM n GROUP BY label""",
 }
+
+def _kmeans_portable_sql(k: int = 4, iterations: int = 2,
+                         round_to: int = 6) -> str:
+    """Unrolled Lloyd's rounds mirroring similarity.kmeans_portable
+    bit-for-bit: same seeds (k lowest ids, components rounded), same
+    inner-product distance decomposition (sequential folds on both
+    engines), same per-round centroid rounding, same (d2, cluster)
+    tie-break."""
+    def assign(i: int, cent: str) -> str:
+        return f"""
+a{i} AS (
+  SELECT vid, v, cluster, d2 FROM (
+    SELECT e.vid, e.v, s.cluster,
+           list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, s.c)
+             + list_inner_product(s.c, s.c) AS d2,
+           row_number() OVER (
+             PARTITION BY e.vid
+             ORDER BY list_inner_product(e.v, e.v)
+                      - 2 * list_inner_product(e.v, s.c)
+                      + list_inner_product(s.c, s.c), s.cluster) AS rk
+    FROM e CROSS JOIN {cent} s)
+  WHERE rk = 1
+)"""
+
+    def update(i: int, members: str) -> str:
+        return f"""
+c{i} AS (
+  SELECT cluster, list(mu ORDER BY pos) AS c
+  FROM (
+    SELECT cluster, u.pos AS pos, round(avg(u.x), {round_to}) AS mu
+    FROM (SELECT cluster,
+                 unnest(list_transform(range(1, len(v) + 1),
+                                       i -> {{'pos': i, 'x': v[i]}})) AS u
+          FROM {members})
+    GROUP BY cluster, u.pos)
+  GROUP BY cluster
+)"""
+
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cluster,
+         list_transform(v, x -> round(x, {round_to})) AS c
+  FROM (SELECT vid, v FROM e ORDER BY vid LIMIT {k})
+)"""]
+    for i in range(iterations):
+        parts.append("," + assign(i, f"c{i}"))
+        parts.append("," + update(i + 1, f"a{i}"))
+    parts.append("," + assign(iterations, f"c{iterations}"))
+    parts.append(f"""
+SELECT vid AS vec_id, cluster, round(d2, {round_to}) AS dist2
+FROM a{iterations}""")
+    return "".join(parts)
+
+
+ORACLES["emb_kmeans"] = _kmeans_portable_sql()
+
+ORACLES["emb_kmeans_summary"] = f"""
+WITH asg AS ({_kmeans_portable_sql()})
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       round(sum(dist2), 3) AS inertia,
+       round(avg(dist2), 6) AS avg_dist2
+FROM asg GROUP BY cluster"""
+
+ORACLES["ann_filtered"] = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_inner_product(q.qv, e.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(e.v, e.v))), 6) AS sim
+  FROM e CROSS JOIN q WHERE e.label = 3 AND e.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, rank, sim FROM rk WHERE rank <= 3"""
 
 # composition: both constituent oracles nested as sub-CTEs — the recall
 # of a deterministic approximate search is itself exactly checkable

@@ -407,6 +407,52 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                          F.col("lbl").alias("cluster_id"))
 
 
+def lsh_verified_pairs(df: DataFrame, est_threshold: float = 0.2,
+                       true_threshold: float = 0.5,
+                       num_perm: int = 16, bands: int = 4,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       sig_n: int = 5, verify_n: int = 3) -> DataFrame:
+    """Two-phase near-duplicate detection — the production shape:
+    a cheap sub-quadratic CANDIDATE pass (portable MinHash+LSH at a
+    permissive `est_threshold`) followed by an exact VERIFY pass that
+    computes true n-gram Jaccard ONLY for the candidate pairs and keeps
+    those >= `true_threshold`. Estimates never reach the output, so the
+    result is exact up to LSH recall — and because the candidate stage
+    is the engine-portable MinHash, the whole two-phase pipeline has an
+    exact SQL oracle.
+
+    Scale shape: the verify join touches |candidates| pairs, not
+    O(n^2) — shingles are semi-joined down to candidate docs first
+    (shuffle keys: doc id, then (d2, shingle); both uniform). This is
+    the shape to reach for when `ngram_jaccard_pairs`' all-pairs blocking
+    is too coarse and raw LSH estimates are too noisy to act on.
+
+    Output: (d1 < d2, jaccard) with jaccard the TRUE n-gram Jaccard.
+    """
+    cand = (minhash_lsh_pairs_portable(df, num_perm, bands, est_threshold,
+                                       id_col, text_col, sig_n)
+            .select("d1", "d2"))
+    sh = (_spread(df, id_col)
+          .select(F.col(id_col),
+                  F.explode(char_shingles(F.col(text_col), verify_n))
+                  .alias("g")))
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("g"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("g"))
+    inter = (cand.join(s1, "d1")
+             .join(s2, ["d2", "g"])
+             .groupBy("d1", "d2")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    c1 = cnt.select(F.col(id_col).alias("d1"), F.col("c").alias("c1"))
+    c2 = cnt.select(F.col(id_col).alias("d2"), F.col("c").alias("c2"))
+    jac = F.round(F.col("inter") /
+                  (F.col("c1") + F.col("c2") - F.col("inter")), 6)
+    return (inter.join(c1, "d1").join(c2, "d2")
+            .withColumn("jaccard", jac)
+            .where(F.col("jaccard") >= true_threshold)
+            .select("d1", "d2", "jaccard"))
+
+
 def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
     """Docs sharing an identical 64-bit simhash (strong near-dup signal)."""

@@ -28,7 +28,8 @@ __all__ = [
     "pii_scrub", "stratified_sample", "stratified_topk",
     "quality_filter", "dataset_card", "url_domain_filter",
     "pack_sequences", "mix_sources", "source_divergence",
-    "split_leakage", "length_quantiles",
+    "split_leakage", "length_quantiles", "token_budget_select",
+    "incremental_dedup",
 ]
 
 
@@ -275,6 +276,99 @@ def pack_sequences(df: DataFrame, budget: int = 256, shards: int = 8,
         "shard", "seq_id", id_col,
         (lo - F.col("_start") + 1).cast("long").alias("tok_start"),
         (hi - lo).cast("long").alias("n_tok"))
+
+
+def token_budget_select(df: DataFrame, budget: int,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bands: int = 16) -> DataFrame:
+    """Dataset assembly under a token budget: take documents in priority
+    order (quality score desc, id asc as the deterministic tie-break)
+    until the cumulative token count reaches `budget` — the selection
+    step that turns "rank everything" into "ship exactly N tokens of the
+    best data".
+
+    The global ordered prefix sum is computed WITHOUT a single-partition
+    window (the naive sum() OVER (ORDER BY ...) collapses 100 TB onto
+    one task): quality lives in [0, 1], so docs are banded by
+    floor(quality * bands) — band order is consistent with quality order
+    by construction — then (a) per-band token totals (`bands` rows)
+    produce each band's global offset via a window over that tiny frame,
+    and (b) the within-band cumulative sum runs partitionBy(band), i.e.
+    `bands`-way parallel. offset + within-band running = the exact
+    global running total. At scale, raise `bands` (and/or split bands on
+    a secondary hash digit) to match the cluster; the band histogram is
+    the only serial state and it is O(bands).
+
+    Output: selected docs only — (id, tok, quality, running) with
+    running the global cumulative token count in priority order.
+    """
+    from pyspark.sql import Window
+    from filodb_spark.operators.text import quality_score, token_count
+    scored = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("tok"),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"))
+    band = F.least(F.lit(bands - 1),
+                   F.floor(F.col("quality") * bands)).cast("int")
+    banded = scored.withColumn("_band", band)
+    totals = banded.groupBy("_band").agg(F.sum("tok").alias("_t"))
+    # offset of a band = total tokens of all STRICTLY higher bands.
+    # A theta-self-join over the O(bands)-row totals frame, not a
+    # global-order window — keeps the plan free of single-partition
+    # window nodes even though the frame is tiny either way.
+    higher = totals.select(F.col("_band").alias("_hb"),
+                           F.col("_t").alias("_ht"))
+    offsets = (totals.join(higher, F.col("_hb") > F.col("_band"), "left")
+               .groupBy("_band")
+               .agg(F.coalesce(F.sum("_ht"), F.lit(0)).alias("_off")))
+    w_run = (Window.partitionBy("_band")
+             .orderBy(F.col("quality").desc(), F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = (banded.join(F.broadcast(offsets.select("_band", "_off")), "_band")
+           .withColumn("running",
+                       (F.col("_off") + F.sum("tok").over(w_run))
+                       .cast("long")))
+    return (run.where(F.col("running") <= budget)
+            .select(id_col, "tok", "quality", "running"))
+
+
+def incremental_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      existing_buckets: int = 8000) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup: the steady-state shape
+    of a production pipeline, where a new crawl increment is deduped
+    against the already-ingested corpus rather than re-clustering
+    everything. Membership is deterministic here (md5 id-bucket <
+    `existing_buckets`/10000 = corpus, rest = new batch) so the oracle
+    can replay it; in production the corpus side is the fingerprint
+    store.
+
+    Each batch doc gets a status:
+      'new'        — fingerprint unseen in corpus AND first in batch
+      'dup_corpus' — fingerprint already in the corpus store
+      'dup_batch'  — repeat within the batch (a corpus-unseen
+                     fingerprint's lowest-id doc wins)
+
+    Scale shape: the corpus side is reduced to DISTINCT 16-byte
+    fingerprints before the join (shuffles hashes, not documents); the
+    batch-internal winner is one min-aggregation on the same key. Both
+    shuffles are on md5 — uniform, skew-free.
+    """
+    fp = df.select(F.col(id_col),
+                   F.md5(F.lower(F.regexp_replace(
+                       F.trim(F.col(text_col)), r"\s+", " "))).alias("fp"),
+                   split_hash(F.col(id_col)).alias("_b"))
+    corpus_fps = (fp.where(F.col("_b") < existing_buckets)
+                  .select("fp").distinct()
+                  .withColumn("_in_corpus", F.lit(1)))
+    batch = fp.where(F.col("_b") >= existing_buckets)
+    first = batch.groupBy("fp").agg(F.min(id_col).alias("_first"))
+    status = (F.when(F.col("_in_corpus").isNotNull(), "dup_corpus")
+              .when(F.col(id_col) == F.col("_first"), "new")
+              .otherwise("dup_batch"))
+    return (batch.join(corpus_fps, "fp", "left")
+            .join(first, "fp")
+            .select(id_col, "fp", status.alias("status")))
 
 
 def mix_sources(df: DataFrame, weights: Mapping[str, float],

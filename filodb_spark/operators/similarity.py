@@ -371,6 +371,81 @@ def embedding_outliers(corpus: DataFrame, id_col: str = "vec_id",
                                F.lit(False)).alias("is_outlier")))
 
 
+def _kmeans_assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
+                   ) -> DataFrame:
+    """Assign each vector to the nearest centroid (squared L2, ties to
+    the lowest cluster index). Centroids are literals baked into one
+    array<struct> expression — the broadcast-small-side pattern without
+    even a join: argmin is array_min over per-centroid structs, ordered
+    (dist2, cluster), evaluated entirely inside whole-stage codegen.
+
+    dist2 uses the inner-product decomposition |v|^2 - 2 v.c + |c|^2 with
+    sequential folds so any engine's sequential inner product reproduces
+    the bit pattern (same trick as the ANN oracles)."""
+    vnorm = norm_sq(F.col("v"))
+    cands = []
+    for j, c in centroids:
+        c_lit = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = 0.0
+        for x in c:                  # same left-to-right fold as the SQL
+            cnorm += float(x) * float(x)
+        d2 = vnorm - 2.0 * dot(F.col("v"), c_lit) + F.lit(cnorm)
+        cands.append(F.struct(d2.alias("d2"),
+                              F.lit(int(j)).alias("cluster")))
+    best = F.array_min(F.array(*cands))
+    return vecs.select("vid", "v", best["cluster"].alias("cluster"),
+                       best["d2"].alias("d2"))
+
+
+def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the
+    clustering pass behind semantic curation (SemDeDup-style cluster-
+    then-dedup, topic balancing, per-cluster sampling).
+
+    Fully engine-portable by construction, so the APPROXIMATE-free
+    pipeline has an exact SQL oracle: seeds are the k lowest-id vectors
+    (no RNG), each round assigns by squared L2 (lowest cluster index on
+    ties) and recomputes centroids as per-component means rounded to
+    `round_to` decimals (rounding re-synchronizes both engines'
+    float summation at every round boundary). Clusters that lose all
+    members simply drop out (no re-seeding) — mirrored by the oracle.
+
+    Scale shape: per round, ONE explode + hash-aggregation for the
+    centroid update (k*dim rows collected — bounded by model size, not
+    data, the same driver-side footprint as MLlib's KMeans) and a
+    map-only assignment with centroids baked into the plan. iterations+1
+    passes over the data total; fit on a sample and assign-once for the
+    100 TB path (ivf_fit_centroids does exactly that for ANN).
+
+    Output: (id, cluster, dist2) with dist2 rounded to `round_to`.
+    """
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         as_double(F.col(vec_col)).alias("v"))
+    # round via Spark (HALF_UP), not Python (HALF_EVEN) — the oracle's
+    # round() must see the identical seed doubles
+    seed_rows = (vecs.orderBy("vid").limit(k)
+                 .select(F.transform("v", lambda x: F.round(x, round_to))
+                         .alias("v")).collect())
+    cents = [(j, [float(x) for x in r["v"]])
+             for j, r in enumerate(seed_rows)]
+    for _ in range(iterations):
+        assigned = _kmeans_assign(vecs, cents)
+        upd = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+               .groupBy("cluster", "pos")
+               .agg(F.round(F.avg("x"), round_to).alias("mu"))
+               .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mu"]
+        cents = [(j, [comp[p] for p in sorted(comp)])
+                 for j, comp in sorted(by_cluster.items())]
+    final = _kmeans_assign(vecs, cents)
+    return final.select(F.col("vid").alias(id_col), "cluster",
+                        F.round("d2", round_to).alias("dist2"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         levels: int = 255) -> DataFrame:

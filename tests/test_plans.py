@@ -373,3 +373,51 @@ class TestPipelineOpPlanShapes:
             plan = plan_of(df)
             assert "CartesianProduct" not in plan
             assert plan.count("BroadcastNestedLoopJoin") <= scalar_joins
+
+
+class TestRound3bOpPlanShapes:
+    """Scale-shape pins for the round-3 second batch: k-means assignment
+    is join-free (centroids live in the plan as literals), the
+    token-budget selection keeps its big-side window PARTITIONED (the
+    naive global-order window would single-task 100 TB), and the
+    two-phase/incremental dedup joins are hash joins, never cartesian."""
+
+    def test_kmeans_assignment_has_no_join(self, spark):
+        from filodb_spark.operators.similarity import _kmeans_assign
+        vecs = spark.createDataFrame(
+            [(1, [0.0, 1.0])], ["vec_id", "embedding"]).select(
+            F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+        plan = plan_of(_kmeans_assign(vecs, [(0, [0.0, 0.0]),
+                                             (1, [1.0, 1.0])]))
+        assert "Join" not in plan and "Exchange" not in plan
+
+    def test_token_budget_window_is_partitioned(self, spark):
+        from filodb_spark.operators.pipeline import token_budget_select
+        d = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon") for i in range(8)],
+            ["doc_id", "text"])
+        out = token_budget_select(d, budget=1000)
+        plan = plan_of(out)
+        # every Window node must carry a partition spec: the plan string
+        # renders unpartitioned windows with an empty partitionBy list
+        import re
+        for m in re.finditer(r"Window \[[^\]]*\], \[(.*?)\]", plan):
+            assert m.group(1).strip(), f"unpartitioned window: {m.group(0)}"
+        assert "CartesianProduct" not in plan
+
+    def test_incremental_dedup_hash_joins_only(self, spark):
+        from filodb_spark.operators.pipeline import incremental_dedup
+        d = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(8)], ["doc_id", "text"])
+        plan = plan_of(incremental_dedup(d))
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+
+    def test_lsh_verify_no_cartesian(self, spark):
+        from filodb_spark.operators.dedup import lsh_verified_pairs
+        d = spark.createDataFrame(
+            [(i, f"some shared words here u{i} and more shared tail")
+             for i in range(6)], ["doc_id", "text"])
+        plan = plan_of(lsh_verified_pairs(d))
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan

@@ -1,0 +1,159 @@
+"""Round-3 second-batch operators: deterministic k-means, token-budget
+selection, incremental dedup, two-phase LSH-verified near-dup pairs.
+
+Driver-gate oracles check cross-engine exactness at sf0.01; these pin
+operator-level semantics on small hand-built frames, including the edge
+cases the fixtures never hit (empty clusters, budget boundaries,
+batch-internal duplicate chains)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.operators.dedup import lsh_verified_pairs, \
+    minhash_lsh_pairs_portable, ngram_jaccard_pairs
+from filodb_spark.operators.pipeline import incremental_dedup, \
+    token_budget_select
+from filodb_spark.operators.similarity import kmeans_portable
+
+
+class TestKMeansPortable:
+    def test_two_obvious_clusters(self, spark):
+        pts = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0]),
+               (3, [9.5, 10.0]), (4, [0.0, 0.5]), (5, [10.0, 9.0])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["cluster"]
+               for r in kmeans_portable(df, k=2, iterations=2).collect()}
+        # seeds: id 0 -> cluster 0, id 1 -> cluster 1
+        assert {i for i, c in out.items() if c == 0} == {0, 2, 4}
+        assert {i for i, c in out.items() if c == 1} == {1, 3, 5}
+
+    def test_dist2_is_squared_l2_to_final_centroid(self, spark):
+        pts = [(0, [0.0, 0.0]), (1, [4.0, 0.0]), (2, [2.0, 0.0])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        rows = {r["vec_id"]: r for r in
+                kmeans_portable(df, k=1, iterations=1).collect()}
+        # single cluster: centroid = mean = (2, 0); dist2 = (x-2)^2
+        assert rows[0]["dist2"] == pytest.approx(4.0, abs=1e-6)
+        assert rows[2]["dist2"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_empty_cluster_drops_out(self, spark):
+        # seeds = ids 0,1,2; seed 2 duplicates seed 0's position, so the
+        # (dist2, cluster) tie-break sends every point — including the
+        # seed itself — to cluster 0, and cluster 2 empties in round 1
+        pts = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 0.0]),
+               (3, [0.2, 0.0]), (4, [9.8, 0.0]), (5, [3.4, 0.0])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        out = kmeans_portable(df, k=3, iterations=3)
+        clusters = {r["cluster"] for r in out.collect()}
+        assert out.count() == 6          # every vector still assigned
+        assert 2 not in clusters         # cluster 2 emptied and vanished
+
+    def test_more_iterations_refine_not_crash(self, spark):
+        pts = [(i, [float(i % 3), float(i // 3)]) for i in range(9)]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        a1 = kmeans_portable(df, k=3, iterations=1)
+        a4 = kmeans_portable(df, k=3, iterations=4)
+        assert a1.count() == a4.count() == 9
+
+
+def _doc(tokens_n: int, word: str = "word") -> str:
+    return " ".join([word] * tokens_n)
+
+
+class TestTokenBudget:
+    def test_priority_order_and_cutoff(self, spark):
+        # quality: 200-token and 150-token docs saturate at 1.0;
+        # 50-token doc scores 0.5 (all words len 4 -> shape part 1.0)
+        df = spark.createDataFrame(
+            [(1, _doc(200)), (2, _doc(150)), (3, _doc(50))],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               token_budget_select(df, budget=300).collect()}
+        # order: (q=1.0, id=1) run=200; (q=1.0, id=2) run=350 > 300 stops
+        assert set(out) == {1}
+        assert out[1]["running"] == 200 and out[1]["tok"] == 200
+
+    def test_cross_band_running_totals(self, spark):
+        df = spark.createDataFrame(
+            [(1, _doc(200)), (2, _doc(150)), (3, _doc(50))],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["running"] for r in
+               token_budget_select(df, budget=100_000).collect()}
+        # bands differ (q=1.0 -> band 15, q=0.5 -> band 8): the offset
+        # join must still produce the exact global prefix sums
+        assert out == {1: 200, 2: 350, 3: 400}
+
+    def test_strictly_prefix_not_knapsack(self, spark):
+        # a later small doc may FIT the leftover budget but must not be
+        # taken once the running total has crossed it (prefix semantics)
+        df = spark.createDataFrame(
+            [(1, _doc(200)), (2, _doc(150)), (3, _doc(50))],
+            ["doc_id", "text"])
+        out = token_budget_select(df, budget=210)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestIncrementalDedup:
+    def test_statuses_match_model(self, spark):
+        from filodb_spark.operators.text import split_hash
+        texts = {i: f"unique text {i}" for i in range(40)}
+        # duplicate chains: ids 1,2,3 share text; 4,5 share another
+        for i in (2, 3):
+            texts[i] = texts[1]
+        texts[5] = texts[4]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], ["doc_id", "text"])
+        cut = 5000
+        out = {r["doc_id"]: r["status"] for r in
+               incremental_dedup(df, existing_buckets=cut).collect()}
+        # reference model in Python on the same md5 buckets
+        buckets = {r["doc_id"]: r["b"] for r in df.select(
+            "doc_id", split_hash(F.col("doc_id")).alias("b")).collect()}
+        corpus_texts = {texts[i].strip().lower()
+                        for i in texts if buckets[i] < cut}
+        batch = sorted(i for i in texts if buckets[i] >= cut)
+        expected = {}
+        first_seen = {}
+        for i in batch:
+            t = texts[i].strip().lower()
+            if t in corpus_texts:
+                expected[i] = "dup_corpus"
+            elif t in first_seen:
+                expected[i] = "dup_batch"
+            else:
+                first_seen[t] = i
+                expected[i] = "new"
+        assert out == expected
+        assert set(out) == set(batch)   # corpus side never emitted
+
+
+class TestLshVerifiedPairs:
+    def test_true_jaccard_on_candidates_only(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat naps by the warm stove in the tiny kitchen")
+        rows = [(1, base),
+                (2, base + " tonight"),                    # near-dup of 1
+                (3, "completely different words about spark plans and "
+                    "parquet footers and shuffle partitions everywhere"),
+                (4, "yet another unrelated document concerning kmeans "
+                    "centroids and jaccard verification thresholds")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {(r["d1"], r["d2"]): r["jaccard"]
+               for r in lsh_verified_pairs(df).collect()}
+        assert (1, 2) in out
+        assert out[(1, 2)] >= 0.5
+        # verified jaccard equals the exact all-pairs jaccard
+        exact = {(r["d1"], r["d2"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(df, threshold=0.5,
+                                              n=3).collect()}
+        assert out[(1, 2)] == exact[(1, 2)]
+
+    def test_output_is_subset_of_candidates(self, spark):
+        rows = [(i, f"document number {i} with some shared scaffolding "
+                    f"words plus unique token u{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        cand = {(r["d1"], r["d2"]) for r in
+                minhash_lsh_pairs_portable(df, threshold=0.2).collect()}
+        got = {(r["d1"], r["d2"]) for r in lsh_verified_pairs(
+            df, est_threshold=0.2, true_threshold=0.5).collect()}
+        assert got <= cand

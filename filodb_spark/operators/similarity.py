@@ -430,17 +430,26 @@ def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
                          .alias("v")).collect())
     cents = [(j, [float(x) for x in r["v"]])
              for j, r in enumerate(seed_rows)]
+    dim = len(cents[0][1])
     for _ in range(iterations):
         assigned = _kmeans_assign(vecs, cents)
-        upd = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-               .groupBy("cluster", "pos")
-               .agg(F.round(F.avg("x"), round_to).alias("mu"))
+        # centroid update as dim element-wise sum aggregates, NOT a
+        # posexplode + (cluster, pos) agg: Generate collapses the
+        # projection into itself, re-evaluating the argmin expression
+        # once PER ELEMENT (dim x per vector — measured 11 s vs 0.7 s at
+        # 128k x 64). The flat aggregate evaluates it once per row and
+        # drops a whole shuffle stage. round(sum/count) == round(avg) —
+        # the oracle's per-(cluster, pos) avg is unchanged.
+        sums = [F.sum(F.element_at("v", p + 1)).alias(f"_s{p}")
+                for p in range(dim)]
+        upd = (assigned.groupBy("cluster")
+               .agg(F.count(F.lit(1)).alias("_n"), *sums)
+               .select("cluster",
+                       *[F.round(F.col(f"_s{p}") / F.col("_n"), round_to)
+                         .alias(f"_m{p}") for p in range(dim)])
                .collect())
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in upd:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mu"]
-        cents = [(j, [comp[p] for p in sorted(comp)])
-                 for j, comp in sorted(by_cluster.items())]
+        cents = sorted((r["cluster"], [r[f"_m{p}"] for p in range(dim)])
+                       for r in upd)
     final = _kmeans_assign(vecs, cents)
     return final.select(F.col("vid").alias(id_col), "cluster",
                         F.round("d2", round_to).alias("dist2"))

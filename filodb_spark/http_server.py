@@ -69,7 +69,7 @@ def _parse_timeout(q: dict) -> float | None:
     return float(raw)
 
 
-def make_handler(engine):
+def make_handler(engine, write_buffer=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -88,8 +88,24 @@ def make_handler(engine):
 
         def do_POST(self):
             # Prometheus remote read: snappy-compressed protobuf in/out
-            # (PrometheusApiRoute.scala:130)
+            # (PrometheusApiRoute.scala:130); remote write ingests into
+            # the attached WriteBuffer (the gateway role —
+            # GatewayServer.scala routes decoded records to ingestion)
             url = urlparse(self.path)
+            if url.path.rstrip("/").endswith("/api/v1/write"):
+                if write_buffer is None:
+                    return self._error("remote write not enabled", 404)
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    accepted = write_buffer.append(self.rfile.read(n))
+                    self.send_response(204)   # Prometheus expects 2xx, no body
+                    self.send_header("X-Prometheus-Remote-Write-Samples",
+                                     str(accepted))
+                    self.end_headers()
+                except Exception as ex:
+                    traceback.print_exc()
+                    self._error(f"remote write: {ex}", 400)
+                return
             if not url.path.rstrip("/").endswith("/api/v1/read"):
                 return self._error(f"unknown endpoint {url.path}", 404)
             try:
@@ -166,10 +182,13 @@ def make_handler(engine):
     return Handler
 
 
-def serve(engine, host: str = "127.0.0.1", port: int = 0):
+def serve(engine, host: str = "127.0.0.1", port: int = 0,
+          write_buffer=None):
     """Start the API server on a background thread; returns the server
-    (use .server_address, .shutdown())."""
-    srv = ThreadingHTTPServer((host, port), make_handler(engine))
+    (use .server_address, .shutdown()). Pass a
+    remote_write.WriteBuffer to enable POST /api/v1/write."""
+    srv = ThreadingHTTPServer((host, port),
+                              make_handler(engine, write_buffer))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv

@@ -1,0 +1,146 @@
+"""Prometheus remote-write ingestion (prompb WriteRequest over
+snappy+protobuf) — the wire format the reference's gateway family
+accepts alongside Influx line protocol (gateway/src/main/scala/filodb/
+gateway/GatewayServer.scala routes decoded records into the ingestion
+stream; conversion/PrometheusInputRecord.scala is the record shape).
+
+Self-contained codecs on the same varint/length-delimited primitives as
+remote_read.py — no protobuf/snappy libraries. The TimeSeries message
+here is wire-identical to the read response's inner TimeSeries
+(labels = field 1, samples = field 2), per prompb/remote.proto vs
+types.proto.
+
+Two ingestion shapes:
+- WriteBuffer: the single-process dev/test sink behind
+  POST /api/v1/write (http_server) — decode on arrival, accumulate
+  rows, expose a DataFrame/TsStore. Driver-side by design; its job is
+  the protocol, not the throughput.
+- frames_to_records: the SCALE path — a DataFrame of raw request
+  bodies (landed via Kafka/object storage, exactly how the reference
+  fans the gateway out) decoded in parallel with an Arrow-batched
+  mapInPandas. Python is acceptable here for the same reason as the
+  multimodal codec layer: protobuf decode is byte-cursor work no SQL
+  expression can express, and it rides the codec boundary, never the
+  query hot path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from filodb_spark.remote_read import (_field, _iter_fields, _len_delim,
+                                      snappy_compress, snappy_decompress,
+                                      _uvarint)
+
+__all__ = ["encode_write_request", "decode_write_request",
+           "WriteBuffer", "frames_to_records", "RECORD_SCHEMA"]
+
+RECORD_SCHEMA = "labels map<string,string>, ts long, value double"
+
+
+def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
+    """series: [(labels dict, [(ts_ms, value), ...]), ...] -> raw
+    (uncompressed) WriteRequest bytes. Callers POST
+    snappy_compress(encode_write_request(...)) like a real Prometheus."""
+    body = b""
+    for labels, samples in series:
+        ts_msg = b""
+        for name in sorted(labels):
+            ts_msg += _len_delim(1, _len_delim(1, name.encode())
+                                 + _len_delim(2, str(labels[name]).encode()))
+        for ts, value in samples:
+            ts_msg += _len_delim(2, _field(1, 1)
+                                 + struct.pack("<d", float(value))
+                                 + _field(2, 0) + _uvarint(int(ts)))
+        body += _len_delim(1, ts_msg)
+    return body
+
+
+def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
+    """Raw (uncompressed) WriteRequest bytes ->
+    [(labels dict, [(ts_ms, value), ...]), ...]."""
+    out = []
+    for num, _, val in _iter_fields(raw):
+        if num != 1:
+            continue
+        labels, samples = {}, []
+        for tn, _, tv in _iter_fields(val):
+            if tn == 1:
+                name = value = ""
+                for ln, _, lv in _iter_fields(tv):
+                    if ln == 1:
+                        name = lv.decode()
+                    elif ln == 2:
+                        value = lv.decode()
+                labels[name] = value
+            elif tn == 2:
+                v, ts = 0.0, 0
+                for sn, _, sv in _iter_fields(tv):
+                    if sn == 1:
+                        v = struct.unpack("<d",
+                                          sv.to_bytes(8, "little"))[0]
+                    elif sn == 2:
+                        ts = sv
+                samples.append((ts, v))
+        out.append((labels, samples))
+    return out
+
+
+def _body_to_rows(body: bytes) -> list[tuple[dict, int, float]]:
+    """One snappy-compressed WriteRequest -> flat (labels, ts, value)
+    rows — the record shape every TsStore ingests."""
+    rows = []
+    for labels, samples in decode_write_request(snappy_decompress(body)):
+        for ts, value in samples:
+            rows.append((labels, int(ts), float(value)))
+    return rows
+
+
+class WriteBuffer:
+    """Dev/test remote-write sink: accumulates decoded samples and
+    exposes them as a DataFrame (or TsStore) for querying. Single
+    process on purpose — production ingest lands request bodies in
+    Kafka/object storage and decodes them with frames_to_records."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._rows: list[tuple[dict, int, float]] = []
+
+    def append(self, body: bytes) -> int:
+        """Ingest one snappy-compressed WriteRequest; returns the
+        number of samples accepted."""
+        rows = _body_to_rows(body)
+        self._rows.extend(rows)
+        return len(rows)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self._rows)
+
+    def to_df(self):
+        return self._spark.createDataFrame(self._rows or [], RECORD_SCHEMA)
+
+    def to_store(self):
+        from filodb_spark.promql.compiler import TsStore
+        return TsStore(self.to_df())
+
+
+def frames_to_records(frames):
+    """DataFrame['body': binary] of snappy-compressed WriteRequests ->
+    DataFrame(labels, ts, value). Arrow-batched mapInPandas: each
+    partition decodes its own request bodies, so ingest parallelism ==
+    the partitioning of the landed frames (Kafka partitions / object
+    keys) — no driver involvement, no shuffle."""
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"labels": [], "ts": [], "value": []}
+            for body in pdf["body"]:
+                for labels, ts, value in _body_to_rows(bytes(body)):
+                    out["labels"].append(labels)
+                    out["ts"].append(ts)
+                    out["value"].append(value)
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(decode, RECORD_SCHEMA)

@@ -328,6 +328,25 @@ def q_csv_roundtrip(spark, sf_dir):
                       "ts", F.round("value", 2).alias("value"))
 
 
+def q_remote_write_roundtrip(spark, sf_dir):
+    """Prometheus remote-write wire path in the driver gate: encode the
+    deduped events as per-batch snappy+protobuf WriteRequests
+    (records_to_frames), decode them back in parallel
+    (frames_to_records), and compare to the source — both directions
+    run as Arrow-batched mapInPandas, no driver-side bytes. Any codec
+    defect (varint, zigzag-less int64, little-endian double, snappy
+    framing) breaks the value hash."""
+    from filodb_spark.remote_write import (frames_to_records,
+                                           records_to_frames)
+    ev = _events_cached(spark, sf_dir)
+    recs = ev.select(
+        F.create_map(F.lit("__name__"), F.col("event_type")).alias("labels"),
+        "ts", "value")
+    out = frames_to_records(records_to_frames(recs))
+    return out.select(F.col("labels")["__name__"].alias("event_type"),
+                      "ts", F.round("value", 2).alias("value"))
+
+
 def q_salted_sum(spark, sf_dir):
     # two-phase salted aggregation (skew utility): per-event_type totals
     # must equal a plain sum — rounded to absorb fold-order ulp noise
@@ -394,6 +413,7 @@ QUERIES = {
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
     "ts_csv_roundtrip": q_csv_roundtrip,
+    "ts_remote_write_roundtrip": q_remote_write_roundtrip,
 }
 
 # ---------------------------------------------------------------------------
@@ -714,6 +734,12 @@ WITH raw AS (
 )
 SELECT event_type, ts, round(value, 2) AS value FROM raw""",
     "ts_csv_roundtrip": """
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ts, round(value, 2) AS value FROM raw""",
+    "ts_remote_write_roundtrip": """
 WITH raw AS (
   SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
   FROM events GROUP BY 1, 2

@@ -69,10 +69,33 @@ def _parse_timeout(q: dict) -> float | None:
     return float(raw)
 
 
-def make_handler(engine, write_buffer=None):
+def make_handler(engine, write_buffer=None, bearer_token=None):
+    import hmac
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _authorized(self) -> bool:
+            """Optional bearer-token auth (the reference's http module
+            exposes the same hook shape and likewise delegates real
+            authn to the deploy layer; this covers the
+            direct-exposure case). Constant-time compare."""
+            if bearer_token is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            return got.startswith("Bearer ") and hmac.compare_digest(
+                got[len("Bearer "):], bearer_token)
+
+        def _unauthorized(self):
+            body = json.dumps({"status": "error", "errorType": "unauthorized",
+                               "error": "missing or bad bearer token"}).encode()
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", "Bearer")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _send(self, obj, code=200):
             body = json.dumps(obj).encode()
@@ -91,6 +114,8 @@ def make_handler(engine, write_buffer=None):
             # (PrometheusApiRoute.scala:130); remote write ingests into
             # the attached WriteBuffer (the gateway role —
             # GatewayServer.scala routes decoded records to ingestion)
+            if not self._authorized():
+                return self._unauthorized()
             url = urlparse(self.path)
             if url.path.rstrip("/").endswith("/api/v1/write"):
                 if write_buffer is None:
@@ -133,6 +158,8 @@ def make_handler(engine, write_buffer=None):
                 self._error(f"remote read: {ex}", 400)
 
         def do_GET(self):
+            if not self._authorized():
+                return self._unauthorized()
             url = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
@@ -183,12 +210,16 @@ def make_handler(engine, write_buffer=None):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 0,
-          write_buffer=None):
+          write_buffer=None, bearer_token=None):
     """Start the API server on a background thread; returns the server
     (use .server_address, .shutdown()). Pass a
-    remote_write.WriteBuffer to enable POST /api/v1/write."""
+    remote_write.WriteBuffer to enable POST /api/v1/write and a
+    bearer_token to require `Authorization: Bearer <token>` on every
+    endpoint (TLS itself belongs to the deploy layer, as in the
+    reference)."""
     srv = ThreadingHTTPServer((host, port),
-                              make_handler(engine, write_buffer))
+                              make_handler(engine, write_buffer,
+                                           bearer_token))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv

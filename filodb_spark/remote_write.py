@@ -33,7 +33,8 @@ from filodb_spark.remote_read import (_field, _iter_fields, _len_delim,
                                       _uvarint)
 
 __all__ = ["encode_write_request", "decode_write_request",
-           "WriteBuffer", "frames_to_records", "RECORD_SCHEMA"]
+           "WriteBuffer", "frames_to_records", "records_to_frames",
+           "RECORD_SCHEMA"]
 
 RECORD_SCHEMA = "labels map<string,string>, ts long, value double"
 
@@ -144,3 +145,28 @@ def frames_to_records(frames):
             yield pd.DataFrame(out)
 
     return frames.mapInPandas(decode, RECORD_SCHEMA)
+
+
+def records_to_frames(records):
+    """Inverse of frames_to_records: DataFrame(labels, ts, value) ->
+    DataFrame['body': binary] with one snappy-compressed WriteRequest
+    per Arrow batch — the shape a remote-write EXPORTER (or a
+    replication/backfill job) emits. Series grouping is per batch;
+    a consumer that needs whole series per frame repartitions by a
+    series key first."""
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            series: dict = {}
+            for labels, ts, value in zip(pdf["labels"], pdf["ts"],
+                                         pdf["value"]):
+                key = tuple(sorted(labels.items()))
+                series.setdefault(key, []).append((int(ts), float(value)))
+            body = snappy_compress(encode_write_request(
+                [(dict(k), v) for k, v in sorted(series.items())]))
+            yield pd.DataFrame({"body": [body]})
+
+    return records.mapInPandas(encode, "body binary")

@@ -123,3 +123,70 @@ class TestFramesToRecords:
     def test_empty_frame(self, spark):
         frames = spark.createDataFrame([], "body binary")
         assert frames_to_records(frames).count() == 0
+
+
+class TestRecordsToFrames:
+    def test_roundtrip_through_wire(self, spark):
+        rows = [({"__name__": "m", "i": str(i % 3)},
+                 1_700_000_000_000 + i * 1000, float(i) / 7)
+                for i in range(50)]
+        records = spark.createDataFrame(rows, "labels map<string,string>, "
+                                        "ts long, value double")
+        from filodb_spark.remote_write import records_to_frames
+        back = frames_to_records(records_to_frames(records.repartition(4)))
+        want = {(tuple(sorted(r["labels"].items())), r["ts"], r["value"])
+                for r in records.collect()}
+        got = {(tuple(sorted(r["labels"].items())), r["ts"], r["value"])
+               for r in back.collect()}
+        assert got == want
+
+
+class TestBearerAuth:
+    def test_token_required_when_configured(self, spark):
+        from filodb_spark.http_server import serve
+        from filodb_spark.promql import PromQLEngine
+        buf = WriteBuffer(spark)
+        srv = serve(PromQLEngine(spark, buf.to_store()), write_buffer=buf,
+                    bearer_token="s3cret")
+        base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+        try:
+            # GET without token -> 401
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{base}/api/v1/labels", timeout=60)
+            assert ei.value.code == 401
+            # POST write without token -> 401
+            body = snappy_compress(encode_write_request(SERIES))
+            req = urllib.request.Request(f"{base}/api/v1/write", data=body,
+                                         method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 401 and buf.n_samples == 0
+            # with token -> accepted
+            req = urllib.request.Request(
+                f"{base}/api/v1/write", data=body, method="POST",
+                headers={"Authorization": "Bearer s3cret"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.status == 204
+            assert buf.n_samples == 5
+            # wrong token -> 401
+            req = urllib.request.Request(
+                f"{base}/api/v1/write", data=body, method="POST",
+                headers={"Authorization": "Bearer nope"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 401
+        finally:
+            srv.shutdown()
+
+    def test_no_token_configured_stays_open(self, spark):
+        from filodb_spark.http_server import serve
+        from filodb_spark.promql import PromQLEngine
+        buf = WriteBuffer(spark)
+        srv = serve(PromQLEngine(spark, buf.to_store()))
+        base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+        try:
+            with urllib.request.urlopen(f"{base}/api/v1/labels",
+                                        timeout=60) as r:
+                assert r.status == 200
+        finally:
+            srv.shutdown()

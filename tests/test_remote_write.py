@@ -190,3 +190,42 @@ class TestBearerAuth:
                 assert r.status == 200
         finally:
             srv.shutdown()
+
+
+class TestStreamingRemoteWrite:
+    def test_landed_frames_stream_to_store_and_promql(self, spark, tmp_path):
+        """The scale ingest shape: remote-write bodies land as files
+        (the gateway's Kafka/object-store role), a file stream decodes
+        them with the SAME frames_to_records plan, and start_ingest
+        (watermark + dedupe + append) builds the queryable store —
+        streaming mapInPandas end-to-end."""
+        from filodb_spark.promql import PromQLEngine
+        from filodb_spark.promql.compiler import TsStore
+        from filodb_spark.remote_write import frames_to_records
+        from filodb_spark.streaming.ingest import start_ingest
+
+        t0 = 1_700_000_000_000
+        frames_dir, out, ckpt = (tmp_path / "frames", tmp_path / "out",
+                                 tmp_path / "ck")
+        bodies = []
+        for shard in range(3):
+            series = [({"__name__": "rw_stream", "inst": str(shard)},
+                       [(t0 + i * 10_000, float(shard * 100 + i))
+                        for i in range(20)])]
+            bodies.append((snappy_compress(encode_write_request(series)),))
+        # duplicate the first frame: ingest dedupe must drop the repeats
+        spark.createDataFrame(bodies + bodies[:1], "body binary") \
+            .write.parquet(str(frames_dir))
+
+        stream = (spark.readStream.schema("body binary")
+                  .parquet(str(frames_dir)))
+        q = start_ingest(frames_to_records(stream), str(out), str(ckpt),
+                         trigger_once=True)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(str(out))
+        assert got.count() == 60          # 3 shards x 20, dups dropped
+        eng = PromQLEngine(spark, TsStore(got))
+        rows = eng.query_range('sum(rate(rw_stream[1m]))',
+                               t0 + 60_000, t0 + 180_000, 60_000).collect()
+        assert rows and all(abs(r["value"] - 0.3) < 1e-9 for r in rows)

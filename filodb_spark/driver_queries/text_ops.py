@@ -165,6 +165,13 @@ def q_doc_unigram_lp(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_doc_bigram_lp(spark, sf_dir):
+    """Add-one-smoothed corpus-BIGRAM conditional mean log-prob per doc
+    — the order-2 LM filter (catches common words in impossible
+    orders)."""
+    return text.bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup pairs (portable MinHash) straddling train/val/test —
     the leakage audit after deterministic splitting."""
@@ -178,6 +185,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "doc_segment_dedup": q_doc_segment_dedup,
     "doc_unigram_lp": q_doc_unigram_lp,
+    "doc_bigram_lp": q_doc_bigram_lp,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_token_count": q_doc_token_count,
     "doc_subword_count": q_doc_subword_count,
@@ -559,3 +567,31 @@ SELECT i.d1, i.d2,
 FROM inter i JOIN cnt c1 ON c1.doc_id = i.d1
              JOIN cnt c2 ON c2.doc_id = i.d2
 WHERE round(i.inter / CAST(c1.c + c2.c - i.inter AS DOUBLE), 6) >= 0.5"""
+
+ORACLES["doc_bigram_lp"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+bg AS (
+  SELECT doc_id, u.w1, u.w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+        FROM toks WHERE len(t) >= 2)
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+bgc AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1, 2),
+ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cc FROM bgc GROUP BY 1),
+vs AS (
+  SELECT count(DISTINCT term) AS v
+  FROM (SELECT unnest(t) AS term FROM toks)
+),
+sc AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         round(sum(tf.tf * ln((bgc.c + 1) / CAST(ctx.cc + vs.v AS DOUBLE)))
+               / sum(tf.tf), 6) AS avg_logprob
+  FROM tf JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vs
+  GROUP BY tf.doc_id)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)"""

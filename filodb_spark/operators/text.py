@@ -307,6 +307,66 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     "avg_logprob"))
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   vocab_rows: int | None = None,
+                   broadcast_threshold: int = 1_000_000) -> DataFrame:
+    """Corpus-bigram language-model score per document: mean natural-log
+    CONDITIONAL probability ln p(w_i | w_{i-1}) of the doc's lowercased
+    whitespace-token bigrams under an add-one-smoothed bigram model fit
+    on the corpus itself — one order up from unigram_logprob and the
+    closest SQL-expressible stand-in for the KenLM filter (catches
+    word-salad that unigram stats miss: common words in impossible
+    orders score low).
+
+    Model: p(w2 | w1) = (c(w1, w2) + 1) / (ctx(w1) + V) with
+    ctx(w1) = total bigram count with w1 as context and V = corpus
+    distinct-token count.
+
+    Shape: one (doc, bigram) aggregation, one (bigram) count
+    aggregation, one (context) count aggregation, joins back on the
+    well-distributed bigram/context keys (size-gated like
+    unigram_logprob), one per-doc aggregation. Docs with < 2 tokens get
+    n_bigrams 0 and NULL score.
+
+    Output: (id, n_bigrams, avg_logprob) — avg_logprob rounded to 6 dp.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.when(n >= 2, F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"))) \
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+          .select(id_col, F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bgc = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c").alias("cc"))
+    if vocab_rows is None:
+        pass                                  # AQE decides at runtime
+    elif vocab_rows < broadcast_threshold:
+        bgc, ctx = F.broadcast(bgc), F.broadcast(ctx)
+    else:
+        bgc, ctx = bgc.hint("shuffle_hash"), ctx.hint("shuffle_hash")
+    vsize = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("t"))
+             .agg(F.count_distinct("t").alias("_v")))
+    logp = F.log((F.col("c") + 1).cast("double")
+                 / (F.col("cc") + F.col("_v")).cast("double"))
+    scored = (tf.join(bgc, ["w1", "w2"]).join(ctx, "w1")
+              .crossJoin(F.broadcast(vsize))
+              .groupBy(id_col)
+              .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                   F.round(F.sum(F.col("tf") * logp) / F.sum("tf"), 6)
+                   .alias("avg_logprob")))
+    base = df.select(F.col(id_col))
+    return (base.join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "avg_logprob"))
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(t))

@@ -229,3 +229,59 @@ class TestStreamingRemoteWrite:
         rows = eng.query_range('sum(rate(rw_stream[1m]))',
                                t0 + 60_000, t0 + 180_000, 60_000).collect()
         assert rows and all(abs(r["value"] - 0.3) < 1e-9 for r in rows)
+
+
+class TestCodecProperties:
+    """Randomized codec validation (deterministic seed): arbitrary
+    label sets (unicode, empty values), timestamps across the varint
+    width spectrum (1-byte .. 2^62), and adversarial double values must
+    survive encode -> snappy -> decode bit-for-bit."""
+
+    def test_random_roundtrips(self):
+        import math
+        import random
+        from filodb_spark.remote_read import snappy_decompress
+        rng = random.Random(7)
+        specials = [0.0, -0.0, 1e-308, 1e308, float("inf"),
+                    float("-inf"), 1.5, -2.75]
+        for trial in range(200):
+            series = []
+            for _ in range(rng.randint(0, 5)):
+                labels = {}
+                for _ in range(rng.randint(0, 6)):
+                    name = "".join(rng.choice("abc_xyz:λμ") for _ in
+                                   range(rng.randint(1, 8)))
+                    labels[name] = "".join(
+                        rng.choice("0123456789 aZ-βγ") for _ in
+                        range(rng.randint(0, 10)))
+                samples = []
+                for _ in range(rng.randint(0, 8)):
+                    ts = rng.choice([rng.randint(0, 127),
+                                     rng.randint(128, 1 << 21),
+                                     rng.randint(1 << 21, 1 << 42),
+                                     rng.randint(1 << 42, (1 << 62))])
+                    v = rng.choice(specials) if rng.random() < 0.3 \
+                        else rng.uniform(-1e12, 1e12)
+                    samples.append((ts, v))
+                series.append((labels, samples))
+            wire = snappy_compress(encode_write_request(series))
+            got = decode_write_request(snappy_decompress(wire))
+            assert len(got) == len(series), trial
+            for (l1, s1), (l2, s2) in zip(series, got):
+                assert l2 == {k: str(v) for k, v in l1.items()}
+                assert len(s1) == len(s2)
+                for (t1, v1), (t2, v2) in zip(s1, s2):
+                    assert t1 == t2
+                    if math.isnan(v1):
+                        assert math.isnan(v2)
+                    else:
+                        assert v1 == v2 and math.copysign(1, v1) \
+                            == math.copysign(1, v2)
+
+    def test_nan_payload_bits_survive(self):
+        import math
+        from filodb_spark.remote_read import snappy_decompress
+        series = [({"m": "nan"}, [(1, float("nan"))])]
+        got = decode_write_request(
+            snappy_decompress(snappy_compress(encode_write_request(series))))
+        assert math.isnan(got[0][1][0][1])

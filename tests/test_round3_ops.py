@@ -157,3 +157,45 @@ class TestLshVerifiedPairs:
         got = {(r["d1"], r["d2"]) for r in lsh_verified_pairs(
             df, est_threshold=0.2, true_threshold=0.5).collect()}
         assert got <= cand
+
+
+class TestBigramLogprob:
+    def test_model_matches_python(self, spark):
+        import math
+        from filodb_spark.operators.text import bigram_logprob
+        docs = {1: "a b a b", 2: "b a", 3: "c", 4: ""}
+        df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+        out = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+               for r in bigram_logprob(df).collect()}
+        # python model
+        toks = {i: t.split() for i, t in docs.items() if t.strip()}
+        bgs = {}
+        ctx = {}
+        vocab = set()
+        for t in toks.values():
+            vocab.update(t)
+            for a, b in zip(t, t[1:]):
+                bgs[(a, b)] = bgs.get((a, b), 0) + 1
+                ctx[a] = ctx.get(a, 0) + 1
+        V = len(vocab)
+        for i, t in toks.items():
+            pairs = list(zip(t, t[1:]))
+            if not pairs:
+                assert out[i] == (0, None)
+                continue
+            lp = sum(math.log((bgs[p] + 1) / (ctx[p[0]] + V))
+                     for p in pairs) / len(pairs)
+            assert out[i][0] == len(pairs)
+            assert out[i][1] == pytest.approx(lp, abs=1e-6)
+        assert out[4] == (0, None)
+
+    def test_word_salad_scores_below_natural_order(self, spark):
+        # corpus dominated by "the cat sat" order; a doc using the same
+        # words in a rare order must score lower
+        rows = [(i, "the cat sat on the mat") for i in range(10)]
+        rows.append((100, "mat the on sat cat the"))
+        from filodb_spark.operators.text import bigram_logprob
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["avg_logprob"]
+               for r in bigram_logprob(df).collect()}
+        assert out[100] < out[0]

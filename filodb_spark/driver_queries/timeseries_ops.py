@@ -64,7 +64,51 @@ def q_ev_gap_fill(spark, sf_dir):
         .select("user_id", "t", F.round("value", 6).alias("value"))
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW_MS = 7 * 24 * 3600 * 1000
+RETENTION_PERIOD_MS = 7 * 24 * 3600 * 1000
+
+
+def _events_typed(spark, sf_dir):
+    from filodb_spark.tsdf import ts_ms
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = ev.schema["ts"].dataType
+    return ev.select("user_id", ts_ms(F.col("ts"), ts_dtype).alias("ts"),
+                     "event_type")
+
+
+def q_ev_funnel(spark, sf_dir):
+    """Strict-order earliest-match funnel signup -> view -> click ->
+    purchase within 7 days, per user (t_1..t_4 + depth)."""
+    from filodb_spark.operators.timeseries import funnel
+    out = funnel(_events_typed(spark, sf_dir), FUNNEL_STEPS,
+                 window_ms=FUNNEL_WINDOW_MS)
+    return out.select("user_id", "t_1", "t_2", "t_3", "t_4",
+                      F.col("depth").cast("long").alias("depth"))
+
+
+def q_ev_funnel_summary(spark, sf_dir):
+    """Funnel roll-up: per step reached-count, conversion from step 1,
+    mean ms from funnel start."""
+    from filodb_spark.operators.timeseries import funnel_summary
+    out = funnel_summary(_events_typed(spark, sf_dir), FUNNEL_STEPS,
+                         window_ms=FUNNEL_WINDOW_MS)
+    return out.select(F.col("step").cast("long").alias("step"),
+                      "event_type", "n_reached", "conversion",
+                      "mean_ms_from_start")
+
+
+def q_ev_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over all events."""
+    from filodb_spark.operators.timeseries import cohort_retention
+    return cohort_retention(_events_typed(spark, sf_dir),
+                            period_ms=RETENTION_PERIOD_MS)
+
+
 QUERIES = {
+    "ev_funnel": q_ev_funnel,
+    "ev_funnel_summary": q_ev_funnel_summary,
+    "ev_cohort_retention": q_ev_cohort_retention,
     "ev_asof_join": q_ev_asof_join,
     "ev_sessions": q_ev_sessions,
     "ev_gap_fill": q_ev_gap_fill,
@@ -130,3 +174,82 @@ SELECT user_id, t,
        CASE WHEN t - src_ts <= {FILL_STALE_MS} THEN round(v, 6) END AS value
 FROM j""",
 }
+
+_FUNNEL_CTES = f"""
+ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+s1 AS (SELECT user_id, min(ts) AS t_1 FROM ev
+       WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t_1
+         AND e.ts - s1.t_1 <= {FUNNEL_WINDOW_MS} GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t_3
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                 JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'click' AND e.ts > s2.t_2
+         AND e.ts - s1.t_1 <= {FUNNEL_WINDOW_MS} GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.ts) AS t_4
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+                 JOIN s3 ON e.user_id = s3.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t_3
+         AND e.ts - s1.t_1 <= {FUNNEL_WINDOW_MS} GROUP BY 1),
+fn AS (
+  SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3, s4.t_4,
+         CAST(1 + (CASE WHEN s2.t_2 IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s3.t_3 IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s4.t_4 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS depth
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+          LEFT JOIN s4 ON s1.user_id = s4.user_id
+)"""
+
+ORACLES["ev_funnel"] = "WITH " + _FUNNEL_CTES + """
+SELECT user_id, t_1, t_2, t_3, t_4, depth FROM fn"""
+
+ORACLES["ev_funnel_summary"] = "WITH " + _FUNNEL_CTES + """,
+steps(step, event_type) AS (
+  VALUES (CAST(1 AS BIGINT), 'signup'), (CAST(2 AS BIGINT), 'view'),
+         (CAST(3 AS BIGINT), 'click'), (CAST(4 AS BIGINT), 'purchase')
+),
+agg AS (
+  SELECT s.step, s.event_type,
+         CAST(sum(CASE WHEN fn.depth >= s.step THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_reached,
+         round(avg(CASE WHEN s.step = 1 THEN fn.t_1 - fn.t_1
+                        WHEN s.step = 2 AND fn.depth >= 2
+                          THEN fn.t_2 - fn.t_1
+                        WHEN s.step = 3 AND fn.depth >= 3
+                          THEN fn.t_3 - fn.t_1
+                        WHEN s.step = 4 AND fn.depth >= 4
+                          THEN fn.t_4 - fn.t_1 END), 3)
+           AS mean_ms_from_start
+  FROM steps s CROSS JOIN fn GROUP BY 1, 2
+),
+n1 AS (SELECT n_reached AS base FROM agg WHERE step = 1)
+SELECT step, event_type, n_reached,
+       round(n_reached / CAST(base AS DOUBLE), 6) AS conversion,
+       mean_ms_from_start
+FROM agg CROSS JOIN n1"""
+
+ORACLES["ev_cohort_retention"] = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+first AS (SELECT user_id, min(ts) AS f FROM ev GROUP BY 1),
+j AS (
+  SELECT ev.user_id,
+         CAST(floor(first.f / {RETENTION_PERIOD_MS}) AS BIGINT)
+           AS cohort_period,
+         CAST(floor(ev.ts / {RETENTION_PERIOD_MS})
+              - floor(first.f / {RETENTION_PERIOD_MS}) AS BIGINT)
+           AS period_offset
+  FROM ev JOIN first ON ev.user_id = first.user_id
+),
+active AS (SELECT cohort_period, period_offset,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+           FROM j GROUP BY 1, 2),
+sizes AS (SELECT cohort_period,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+          FROM j WHERE period_offset = 0 GROUP BY 1)
+SELECT a.cohort_period, a.period_offset, a.n_active, s.n_cohort,
+       round(a.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+FROM active a JOIN sizes s ON a.cohort_period = s.cohort_period"""

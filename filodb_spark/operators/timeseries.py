@@ -96,6 +96,114 @@ def session_stats(df: DataFrame, key_cols: Sequence[str],
                         F.col("end_ts") - F.col("start_ts")))
 
 
+def funnel(df: DataFrame, steps: Sequence[str],
+           key_cols: Sequence[str] = ("user_id",),
+           type_col: str = "event_type", ts_col: str = "ts",
+           window_ms: int | None = None) -> DataFrame:
+    """Strict-order funnel analysis: per key, the earliest completion of
+    step_1 < step_2 < ... < step_D (each step's timestamp strictly after
+    the previous step's matched timestamp — the greedy earliest-match
+    semantics every funnel product uses; it is optimal: matching the
+    earliest possible occurrence of each step never forecloses a deeper
+    completion). window_ms additionally requires
+    t_d - t_1 <= window_ms for every matched step.
+
+    Output: one row per key that reached step 1, with t_1..t_D
+    (NULL once the funnel stalls) and `depth` = number of steps
+    reached.
+
+    Scale shape: one filtered min-aggregation per step plus an
+    equi-join on the key — D-1 hash joins on the uniform key column,
+    no window over the full event stream, no ordering of raw events.
+    Each step's input is pre-filtered to that step's events, so the
+    joins move only per-key step timestamps (|keys| rows), not events.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    keys = list(key_cols)
+    cur = (df.where(F.col(type_col) == steps[0])
+           .groupBy(*keys).agg(F.min(ts_col).alias("t_1")))
+    for d, step in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(type_col) == step) \
+               .select(*keys, F.col(ts_col).alias("__ts"))
+        cond = F.col("__ts") > F.col(f"t_{d - 1}")
+        if window_ms is not None:
+            cond = cond & (F.col("__ts") - F.col("t_1") <= window_ms)
+        nxt = (ev.join(cur.select(*keys, "t_1", f"t_{d - 1}"), keys)
+               .where(cond)
+               .groupBy(*keys).agg(F.min("__ts").alias(f"t_{d}")))
+        cur = cur.join(nxt.select(*keys, f"t_{d}"), keys, "left")
+    depth = sum([F.when(F.col(f"t_{d}").isNotNull(), 1).otherwise(0)
+                 for d in range(2, len(steps) + 1)], F.lit(1))
+    return cur.select(*keys,
+                      *[F.col(f"t_{d}") for d in range(1, len(steps) + 1)],
+                      depth.cast("int").alias("depth"))
+
+
+def funnel_summary(df: DataFrame, steps: Sequence[str],
+                   key_cols: Sequence[str] = ("user_id",),
+                   type_col: str = "event_type", ts_col: str = "ts",
+                   window_ms: int | None = None) -> DataFrame:
+    """Funnel roll-up: per step, how many keys reached it, conversion
+    from step 1, and mean completion time (ms) from t_1 for keys that
+    reached the step. One aggregation over funnel()'s per-key rows."""
+    f = funnel(df, steps, key_cols, type_col, ts_col, window_ms)
+    aggs = []
+    for d in range(1, len(steps) + 1):
+        aggs.append(F.sum(F.when(F.col("depth") >= d, 1).otherwise(0))
+                    .cast("long").alias(f"_n{d}"))
+        aggs.append(F.round(F.avg(F.when(
+            F.col("depth") >= d, F.col(f"t_{d}") - F.col("t_1"))), 3)
+            .alias(f"_m{d}"))
+    one = f.agg(*aggs)        # ONE pass over the per-key funnel rows
+    per_step = F.array(*[
+        F.struct(F.lit(d).alias("step"),
+                 F.lit(steps[d - 1]).alias("event_type"),
+                 F.col(f"_n{d}").alias("n_reached"),
+                 F.round(F.col(f"_n{d}") / F.col("_n1"), 6)
+                 .alias("conversion"),
+                 F.col(f"_m{d}").alias("mean_ms_from_start"))
+        for d in range(1, len(steps) + 1)])
+    return (one.select(F.explode(per_step).alias("s"))
+            .select("s.step", "s.event_type", "s.n_reached",
+                    "s.conversion", "s.mean_ms_from_start"))
+
+
+def cohort_retention(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_ms: int = 7 * 24 * 3600 * 1000) -> DataFrame:
+    """Cohort retention matrix: keys are cohorted by the period of their
+    FIRST event (floor(first_ts / period)), and for each (cohort,
+    periods-since-first) the distinct keys active in that period are
+    counted — the standard weekly-retention triangle.
+
+    Output: (cohort_period, period_offset, n_active, n_cohort,
+    retention) with retention = n_active / n_cohort rounded to 6.
+
+    Scale shape: one per-key min-aggregation, one equi-join back on the
+    key, one distinct-count aggregation on (cohort, offset) — every
+    shuffle keyed on the uniform key/cohort columns. offset 0 is 100%
+    by construction (the first event is in its own period).
+    """
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("__first"))
+    cohort = F.floor(F.col("__first") / period_ms).cast("long")
+    joined = (df.select(key_col, F.col(ts_col).alias("__ts"))
+              .join(first, key_col)
+              .select(key_col, cohort.alias("cohort_period"),
+                      (F.floor(F.col("__ts") / period_ms) - cohort)
+                      .cast("long").alias("period_offset")))
+    active = (joined.groupBy("cohort_period", "period_offset")
+              .agg(F.count_distinct(key_col).alias("n_active")))
+    sizes = (joined.where(F.col("period_offset") == 0)
+             .groupBy("cohort_period")
+             .agg(F.count_distinct(key_col).alias("n_cohort")))
+    return (active.join(sizes, "cohort_period")
+            .select("cohort_period", "period_offset", "n_active",
+                    "n_cohort",
+                    F.round(F.col("n_active") / F.col("n_cohort"), 6)
+                    .alias("retention")))
+
+
 def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
              end_ms: int, step_ms: int, ts_col: str = "ts",
              value_col: str = "value",

@@ -199,3 +199,92 @@ class TestBigramLogprob:
         out = {r["doc_id"]: r["avg_logprob"]
                for r in bigram_logprob(df).collect()}
         assert out[100] < out[0]
+
+
+class TestFunnel:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "user_id long, ts long, "
+                                     "event_type string")
+
+    def test_strict_order_and_depth(self, spark):
+        rows = [
+            (1, 10, "signup"), (1, 20, "view"), (1, 30, "click"),
+            (1, 40, "purchase"),                       # full depth 4
+            (2, 10, "signup"), (2, 20, "view"),        # stalls at 2
+            (3, 50, "view"), (3, 60, "signup"),        # view BEFORE signup
+            (4, 10, "view"), (4, 20, "click"),         # never signed up
+        ]
+        from filodb_spark.operators.timeseries import funnel
+        out = {r["user_id"]: r for r in funnel(
+            self._ev(spark, rows),
+            ["signup", "view", "click", "purchase"]).collect()}
+        assert out[1]["depth"] == 4 and out[1]["t_4"] == 40
+        assert out[2]["depth"] == 2 and out[2]["t_3"] is None
+        assert out[3]["depth"] == 1        # pre-signup view doesn't count
+        assert 4 not in out                # no step-1 event -> no row
+
+    def test_same_timestamp_not_matched(self, spark):
+        # strictly-after semantics: a view at the signup instant is not
+        # a progression
+        rows = [(1, 10, "signup"), (1, 10, "view"), (1, 20, "view")]
+        from filodb_spark.operators.timeseries import funnel
+        out = funnel(self._ev(spark, rows), ["signup", "view"]).first()
+        assert out["t_2"] == 20
+
+    def test_window_cutoff(self, spark):
+        rows = [(1, 0, "signup"), (1, 150, "view"),
+                (2, 0, "signup"), (2, 50, "view")]
+        from filodb_spark.operators.timeseries import funnel
+        out = {r["user_id"]: r for r in funnel(
+            self._ev(spark, rows), ["signup", "view"],
+            window_ms=100).collect()}
+        assert out[1]["depth"] == 1        # view outside the 100ms window
+        assert out[2]["depth"] == 2
+
+    def test_greedy_earliest_match_is_optimal(self, spark):
+        # the earliest view (t=20) is taken even though a later one
+        # (t=30) also precedes the click — same final depth, earliest ts
+        rows = [(1, 10, "signup"), (1, 20, "view"), (1, 30, "view"),
+                (1, 40, "click")]
+        from filodb_spark.operators.timeseries import funnel
+        out = funnel(self._ev(spark, rows),
+                     ["signup", "view", "click"]).first()
+        assert out["t_2"] == 20 and out["depth"] == 3
+
+    def test_summary_counts_and_conversion(self, spark):
+        rows = [(1, 10, "signup"), (1, 20, "view"),
+                (2, 10, "signup"),
+                (3, 10, "signup"), (3, 30, "view")]
+        from filodb_spark.operators.timeseries import funnel_summary
+        out = {r["step"]: r for r in funnel_summary(
+            self._ev(spark, rows), ["signup", "view"]).collect()}
+        assert out[1]["n_reached"] == 3 and out[1]["conversion"] == 1.0
+        assert out[2]["n_reached"] == 2
+        assert out[2]["conversion"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out[2]["mean_ms_from_start"] == pytest.approx(15.0)
+
+    def test_plan_no_cartesian(self, spark):
+        from filodb_spark.operators.timeseries import funnel
+        d = self._ev(spark, [(1, 10, "signup"), (1, 20, "view")])
+        plan = funnel(d, ["signup", "view", "click"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "NestedLoop" not in plan
+
+
+class TestCohortRetention:
+    def test_triangle_matches_model(self, spark):
+        # period 100: u1 first at 50 (cohort 0), active periods 0,1,2;
+        # u2 first at 150 (cohort 1), active 1,3; u3 cohort 0, only p0
+        rows = [(1, 50), (1, 120), (1, 260), (2, 150), (2, 390), (3, 10)]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        from filodb_spark.operators.timeseries import cohort_retention
+        out = {(r["cohort_period"], r["period_offset"]):
+               (r["n_active"], r["n_cohort"], r["retention"])
+               for r in cohort_retention(df, period_ms=100).collect()}
+        assert out[(0, 0)] == (2, 2, 1.0)
+        assert out[(0, 1)] == (1, 2, 0.5)
+        assert out[(0, 2)] == (1, 2, 0.5)
+        assert out[(1, 0)] == (1, 1, 1.0)
+        assert out[(1, 2)] == (1, 1, 1.0)
+        assert (1, 1) not in out           # u2 inactive in offset 1

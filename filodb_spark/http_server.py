@@ -210,16 +210,23 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 0,
-          write_buffer=None, bearer_token=None):
+          write_buffer=None, bearer_token=None,
+          certfile: str | None = None, keyfile: str | None = None):
     """Start the API server on a background thread; returns the server
     (use .server_address, .shutdown()). Pass a
-    remote_write.WriteBuffer to enable POST /api/v1/write and a
+    remote_write.WriteBuffer to enable POST /api/v1/write, a
     bearer_token to require `Authorization: Bearer <token>` on every
-    endpoint (TLS itself belongs to the deploy layer, as in the
-    reference)."""
+    endpoint, and certfile/keyfile (PEM) to serve TLS directly
+    (normally a fronting proxy terminates TLS, as in the reference's
+    deployments — this covers direct exposure)."""
     srv = ThreadingHTTPServer((host, port),
                               make_handler(engine, write_buffer,
                                            bearer_token))
+    if certfile:
+        import ssl
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(certfile, keyfile)
+        srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv

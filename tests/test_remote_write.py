@@ -285,3 +285,35 @@ class TestCodecProperties:
         got = decode_write_request(
             snappy_decompress(snappy_compress(encode_write_request(series))))
         assert math.isnan(got[0][1][0][1])
+
+
+class TestTls:
+    def test_https_query_and_write(self, spark, tmp_path):
+        import ssl
+        import subprocess
+        from filodb_spark.http_server import serve
+        from filodb_spark.promql import PromQLEngine
+        cert, key = str(tmp_path / "c.pem"), str(tmp_path / "k.pem")
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", key, "-out", cert, "-days", "1",
+             "-subj", "/CN=localhost"],
+            check=True, capture_output=True)
+        buf = WriteBuffer(spark)
+        srv = serve(PromQLEngine(spark, buf.to_store()), write_buffer=buf,
+                    certfile=cert, keyfile=key)
+        base = f"https://127.0.0.1:{srv.server_address[1]}"
+        ctx = ssl.create_default_context(cafile=cert)
+        ctx.check_hostname = False
+        try:
+            with urllib.request.urlopen(f"{base}/api/v1/labels",
+                                        timeout=60, context=ctx) as r:
+                assert r.status == 200
+            body = snappy_compress(encode_write_request(SERIES))
+            req = urllib.request.Request(f"{base}/api/v1/write",
+                                         data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=60, context=ctx) as r:
+                assert r.status == 204
+            assert buf.n_samples == 5
+        finally:
+            srv.shutdown()

@@ -98,6 +98,19 @@ def q_ev_funnel_summary(spark, sf_dir):
                       "mean_ms_from_start")
 
 
+def q_ev_transitions(spark, sf_dir):
+    """Within-session (12h gap) event-type transition matrix with
+    per-from probabilities; event_id is the deterministic tiebreak."""
+    from filodb_spark.operators.timeseries import session_transitions
+    from filodb_spark.tsdf import ts_ms
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = ev.schema["ts"].dataType
+    d = ev.select("user_id", ts_ms(F.col("ts"), ts_dtype).alias("ts"),
+                  "event_type", "event_id")
+    return session_transitions(d, ["user_id"], gap_ms=SESSION_GAP_MS,
+                               tie_col="event_id")
+
+
 def q_ev_cohort_retention(spark, sf_dir):
     """Weekly cohort retention triangle over all events."""
     from filodb_spark.operators.timeseries import cohort_retention
@@ -109,6 +122,7 @@ QUERIES = {
     "ev_funnel": q_ev_funnel,
     "ev_funnel_summary": q_ev_funnel_summary,
     "ev_cohort_retention": q_ev_cohort_retention,
+    "ev_transitions": q_ev_transitions,
     "ev_asof_join": q_ev_asof_join,
     "ev_sessions": q_ev_sessions,
     "ev_gap_fill": q_ev_gap_fill,
@@ -253,3 +267,34 @@ sizes AS (SELECT cohort_period,
 SELECT a.cohort_period, a.period_offset, a.n_active, s.n_cohort,
        round(a.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
 FROM active a JOIN sizes s ON a.cohort_period = s.cohort_period"""
+
+ORACLES["ev_transitions"] = f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type, event_id
+            FROM events),
+g AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > {SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+),
+nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_idx
+                                ORDER BY ts, event_id) AS to_type
+  FROM s
+),
+trans AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM trans GROUP BY 1)
+SELECT trans.from_type, trans.to_type, trans.n,
+       round(trans.n / CAST(tot.t AS DOUBLE), 6) AS p
+FROM trans JOIN tot ON trans.from_type = tot.from_type"""

@@ -204,6 +204,38 @@ def cohort_retention(df: DataFrame, key_col: str = "user_id",
                     .alias("retention")))
 
 
+def session_transitions(df: DataFrame, key_cols: Sequence[str],
+                        type_col: str = "event_type", ts_col: str = "ts",
+                        gap_ms: int = 30 * 60 * 1000,
+                        tie_col: str | None = None) -> DataFrame:
+    """Markov transition matrix over within-session event sequences:
+    for each session (per sessionize()), count consecutive (from -> to)
+    event-type pairs, then normalize per `from` — the journey/path
+    report next to the funnel (funnels check ONE prescribed path; this
+    surfaces what users actually do next).
+
+    Determinism: events are ordered by (ts, type_col) within a session
+    unless `tie_col` names a better tiebreak (an event id). Shape: the
+    sessionize window + one lead() over the same window partitioning
+    (no extra shuffle — both windows share the key partitioning), one
+    (from, to) aggregation, one per-from total join. Output:
+    (from_type, to_type, n, p) with p rounded to 6.
+    """
+    order = [F.col(ts_col), F.col(tie_col if tie_col else type_col)]
+    s = sessionize(df, key_cols, ts_col, gap_ms)
+    w = Window.partitionBy(*key_cols, "session_idx").orderBy(*order)
+    nxt = (s.withColumn("__to", F.lead(type_col).over(w))
+           .where(F.col("__to").isNotNull()))
+    trans = (nxt.groupBy(F.col(type_col).alias("from_type"),
+                         F.col("__to").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (trans.join(totals, "from_type")
+            .select("from_type", "to_type", F.col("n").cast("long")
+                    .alias("n"),
+                    F.round(F.col("n") / F.col("__t"), 6).alias("p")))
+
+
 def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
              end_ms: int, step_ms: int, ts_col: str = "ts",
              value_col: str = "value",

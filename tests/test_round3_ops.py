@@ -288,3 +288,33 @@ class TestCohortRetention:
         assert out[(1, 0)] == (1, 1, 1.0)
         assert out[(1, 2)] == (1, 1, 1.0)
         assert (1, 1) not in out           # u2 inactive in offset 1
+
+
+class TestSessionTransitions:
+    def test_matrix_matches_model(self, spark):
+        # one user, two sessions (gap > 100): A B A | B C
+        rows = [(1, 0, "A", 1), (1, 10, "B", 2), (1, 20, "A", 3),
+                (1, 500, "B", 4), (1, 510, "C", 5)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, event_id long")
+        from filodb_spark.operators.timeseries import session_transitions
+        out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+               for r in session_transitions(df, ["user_id"], gap_ms=100,
+                                            tie_col="event_id").collect()}
+        # transitions: A->B, B->A (session 1), B->C (session 2)
+        assert out[("A", "B")] == (1, 1.0)
+        assert out[("B", "A")] == (1, 0.5)
+        assert out[("B", "C")] == (1, 0.5)
+        # no cross-session A->B bridge from ts=20 to ts=500
+        assert len(out) == 3
+
+    def test_tie_break_deterministic(self, spark):
+        # two events at the same ts: event_id orders them
+        rows = [(1, 0, "X", 2), (1, 0, "Y", 1), (1, 5, "Z", 3)]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, event_id long")
+        from filodb_spark.operators.timeseries import session_transitions
+        out = {(r["from_type"], r["to_type"]) for r in
+               session_transitions(df, ["user_id"], gap_ms=100,
+                                   tie_col="event_id").collect()}
+        assert out == {("Y", "X"), ("X", "Z")}

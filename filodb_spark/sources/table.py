@@ -150,3 +150,66 @@ def read_series_table(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select("labels", "ts", "value", "_metric", *SHARD_KEY_LABELS,
                      "date")
+
+
+def compact_series_table(spark: SparkSession, ingest_path: str,
+                         table_path: str,
+                         shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
+                         files_per_partition: int | None = None) -> int:
+    """Housekeeping: fold a streaming-ingest append directory (many
+    small unsorted files from start_ingest) into the canonical sorted
+    partitioned layout — the analog of the reference's chunk flush +
+    Cassandra compaction cycle (its real-time writes also land
+    unsorted and get re-laid-out by background jobs).
+
+    Reads the raw (labels, ts, value) appends, re-deduplicates across
+    micro-batch boundaries (streaming dedup state is watermark-bounded;
+    compaction owns the full horizon), and rewrites via
+    write_series_table. Returns the compacted row count. Run it per
+    closed date partition in production; the 'overwrite' is atomic at
+    the directory level under the usual _temporary-rename protocol.
+    """
+    raw = spark.read.parquet(ingest_path)
+    dedup = (raw.withColumn("_sk0", canonical_labels(F.col("labels")))
+             .dropDuplicates(["_sk0", "ts"]).drop("_sk0"))
+    write_series_table(dedup, table_path, shard_labels,
+                       files_per_partition=files_per_partition)
+    return spark.read.parquet(table_path).count()
+
+
+def expire_partitions(spark: SparkSession, table_path: str,
+                      before_date: str) -> list[str]:
+    """Retention enforcement at the storage layer: drop whole `date=`
+    partition directories strictly older than `before_date`
+    (YYYY-MM-DD) — the analog of the reference's Cassandra TTL +
+    `boundToStartTimeToEarliestRetained` clamp, but as an explicit,
+    auditable job (query-side clamping stays in
+    PromQLEngine(retention_floor_ms=...); this reclaims the bytes).
+
+    Directory-level deletes only — no file rewrite, no scan. Returns
+    the deleted partition directories (relative paths). Uses Hadoop's
+    FileSystem API so it works on any supported filesystem, not just
+    local disk."""
+    before_date = str(before_date)   # accepts datetime.date too
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(table_path)
+    fs = root.getFileSystem(conf)
+    deleted: list[str] = []
+
+    def walk(p, rel):
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if name.startswith("date="):
+                if name[len("date="):] < before_date:
+                    fs.delete(st.getPath(), True)
+                    deleted.append(f"{rel}/{name}" if rel else name)
+            elif "=" in name:
+                walk(st.getPath(), f"{rel}/{name}" if rel else name)
+
+    walk(root, "")
+    return sorted(deleted)

@@ -421,3 +421,61 @@ class TestRound3bOpPlanShapes:
         plan = plan_of(lsh_verified_pairs(d))
         assert "CartesianProduct" not in plan
         assert "NestedLoop" not in plan
+
+
+class TestHousekeeping:
+    """compact_series_table + expire_partitions: the flush/compaction +
+    TTL cycle around the streaming sink."""
+
+    def test_compact_streamed_appends(self, spark, tmp_path):
+        from filodb_spark.sources.table import (compact_series_table,
+                                                read_series_table)
+        import glob
+        rows = []
+        for i in range(300):
+            rows.append(({"__name__": "m", "_ws_": "w", "_ns_": "n",
+                          "inst": str(i % 5)},
+                         1_700_000_000_000 + i * 60_000,
+                         float(i)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        ingest = str(tmp_path / "ingest")
+        # simulate many micro-batch appends with cross-batch duplicates
+        for _ in range(4):
+            df.repartition(8).write.mode("append").parquet(ingest)
+        assert len(glob.glob(f"{ingest}/*.parquet")) >= 16
+        table = str(tmp_path / "table")
+        n = compact_series_table(spark, ingest, table)
+        # 300 distinct (series, ts) rows after cross-batch dedup (4x)
+        assert n == 300
+        got = read_series_table(spark, table)
+        assert got.count() == 300
+        sub = got.where(F.col("labels")["inst"] == "3")
+        assert sub.count() == 60
+
+    def test_expire_partitions_drops_old_dates(self, spark, tmp_path):
+        from filodb_spark.sources.table import (expire_partitions,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        rows = []
+        for d in range(4):                      # 4 consecutive days
+            for i in range(10):
+                rows.append(({"__name__": "m", "_ws_": "w", "_ns_": "n",
+                              "inst": str(i)},
+                             1_700_000_000_000 + d * day + i * 60_000,
+                             float(i)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        p = str(tmp_path / "t")
+        write_series_table(df, p)
+        dates = sorted({str(r["date"]) for r in
+                        spark.read.parquet(p).select("date").distinct()
+                        .collect()})
+        assert len(dates) == 4
+        deleted = expire_partitions(spark, p, before_date=dates[2])
+        assert len(deleted) == 2 and all("date=" in d for d in deleted)
+        left = spark.read.parquet(p)
+        assert sorted({str(r["date"]) for r in
+                       left.select("date").distinct().collect()}) \
+            == dates[2:]
+        assert left.count() == 20

@@ -113,11 +113,36 @@ def q_ann_filtered(spark, sf_dir):
     return similarity.brute_force_topk(e.where(F.col("label") == 3), q, k=3)
 
 
+RECALL_CURVE_PROBES = (1, 2, 4, 7)
+
+
+def q_ann_recall_curve(spark, sf_dir):
+    """Mean recall@3 of the portable IVF at 1/2/4/7 probes against the
+    exact brute force — the probes-vs-recall trade curve, computed
+    in-engine so index tuning reads from the same query surface.
+    The exact side is localCheckpoint'ed once and shared by all four
+    probe settings (freed with the frame, no cache leak)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(e, q, k=3) \
+        .localCheckpoint(eager=True)
+    out = None
+    for p in RECALL_CURVE_PROBES:
+        approx = similarity.ivf_topk_portable(e, q, k=3, n_probes=p)
+        r = similarity.topk_recall(approx, exact).agg(
+            F.lit(p).cast("long").alias("n_probes"),
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"))
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_summary": q_emb_kmeans_summary,
     "ann_filtered": q_ann_filtered,
+    "ann_recall_curve": q_ann_recall_curve,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "emb_outliers": q_emb_outliers,
     "ann_recall": q_ann_recall,
@@ -366,3 +391,61 @@ SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
        round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
 GROUP BY ex.qid"""
+
+
+def _ivf_portable_sql(n_probes: int = 4) -> str:
+    """ann_ivf_portable's oracle parameterized by probe count: probe p
+    XOR-flips bit p-1 (p=0 is the identity), mirroring
+    similarity.ivf_topk_portable bit-for-bit."""
+    masks = ["bucket"] + [f"xor(bucket, {1 << (p - 1)})"
+                          for p in range(1, n_probes)]
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+  FROM e
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv,
+         unnest([{', '.join(masks)}]) AS bucket
+  FROM b WHERE vec_id < 10
+),
+pairs AS (
+  SELECT q.qid, b.vec_id AS nid,
+         round(list_inner_product(q.qv, b.v) /
+               (sqrt(list_inner_product(q.qv, q.qv)) *
+                sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, rank, sim FROM rk WHERE rank <= 3"""
+
+
+_curve_parts = []
+for _p in RECALL_CURVE_PROBES:
+    _curve_parts.append(f"""
+SELECT CAST({_p} AS BIGINT) AS n_probes,
+       round(avg(recall), 6) AS mean_recall,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM (
+  SELECT ex.qid,
+         round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+  FROM ({ORACLES['ann_bruteforce']}) ex
+  LEFT JOIN ({_ivf_portable_sql(_p)}) ap
+    ON ex.qid = ap.qid AND ex.nid = ap.nid
+  GROUP BY ex.qid
+) r{_p}""")
+ORACLES["ann_recall_curve"] = "\nUNION ALL\n".join(_curve_parts)

@@ -75,6 +75,63 @@ def streaming_sessionize(stream: DataFrame, key_cols: Iterable[str],
                     *(["value_sum"] if value_col is not None else [])))
 
 
+def streaming_funnel(stream: DataFrame, steps: list[str],
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type",
+                     window_ms: int | None = None) -> DataFrame:
+    """Incremental strict-order funnel: the streaming twin of
+    operators.timeseries.funnel. Per-key state is the fixed-size tuple
+    of matched step timestamps (D longs — bounded by construction, no
+    per-event state growth), advanced as events arrive; each
+    advancement emits (key, step, ts, completed). On in-order input the
+    final per-key depths equal the batch funnel's exactly; out-of-order
+    events that arrive after a later step already matched cannot
+    retroactively rewrite the match (the documented stream-vs-batch
+    delta — re-run the batch funnel for the closed-book answer, the
+    same split every stream/batch pair here draws).
+
+    Emits in append mode; completed=true on the row that reaches the
+    final step."""
+    D = len(steps)
+    if D < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    out_schema = f"{key_col} long, step int, ts long, completed boolean"
+    state_schema = ", ".join(f"t{d} long" for d in range(1, D + 1))
+
+    def advance(key, pdfs, state: GroupState):
+        (user,) = key
+        ts_list = list(state.get) if state.exists else [None] * D
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out = []
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            d = 0
+            while d < D and ts_list[d] is not None:
+                d += 1
+            if d >= D:
+                break                      # funnel already complete
+            ts = int(ts)
+            if et != steps[d]:
+                continue
+            if d > 0 and ts <= ts_list[d - 1]:
+                continue                   # strictly-after semantics
+            if window_ms is not None and d > 0 \
+                    and ts - ts_list[0] > window_ms:
+                continue
+            ts_list[d] = ts
+            out.append((user, d + 1, ts, d + 1 == D))
+        state.update(tuple(ts_list))
+        yield pd.DataFrame(out, columns=[key_col, "step", "ts",
+                                         "completed"])
+
+    src = stream.select(F.col(key_col), F.col(ts_col), F.col(type_col))
+    return (src.groupBy(key_col)
+            .applyInPandasWithState(advance,
+                                    outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def reset_events(stream: DataFrame, series_col: str = "series",
                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Streaming counter-reset events per series.

@@ -436,3 +436,59 @@ class TestStreamingSessionize:
         assert ("u1", 2, 3.0, 660.0) in got
         assert ("u1", 1, 5.0, 600.0) in got
         assert ("u2", 1, 7.0, 600.0) in got
+
+
+class TestStreamingFunnel:
+    def test_incremental_matches_batch_on_in_order_input(self, spark,
+                                                         tmp_path):
+        """Two micro-batches of in-order events: per-key final depths
+        from the streaming funnel's progress rows must equal the batch
+        funnel's; state carries across batches (u1 signs up in batch 1,
+        converts in batch 2)."""
+        import json as _json
+        from filodb_spark.operators.timeseries import funnel
+        from filodb_spark.streaming.stateful import streaming_funnel
+        steps = ["signup", "view", "purchase"]
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        batch1 = [(1, 10, "signup"), (1, 20, "view"),
+                  (2, 10, "signup"),
+                  (3, 5, "view")]                     # pre-signup view
+        batch2 = [(1, 30, "purchase"),
+                  (2, 40, "view"), (2, 35, "purchase"),  # purchase BEFORE
+                  (3, 50, "signup"), (3, 60, "view")]    # its view: no
+        rows = []
+
+        def run(batch, name):
+            with open(src / name, "w") as f:
+                for u, ts, et in batch:
+                    f.write(_json.dumps(
+                        {"user_id": u, "ts": ts, "event_type": et}) + "\n")
+            raw = spark.readStream.schema(
+                "user_id long, ts long, event_type string").json(str(src))
+            q = (streaming_funnel(raw, steps)
+                 .writeStream.format("parquet")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(batch1, "b1.json")
+        run(batch2, "b2.json")
+        got = spark.read.parquet(str(out))
+        depths = {r["user_id"]: r["step"] for r in
+                  got.groupBy("user_id")
+                  .agg(F.max("step").alias("step")).collect()}
+        all_events = spark.createDataFrame(
+            batch1 + batch2, "user_id long, ts long, event_type string")
+        want = {r["user_id"]: r["depth"]
+                for r in funnel(all_events, steps).collect()}
+        assert depths == want           # u1 -> 3, u2 -> 1, u3 -> 2
+        completed = {r["user_id"] for r in
+                     got.where(F.col("completed")).collect()}
+        assert completed == {1}
+        # progress rows carry the matched timestamps
+        u1 = sorted((r["step"], r["ts"]) for r in
+                    got.where(F.col("user_id") == 1).collect())
+        assert u1 == [(1, 10), (2, 20), (3, 30)]

@@ -201,9 +201,27 @@ def q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(_docs(spark, sf_dir))
 
 
+def q_dataset_diff(spark, sf_dir):
+    """Snapshot diff with deterministic synthetic versions: old = md5
+    bucket < 9500, new = bucket >= 500 with every 10th doc edited —
+    exercises all four statuses."""
+    from filodb_spark.operators.pipeline import dataset_diff
+    from filodb_spark.operators.text import split_hash
+    d = _docs(spark, sf_dir)
+    b = split_hash(F.col("doc_id"))
+    old = d.where(b < 9500)
+    new = (d.where(b >= 500)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 10 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return dataset_diff(old, new)
+
+
 QUERIES = {
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
+    "pl_dataset_diff": q_dataset_diff,
     "pl_contamination": q_contamination,
     "pl_manifest": q_manifest,
     "pl_url_filter": q_url_filter,
@@ -553,3 +571,26 @@ SELECT b1.doc_id, b1.fp,
 FROM batch b1
 LEFT JOIN corpus c ON b1.fp = c.fp
 JOIN first f ON b1.fp = f.fp"""
+
+ORACLES["pl_dataset_diff"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS b
+  FROM documents),
+old AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM base WHERE b < 9500),
+new AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(
+           CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END),
+           '\\s+', ' ', 'g'))) AS fp
+  FROM base WHERE b >= 500)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"""

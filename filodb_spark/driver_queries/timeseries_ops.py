@@ -118,7 +118,21 @@ def q_ev_cohort_retention(spark, sf_dir):
                             period_ms=RETENTION_PERIOD_MS)
 
 
+def q_ev_rfm(spark, sf_dir):
+    """RFM segmentation against fixed bounds (1d/7d recency, 10/50
+    frequency, 100/1000 purchase monetary) — deterministic scoring, so
+    every cell assignment has an exact oracle."""
+    from filodb_spark.operators.timeseries import rfm_segments
+    from filodb_spark.tsdf import ts_ms
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_dtype = ev.schema["ts"].dataType
+    d = ev.select("user_id", ts_ms(F.col("ts"), ts_dtype).alias("ts"),
+                  "event_type", F.col("value").cast("double").alias("value"))
+    return rfm_segments(d)
+
+
 QUERIES = {
+    "ev_rfm": q_ev_rfm,
     "ev_funnel": q_ev_funnel,
     "ev_funnel_summary": q_ev_funnel_summary,
     "ev_cohort_retention": q_ev_cohort_retention,
@@ -298,3 +312,28 @@ tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM trans GROUP BY 1)
 SELECT trans.from_type, trans.to_type, trans.n,
        round(trans.n / CAST(tot.t AS DOUBLE), 6) AS p
 FROM trans JOIN tot ON trans.from_type = tot.from_type"""
+
+ORACLES["ev_rfm"] = """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
+                   CAST(value AS DOUBLE) AS value FROM events),
+pk AS (
+  SELECT user_id, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0.0 END), 6) AS monetary
+  FROM ev GROUP BY 1),
+cm AS (SELECT max(ts) AS cmax FROM ev),
+sc AS (
+  SELECT user_id, cmax - last_ts AS recency_ms, frequency, monetary,
+         CASE WHEN cmax - last_ts <= 86400000 THEN 3
+              WHEN cmax - last_ts <= 604800000 THEN 2 ELSE 1 END AS r,
+         CASE WHEN frequency >= 50 THEN 3
+              WHEN frequency >= 10 THEN 2 ELSE 1 END AS f,
+         CASE WHEN monetary >= 1000.0 THEN 3
+              WHEN monetary >= 100.0 THEN 2 ELSE 1 END AS m
+  FROM pk CROSS JOIN cm)
+SELECT user_id, CAST(recency_ms AS BIGINT) AS recency_ms, frequency,
+       monetary, CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+FROM sc"""

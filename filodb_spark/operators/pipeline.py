@@ -29,7 +29,7 @@ __all__ = [
     "quality_filter", "dataset_card", "url_domain_filter",
     "pack_sequences", "mix_sources", "source_divergence",
     "split_leakage", "length_quantiles", "token_budget_select",
-    "incremental_dedup",
+    "incremental_dedup", "dataset_diff",
 ]
 
 
@@ -369,6 +369,29 @@ def incremental_dedup(df: DataFrame, id_col: str = "doc_id",
     return (batch.join(corpus_fps, "fp", "left")
             .join(first, "fp")
             .select(id_col, "fp", status.alias("status")))
+
+
+def dataset_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Dataset-version diff: per id, 'added' (new only), 'removed'
+    (old only), 'changed' (both, normalized fingerprint differs) or
+    'unchanged' — the audit between two corpus snapshots that every
+    dataset release pipeline publishes next to its card.
+
+    Scale shape: both sides reduce to (id, 16-byte fingerprint) BEFORE
+    the full outer join — the join moves hashes, never documents; the
+    id key is unique on each side so the join is skew-free.
+    """
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                        r"\s+", " ")))
+    o = old.select(F.col(id_col), fp.alias("_ofp"))
+    n = new.select(F.col(id_col), fp.alias("_nfp"))
+    status = (F.when(F.col("_ofp").isNull(), "added")
+              .when(F.col("_nfp").isNull(), "removed")
+              .when(F.col("_ofp") != F.col("_nfp"), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, id_col, "full_outer")
+            .select(id_col, status.alias("status")))
 
 
 def mix_sources(df: DataFrame, weights: Mapping[str, float],

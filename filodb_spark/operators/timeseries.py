@@ -236,6 +236,51 @@ def session_transitions(df: DataFrame, key_cols: Sequence[str],
                     F.round(F.col("n") / F.col("__t"), 6).alias("p")))
 
 
+def rfm_segments(df: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type",
+                 value_col: str = "value",
+                 monetary_type: str = "purchase",
+                 recency_bounds_ms: tuple[int, int] = (
+                     24 * 3600 * 1000, 7 * 24 * 3600 * 1000),
+                 frequency_bounds: tuple[int, int] = (10, 50),
+                 monetary_bounds: tuple[float, float] = (100.0, 1000.0),
+                 ) -> DataFrame:
+    """RFM segmentation: per key, Recency (ms since last event, against
+    the corpus max ts), Frequency (event count) and Monetary (summed
+    `value` of `monetary_type` events), each scored 1-3 against FIXED
+    bounds (deterministic and engine-portable — production recalibrates
+    bounds offline; data-dependent quantile cuts would make the segment
+    of one user depend on every other user, which release pipelines
+    avoid for reproducibility).
+
+    One per-key aggregation + a broadcast of the 1-row corpus max ts.
+    Output: (key, recency_ms, frequency, monetary, r, f, m, segment)
+    with segment = 100*r + 10*f + m (the usual 'RFM cell' encoding).
+    """
+    per_key = df.groupBy(key_col).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.sum(F.when(F.col(type_col) == monetary_type,
+                             F.col(value_col)).otherwise(0.0)), 6)
+        .alias("monetary"))
+    corpus_max = df.agg(F.max(ts_col).alias("_cmax"))
+    rec = F.col("_cmax") - F.col("_last")
+    lo_r, hi_r = recency_bounds_ms
+    lo_f, hi_f = frequency_bounds
+    lo_m, hi_m = monetary_bounds
+    r = F.when(rec <= lo_r, 3).when(rec <= hi_r, 2).otherwise(1)
+    f = F.when(F.col("frequency") >= hi_f, 3) \
+         .when(F.col("frequency") >= lo_f, 2).otherwise(1)
+    m = F.when(F.col("monetary") >= hi_m, 3) \
+         .when(F.col("monetary") >= lo_m, 2).otherwise(1)
+    return (per_key.crossJoin(F.broadcast(corpus_max))
+            .select(key_col, rec.cast("long").alias("recency_ms"),
+                    "frequency", "monetary",
+                    r.cast("long").alias("r"), f.cast("long").alias("f"),
+                    m.cast("long").alias("m"),
+                    (r * 100 + f * 10 + m).cast("long").alias("segment")))
+
+
 def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
              end_ms: int, step_ms: int, ts_col: str = "ts",
              value_col: str = "value",

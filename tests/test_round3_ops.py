@@ -318,3 +318,48 @@ class TestSessionTransitions:
                session_transitions(df, ["user_id"], gap_ms=100,
                                    tie_col="event_id").collect()}
         assert out == {("Y", "X"), ("X", "Z")}
+
+
+class TestDatasetDiff:
+    def test_all_four_statuses(self, spark):
+        from filodb_spark.operators.pipeline import dataset_diff
+        old = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "gets removed"),
+             (4, "Same   TEXT")],                 # normalizes to same fp
+            ["doc_id", "text"])
+        new = spark.createDataFrame(
+            [(1, "same text"), (2, "has changed"), (5, "brand new"),
+             (4, "same text")],                   # fp-equal to old id 4
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r["status"]
+               for r in dataset_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "unchanged", 5: "added"}
+
+
+class TestRfmSegments:
+    def test_scores_against_model(self, spark):
+        from filodb_spark.operators.timeseries import rfm_segments
+        hour = 3600 * 1000
+        t_end = 100 * 24 * hour
+        rows = []
+        # u1: recent (last at corpus max), 60 events, 2000 purchase value
+        for i in range(59):
+            rows.append((1, t_end - 30 * 24 * hour + i, "click", 0.0))
+        rows.append((1, t_end, "purchase", 2000.0))
+        # u2: last 3 days ago, 12 events, 150 monetary
+        for i in range(11):
+            rows.append((2, t_end - 10 * 24 * hour + i, "click", 0.0))
+        rows.append((2, t_end - 3 * 24 * hour, "purchase", 150.0))
+        # u3: stale (30d), 2 events, no purchases
+        rows.append((3, t_end - 30 * 24 * hour, "view", 5.0))
+        rows.append((3, t_end - 29 * 24 * hour, "click", 5.0))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_type string, value double")
+        out = {r["user_id"]: r for r in rfm_segments(df).collect()}
+        assert (out[1]["r"], out[1]["f"], out[1]["m"]) == (3, 3, 3)
+        assert out[1]["segment"] == 333
+        assert (out[2]["r"], out[2]["f"], out[2]["m"]) == (2, 2, 2)
+        assert (out[3]["r"], out[3]["f"], out[3]["m"]) == (1, 1, 1)
+        assert out[1]["recency_ms"] == 0
+        assert out[2]["frequency"] == 12 and out[2]["monetary"] == 150.0

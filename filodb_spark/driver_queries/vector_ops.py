@@ -137,8 +137,15 @@ def q_ann_recall_curve(spark, sf_dir):
     return out
 
 
+def q_emb_pq(spark, sf_dir):
+    """Product-quantization codes (4 subspaces x 4 codes, deterministic
+    lowest-id codebook) + per-row reconstruction error."""
+    return similarity.pq_encode(_emb(spark, sf_dir), m=4, k=4)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "emb_pq": q_emb_pq,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_summary": q_emb_kmeans_summary,
     "ann_filtered": q_ann_filtered,
@@ -449,3 +456,51 @@ FROM (
   GROUP BY ex.qid
 ) r{_p}""")
 ORACLES["ann_recall_curve"] = "\nUNION ALL\n".join(_curve_parts)
+
+
+def _pq_sql(m: int = 4, k: int = 4, dim: int = 64) -> str:
+    """pq_encode's oracle: per-subspace nearest-codebook assignment on
+    list slices, same inner-product distance decomposition and
+    (d2, code) tie-break as the Spark side."""
+    sub = dim // m
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS code,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT vec_id AS vid, v FROM e ORDER BY vec_id LIMIT {k})
+)"""]
+    joins = []
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        parts.append(f""",
+best{j} AS (
+  SELECT vec_id, code AS c{j}, d2 AS d{j} FROM (
+    SELECT e.vec_id, cb.code,
+           list_inner_product(e.v[{a}:{b}], e.v[{a}:{b}])
+             - 2 * list_inner_product(e.v[{a}:{b}], cb.c[{a}:{b}])
+             + list_inner_product(cb.c[{a}:{b}], cb.c[{a}:{b}]) AS d2,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_inner_product(e.v[{a}:{b}], e.v[{a}:{b}])
+                      - 2 * list_inner_product(e.v[{a}:{b}], cb.c[{a}:{b}])
+                      + list_inner_product(cb.c[{a}:{b}], cb.c[{a}:{b}]),
+                      cb.code) AS rk
+    FROM e CROSS JOIN cb)
+  WHERE rk = 1
+)""")
+        joins.append(f"best{j}")
+    codes = ", ".join(f"c{j}" for j in range(m))
+    errs = " + ".join(f"d{j}" for j in range(m))
+    frm = joins[0] + "".join(f" JOIN {t} USING (vec_id)"
+                             for t in joins[1:])
+    parts.append(f"""
+SELECT vec_id, [{codes}] AS codes, round({errs}, 6) AS err2
+FROM {frm}""")
+    return "".join(parts)
+
+
+ORACLES["emb_pq"] = _pq_sql()

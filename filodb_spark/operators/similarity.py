@@ -455,6 +455,68 @@ def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
                         F.round("d2", round_to).alias("dist2"))
 
 
+def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              codebook: DataFrame | None = None,
+              round_to: int = 6) -> DataFrame:
+    """Product quantization: split each vector into `m` contiguous
+    subspaces and store, per subspace, the index of the nearest of `k`
+    codebook sub-vectors — dim x 8 bytes collapse to m small ints, the
+    standard memory layer under billion-scale ANN (the IVF bucket join
+    then shuffles codes, not floats; distances are table lookups).
+
+    The codebook is the sub-vectors of the k lowest-id corpus rows
+    (deterministic; production trains one offline per subspace — pass
+    `codebook` (id ordering source) to mirror that). Assignment is the
+    same join-free literal-centroid argmin as k-means, applied per
+    subspace; quantization error is reported per row so the
+    recall-vs-memory trade is measurable in-engine.
+
+    Output: (id, codes array<int> length m, err2) where err2 is the
+    total squared reconstruction error, rounded.
+    """
+    src = codebook if codebook is not None else corpus
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         as_double(F.col(vec_col)).alias("v"))
+    seed_rows = (src.select(F.col(id_col).alias("vid"),
+                            as_double(F.col(vec_col)).alias("v"))
+                 .orderBy("vid").limit(k)
+                 .select(F.transform("v", lambda x: F.round(x, round_to))
+                         .alias("v")).collect())
+    if not seed_rows:
+        raise ValueError("empty codebook source")
+    dim = len(seed_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    code_cols, err_terms = [], []
+    for j in range(m):
+        vj = F.slice(F.col("v"), j * sub + 1, sub)
+        vnorm = F.aggregate(F.transform(vj, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x)
+        cands = []
+        for c_idx, r in enumerate(seed_rows):
+            cj = [float(x) for x in r["v"][j * sub: (j + 1) * sub]]
+            c_lit = F.array(*[F.lit(x) for x in cj])
+            cnorm = 0.0
+            for x in cj:
+                cnorm += x * x
+            d2 = vnorm - 2.0 * dot(vj, c_lit) + F.lit(cnorm)
+            cands.append(F.struct(d2.alias("d2"),
+                                  F.lit(c_idx).alias("code")))
+        best = F.array_min(F.array(*cands))
+        code_cols.append(best["code"].alias(f"_c{j}"))
+        err_terms.append(best["d2"])
+    total_err = err_terms[0]
+    for t in err_terms[1:]:
+        total_err = total_err + t
+    return (vecs.select("vid", *code_cols,
+                        F.round(total_err, round_to).alias("err2"))
+            .select(F.col("vid").alias(id_col),
+                    F.array(*[F.col(f"_c{j}") for j in range(m)])
+                    .alias("codes"), "err2"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         levels: int = 255) -> DataFrame:

@@ -479,3 +479,26 @@ class TestHousekeeping:
                        left.select("date").distinct().collect()}) \
             == dates[2:]
         assert left.count() == 20
+
+
+class TestPqEncode:
+    def test_map_only_and_model(self, spark):
+        """PQ encoding must stay join-free and exchange-free (codebook
+        baked into the plan) — at 100 TB it is a pure map stage."""
+        from filodb_spark.operators.similarity import pq_encode
+        d = spark.createDataFrame(
+            [(0, [0.0, 0.0, 10.0, 10.0]), (1, [1.0, 1.0, -10.0, -10.0]),
+             (2, [0.1, 0.1, 9.0, 9.0]), (3, [0.9, 0.9, -9.0, -9.0])],
+            "vec_id long, embedding array<double>")
+        out = pq_encode(d, m=2, k=2)
+        plan = plan_of(out)
+        assert "Join" not in plan and "Exchange" not in plan
+        rows = {r["vec_id"]: (list(r["codes"]), r["err2"])
+                for r in out.collect()}
+        # codebook = vectors 0 and 1; vec 2 is nearest 0 in both halves,
+        # vec 3 nearest 1 in both; codebook rows encode themselves
+        assert rows[0][0] == [0, 0] and rows[0][1] == 0.0
+        assert rows[1][0] == [1, 1] and rows[1][1] == 0.0
+        assert rows[2][0] == [0, 0]
+        assert rows[3][0] == [1, 1]
+        assert rows[2][1] > 0.0

@@ -130,6 +130,16 @@ def pq_absent(spark, sf_dir):
     return out.select(F.col("labels")["user"].alias("user"), "t", "value")
 
 
+def pq_trig(spark, sf_dir):
+    """Prometheus 2.31+ trig dialect through the full engine path:
+    tanh(sinh(rad(cnt))) * pi() chains four new instant functions plus
+    the pi() scalar generator and a scalar-vector multiply."""
+    q = "tanh(sinh(rad(count_over_time(purchase[24h])))) * pi()"
+    out = _run(spark, sf_dir, q)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", F.round("value", 6).alias("value"))
+
+
 def pq_bool_compare(spark, sf_dir):
     # scalar comparison with bool modifier: 1/0 per series per step
     out = _run(spark, sf_dir, "count_over_time(purchase[24h]) > bool 5")
@@ -305,6 +315,7 @@ QUERIES = {
     "pq_label_join": pq_label_join,
     "pq_raw_matrix": pq_raw_matrix,
     "pq_bool_compare": pq_bool_compare,
+    "pq_trig": pq_trig,
 }
 
 # --- oracles ---------------------------------------------------------------
@@ -373,6 +384,20 @@ raw AS (
 """
 
 ORACLES = {
+    "pq_trig": _PURCHASE_GRID + """
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT user_id, t,
+         (exp(radians(value)) - exp(-radians(value))) / 2 AS s
+  FROM cnt
+)
+SELECT user_id, t,
+       round(((exp(2 * s) - 1) / (exp(2 * s) + 1)) * pi(), 6) AS value
+FROM sh""",
     "pq_bool_compare": _PURCHASE_GRID + """
 , cnt AS (
   SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value

@@ -61,6 +61,8 @@ def instant_fn_expr(fn: str, v: Column, params: tuple = (),
     if fn == "or_vector":
         # FiloDB extension: NaN -> default (InstantFunction.scala:151-156)
         return F.when(F.isnan(v), F.lit(float(params[0]))).otherwise(v)
+    if fn in _TRIG:
+        return _TRIG[fn](v)
     if fn in ("day_of_month", "day_of_week", "days_in_month", "hour",
               "minute", "month", "year"):
         ts = F.timestamp_seconds(v)
@@ -81,9 +83,20 @@ def instant_fn_expr(fn: str, v: Column, params: tuple = (),
     raise ValueError(f"unknown instant function: {fn}")
 
 
+# Prometheus 2.31+ trigonometric functions (promql/functions.go) — the
+# reference predates them; included for dialect completeness. All are
+# built-in JVM expressions.
+_TRIG = {
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "deg": F.degrees, "rad": F.radians,
+}
+
 INSTANT_FUNCTIONS = (
     "abs ceil floor exp ln log2 log10 sqrt sgn round clamp clamp_max clamp_min "
-    "or_vector day_of_month day_of_week days_in_month hour minute month year"
+    "or_vector day_of_month day_of_week days_in_month hour minute month year "
+    "sin cos tan asin acos atan sinh cosh tanh deg rad"
 ).split()
 
 

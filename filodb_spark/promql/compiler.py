@@ -544,6 +544,12 @@ class PromQLEngine:
         if name == "time":
             return Scalar(df=self._grid_df(grid)
                           .withColumn("value", F.col("t") / 1000.0))
+        if name == "pi":
+            # Prometheus 2.31+ (promql/functions.go funcPi); constant
+            # scalar on the grid like time()
+            import math as _math
+            return Scalar(df=self._grid_df(grid)
+                          .withColumn("value", F.lit(_math.pi)))
         if name in ("label_replace", "label_join"):
             return self._eval_label_fn(e, grid)
         if name in ("sort", "sort_desc"):

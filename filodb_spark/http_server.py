@@ -194,6 +194,16 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
                             "data": [dict(r["labels"]) for r in
                                      md.series(engine.store,
                                                q["match[]"]).collect()]}
+                elif path.endswith("/api/v1/status/buildinfo"):
+                    # Grafana probes this on datasource setup; report a
+                    # Prometheus-compatible shape (PrometheusApiRoute
+                    # exposes the same for the reference)
+                    import pyspark
+                    resp = {"status": "success", "data": {
+                        "version": "2.48.0",   # dialect level spoken
+                        "application": "filodb-spark",
+                        "features": {},
+                        "sparkVersion": pyspark.__version__}}
                 else:
                     return self._error(f"unknown endpoint {url.path}", 404)
                 self._send(resp)

@@ -94,3 +94,24 @@ class TestQueryTimeout:
                            start=1704153600, end=1704240000, step=21600,
                            timeout="120s")
         assert status == 200 and resp["status"] == "success"
+
+
+def test_buildinfo(spark):
+    import urllib.request
+    from filodb_spark.http_server import serve
+    from filodb_spark.promql import PromQLEngine
+    from filodb_spark.promql.compiler import TsStore
+    from filodb_spark.tsdf import events_labels_ts
+    eng = PromQLEngine(spark, TsStore(
+        events_labels_ts(spark, "/root/testdata/sf0.001")))
+    srv = serve(eng)
+    base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/api/v1/status/buildinfo",
+                                    timeout=60) as r:
+            data = json.load(r)
+        assert data["status"] == "success"
+        assert data["data"]["application"] == "filodb-spark"
+        assert "version" in data["data"]
+    finally:
+        srv.shutdown()

@@ -7,6 +7,8 @@ Usage:
   python -m filodb_spark.cli labels --store <path>
   python -m filodb_spark.cli label-values --store <path> --label job
   python -m filodb_spark.cli series --store <path> --match 'm{job="x"}'
+  python -m filodb_spark.cli serve  --store <path> [--port 9090] \
+      [--token T] [--tls-cert c.pem --tls-key k.pem] [--enable-remote-write]
 
 --store accepts a partitioned series table (sources.table layout), a
 plain parquet file of (labels, ts, value), or `events:<fixture_dir>`.
@@ -42,6 +44,17 @@ def main(argv=None) -> int:
     q.add_argument("--limit", type=int, default=None)
     q.add_argument("--format", choices=["json", "table"], default="json")
 
+    sv = sub.add_parser("serve", help="start the HTTP API server")
+    sv.add_argument("--store", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=9090)
+    sv.add_argument("--lookback", type=float, default=300.0)
+    sv.add_argument("--token", default=None,
+                    help="require Authorization: Bearer <token>")
+    sv.add_argument("--tls-cert", default=None, help="PEM cert for TLS")
+    sv.add_argument("--tls-key", default=None)
+    sv.add_argument("--enable-remote-write", action="store_true")
+
     for name in ("labels", "label-values", "series"):
         p = sub.add_parser(name)
         p.add_argument("--store", required=True)
@@ -71,6 +84,27 @@ def main(argv=None) -> int:
             df.orderBy("t").show(100, False)
         else:
             print(json.dumps(to_matrix_response(df)))
+        return 0
+
+    if args.cmd == "serve":
+        from filodb_spark.http_server import serve
+        eng = PromQLEngine(spark, store,
+                           lookback_ms=int(args.lookback * 1000))
+        buf = None
+        if args.enable_remote_write:
+            from filodb_spark.remote_write import WriteBuffer
+            buf = WriteBuffer(spark)
+        srv = serve(eng, host=args.host, port=args.port,
+                    write_buffer=buf, bearer_token=args.token,
+                    certfile=args.tls_cert, keyfile=args.tls_key)
+        scheme = "https" if args.tls_cert else "http"
+        print(f"listening on {scheme}://{srv.server_address[0]}:"
+              f"{srv.server_address[1]}", flush=True)
+        try:
+            import threading
+            threading.Event().wait()        # serve until interrupted
+        except KeyboardInterrupt:
+            srv.shutdown()
         return 0
 
     from filodb_spark import metadata as md

@@ -42,3 +42,35 @@ class TestCli:
                            "--match", 'purchase{user="3"}'])
         res = json.loads(out)
         assert res == [{"__name__": "purchase", "user": "3"}]
+
+
+def test_serve_subcommand_dispatch(spark, monkeypatch):
+    """serve wiring: flags reach http_server.serve with the right
+    values (the server itself is e2e-tested elsewhere); the blocking
+    wait is patched out."""
+    import threading
+    import filodb_spark.http_server as hs
+    from filodb_spark import cli as climod
+    captured = {}
+    real_serve = hs.serve
+
+    def fake_serve(engine, host="127.0.0.1", port=0, write_buffer=None,
+                   bearer_token=None, certfile=None, keyfile=None):
+        captured.update(host=host, port=port,
+                        has_buffer=write_buffer is not None,
+                        token=bearer_token, cert=certfile)
+        srv = real_serve(engine, host=host, port=0)
+        captured["srv"] = srv
+        return srv
+
+    monkeypatch.setattr(hs, "serve", fake_serve)
+    monkeypatch.setattr(threading.Event, "wait",
+                        lambda self, timeout=None: None)
+    rc = climod.main(["serve", "--store",
+                      "events:/root/testdata/sf0.001",
+                      "--port", "12345", "--token", "tk",
+                      "--enable-remote-write"])
+    assert rc == 0
+    assert captured["port"] == 12345 and captured["token"] == "tk"
+    assert captured["has_buffer"] and captured["cert"] is None
+    captured["srv"].shutdown()

@@ -543,7 +543,8 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5"""
 
 # two-phase dedup: the full portable-MinHash pipeline as the candidate
-# subquery, TRUE 3-gram Jaccard computed only for those pairs
+# subquery, TRUE Jaccard over the SAME 5-gram shingle set computed only
+# for those pairs (verify features == signature features by design)
 ORACLES["doc_lsh_verify"] = f"""
 WITH cand AS (
   SELECT d1, d2 FROM ({_minhash_portable_sql(threshold=0.2)}) mh
@@ -551,9 +552,9 @@ WITH cand AS (
 sh3 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-           generate_series(0, length(lower(text)) - 3),
-           i -> substring(lower(text), i + 1, 3)))) AS g
-  FROM documents WHERE length(text) >= 3
+           generate_series(0, length(lower(text)) - 5),
+           i -> substring(lower(text), i + 1, 5)))) AS g
+  FROM documents WHERE length(text) >= 5
 ),
 cnt AS (SELECT doc_id, count(*) AS c FROM sh3 GROUP BY doc_id),
 inter AS (

@@ -411,7 +411,7 @@ def lsh_verified_pairs(df: DataFrame, est_threshold: float = 0.2,
                        true_threshold: float = 0.5,
                        num_perm: int = 16, bands: int = 4,
                        id_col: str = "doc_id", text_col: str = "text",
-                       sig_n: int = 5, verify_n: int = 3) -> DataFrame:
+                       sig_n: int = 5, verify_n: int = 5) -> DataFrame:
     """Two-phase near-duplicate detection — the production shape:
     a cheap sub-quadratic CANDIDATE pass (portable MinHash+LSH at a
     permissive `est_threshold`) followed by an exact VERIFY pass that
@@ -426,6 +426,13 @@ def lsh_verified_pairs(df: DataFrame, est_threshold: float = 0.2,
     (shuffle keys: doc id, then (d2, shingle); both uniform). This is
     the shape to reach for when `ngram_jaccard_pairs`' all-pairs blocking
     is too coarse and raw LSH estimates are too noisy to act on.
+
+    verify_n defaults to sig_n: the truth must be measured over the SAME
+    shingle set the signatures estimate, or the verify criterion drifts
+    from the candidate criterion (a 3-gram verify against 5-gram
+    signatures passed ~275x more pairs on the synthetic corpus — looser
+    features, not better recall — and runtime scaled with that bloat;
+    measured in scale_check_dedup, round 3).
 
     Output: (d1 < d2, jaccard) with jaccard the TRUE n-gram Jaccard.
     """

@@ -63,10 +63,22 @@ def main():
         t0 = time.time()
         pairs = dedup.minhash_lsh_pairs(tbl, threshold=0.5).count()
         dt = time.time() - t0
+        t0 = time.time()
+        verified = dedup.lsh_verified_pairs(tbl).count()
+        dt_v = time.time() - t0
+        from filodb_spark.operators.pipeline import incremental_dedup
+        t0 = time.time()
+        inc = incremental_dedup(tbl).count()
+        dt_i = time.time() - t0
         shutil.rmtree(tmp, ignore_errors=True)
         results.append({"mult": m, "docs": n, "pairs": pairs,
-                        "minhash_lsh_sec": round(dt, 2)})
-        print(f"# x{m}: {n} docs -> {pairs} pairs, {dt:.2f}s",
+                        "minhash_lsh_sec": round(dt, 2),
+                        "lsh_verified_pairs": verified,
+                        "lsh_verified_sec": round(dt_v, 2),
+                        "incremental_rows": inc,
+                        "incremental_sec": round(dt_i, 2)})
+        print(f"# x{m}: {n} docs -> {pairs} pairs {dt:.2f}s; "
+              f"verified {verified} {dt_v:.2f}s; incr {inc} {dt_i:.2f}s",
               file=sys.stderr)
     print(json.dumps(results))
 

@@ -142,10 +142,11 @@ class TestLshVerifiedPairs:
                for r in lsh_verified_pairs(df).collect()}
         assert (1, 2) in out
         assert out[(1, 2)] >= 0.5
-        # verified jaccard equals the exact all-pairs jaccard
+        # verified jaccard equals the exact all-pairs jaccard over the
+        # SAME 5-gram shingle set the signatures estimate
         exact = {(r["d1"], r["d2"]): r["jaccard"]
                  for r in ngram_jaccard_pairs(df, threshold=0.5,
-                                              n=3).collect()}
+                                              n=5).collect()}
         assert out[(1, 2)] == exact[(1, 2)]
 
     def test_output_is_subset_of_candidates(self, spark):

@@ -143,9 +143,18 @@ def q_emb_pq(spark, sf_dir):
     return similarity.pq_encode(_emb(spark, sf_dir), m=4, k=4)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """ADC search over PQ codes: per-query LUT + m-lookup distances,
+    ranked — the compressed-domain approximate top-k."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.pq_topk(e, q, k=3, m=4, n_codes=4)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_pq": q_emb_pq,
+    "ann_pq_topk": q_ann_pq_topk,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_summary": q_emb_kmeans_summary,
     "ann_filtered": q_ann_filtered,
@@ -503,4 +512,46 @@ FROM {frm}""")
     return "".join(parts)
 
 
+def _pq_adc_sql(m: int = 4, k: int = 4, dim: int = 64,
+                topk: int = 3) -> str:
+    """pq_topk's oracle: corpus codes via the same per-subspace argmin
+    CTEs, then per (query, candidate) the LUT-sum distance — each
+    subspace distance recomputed from the codebook row the candidate's
+    code selects (d0 + d1 + ... left-associated, matching the Spark
+    fold's zero-seeded sum exactly)."""
+    sub = dim // m
+    base = _pq_sql(m, k, dim)
+    # strip the final SELECT of _pq_sql; keep its WITH chain
+    with_part = base[:base.rindex("\nSELECT vec_id,")]
+    codes_sel = ", ".join(f"best{j}.c{j} AS c{j}" for j in range(m))
+    codes_frm = "best0" + "".join(f" JOIN best{j} USING (vec_id)"
+                                  for j in range(1, m))
+    dterms = []
+    cbjoins = []
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        cbjoins.append(f" JOIN cb cb{j} ON cb{j}.code = n.c{j}")
+        dterms.append(
+            f"list_inner_product(q.qv[{a}:{b}], q.qv[{a}:{b}])"
+            f" - 2 * list_inner_product(q.qv[{a}:{b}], cb{j}.c[{a}:{b}])"
+            f" + list_inner_product(cb{j}.c[{a}:{b}], cb{j}.c[{a}:{b}])")
+    return with_part + f""",
+codes AS (SELECT best0.vec_id, {codes_sel} FROM {codes_frm}),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, n.vec_id AS nid,
+         round({" + ".join(dterms)}, 6) AS adist2
+  FROM q CROSS JOIN codes n{"".join(cbjoins)}
+  WHERE n.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, adist2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist2, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, adist2 FROM rk WHERE rank <= {topk}"""
+
+
 ORACLES["emb_pq"] = _pq_sql()
+ORACLES["ann_pq_topk"] = _pq_adc_sql()

@@ -517,6 +517,71 @@ def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
                     .alias("codes"), "err2"))
 
 
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+            m: int = 4, n_codes: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codebook: DataFrame | None = None,
+            round_to: int = 6) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over
+    PQ codes: corpus vectors are reduced to their pq_encode() codes;
+    each query precomputes an m x n_codes lookup table of exact
+    subspace distances to the codebook; a candidate's distance is then
+    m table lookups + m-1 adds instead of a dim-wide dot product —
+    the memory/compute layer every billion-scale ANN stack runs under
+    its IVF stage.
+
+    Same deterministic codebook as pq_encode, so the whole approximate
+    pipeline (encode, LUT, lookup-sum, rank) has an exact SQL oracle.
+    Ranking: (adist2 asc, nid) — adist2 is the PQ-approximated squared
+    L2, rounded. Queries ride a broadcast; the corpus side touches only
+    (id, codes).
+
+    Output: (qid, nid, rank, adist2).
+    """
+    enc = pq_encode(corpus, m=m, k=n_codes, id_col=id_col,
+                    vec_col=vec_col, codebook=codebook,
+                    round_to=round_to)
+    src = codebook if codebook is not None else corpus
+    seed_rows = (src.select(F.col(id_col).alias("vid"),
+                            as_double(F.col(vec_col)).alias("v"))
+                 .orderBy("vid").limit(n_codes)
+                 .select(F.transform("v", lambda x: F.round(x, round_to))
+                         .alias("v")).collect())
+    dim = len(seed_rows[0]["v"])
+    sub = dim // m
+    qv = as_double(F.col(vec_col))
+    lut_rows = []
+    for j in range(m):
+        qj = F.slice(qv, j * sub + 1, sub)
+        qnorm = F.aggregate(F.transform(qj, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x)
+        cells = []
+        for r in seed_rows:
+            cj = [float(x) for x in r["v"][j * sub: (j + 1) * sub]]
+            c_lit = F.array(*[F.lit(x) for x in cj])
+            cnorm = 0.0
+            for x in cj:
+                cnorm += x * x
+            cells.append(qnorm - 2.0 * dot(qj, c_lit) + F.lit(cnorm))
+        lut_rows.append(F.array(*cells))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.array(*lut_rows).alias("_lut"))
+    pairs = (enc.select(F.col(id_col).alias("nid"), "codes")
+             .crossJoin(broadcast(q))
+             .where(F.col("nid") != F.col("qid")))
+    adist = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_lut"),
+                   lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = pairs.select("qid", "nid",
+                          F.round(adist, round_to).alias("adist2"))
+    w = Window.partitionBy("qid").orderBy(F.col("adist2").asc(),
+                                          F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "adist2"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         levels: int = 255) -> DataFrame:

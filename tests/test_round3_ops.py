@@ -364,3 +364,42 @@ class TestRfmSegments:
         assert (out[3]["r"], out[3]["f"], out[3]["m"]) == (1, 1, 1)
         assert out[1]["recency_ms"] == 0
         assert out[2]["frequency"] == 12 and out[2]["monetary"] == 150.0
+
+
+class TestPqTopk:
+    def test_adc_ranks_by_code_distance(self, spark):
+        from filodb_spark.operators.similarity import pq_topk
+        # codebook = vectors 0,1 (the two lowest ids); corpus members
+        # near codebook 0 must rank above members near codebook 1 for a
+        # query that quantizes to codebook 0's cells
+        pts = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [10.0, 10.0, 10.0, 10.0]),
+               (2, [0.4, 0.1, 0.2, 0.3]), (3, [9.6, 9.9, 9.8, 10.2]),
+               (4, [0.2, 0.2, 0.1, 0.1])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") == 4)
+        out = [(r["nid"], r["adist2"]) for r in
+               pq_topk(df, q, k=4, m=2, n_codes=2)
+               .orderBy("rank").collect()]
+        nids = [n for n, _ in out]
+        # 0 and 2 share the query's codes -> identical (minimal) adist;
+        # ties break by nid; far-cluster members come last
+        assert nids[:2] == [0, 2]
+        assert set(nids[2:]) == {1, 3}
+        assert out[0][1] == out[1][1]          # same-code ties
+        assert out[0][1] < out[2][1]
+
+    def test_adc_is_quantized_candidate_distance(self, spark):
+        from filodb_spark.operators.similarity import pq_topk
+        # ADC measures ||quantize(candidate) - query||^2 with the EXACT
+        # query: a candidate whose codes select the query's own codebook
+        # cells scores 0 (its quantization collapsed onto the query),
+        # and a far candidate scores the full codebook-to-query L2
+        pts = [(0, [0.0, 0.0, 4.0, 4.0]), (1, [8.0, 8.0, -4.0, -4.0]),
+               (2, [0.5, 0.5, 4.5, 4.5])]
+        df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") == 0)
+        adc = {r["nid"]: r["adist2"] for r in
+               pq_topk(df, q, k=3, m=2, n_codes=2).collect()}
+        assert adc[2] == 0.0
+        # quantize(1) = codebook 1 = [8,8,-4,-4]; q = [0,0,4,4]
+        assert adc[1] == pytest.approx(4 * 64.0, abs=1e-6)

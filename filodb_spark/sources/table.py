@@ -213,3 +213,55 @@ def expire_partitions(spark: SparkSession, table_path: str,
 
     walk(root, "")
     return sorted(deleted)
+
+
+def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
+                     now_ms: int,
+                     tiers: tuple = ((5 * 60_000, "5m", 30),
+                                     (3_600_000, "1h", 365)),
+                     raw_keep_days: int = 7) -> dict:
+    """The full TSDB storage lifecycle as one batch job — the composed
+    analog of the reference's downsampler Spark job + Cassandra TTLs
+    (DownsamplerMain + per-resolution retention): roll the raw series
+    table into tiered ds-gauge tables (each tier CASCADES from the
+    previous — min(min), max(max), sum(sum), sum(count), so no tier
+    rereads raw) and enforce per-tier retention by dropping whole date
+    partitions past each horizon.
+
+    tiers: ordered fine->coarse (resolution_ms, name, keep_days); raw
+    keeps `raw_keep_days`. Queries then mount the tiers via
+    TsStore(ds_df=..., raw_retention_start_ms=...) and stitch.
+
+    Returns {tier_name: surviving_rows, "raw_dropped": [...]}.
+    """
+    import datetime as _dt
+
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.streaming.downsample import (downsample,
+                                                   downsample_cascade)
+
+    def _cutoff(days: int) -> str:
+        t = _dt.datetime.fromtimestamp(now_ms / 1000, _dt.timezone.utc)
+        return (t - _dt.timedelta(days=days)).strftime("%Y-%m-%d")
+
+    raw = read_series_table(spark, raw_path).select("labels", "ts",
+                                                    "value")
+    keyed = raw.withColumn("_sk", canonical_labels(F.col("labels")))
+    series = keyed.select("_sk", "labels").dropDuplicates(["_sk"])
+    stats: dict = {}
+    prev = None
+    for res, name, keep_days in tiers:
+        ds = downsample(keyed, ["_sk"], res) if prev is None \
+            else downsample_cascade(prev, ["_sk"], res)
+        path = f"{out_root}/{name}"
+        (ds.join(series, "_sk")
+           .withColumn("date",
+                       F.date_format(F.timestamp_millis(F.col("ts")),
+                                     "yyyy-MM-dd"))
+           .write.mode("overwrite").partitionBy("date").parquet(path))
+        expire_partitions(spark, path, _cutoff(keep_days))
+        stats[name] = spark.read.parquet(path).count()
+        prev = ds
+    stats["raw_dropped"] = expire_partitions(spark, raw_path,
+                                             _cutoff(raw_keep_days))
+    return stats

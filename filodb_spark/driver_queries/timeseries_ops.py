@@ -131,7 +131,20 @@ def q_ev_rfm(spark, sf_dir):
     return rfm_segments(d)
 
 
+ROLL_WINDOW_MS = 24 * 3600 * 1000
+
+
+def q_ev_rolling(spark, sf_dir):
+    """24h trailing count/sum/mean per (user, event) over deduped
+    purchases — point-in-time-correct rolling features (one RANGE-frame
+    window, no self-join)."""
+    from filodb_spark.operators.timeseries import rolling_features
+    p = _events_dedup(spark, sf_dir, "purchase")
+    return rolling_features(p, ["user_id"], ROLL_WINDOW_MS)
+
+
 QUERIES = {
+    "ev_rolling": q_ev_rolling,
     "ev_rfm": q_ev_rfm,
     "ev_funnel": q_ev_funnel,
     "ev_funnel_summary": q_ev_funnel_summary,
@@ -337,3 +350,13 @@ SELECT user_id, CAST(recency_ms AS BIGINT) AS recency_ms, frequency,
        CAST(m AS BIGINT) AS m,
        CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
 FROM sc"""
+
+ORACLES["ev_rolling"] = f"""
+WITH p AS ({_DEDUP.format(et='purchase')})
+SELECT user_id, ts, value,
+       CAST(count(value) OVER w AS BIGINT) AS w_count,
+       round(sum(value) OVER w, 6) AS w_sum,
+       round(avg(value) OVER w, 6) AS w_mean
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN {24 * 3600 * 1000} PRECEDING AND CURRENT ROW)"""

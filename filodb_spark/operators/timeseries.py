@@ -281,6 +281,34 @@ def rfm_segments(df: DataFrame, key_col: str = "user_id",
                     (r * 100 + f * 10 + m).cast("long").alias("segment")))
 
 
+def rolling_features(df: DataFrame, key_cols: Sequence[str],
+                     window_ms: int, ts_col: str = "ts",
+                     value_col: str = "value") -> DataFrame:
+    """Trailing-window features per event: for every row, the count /
+    sum / mean of the key's events in [ts - window_ms, ts] — the
+    point-in-time-correct rolling features an ML feature store
+    materializes (each row sees only its own past, so labels never
+    leak future activity).
+
+    Plan shape: ONE time-RANGE frame window (rangeBetween over the
+    ordered ts, not a row frame) per key partition — a single shuffle
+    on the key, no self-join, no grid explode; Spark maintains the
+    sliding frame incrementally within each partition. Duplicate
+    timestamps share a frame (RANGE semantics), making the result
+    order-independent and engine-portable.
+
+    Output: input keys + ts + value + (w_count, w_sum, w_mean) rounded.
+    """
+    w = (Window.partitionBy(*key_cols).orderBy(F.col(ts_col).cast("long"))
+         .rangeBetween(-window_ms, 0))
+    v = F.col(value_col)
+    return df.select(
+        *key_cols, ts_col, value_col,
+        F.count(v).over(w).cast("long").alias("w_count"),
+        F.round(F.sum(v).over(w), 6).alias("w_sum"),
+        F.round(F.avg(v).over(w), 6).alias("w_mean"))
+
+
 def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
              end_ms: int, step_ms: int, ts_col: str = "ts",
              value_col: str = "value",

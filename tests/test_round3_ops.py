@@ -403,3 +403,30 @@ class TestPqTopk:
         assert adc[2] == 0.0
         # quantize(1) = codebook 1 = [8,8,-4,-4]; q = [0,0,4,4]
         assert adc[1] == pytest.approx(4 * 64.0, abs=1e-6)
+
+
+class TestRollingFeatures:
+    def test_trailing_window_model(self, spark):
+        from filodb_spark.operators.timeseries import rolling_features
+        rows = [(1, 0, 1.0), (1, 500, 2.0), (1, 1000, 4.0),
+                (1, 1600, 8.0), (2, 0, 10.0)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = {(r["user_id"], r["ts"]): (r["w_count"], r["w_sum"])
+               for r in rolling_features(df, ["user_id"], 1000).collect()}
+        assert out[(1, 0)] == (1, 1.0)
+        assert out[(1, 500)] == (2, 3.0)
+        assert out[(1, 1000)] == (3, 7.0)       # 0 is INSIDE [-1000, 0]
+        assert out[(1, 1600)] == (2, 12.0)      # 500 dropped, 1000 kept
+        assert out[(2, 0)] == (1, 10.0)
+
+    def test_single_exchange_range_frame(self, spark):
+        from filodb_spark.operators.timeseries import rolling_features
+        df = spark.createDataFrame([(1, 0, 1.0)],
+                                   "user_id long, ts long, value double")
+        out = rolling_features(df, ["user_id"], 1000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "Join" not in plan
+        # the physical plan string elides frame specs; the analyzed
+        # plan names the frame type
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "RangeFrame" in analyzed

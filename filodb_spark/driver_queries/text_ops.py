@@ -172,6 +172,37 @@ def q_doc_bigram_lp(spark, sf_dir):
     return text.bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_doc_dedup_keep(spark, sf_dir):
+    """The dedup pipeline's OUTPUT artifact: the keep-list — every doc
+    that is either unpaired or the canonical (min-id) member of its
+    near-dup cluster. Downstream stages consume exactly this frame."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.4,
+                                      bucket_cols=("lang", "source"))
+    clusters = dedup.dedup_clusters(pairs)
+    dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    return (d.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
+def q_doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility panel: BPE-ish subwords per whitespace word,
+    per (lang, source) — the signal that flags scripts/domains a
+    tokenizer fragments badly (high fertility = wasted context)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    per_doc = d.select(
+        "lang", "source",
+        text.subword_count(t).alias("n_sub"),
+        text.token_count(t).alias("n_tok"))
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.sum("n_sub").cast("long").alias("subwords"),
+                 F.sum("n_tok").cast("long").alias("words"),
+                 F.round(F.sum("n_sub") / F.sum("n_tok"), 6)
+                 .alias("fertility")))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup pairs (portable MinHash) straddling train/val/test —
     the leakage audit after deterministic splitting."""
@@ -202,6 +233,8 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_simhash_portable": q_doc_simhash_portable,
     "doc_lsh_verify": q_doc_lsh_verify,
+    "doc_dedup_keep": q_doc_dedup_keep,
+    "doc_tokenizer_fertility": q_doc_tokenizer_fertility,
 }
 
 _STOP_SQL = "x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in'"
@@ -596,3 +629,34 @@ sc AS (
   GROUP BY tf.doc_id)
 SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.avg_logprob
 FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+ORACLES["doc_dedup_keep"] = "WITH RECURSIVE " + _jaccard_ctes(0.4) + """,
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+WHERE x.doc_id IS NULL"""
+
+ORACLES["doc_tokenizer_fertility"] = r"""
+WITH per AS (
+  SELECT lang, source,
+         len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +'))
+           AS n_sub,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents)
+SELECT lang, source,
+       CAST(sum(n_sub) AS BIGINT) AS subwords,
+       CAST(sum(n_tok) AS BIGINT) AS words,
+       round(sum(n_sub) / CAST(sum(n_tok) AS DOUBLE), 6) AS fertility
+FROM per GROUP BY 1, 2"""

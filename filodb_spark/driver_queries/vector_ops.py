@@ -143,6 +143,17 @@ def q_emb_pq(spark, sf_dir):
     return similarity.pq_encode(_emb(spark, sf_dir), m=4, k=4)
 
 
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@3 of ADC search against the exact L2 baseline — the
+    quantization-loss measurement in the metric PQ ranks by (both
+    sides deterministic, recall itself exactly oracled)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk_l2(e, q, k=3)
+    approx = similarity.pq_topk(e, q, k=3, m=4, n_codes=4)
+    return similarity.topk_recall(approx, exact)
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """ADC search over PQ codes: per-query LUT + m-lookup distances,
     ranked — the compressed-domain approximate top-k."""
@@ -155,6 +166,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_pq": q_emb_pq,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_recall": q_ann_pq_recall,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_summary": q_emb_kmeans_summary,
     "ann_filtered": q_ann_filtered,
@@ -555,3 +567,33 @@ SELECT qid, nid, rank, adist2 FROM rk WHERE rank <= {topk}"""
 
 ORACLES["emb_pq"] = _pq_sql()
 ORACLES["ann_pq_topk"] = _pq_adc_sql()
+
+_L2_EXACT = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+pairs AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_inner_product(q.qv, q.qv)
+               - 2 * list_inner_product(q.qv, e.v)
+               + list_inner_product(e.v, e.v), 6) AS dist2
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+rk AS (
+  SELECT qid, nid, dist2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist2, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, rank, dist2 FROM rk WHERE rank <= 3"""
+
+ORACLES["ann_pq_recall"] = f"""
+SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(ap.nid) AS BIGINT) AS n_hit,
+       round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ({_L2_EXACT}) ex
+LEFT JOIN ({_pq_adc_sql()}) ap
+  ON ex.qid = ap.qid AND ex.nid = ap.nid
+GROUP BY ex.qid"""

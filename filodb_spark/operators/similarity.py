@@ -60,6 +60,34 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                  .select("qid", "nid", "rank", "sim"))
 
 
+def brute_force_topk_l2(corpus: DataFrame, queries: DataFrame, k: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_to: int = 6) -> DataFrame:
+    """Exact squared-L2 top-k — the exact baseline in the METRIC the PQ
+    path ranks by (cosine and L2 order differently on unnormalized
+    vectors, so measuring pq_topk's recall against the cosine baseline
+    would conflate quantization loss with metric mismatch).
+    Output: (qid, nid, rank, dist2) — same shape as every *_topk."""
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      as_double(F.col(vec_col)).alias("nv"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    # inner-product decomposition, not a difference-square fold: the
+    # SQL oracle's sequential list_inner_product reproduces these three
+    # folds bit-for-bit (same parity trick as the k-means/PQ paths)
+    d2 = (norm_sq(F.col("qv")) - 2.0 * dot(F.col("qv"), F.col("nv"))
+          + norm_sq(F.col("nv")))
+    pairs = (c.crossJoin(broadcast(q))
+             .where(F.col("nid") != F.col("qid"))
+             .select("qid", "nid", F.round(d2, round_to).alias("dist2")))
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
+                                          F.col("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "dist2"))
+
+
 _SIGN_BITS = 6
 
 

@@ -132,6 +132,67 @@ def streaming_funnel(stream: DataFrame, steps: list[str],
                                     timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def streaming_rolling(stream: DataFrame, key_col: str = "user_id",
+                      window_ms: int = 3600_000, ts_col: str = "ts",
+                      value_col: str = "value",
+                      max_state_rows: int = 10_000) -> DataFrame:
+    """Incremental trailing-window features: the streaming twin of
+    operators.timeseries.rolling_features. Per-key state is the samples
+    inside the trailing window of the newest timestamp seen — bounded
+    by the key's event rate x window (and hard-capped at
+    `max_state_rows`, evicting oldest, as the state-store guard).
+
+    Same-timestamp rows arriving in ONE batch share a frame exactly
+    like the batch RANGE semantics; on in-order input the emitted
+    features equal the batch operator's. Out-of-order rows older than
+    the newest processed timestamp are dropped (append-only
+    discipline; the batch re-run owns the closed-book answer — the
+    same stream/batch split as funnel/dedup/downsample).
+
+    Emits (key, ts, value, w_count, w_sum, w_mean) per event, append
+    mode."""
+    out_schema = (f"{key_col} long, ts long, value double, "
+                  "w_count long, w_sum double, w_mean double")
+    state_schema = "ts array<bigint>, vals array<double>"
+
+    def advance(key, pdfs, state: GroupState):
+        (user,) = key
+        buf_ts, buf_v = ([list(x) for x in state.get]
+                         if state.exists else ([], []))
+        last = buf_ts[-1] if buf_ts else None
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out = []
+        for ts, grp in rows.groupby(ts_col, sort=True):
+            ts = int(ts)
+            if last is not None and ts < last:
+                continue                   # stale arrival: dropped
+            for v in grp[value_col]:
+                buf_ts.append(ts)
+                buf_v.append(float(v))
+            lo = ts - window_ms
+            while buf_ts and (buf_ts[0] < lo
+                              or len(buf_ts) > max_state_rows):
+                buf_ts.pop(0)
+                buf_v.pop(0)
+            n, s = len(buf_ts), sum(buf_v)
+            for v in grp[value_col]:
+                out.append((user, ts, float(v), n, round(s, 6),
+                            round(s / n, 6)))
+            last = ts
+        state.update((buf_ts, buf_v))
+        yield pd.DataFrame(out, columns=[key_col, "ts", "value",
+                                         "w_count", "w_sum", "w_mean"])
+
+    src = stream.select(F.col(key_col), F.col(ts_col).alias("ts"),
+                        F.col(value_col).alias("value"))
+    return (src.groupBy(key_col)
+            .applyInPandasWithState(advance,
+                                    outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def reset_events(stream: DataFrame, series_col: str = "series",
                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Streaming counter-reset events per series.

@@ -492,3 +492,50 @@ class TestStreamingFunnel:
         u1 = sorted((r["step"], r["ts"]) for r in
                     got.where(F.col("user_id") == 1).collect())
         assert u1 == [(1, 10), (2, 20), (3, 30)]
+
+
+class TestStreamingRolling:
+    def test_matches_batch_across_microbatches(self, spark, tmp_path):
+        """Two in-order micro-batches (incl. same-ts duplicates within a
+        batch): per-event features from the stream equal the batch
+        RANGE-frame operator; window state carries across batches and
+        expires."""
+        import json as _json
+        from filodb_spark.operators.timeseries import rolling_features
+        from filodb_spark.streaming.stateful import streaming_rolling
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        batch1 = [(1, 0, 1.0), (1, 500, 2.0), (1, 500, 3.0),
+                  (2, 100, 10.0)]
+        batch2 = [(1, 1000, 4.0),       # window [-1000,0]: all of batch1
+                  (1, 1600, 8.0),       # 0 and 500s expired except 1000
+                  (2, 2000, 20.0)]      # u2's 100 expired
+
+        def run(batch, name):
+            with open(src / name, "w") as f:
+                for u, ts, v in batch:
+                    f.write(_json.dumps(
+                        {"user_id": u, "ts": ts, "value": v}) + "\n")
+            raw = spark.readStream.schema(
+                "user_id long, ts long, value double").json(str(src))
+            q = (streaming_rolling(raw, "user_id", window_ms=1000)
+                 .writeStream.format("parquet")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(batch1, "b1.json")
+        run(batch2, "b2.json")
+        got = {(r["user_id"], r["ts"], r["value"]):
+               (r["w_count"], r["w_sum"]) for r in
+               spark.read.parquet(str(out)).collect()}
+        all_ev = spark.createDataFrame(
+            batch1 + batch2, "user_id long, ts long, value double")
+        want = {(r["user_id"], r["ts"], r["value"]):
+                (r["w_count"], r["w_sum"]) for r in
+                rolling_features(all_ev, ["user_id"], 1000).collect()}
+        assert got == want
+        # spot-check the cross-batch carry: u1@1600 sees {1000, 1600}
+        assert got[(1, 1600, 8.0)] == (2, 12.0)

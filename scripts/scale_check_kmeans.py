@@ -33,7 +33,8 @@ def main():
     from functools import reduce
     from pyspark.sql import functions as F
     from filodb_spark.operators.pipeline import token_budget_select
-    from filodb_spark.operators.similarity import kmeans_portable
+    from filodb_spark.operators.similarity import (kmeans_portable,
+                                                   pq_encode, pq_topk)
 
     spark = filodb_spark.get_spark("scale-check-kmeans")
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,9 +75,18 @@ def main():
         sel = token_budget_select(d, budget=20_000 * k)
         n_sel = sel.count()
         t_tb = round(time.time() - t0, 2)
+        t0 = time.time()
+        n_pq = pq_encode(e, m=4, k=4).count()
+        t_pq = round(time.time() - t0, 2)
+        t0 = time.time()
+        q = e.where(F.col("vec_id") < 10)
+        n_adc = pq_topk(e, q, k=3, m=4, n_codes=4).count()
+        t_adc = round(time.time() - t0, 2)
         pt = {"mult": k, "vectors": n_emb * k, "kmeans_s": t_km,
               "assigned": n_asg, "docs": n_docs * k,
-              "token_budget_s": t_tb, "selected": n_sel}
+              "token_budget_s": t_tb, "selected": n_sel,
+              "pq_encode_s": t_pq, "pq_rows": n_pq,
+              "pq_adc_s": t_adc, "adc_rows": n_adc}
         out["points"].append(pt)
         print(json.dumps(pt), flush=True)
         e.unpersist(); d.unpersist()

@@ -85,6 +85,10 @@ class Parser:
         return self.toks[min(self.i + ahead, len(self.toks) - 1)]
 
     def next(self) -> Token:
+        if self.i >= len(self.toks):
+            # a production consumed the EOF sentinel and asked for more
+            # — truncated input (found by the grammar fuzz battery)
+            raise SyntaxError("unexpected end of input")
         t = self.toks[self.i]
         self.i += 1
         return t

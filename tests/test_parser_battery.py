@@ -136,3 +136,78 @@ class TestParserBattery:
         assert parse("0x1f").value == 31.0
         assert parse(".5").value == 0.5
         assert math.isinf(parse("-Inf").expr.value)  # Unary(-, Inf)
+
+
+class TestGrammarFuzz:
+    """Generative robustness: random VALID expressions built from the
+    grammar must parse AND compile AND execute against a tiny store
+    without crashing; random byte noise must raise SyntaxError (or
+    ValueError for semantically-invalid parses), never anything else.
+    Deterministic seed."""
+
+    def _gen_expr(self, rng, depth=0):
+        if depth > 3 or rng.random() < 0.3:
+            leaf = rng.choice([
+                'm{job="x"}', "m", "42", "3.5", 'rate(m[5m])',
+                "count_over_time(m[10m])", "time()", "pi()",
+                "scalar(m)", 'vector(7)'])
+            return leaf
+        kind = rng.randint(0, 5)
+        a = self._gen_expr(rng, depth + 1)
+        b = self._gen_expr(rng, depth + 1)
+        if kind == 0:
+            op = rng.choice(["+", "-", "*", "/", "%", "^", "atan2"])
+            return f"({a} {op} {b})"
+        if kind == 1:
+            fn = rng.choice(["abs", "ceil", "exp", "sqrt", "sgn",
+                             "sin", "tanh", "rad"])
+            return f"{fn}({a})"
+        if kind == 2:
+            agg = rng.choice(["sum", "min", "max", "avg", "count"])
+            mod = rng.choice(["", " by (job)", " without (job)"])
+            return f"{agg}{mod}({a})"
+        if kind == 3:
+            return f"clamp({a}, 0, 100)"
+        if kind == 4:
+            cmp_ = rng.choice([">", "<", ">=", "<=", "==", "!="])
+            return f"({a} {cmp_} bool {b})"
+        return f"({a} or {b})" if rng.random() < 0.5 else f"-({a})"
+
+    def test_random_valid_expressions_execute(self, spark):
+        import random
+        from filodb_spark.promql import PromQLEngine
+        from filodb_spark.promql.compiler import TsStore
+        from pyspark.sql import functions as F
+        rng = random.Random(99)
+        rows = [({"__name__": "m", "job": "x", "i": str(i % 3)},
+                 1_700_000_000_000 + i * 30_000, float(i % 7))
+                for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        eng = PromQLEngine(spark, TsStore(df))
+        start, end = 1_700_000_300_000, 1_700_000_900_000
+        executed = 0
+        for _ in range(40):
+            q = self._gen_expr(rng)
+            try:
+                out = eng.query_range(q, start, end, 300_000)
+            except ValueError:
+                continue    # semantically invalid combo (e.g. scalar-
+                            # only op applied to a vector) — acceptable
+            out.limit(5).collect()
+            executed += 1
+        assert executed >= 20   # the generator mostly emits valid combos
+
+    def test_noise_raises_syntax_errors_only(self):
+        import random
+        rng = random.Random(7)
+        alphabet = "abz(){}[]\"'=~!<>+-*/%^.,:5 @#"
+        for _ in range(300):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 25)))
+            try:
+                parse(s)
+            except (SyntaxError, ValueError):
+                pass        # the only acceptable failure modes
+            # anything else (IndexError, KeyError, RecursionError,
+            # AttributeError...) propagates and fails the test

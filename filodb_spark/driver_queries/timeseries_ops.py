@@ -143,7 +143,17 @@ def q_ev_rolling(spark, sf_dir):
     return rolling_features(p, ["user_id"], ROLL_WINDOW_MS)
 
 
+def q_ev_anomalies(spark, sf_dir):
+    """7d-trailing prior-window z-score anomalies on deduped purchase
+    values (>= 3 sigma, >= 5 prior points) — self-excluding frame so an
+    outlier cannot suppress its own detection."""
+    from filodb_spark.operators.timeseries import rolling_anomalies
+    p = _events_dedup(spark, sf_dir, "purchase")
+    return rolling_anomalies(p, ["user_id"], 7 * 24 * 3600 * 1000)
+
+
 QUERIES = {
+    "ev_anomalies": q_ev_anomalies,
     "ev_rolling": q_ev_rolling,
     "ev_rfm": q_ev_rfm,
     "ev_funnel": q_ev_funnel,
@@ -360,3 +370,24 @@ SELECT user_id, ts, value,
 FROM p
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN {24 * 3600 * 1000} PRECEDING AND CURRENT ROW)"""
+
+ORACLES["ev_anomalies"] = f"""
+WITH p AS ({_DEDUP.format(et='purchase')}),
+st AS (
+  SELECT user_id, ts, value,
+         count(value) OVER w AS n,
+         avg(value) OVER w AS m,
+         stddev_pop(value) OVER w AS s
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN {7 * 24 * 3600 * 1000} PRECEDING
+               AND 1 PRECEDING)
+)
+SELECT user_id, ts, value,
+       round(m, 6) AS w_mean, round(s, 6) AS w_std,
+       round(CASE WHEN n >= 5 AND s > 0
+                  THEN (value - m) / s END, 6) AS z,
+       coalesce(abs(round(CASE WHEN n >= 5 AND s > 0
+                               THEN (value - m) / s END, 6)) >= 3.0,
+                false) AS is_anomaly
+FROM st"""

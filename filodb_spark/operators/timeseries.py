@@ -309,6 +309,38 @@ def rolling_features(df: DataFrame, key_cols: Sequence[str],
         F.round(F.avg(v).over(w), 6).alias("w_mean"))
 
 
+def rolling_anomalies(df: DataFrame, key_cols: Sequence[str],
+                      window_ms: int, ts_col: str = "ts",
+                      value_col: str = "value",
+                      z_threshold: float = 3.0,
+                      min_points: int = 5) -> DataFrame:
+    """Trailing-window anomaly flags: each event z-scored against ITS
+    OWN key's trailing [ts - window, ts) statistics — the PRIOR window,
+    excluding the current instant, so an outlier cannot suppress its
+    own detection. Events whose prior window has < min_points are
+    unscored (NULL z, never flagged): cold-start discipline.
+
+    Same single RangeFrame-window shape as rolling_features (one
+    shuffle, no self-join); population stddev so two prior points
+    already define a spread. Output: keys + ts + value + (mean, std, z
+    rounded, is_anomaly).
+    """
+    w = (Window.partitionBy(*key_cols).orderBy(F.col(ts_col).cast("long"))
+         .rangeBetween(-window_ms, -1))
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    std = F.stddev_pop(v).over(w)
+    z = F.when((n >= min_points) & (std > 0), (v - mean) / std)
+    return df.select(
+        *key_cols, ts_col, value_col,
+        F.round(mean, 6).alias("w_mean"),
+        F.round(std, 6).alias("w_std"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(F.round(z, 6)) >= z_threshold,
+                   F.lit(False)).alias("is_anomaly"))
+
+
 def gap_fill(df: DataFrame, series_cols: Sequence[str], start_ms: int,
              end_ms: int, step_ms: int, ts_col: str = "ts",
              value_col: str = "value",

@@ -430,3 +430,24 @@ class TestRollingFeatures:
         # plan names the frame type
         analyzed = out._jdf.queryExecution().analyzed().toString()
         assert "RangeFrame" in analyzed
+
+
+class TestRollingAnomalies:
+    def test_prior_window_self_excluding(self, spark):
+        from filodb_spark.operators.timeseries import rolling_anomalies
+        # 6 steady points then a spike: the spike's PRIOR window stats
+        # exclude the spike itself, so it flags; the spike must not
+        # pollute its own baseline
+        rows = [(1, t * 10, 5.0 + (0.1 if t % 2 else -0.1))
+                for t in range(6)]
+        rows.append((1, 60, 50.0))
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = {r["ts"]: r for r in
+               rolling_anomalies(df, ["user_id"], 1000,
+                                 z_threshold=3.0).collect()}
+        assert out[60]["is_anomaly"]
+        assert out[60]["w_mean"] == 5.0        # spike excluded from stats
+        # cold start: first 5 events have < 5 prior points -> unscored
+        for t in range(5):
+            assert out[t * 10]["z"] is None
+            assert not out[t * 10]["is_anomaly"]

@@ -23,43 +23,40 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Rounds 1+2 gated 100
-    # of the 123 entries; round 3's window is built explicitly:
-    #   1-19  the queries never gated in any round (exact oracles),
-    #   20-23 the four rows-only approximate ops (ADVICE r2: give each at
-    #         least one driver rows-only row instead of excluding them by
-    #         construction; their exact portable twins are also in-window),
-    #   24-50 one-per-family regression canaries, including tpch_q12 and
-    #         ev_sessions whose oracles gained the ::BIGINT casts this round
-    #         (DuckDB HUGEINT hash artifact, VERDICT r2 item 1), plus six of
-    #         the late round-3 additions in place of canaries whose family is
-    #         already represented (the remaining late additions rotate in r4;
-    #         every displaced canary already holds a green r1/r2 row).
+    # covers the first 50 registered queries per round. Round 4's window
+    # (scripts/gate_hygiene.py computes the never-gated list):
+    #   1-30  every query with no driver CORRECTNESS row in any round
+    #         (the round-3 late additions; all exact oracles, all passing
+    #         scripts/check_oracle.py at sf0.001 and sf0.01),
+    #   31    emb_quantize re-gated after the r3 array-output contract fix
+    #         (codes array<int> -> codes_csv; same fix applied to emb_pq
+    #         and pl_url_filter above before their first gating),
+    #   32-50 regression canaries: the six displaced in r3 plus
+    #         one-per-family picks (each already driver-green in r1-r3).
     window = [
-        # never-gated exact
-        "pq_hist_struct_quantile", "pq_hist_fraction", "pq_hist_to_prom",
-        "pq_preagg_route", "pq_sum_rate", "pq_label_replace", "pq_topk",
-        "pq_absent", "pq_subquery", "pq_offset", "pq_at_modifier",
-        "pq_instant_chain", "pq_count_by_metric", "pq_binary_user_ratio",
-        "pq_set_unless", "pq_quantile_last", "pq_label_join",
-        "ts_exp_hist_quantile", "ts_hist_mixed_sum",
-        # never-gated rows-only
-        "doc_minhash_lsh", "doc_simhash", "ann_ivf", "ann_ivf_kmeans",
-        # round-3 additions (operators/pipeline.py + quantize_embeddings)
-        "pl_contamination", "pl_repetition", "pl_pii_scrub",
-        "pl_strat_sample", "pl_strat_topk", "pl_quality_filter",
-        "pl_dataset_card", "emb_quantize",
-        # family canaries
+        # never-gated (round-3 late additions)
+        "doc_split_leakage", "doc_chunks", "doc_unigram_lp",
+        "doc_bigram_lp", "doc_lsh_verify", "doc_dedup_keep",
+        "doc_tokenizer_fertility",
+        "emb_pq", "ann_pq_topk", "ann_pq_recall",
+        "emb_kmeans", "emb_kmeans_summary", "ann_filtered",
+        "ann_recall_curve", "emb_outliers",
+        "ev_anomalies", "ev_rolling", "ev_rfm", "ev_funnel",
+        "ev_funnel_summary", "ev_cohort_retention", "ev_transitions",
+        "pq_trig", "ts_remote_write_roundtrip",
+        "pl_token_budget", "pl_dedup_incremental", "pl_dataset_diff",
+        "pl_url_filter", "pl_source_divergence", "pl_length_quantiles",
+        # re-gate after the array-output contract fix (r3 verdict item 1)
+        "emb_quantize",
+        # canaries displaced by the r3 six-swap
+        "ev_gap_fill", "doc_dedup_exact", "doc_minhash_portable",
+        "ann_ivf_portable", "emb_near_dup", "ds_cascade",
+        # one-per-family canaries
+        "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile",
         "tpch_q1", "tpch_q5", "tpch_q12",
         "ev_sessions", "ev_asof_join",
         "doc_dedup_clusters", "doc_tfidf_topk",
-        "ann_bruteforce",
-        "mm_image_features",
-        "ds_rollup",
-        "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile",
-        # late round-3 additions (exact oracles, never gated)
-        "pl_manifest", "pl_pack_sequences", "pl_mix_sources",
-        "doc_segment_dedup", "emb_semantic_dedup", "ann_recall",
+        "ann_bruteforce", "mm_image_features", "ds_rollup",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

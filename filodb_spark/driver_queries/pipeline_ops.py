@@ -106,8 +106,17 @@ def q_dataset_card(spark, sf_dir):
 
 
 def q_emb_quantize(spark, sf_dir):
+    """Driver-facing shape: the operator's ``codes array<int>`` column is
+    CSV-stringified here because the driver's canonicalizer hashes scalar
+    cells only (round-3 verdict: pandas factorize cannot hash lists).
+    The array API itself stays on quantize_embeddings."""
     from filodb_spark.operators.similarity import quantize_embeddings
-    return quantize_embeddings(_emb(spark, sf_dir))
+    out = quantize_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")),
+                     ",").alias("codes_csv"),
+        "vmin", "scale", "max_abs_err")
 
 
 def q_url_filter(spark, sf_dir):
@@ -129,7 +138,11 @@ def q_url_filter(spark, sf_dir):
                    F.lit(" ref https://spam.example.com/x?q=1")).otherwise(""),
             F.when(i % 14 == 0, F.lit(" via http://ads.invalid")).otherwise("")))
     out = url_domain_filter(aug, "text2")
-    return out.select("doc_id", "n_urls", "n_blocked", "domains", "keep")
+    # domains is array<string>: CSV-join for the driver canonicalizer
+    # (already distinct+sorted, so the join is deterministic)
+    return out.select("doc_id", "n_urls", "n_blocked",
+                      F.array_join("domains", ",").alias("domains_csv"),
+                      "keep")
 
 
 PACK_BUDGET, PACK_SHARDS = 64, 4
@@ -474,7 +487,8 @@ SELECT doc_id,
        CAST(len(doms) AS BIGINT) AS n_urls,
        CAST(len(list_filter(doms, d -> d IN ('spam.example.com',
             'ads.invalid', 'tracker.test'))) AS BIGINT) AS n_blocked,
-       list_sort(list_distinct(doms)) AS domains,
+       coalesce(array_to_string(list_sort(list_distinct(doms)), ','), '')
+         AS domains_csv,
        len(list_filter(doms, d -> d IN ('spam.example.com', 'ads.invalid',
            'tracker.test'))) = 0 AS keep
 FROM x""",
@@ -523,7 +537,8 @@ qz AS (
                                                AS INTEGER))
               ELSE list_transform(e, x -> 0) END AS codes
   FROM s)
-SELECT vec_id, codes,
+SELECT vec_id,
+       array_to_string(codes, ',') AS codes_csv,
        round(mn, 6) AS vmin,
        round(scale, 6) AS scale,
        round(list_aggregate(

@@ -139,8 +139,15 @@ def q_ann_recall_curve(spark, sf_dir):
 
 def q_emb_pq(spark, sf_dir):
     """Product-quantization codes (4 subspaces x 4 codes, deterministic
-    lowest-id codebook) + per-row reconstruction error."""
-    return similarity.pq_encode(_emb(spark, sf_dir), m=4, k=4)
+    lowest-id codebook) + per-row reconstruction error. The operator's
+    ``codes array<int>`` is CSV-stringified for the driver canonicalizer
+    (round-3 verdict: pandas factorize cannot hash list cells)."""
+    out = similarity.pq_encode(_emb(spark, sf_dir), m=4, k=4)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")),
+                     ",").alias("codes_csv"),
+        "err2")
 
 
 def q_ann_pq_recall(spark, sf_dir):
@@ -519,7 +526,8 @@ best{j} AS (
     frm = joins[0] + "".join(f" JOIN {t} USING (vec_id)"
                              for t in joins[1:])
     parts.append(f"""
-SELECT vec_id, [{codes}] AS codes, round({errs}, 6) AS err2
+SELECT vec_id, array_to_string([{codes}], ',') AS codes_csv,
+       round({errs}, 6) AS err2
 FROM {frm}""")
     return "".join(parts)
 

@@ -69,6 +69,12 @@ def _parse_timeout(q: dict) -> float | None:
     return float(raw)
 
 
+# Remote-write request-body cap (snappy-compressed bytes). Prometheus
+# default max samples per send is 500-2000 (~100 KB compressed); 10 MB
+# leaves generous headroom while bounding per-request driver memory.
+MAX_WRITE_BODY = 10 * 1024 * 1024
+
+
 def make_handler(engine, write_buffer=None, bearer_token=None):
     import hmac
 
@@ -122,6 +128,12 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
                     return self._error("remote write not enabled", 404)
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n > MAX_WRITE_BODY:
+                        # reject before reading: one oversized request
+                        # must not be able to exhaust driver memory
+                        return self._error(
+                            f"body {n} bytes exceeds max "
+                            f"{MAX_WRITE_BODY}", 413)
                     accepted = write_buffer.append(self.rfile.read(n))
                     self.send_response(204)   # Prometheus expects 2xx, no body
                     self.send_header("X-Prometheus-Remote-Write-Samples",

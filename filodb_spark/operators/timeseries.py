@@ -102,11 +102,17 @@ def funnel(df: DataFrame, steps: Sequence[str],
            window_ms: int | None = None) -> DataFrame:
     """Strict-order funnel analysis: per key, the earliest completion of
     step_1 < step_2 < ... < step_D (each step's timestamp strictly after
-    the previous step's matched timestamp — the greedy earliest-match
-    semantics every funnel product uses; it is optimal: matching the
-    earliest possible occurrence of each step never forecloses a deeper
-    completion). window_ms additionally requires
-    t_d - t_1 <= window_ms for every matched step.
+    the previous step's matched timestamp). Without window_ms the greedy
+    earliest-match is optimal: matching the earliest possible occurrence
+    of each step never forecloses a deeper completion. With window_ms the
+    funnel is ANCHORED at the key's earliest step-1 event and requires
+    t_d - t_1 <= window_ms for every matched step — a later step-1
+    occurrence whose window would fit deeper steps is NOT re-tried, so
+    depth can be lower than a per-anchor re-matching
+    ("restart-on-window-expiry") funnel would report. This
+    greedy-from-earliest-anchor semantics is deliberate (single
+    anchor per key, one aggregation pass) and is exactly what the
+    oracle encodes.
 
     Output: one row per key that reached step 1, with t_1..t_D
     (NULL once the funnel stalls) and `depth` = number of steps

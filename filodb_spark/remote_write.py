@@ -50,9 +50,13 @@ def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
             ts_msg += _len_delim(1, _len_delim(1, name.encode())
                                  + _len_delim(2, str(labels[name]).encode()))
         for ts, value in samples:
+            # protobuf int64: negatives go out as the 10-byte varint of
+            # the 64-bit two's complement (an unmasked negative Python
+            # int would loop _uvarint forever — n >>= 7 never hits 0)
             ts_msg += _len_delim(2, _field(1, 1)
                                  + struct.pack("<d", float(value))
-                                 + _field(2, 0) + _uvarint(int(ts)))
+                                 + _field(2, 0)
+                                 + _uvarint(int(ts) & (1 << 64) - 1))
         body += _len_delim(1, ts_msg)
     return body
 
@@ -81,7 +85,9 @@ def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
                         v = struct.unpack("<d",
                                           sv.to_bytes(8, "little"))[0]
                     elif sn == 2:
-                        ts = sv
+                        # sign-extend: a real prompb negative int64
+                        # arrives as a 10-byte two's-complement varint
+                        ts = sv - (1 << 64) if sv >= 1 << 63 else sv
                 samples.append((ts, v))
         out.append((labels, samples))
     return out
@@ -103,14 +109,21 @@ class WriteBuffer:
     process on purpose — production ingest lands request bodies in
     Kafka/object storage and decodes them with frames_to_records."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, max_rows: int = 10_000_000):
         self._spark = spark
         self._rows: list[tuple[dict, int, float]] = []
+        self._max_rows = max_rows
 
     def append(self, body: bytes) -> int:
         """Ingest one snappy-compressed WriteRequest; returns the
-        number of samples accepted."""
+        number of samples accepted. Raises once the buffer would exceed
+        max_rows — repeated writes must not exhaust driver memory (the
+        scale path is frames_to_records, not this sink)."""
         rows = _body_to_rows(body)
+        if len(self._rows) + len(rows) > self._max_rows:
+            raise ValueError(
+                f"WriteBuffer full ({self.n_samples} rows, max "
+                f"{self._max_rows}); drain it or use frames_to_records")
         self._rows.extend(rows)
         return len(rows)
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from filodb_spark.kernels.binary import canonical_labels
 
@@ -260,7 +261,12 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                                      "yyyy-MM-dd"))
            .write.mode("overwrite").partitionBy("date").parquet(path))
         expire_partitions(spark, path, _cutoff(keep_days))
-        stats[name] = spark.read.parquet(path).count()
+        try:
+            stats[name] = spark.read.parquet(path).count()
+        except AnalysisException:
+            # retention dropped every date partition of this tier —
+            # an empty directory has no schema to infer; count is 0
+            stats[name] = 0
         prev = ds
     stats["raw_dropped"] = expire_partitions(spark, raw_path,
                                              _cutoff(raw_keep_days))

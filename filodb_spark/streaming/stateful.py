@@ -95,7 +95,9 @@ def streaming_funnel(stream: DataFrame, steps: list[str],
     D = len(steps)
     if D < 2:
         raise ValueError("funnel needs at least 2 steps")
-    out_schema = f"{key_col} long, step int, ts long, completed boolean"
+    # key type follows the input (string user ids work like the batch twin)
+    key_t = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_t}, step int, ts long, completed boolean"
     state_schema = ", ".join(f"t{d} long" for d in range(1, D + 1))
 
     def advance(key, pdfs, state: GroupState):
@@ -151,7 +153,8 @@ def streaming_rolling(stream: DataFrame, key_col: str = "user_id",
 
     Emits (key, ts, value, w_count, w_sum, w_mean) per event, append
     mode."""
-    out_schema = (f"{key_col} long, ts long, value double, "
+    key_t = stream.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, ts long, value double, "
                   "w_count long, w_sum double, w_mean double")
     state_schema = "ts array<bigint>, vals array<double>"
 

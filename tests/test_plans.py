@@ -547,3 +547,25 @@ class TestRetentionLadder:
         # raw survivors only inside the 7-day horizon
         left = spark.read.parquet(raw)
         assert left.agg(F.min("ts")).first()[0] >= now - 9 * day
+
+    def test_fully_expired_tier_counts_zero(self, spark, tmp_path):
+        """A tier whose retention drops every date partition must report
+        0 survivors, not crash on the unreadable empty directory
+        (ADVICE r3)."""
+        from filodb_spark.sources.table import (retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        rows = [({"__name__": "m", "_ws_": "w", "_ns_": "n"},
+                 t0 + d * day, float(d)) for d in range(5)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        # "now" is 100 days past the data: the 5m tier's 1-day horizon
+        # expires everything it wrote
+        stats = retention_ladder(
+            spark, raw, str(tmp_path / "tiers"),
+            now_ms=t0 + 100 * day,
+            tiers=((3600 * 1000, "1h", 1),), raw_keep_days=1)
+        assert stats["1h"] == 0

@@ -33,6 +33,16 @@ class TestCodec:
         assert got[2][1][1] == (1_700_000_090_000, -1.0)
         assert got[0][1][1] == (1_700_000_060_000, 0.75)
 
+    def test_negative_timestamps_roundtrip(self):
+        """Pre-epoch timestamps: protobuf int64 negatives are 10-byte
+        two's-complement varints — encode must mask (not hang) and
+        decode must sign-extend (not misread as a huge positive)."""
+        series = [({"__name__": "old"},
+                   [(-1, 1.0), (-62_135_596_800_000, 2.0),
+                    (-(1 << 62), 3.0), (0, 4.0)])]
+        got = decode_write_request(encode_write_request(series))
+        assert got[0][1] == series[0][1]
+
 
 class TestWriteBuffer:
     def test_append_and_query(self, spark):
@@ -45,6 +55,14 @@ class TestWriteBuffer:
                for r in df.collect()}
         assert ("cpu_usage", 1_700_000_000_000, 0.5) in got
         assert ("mem_bytes", 1_700_000_090_000, -1.0) in got
+
+    def test_max_rows_cap(self, spark):
+        buf = WriteBuffer(spark, max_rows=5)
+        body = snappy_compress(encode_write_request(SERIES))
+        assert buf.append(body) == 5
+        with pytest.raises(ValueError, match="WriteBuffer full"):
+            buf.append(body)
+        assert buf.n_samples == 5  # rejected write left no partial rows
 
     def test_write_then_promql(self, spark):
         from filodb_spark.promql import PromQLEngine
@@ -78,6 +96,24 @@ class TestHttpWrite:
                 assert r.status == 204
                 assert r.headers["X-Prometheus-Remote-Write-Samples"] == "5"
             assert buf.n_samples == 5
+        finally:
+            srv.shutdown()
+
+    def test_oversized_body_413(self, spark, monkeypatch):
+        import filodb_spark.http_server as hs
+        from filodb_spark.promql import PromQLEngine
+        monkeypatch.setattr(hs, "MAX_WRITE_BODY", 64)
+        buf = WriteBuffer(spark)
+        srv = hs.serve(PromQLEngine(spark, buf.to_store()),
+                       write_buffer=buf)
+        base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+        try:
+            req = urllib.request.Request(
+                f"{base}/api/v1/write", data=b"x" * 65, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 413
+            assert buf.n_samples == 0   # rejected before decode
         finally:
             srv.shutdown()
 

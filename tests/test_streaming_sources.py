@@ -494,6 +494,35 @@ class TestStreamingFunnel:
         assert u1 == [(1, 10), (2, 20), (3, 30)]
 
 
+    def test_string_keys(self, spark, tmp_path):
+        """The output/state schemas derive the key type from the input
+        (ADVICE r3): string user ids must work like the batch twin."""
+        import json as _json
+        from filodb_spark.streaming.stateful import streaming_funnel
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        with open(src / "b1.json", "w") as f:
+            for u, ts, et in [("alice", 10, "signup"), ("alice", 20, "view"),
+                              ("bob", 15, "signup")]:
+                f.write(_json.dumps(
+                    {"user_id": u, "ts": ts, "event_type": et}) + "\n")
+        raw = spark.readStream.schema(
+            "user_id string, ts long, event_type string").json(str(src))
+        q = (streaming_funnel(raw, ["signup", "view"])
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        assert dict(got.dtypes)["user_id"] == "string"
+        depths = {r["user_id"]: r["step"] for r in
+                  got.groupBy("user_id")
+                  .agg(F.max("step").alias("step")).collect()}
+        assert depths == {"alice": 2, "bob": 1}
+
+
 class TestStreamingRolling:
     def test_matches_batch_across_microbatches(self, spark, tmp_path):
         """Two in-order micro-batches (incl. same-ts duplicates within a

@@ -169,11 +169,38 @@ def q_ann_pq_topk(spark, sf_dir):
     return similarity.pq_topk(e, q, k=3, m=4, n_codes=4)
 
 
+IVFPQ_PROBES = 4
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """The composed IVF x PQ index (r3 verdict item 3): sign-bucket
+    probes choose the candidates, ADC over PQ codes ranks them — the
+    billion-scale two-layer shape, fully oracle-exact."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(e, q, k=3, m=4, n_codes=4,
+                                 n_probes=IVFPQ_PROBES)
+
+
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@3 of the composed IVF x PQ search against the exact L2
+    baseline — the combined coarse-filter + quantization loss in one
+    number (compare ann_pq_recall for PQ-only loss)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk_l2(e, q, k=3)
+    approx = similarity.ivfpq_topk(e, q, k=3, m=4, n_codes=4,
+                                   n_probes=IVFPQ_PROBES)
+    return similarity.topk_recall(approx, exact)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "emb_pq": q_emb_pq,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_recall": q_ann_pq_recall,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_recall": q_ann_ivfpq_recall,
     "emb_kmeans": q_emb_kmeans,
     "emb_kmeans_summary": q_emb_kmeans_summary,
     "ann_filtered": q_ann_filtered,
@@ -533,12 +560,16 @@ FROM {frm}""")
 
 
 def _pq_adc_sql(m: int = 4, k: int = 4, dim: int = 64,
-                topk: int = 3) -> str:
+                topk: int = 3, n_probes: int | None = None) -> str:
     """pq_topk's oracle: corpus codes via the same per-subspace argmin
     CTEs, then per (query, candidate) the LUT-sum distance — each
     subspace distance recomputed from the codebook row the candidate's
     code selects (d0 + d1 + ... left-associated, matching the Spark
-    fold's zero-seeded sum exactly)."""
+    fold's zero-seeded sum exactly).
+
+    With n_probes set this becomes ivfpq_topk's oracle: candidates are
+    restricted to the query's XOR multi-probe sign-bit buckets (the
+    same hash-free bucket as ann_ivf_portable) before the ADC math."""
     sub = dim // m
     base = _pq_sql(m, k, dim)
     # strip the final SELECT of _pq_sql; keep its WITH chain
@@ -555,13 +586,31 @@ def _pq_adc_sql(m: int = 4, k: int = 4, dim: int = 64,
             f"list_inner_product(q.qv[{a}:{b}], q.qv[{a}:{b}])"
             f" - 2 * list_inner_product(q.qv[{a}:{b}], cb{j}.c[{a}:{b}])"
             f" + list_inner_product(cb{j}.c[{a}:{b}], cb{j}.c[{a}:{b}])")
+    if n_probes is None:
+        qsrc = """
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),"""
+        cand = f"FROM q CROSS JOIN codes n{''.join(cbjoins)}"
+    else:
+        bucket_expr = " + ".join(
+            f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(6))
+        probe_list = ", ".join(
+            "qb" if p == 0 else f"xor(qb, {1 << (p - 1)})"
+            for p in range(n_probes))
+        qsrc = f"""
+bk AS (SELECT vec_id, {bucket_expr} AS bucket FROM e),
+q0 AS (SELECT e.vec_id AS qid, e.v AS qv, bk.bucket AS qb
+       FROM e JOIN bk USING (vec_id) WHERE e.vec_id < 10),
+q AS (SELECT qid, qv, unnest([{probe_list}]) AS bucket FROM q0),"""
+        cand = (f"FROM q JOIN bk nb ON nb.bucket = q.bucket "
+                f"JOIN codes n ON n.vec_id = nb.vec_id"
+                f"{''.join(cbjoins)}")
     return with_part + f""",
-codes AS (SELECT best0.vec_id, {codes_sel} FROM {codes_frm}),
-q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+codes AS (SELECT best0.vec_id, {codes_sel} FROM {codes_frm}),{qsrc}
 scored AS (
   SELECT q.qid, n.vec_id AS nid,
          round({" + ".join(dterms)}, 6) AS adist2
-  FROM q CROSS JOIN codes n{"".join(cbjoins)}
+  {cand}
   WHERE n.vec_id <> q.qid
 ),
 rk AS (
@@ -603,5 +652,15 @@ SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
        round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM ({_L2_EXACT}) ex
 LEFT JOIN ({_pq_adc_sql()}) ap
+  ON ex.qid = ap.qid AND ex.nid = ap.nid
+GROUP BY ex.qid"""
+
+ORACLES["ann_ivfpq_topk"] = _pq_adc_sql(n_probes=IVFPQ_PROBES)
+ORACLES["ann_ivfpq_recall"] = f"""
+SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(ap.nid) AS BIGINT) AS n_hit,
+       round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ({_L2_EXACT}) ex
+LEFT JOIN ({_pq_adc_sql(n_probes=IVFPQ_PROBES)}) ap
   ON ex.qid = ap.qid AND ex.nid = ap.nid
 GROUP BY ex.qid"""

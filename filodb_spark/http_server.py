@@ -206,6 +206,25 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
                             "data": [dict(r["labels"]) for r in
                                      md.series(engine.store,
                                                q["match[]"]).collect()]}
+                elif path.endswith("/api/v1/status/label_cardinality"):
+                    # reference exposes cardinality via its HTTP surface
+                    # (MetadataExecPlan LabelCardinalityExec); same HLL
+                    # sketch class here (approx_count_distinct)
+                    resp = {"status": "success",
+                            "data": [{"label": r["label"],
+                                      "cardinality": r["cardinality"]}
+                                     for r in md.label_cardinality(
+                                         engine.store,
+                                         q.get("match[]")).collect()]}
+                elif path.endswith("/api/v1/status/ts_cardinality"):
+                    group = tuple((q.get("group_by") or "__name__")
+                                  .split(","))
+                    active = q.get("active_after")
+                    rows = md.ts_cardinality(
+                        engine.store, group,
+                        int(active) if active else None).collect()
+                    resp = {"status": "success",
+                            "data": [r.asDict() for r in rows]}
                 elif path.endswith("/api/v1/status/buildinfo"):
                     # Grafana probes this on datasource setup; report a
                     # Prometheus-compatible shape (PrometheusApiRoute

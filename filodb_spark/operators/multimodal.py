@@ -199,13 +199,96 @@ def resize_images(df: DataFrame, width: int, height: int,
              .mapInPandas(resize, out_schema)
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def synth_y4m(width: int, height: int, n_frames: int,
+              fps_num: int = 10, fps_den: int = 1,
+              chroma: str = "420") -> bytes:
+    """Deterministic YUV4MPEG2 stream for tests/fixtures: frame f's
+    plane byte i is (f * 7 + i * 13) % 256 — closed-form, so an SQL
+    oracle can recompute any byte of any frame without the parser."""
+    fsz = _y4m_frame_size(width, height, chroma)
+    out = bytearray(
+        f"YUV4MPEG2 W{width} H{height} F{fps_num}:{fps_den} Ip A1:1 "
+        f"C{chroma}\n".encode("ascii"))
+    for f in range(n_frames):
+        out += b"FRAME\n"
+        out += bytes((f * 7 + i * 13) % 256 for i in range(fsz))
+    return bytes(out)
+
+
+def _y4m_frame_size(width: int, height: int, chroma: str) -> int:
+    if chroma.startswith("420"):
+        return width * height * 3 // 2
+    if chroma.startswith("422"):
+        return width * height * 2
+    if chroma.startswith("444"):
+        return width * height * 3
+    if chroma == "mono":
+        return width * height
+    raise ValueError(f"unsupported Y4M chroma scheme C{chroma}")
+
+
+def parse_y4m(data: bytes) -> dict:
+    """Parse a YUV4MPEG2 (Y4M) container — the public uncompressed
+    interchange format (mjpegtools spec): a one-line ASCII stream
+    header (W/H/F/I/A/C parameters), then per frame an ASCII `FRAME`
+    line followed by raw planar YUV of a size fixed by the chroma
+    scheme. Pure byte math, no codec library.
+
+    Returns {width, height, fps_num, fps_den, frame_size,
+    frames: [(payload_offset, size), ...], duration_ms}."""
+    data = bytes(data)
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    width = height = None
+    num, den, chroma = 30, 1, "420"
+    for tok in data[len(_Y4M_MAGIC):nl].decode("ascii").split(" "):
+        if not tok:
+            continue
+        k, v = tok[0], tok[1:]
+        if k == "W":
+            width = int(v)
+        elif k == "H":
+            height = int(v)
+        elif k == "F":
+            num, den = (int(x) for x in v.split(":"))
+        elif k == "C":
+            chroma = v
+    if not width or not height or num <= 0 or den <= 0:
+        raise ValueError("Y4M header missing W/H or has bad F rate")
+    fsz = _y4m_frame_size(width, height, chroma)
+    frames = []
+    i = nl + 1
+    while i < len(data):
+        if data[i:i + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {i}")
+        j = data.index(b"\n", i)
+        if j + 1 + fsz > len(data):
+            raise ValueError("truncated Y4M frame payload")
+        frames.append((j + 1, fsz))
+        i = j + 1 + fsz
+    return {"width": width, "height": height, "fps_num": num,
+            "fps_den": den, "frame_size": fsz, "frames": frames,
+            "duration_ms": len(frames) * 1000 * den // num}
+
+
 def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
                   content_col: str = "content",
                   duration_col: str = "duration_ms",
                   decode_backend: str = "fake") -> DataFrame:
-    """Video frame sampling (stub): emits one row per sampled frame
-    offset. Fake backend derives frame 'content' deterministically from
-    (video bytes, offset) without decoding."""
+    """Video frame sampling: emits one row per sampled offset.
+
+    - "fake": frame 'content' derived deterministically from
+      (video bytes, offset) without decoding — plumbing-only path.
+    - "real": parses YUV4MPEG2 (Y4M) containers with pure byte math
+      (parse_y4m) and emits the ACTUAL raw frame payload covering each
+      sampled offset; duration comes from the stream itself
+      (duration_col is ignored for Y4M). Compressed codecs (mp4/webm)
+      would need ffmpeg — that plug-in point raises
+      NotImplementedError, same contract as the pillow image guard."""
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_ms", T.LongType()),
@@ -217,11 +300,29 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
             ids, offs, frames = [], [], []
             for doc_id, data, dur in zip(pdf[id_col], pdf[content_col],
                                          pdf[duration_col]):
-                if data is None or dur is None:
+                if data is None:
                     continue
                 if decode_backend == "real":
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg; use 'fake'")
+                    raw = bytes(data)
+                    if not raw.startswith(_Y4M_MAGIC):
+                        raise NotImplementedError(
+                            "real frame sampling decodes uncompressed "
+                            "Y4M only; compressed codecs need the "
+                            "ffmpeg plug-in backend")
+                    meta = parse_y4m(raw)
+                    n, num, den = (len(meta["frames"]), meta["fps_num"],
+                                   meta["fps_den"])
+                    for off in range(0, meta["duration_ms"], every_ms):
+                        idx = off * num // (1000 * den)
+                        if idx >= n:
+                            break
+                        start, size = meta["frames"][idx]
+                        ids.append(doc_id)
+                        offs.append(off)
+                        frames.append(raw[start:start + size])
+                    continue
+                if dur is None:
+                    continue
                 for off in range(0, int(dur), every_ms):
                     ids.append(doc_id)
                     offs.append(off)

@@ -483,10 +483,57 @@ def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
                         F.round("d2", round_to).alias("dist2"))
 
 
+def _pq_seeds(src: DataFrame, k: int, id_col: str, vec_col: str,
+              round_to: int) -> list:
+    """The deterministic PQ codebook: component-rounded vectors of the
+    k lowest-id rows (bounded driver state: k x dim floats — the same
+    model-size footprint as an MLlib fit)."""
+    seed_rows = (src.select(F.col(id_col).alias("vid"),
+                            as_double(F.col(vec_col)).alias("v"))
+                 .orderBy("vid").limit(k)
+                 .select(F.transform("v", lambda x: F.round(x, round_to))
+                         .alias("v")).collect())
+    if not seed_rows:
+        raise ValueError("empty codebook source")
+    return seed_rows
+
+
+def _pq_lut(seed_rows: list, m: int, vec_col: str) -> Column:
+    """Per-query ADC lookup table: an m x n_codes array of exact
+    subspace squared-L2 distances from the query to every codebook
+    sub-vector — candidate distance is then m element_at lookups."""
+    dim = len(seed_rows[0]["v"])
+    sub = dim // m
+    qv = as_double(F.col(vec_col))
+    lut_rows = []
+    for j in range(m):
+        qj = F.slice(qv, j * sub + 1, sub)
+        qnorm = F.aggregate(F.transform(qj, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x)
+        cells = []
+        for r in seed_rows:
+            cj = [float(x) for x in r["v"][j * sub: (j + 1) * sub]]
+            c_lit = F.array(*[F.lit(x) for x in cj])
+            cnorm = 0.0
+            for x in cj:
+                cnorm += x * x
+            cells.append(qnorm - 2.0 * dot(qj, c_lit) + F.lit(cnorm))
+        lut_rows.append(F.array(*cells))
+    return F.array(*lut_rows)
+
+
+def _adc_dist(codes: Column, lut: Column) -> Column:
+    """ADC distance: sum of the LUT cells the candidate's codes select
+    (zero-seeded left fold — associativity order matches the oracle)."""
+    return F.aggregate(
+        F.zip_with(codes, lut, lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
 def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
               codebook: DataFrame | None = None,
-              round_to: int = 6) -> DataFrame:
+              round_to: int = 6, carry: tuple = ()) -> DataFrame:
     """Product quantization: split each vector into `m` contiguous
     subspaces and store, per subspace, the index of the nearest of `k`
     codebook sub-vectors — dim x 8 bytes collapse to m small ints, the
@@ -500,19 +547,15 @@ def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
     subspace; quantization error is reported per row so the
     recall-vs-memory trade is measurable in-engine.
 
-    Output: (id, codes array<int> length m, err2) where err2 is the
-    total squared reconstruction error, rounded.
+    Output: (id, codes array<int> length m, err2, *carry) where err2 is
+    the total squared reconstruction error, rounded; `carry` columns
+    pass through untouched (e.g. an IVF bucket id — the encode stays
+    map-only either way).
     """
     src = codebook if codebook is not None else corpus
     vecs = corpus.select(F.col(id_col).alias("vid"),
-                         as_double(F.col(vec_col)).alias("v"))
-    seed_rows = (src.select(F.col(id_col).alias("vid"),
-                            as_double(F.col(vec_col)).alias("v"))
-                 .orderBy("vid").limit(k)
-                 .select(F.transform("v", lambda x: F.round(x, round_to))
-                         .alias("v")).collect())
-    if not seed_rows:
-        raise ValueError("empty codebook source")
+                         as_double(F.col(vec_col)).alias("v"), *carry)
+    seed_rows = _pq_seeds(src, k, id_col, vec_col, round_to)
     dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -539,17 +582,18 @@ def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
     for t in err_terms[1:]:
         total_err = total_err + t
     return (vecs.select("vid", *code_cols,
-                        F.round(total_err, round_to).alias("err2"))
+                        F.round(total_err, round_to).alias("err2"), *carry)
             .select(F.col("vid").alias(id_col),
                     F.array(*[F.col(f"_c{j}") for j in range(m)])
-                    .alias("codes"), "err2"))
+                    .alias("codes"), "err2", *carry))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             m: int = 4, n_codes: int = 4,
             id_col: str = "vec_id", vec_col: str = "embedding",
             codebook: DataFrame | None = None,
-            round_to: int = 6) -> DataFrame:
+            round_to: int = 6,
+            encoded: DataFrame | None = None) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: corpus vectors are reduced to their pq_encode() codes;
     each query precomputes an m x n_codes lookup table of exact
@@ -564,45 +608,102 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     L2, rounded. Queries ride a broadcast; the corpus side touches only
     (id, codes).
 
-    Output: (qid, nid, rank, adist2).
+    Output: (qid, nid, rank, adist2). Pass `encoded=` (a pq_encode
+    result, typically read back from storage) to search prebuilt codes
+    without re-encoding.
     """
-    enc = pq_encode(corpus, m=m, k=n_codes, id_col=id_col,
-                    vec_col=vec_col, codebook=codebook,
-                    round_to=round_to)
-    src = codebook if codebook is not None else corpus
-    seed_rows = (src.select(F.col(id_col).alias("vid"),
-                            as_double(F.col(vec_col)).alias("v"))
-                 .orderBy("vid").limit(n_codes)
-                 .select(F.transform("v", lambda x: F.round(x, round_to))
-                         .alias("v")).collect())
-    dim = len(seed_rows[0]["v"])
-    sub = dim // m
-    qv = as_double(F.col(vec_col))
-    lut_rows = []
-    for j in range(m):
-        qj = F.slice(qv, j * sub + 1, sub)
-        qnorm = F.aggregate(F.transform(qj, lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x)
-        cells = []
-        for r in seed_rows:
-            cj = [float(x) for x in r["v"][j * sub: (j + 1) * sub]]
-            c_lit = F.array(*[F.lit(x) for x in cj])
-            cnorm = 0.0
-            for x in cj:
-                cnorm += x * x
-            cells.append(qnorm - 2.0 * dot(qj, c_lit) + F.lit(cnorm))
-        lut_rows.append(F.array(*cells))
+    enc = encoded if encoded is not None else pq_encode(
+        corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+        codebook=codebook, round_to=round_to)
+    seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
+                          n_codes, id_col, vec_col, round_to)
     q = queries.select(F.col(id_col).alias("qid"),
-                       F.array(*lut_rows).alias("_lut"))
+                       _pq_lut(seed_rows, m, vec_col).alias("_lut"))
     pairs = (enc.select(F.col(id_col).alias("nid"), "codes")
              .crossJoin(broadcast(q))
              .where(F.col("nid") != F.col("qid")))
-    adist = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("_lut"),
-                   lambda c, row: F.element_at(row, c + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    scored = pairs.select("qid", "nid",
-                          F.round(adist, round_to).alias("adist2"))
+    scored = pairs.select(
+        "qid", "nid",
+        F.round(_adc_dist(F.col("codes"), F.col("_lut")),
+                round_to).alias("adist2"))
+    w = Window.partitionBy("qid").orderBy(F.col("adist2").asc(),
+                                          F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "adist2"))
+
+
+def ivfpq_index(corpus: DataFrame, m: int = 4, n_codes: int = 4,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codebook: DataFrame | None = None,
+                round_to: int = 6) -> DataFrame:
+    """Build the stored IVF x PQ index: one map-only pass emitting
+    (id, codes array<int>, err2, _bucket). This is the artifact a
+    production deployment writes ONCE (partitioned/bucketed by _bucket
+    so searches prune file groups) and searches many times — encode
+    cost amortizes to zero per query; ivfpq_topk(index=...) then scans
+    codes only. At 100 TB of vectors the index is ~m bytes/vector."""
+    b = sign_bucket(vec_col)
+    return pq_encode(corpus.withColumn("_bucket", b), m=m, k=n_codes,
+                     id_col=id_col, vec_col=vec_col, codebook=codebook,
+                     round_to=round_to, carry=("_bucket",))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+               m: int = 4, n_codes: int = 4, n_probes: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               codebook: DataFrame | None = None,
+               round_to: int = 6,
+               index: DataFrame | None = None) -> DataFrame:
+    """The composed billion-scale ANN shape: IVF coarse buckets select
+    WHICH candidates a query meets (sub-linear: ~n_probes/2^_SIGN_BITS
+    of the corpus per query) and PQ codes decide HOW each candidate is
+    scored (m table lookups instead of a dim-wide dot product) — the
+    two layers every production ANN stack (FAISS IVFPQ et al.) runs
+    together, previously only available here separately (ivf_topk
+    scans floats per bucket; pq_topk ADC-scans every corpus code).
+
+    Plan shape: corpus -> one map-only projection emitting
+    (id, m int codes, bucket) — no floats leave the scan; queries ride
+    a broadcast carrying their LUT + exploded probe-bucket list; one
+    equi-join on bucket; one window top-k. No cartesian anywhere, and
+    the shuffled candidate width is m ints, not dim doubles.
+
+    Buckets are the hash-free sign_bucket (bijective, XOR multi-probe),
+    the codebook the deterministic lowest-id rows — the whole composed
+    pipeline has an exact SQL oracle. n_probes caps at _SIGN_BITS + 1
+    like ivf_topk_portable (identity + one flip per bucket bit).
+
+    Output: (qid, nid, rank, adist2) — same contract as pq_topk, minus
+    candidates outside the probed buckets.
+
+    Pass `index=` (from ivfpq_index, typically read back from its
+    stored parquet) to search a prebuilt index — encode is skipped and
+    only (id, codes, _bucket) is scanned. The codebook source (corpus
+    or `codebook`) must be the one the index was built with.
+    """
+    if n_probes > _SIGN_BITS + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds {_SIGN_BITS + 1} "
+            "(identity probe + one single-bit flip per bucket bit)")
+    b = sign_bucket(vec_col)
+    enc = index if index is not None else ivfpq_index(
+        corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        codebook=codebook, round_to=round_to)
+    seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
+                          n_codes, id_col, vec_col, round_to)
+    probes = F.array(*[b.bitwiseXOR(0 if p == 0 else 1 << (p - 1))
+                       for p in range(n_probes)])
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _pq_lut(seed_rows, m, vec_col).alias("_lut"),
+                       F.explode(probes).alias("_bucket"))
+    pairs = (enc.select(F.col(id_col).alias("nid"), "codes", "_bucket")
+             .join(broadcast(q), "_bucket")
+             .where(F.col("nid") != F.col("qid")))
+    scored = pairs.select(
+        "qid", "nid",
+        F.round(_adc_dist(F.col("codes"), F.col("_lut")),
+                round_to).alias("adist2"))
     w = Window.partitionBy("qid").orderBy(F.col("adist2").asc(),
                                           F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

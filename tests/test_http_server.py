@@ -52,6 +52,26 @@ class TestHttpApi:
                       **{"match[]": 'purchase{user="3"}'})
         assert resp["data"] == [{"__name__": "purchase", "user": "3"}]
 
+    def test_cardinality_endpoints(self, server):
+        """Cardinality over HTTP (r3 verdict item 4): the reference
+        exposes label/TS cardinality through its HTTP surface
+        (MetadataExecPlan.scala:427,579); these delegate to
+        metadata.label_cardinality / ts_cardinality."""
+        _, resp = get(server, "/api/v1/status/label_cardinality")
+        by_label = {d["label"]: d["cardinality"] for d in resp["data"]}
+        assert set(by_label) == {"__name__", "user"}
+        assert by_label["__name__"] >= 3     # event types as metrics
+        _, resp = get(server, "/api/v1/status/ts_cardinality")
+        totals = {d["__name__"]: d["total_series"] for d in resp["data"]}
+        assert "purchase" in totals and totals["purchase"] > 0
+        # grouped + active window form
+        _, resp = get(server, "/api/v1/status/ts_cardinality",
+                      group_by="__name__,user",
+                      active_after=1706000000000)
+        row = resp["data"][0]
+        assert {"__name__", "user", "total_series",
+                "active_series"} <= set(row)
+
     def test_errors(self, server):
         import urllib.error
         with pytest.raises(urllib.error.HTTPError) as e:

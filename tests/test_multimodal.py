@@ -129,3 +129,57 @@ class TestFrameSampling:
         # frames deterministic
         f = [r for r in out if r["doc_id"] == 1 and r["frame_ms"] == 1000][0]
         assert bytes(f["frame"]) == hashlib.md5(b"video-1" + b"1000").digest()
+
+
+class TestY4m:
+    """Real (byte-math) video path: YUV4MPEG2 container parsing —
+    the uncompressed-format twin of the PNG/WAV header parsers; only
+    compressed codecs remain behind the ffmpeg plug-in point."""
+
+    def test_parse_roundtrip(self):
+        from filodb_spark.operators.multimodal import parse_y4m, synth_y4m
+        raw = synth_y4m(4, 2, n_frames=5, fps_num=10, fps_den=1)
+        meta = parse_y4m(raw)
+        assert (meta["width"], meta["height"]) == (4, 2)
+        assert (meta["fps_num"], meta["fps_den"]) == (10, 1)
+        assert meta["frame_size"] == 4 * 2 * 3 // 2    # C420
+        assert len(meta["frames"]) == 5
+        assert meta["duration_ms"] == 500              # 5 frames @ 10fps
+        # frame payloads are where the parser says they are
+        off, size = meta["frames"][3]
+        assert raw[off:off + size] == bytes(
+            (3 * 7 + i * 13) % 256 for i in range(size))
+
+    def test_parse_rejects_garbage_and_truncation(self):
+        from filodb_spark.operators.multimodal import parse_y4m, synth_y4m
+        with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            parse_y4m(b"RIFFxxxxWAVE")
+        raw = synth_y4m(4, 2, n_frames=2)
+        with pytest.raises(ValueError, match="truncated"):
+            parse_y4m(raw[:-3])
+
+    def test_real_backend_samples_actual_frames(self, spark):
+        from filodb_spark.operators.multimodal import sample_frames, synth_y4m
+        # 10 fps -> frame i covers [i*100, (i+1)*100) ms; sampling every
+        # 250 ms picks frames 0, 2, 5, 7 at offsets 0/250/500/750
+        raw = synth_y4m(4, 2, n_frames=8, fps_num=10, fps_den=1)
+        df = spark.createDataFrame([(1, raw, None)],
+                                   "doc_id long, content binary, "
+                                   "duration_ms long")
+        out = sorted((r["frame_ms"], bytes(r["frame"])) for r in
+                     sample_frames(df, every_ms=250,
+                                   decode_backend="real").collect())
+        assert [o for o, _ in out] == [0, 250, 500, 750]
+        fsz = 4 * 2 * 3 // 2
+        for off, frame in out:
+            idx = off * 10 // 1000
+            assert frame == bytes(
+                (idx * 7 + i * 13) % 256 for i in range(fsz))
+
+    def test_real_backend_rejects_compressed(self, spark):
+        from filodb_spark.operators.multimodal import sample_frames
+        df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42", 1000)],
+                                   "doc_id long, content binary, "
+                                   "duration_ms long")
+        with pytest.raises(Exception, match="ffmpeg"):
+            sample_frames(df, every_ms=100, decode_backend="real").collect()

@@ -504,6 +504,30 @@ class TestPqEncode:
         assert rows[2][1] > 0.0
 
 
+class TestIvfPqPlan:
+    def test_bucket_equijoin_no_cartesian_codes_only(self, spark):
+        """The composed IVF x PQ search must (a) join corpus to queries
+        on the bucket column — never a cartesian like plain pq_topk's
+        ADC scan — and (b) ship only (id, codes, bucket) out of the
+        corpus scan: no embedding floats cross the join."""
+        from filodb_spark.operators.similarity import ivfpq_topk
+        d = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = d.where(F.col("vec_id") < 5)
+        out = ivfpq_topk(d, q, k=3, n_probes=2)
+        plan = plan_of(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # hash equi-join keyed on the bucket column
+        import re
+        assert re.search(r"BroadcastHashJoin \[_bucket#\d+\], \[_bucket#\d+\]",
+                         plan), plan[:500]
+        # the join's streamed (corpus) side projects codes + bucket only:
+        # the ADC scoring above the join references codes#, never the
+        # corpus vector column v# (floats never cross the join)
+        above_join = plan[:plan.index("BroadcastHashJoin")]
+        assert "codes#" in above_join and "v#" not in above_join
+
+
 class TestRetentionLadder:
     def test_tiers_cascade_and_expire(self, spark, tmp_path):
         """40 days of raw -> 6h and 24h tiers with 7/20/45-day

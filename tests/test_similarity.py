@@ -164,6 +164,57 @@ class TestPortableIVF:
         sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 1)
 
 
+class TestIvfPq:
+    """The composed IVF x PQ index: candidate selection by sign-bucket
+    probes, scoring by ADC over PQ codes."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_candidates_restricted_to_probed_buckets(self, emb):
+        """At n_probes=1 every neighbor must share the query's own
+        sign bucket — the coarse layer actually gates candidates."""
+        q = emb.where(F.col("vec_id") < 10)
+        out = sim.ivfpq_topk(emb, q, k=3, n_probes=1).collect()
+        buckets = {r["vec_id"]: r["b"] for r in
+                   emb.select("vec_id",
+                              sim.sign_bucket("embedding").alias("b"))
+                   .collect()}
+        assert out, "probe-1 search returned nothing"
+        for r in out:
+            assert buckets[r["nid"]] == buckets[r["qid"]]
+
+    def test_equals_pq_when_one_bucket_covers_all(self, spark):
+        """A corpus whose vectors all share one sign bucket makes the
+        IVF layer a no-op: ivfpq must equal plain pq_topk exactly
+        (same codes, same ADC distances, same ranks)."""
+        pts = [(i, [1.0 + 0.1 * i * j for j in range(4)])
+               for i in range(8)]        # all components > 0 -> bucket 63
+        df = spark.createDataFrame(pts,
+                                   "vec_id long, embedding array<double>")
+        q = df.where(F.col("vec_id") < 3)
+        full = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                sim.pq_topk(df, q, k=3, m=2, n_codes=2).collect()}
+        comp = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                sim.ivfpq_topk(df, q, k=3, m=2, n_codes=2,
+                               n_probes=1).collect()}
+        assert comp == full
+
+    def test_recall_not_below_probe1_at_more_probes(self, emb):
+        q = emb.where(F.col("vec_id") < 10)
+        exact = sim.brute_force_topk_l2(emb, q, k=3)
+        r1 = sim.topk_recall(sim.ivfpq_topk(emb, q, k=3, n_probes=1),
+                             exact).agg(F.avg("recall")).first()[0]
+        r7 = sim.topk_recall(sim.ivfpq_topk(emb, q, k=3, n_probes=7),
+                             exact).agg(F.avg("recall")).first()[0]
+        assert r7 >= r1
+
+    def test_probe_cap_raises(self, emb):
+        with pytest.raises(ValueError, match="n_probes"):
+            sim.ivfpq_topk(emb, emb.limit(1), k=3, n_probes=8)
+
+
 class TestSemanticDedup:
     def test_lower_id_wins_within_bucket(self, spark):
         from filodb_spark.operators.similarity import semantic_dedup

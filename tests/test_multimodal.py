@@ -176,6 +176,36 @@ class TestY4m:
             assert frame == bytes(
                 (idx * 7 + i * 13) % 256 for i in range(fsz))
 
+    def test_parse_fuzz_roundtrip(self):
+        """Randomized (seeded) geometry/rate/chroma battery: synth ->
+        parse must recover the exact parameters and frame addressing;
+        random byte corruption of the header must raise, not misparse."""
+        import random
+        from filodb_spark.operators.multimodal import parse_y4m, synth_y4m
+        rng = random.Random(11)
+        for _ in range(50):
+            w = 2 * rng.randint(1, 16)
+            h = 2 * rng.randint(1, 16)
+            n = rng.randint(1, 12)
+            num, den = rng.choice([(10, 1), (25, 1), (30000, 1001), (8, 1)])
+            chroma = rng.choice(["420", "420jpeg", "422", "444", "mono"])
+            raw = synth_y4m(w, h, n, num, den, chroma)
+            meta = parse_y4m(raw)
+            assert (meta["width"], meta["height"]) == (w, h)
+            assert (meta["fps_num"], meta["fps_den"]) == (num, den)
+            assert len(meta["frames"]) == n
+            assert meta["duration_ms"] == n * 1000 * den // num
+            last_off, fsz = meta["frames"][-1]
+            assert last_off + fsz == len(raw)
+            # corrupt one header byte (before first newline): ValueError
+            # or a changed-but-consistent parse, never a crash
+            pos = rng.randrange(0, raw.index(b"\n"))
+            bad = raw[:pos] + bytes([raw[pos] ^ 0x41]) + raw[pos + 1:]
+            try:
+                parse_y4m(bad)
+            except ValueError:
+                pass
+
     def test_real_backend_rejects_compressed(self, spark):
         from filodb_spark.operators.multimodal import sample_frames
         df = spark.createDataFrame([(1, b"\x00\x00\x00\x18ftypmp42", 1000)],

@@ -214,6 +214,21 @@ class TestIvfPq:
         with pytest.raises(ValueError, match="n_probes"):
             sim.ivfpq_topk(emb, emb.limit(1), k=3, n_probes=8)
 
+    def test_prebuilt_index_roundtrip(self, emb, tmp_path):
+        """The stored-index path: ivfpq_index written to parquet
+        (partitioned by bucket), read back, searched via index= —
+        results must equal the direct (re-encoding) search exactly."""
+        q = emb.where(F.col("vec_id") < 10)
+        path = str(tmp_path / "ivfpq_idx")
+        (sim.ivfpq_index(emb).write.mode("overwrite")
+            .partitionBy("_bucket").parquet(path))
+        idx = emb.sparkSession.read.parquet(path)
+        direct = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                  sim.ivfpq_topk(emb, q, k=3).collect()}
+        stored = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                  sim.ivfpq_topk(emb, q, k=3, index=idx).collect()}
+        assert stored == direct
+
 
 class TestSemanticDedup:
     def test_lower_id_wins_within_bucket(self, spark):

@@ -18,16 +18,31 @@ from filodb_spark.tsdf import events_ts
 RES = 6 * 3600 * 1000  # 6h rollup resolution
 
 
+def _exact_avg6(sum_col, count_col):
+    """round(sum/count, 6) computed ENTIRELY in integer arithmetic so
+    both engines agree bit-for-bit. Double-rounding hazard (found at
+    sf0.1): when sum/count terminates exactly on a .xxxxxx5 boundary,
+    Spark's BigDecimal HALF_UP and DuckDB's multiply-by-1e6 round()
+    can disagree by one 6th-decimal ulp. Here: sum (2-decimal data)
+    -> exact BIGINT cents; half-up rounding of p/q as (2p+q) div (2q)
+    on BIGINTs (valid for the nonnegative sums/counts of this data);
+    one final IEEE division by 1e6 of identical integers is identical
+    everywhere."""
+    cents = F.round(sum_col * 100, 0).cast("long")
+    cnt = count_col.cast("long")
+    num, den = cents * 20000 + cnt, cnt * 2
+    # exact long division: num - num%den is an exact multiple of den,
+    # so the IEEE quotient is the exact integer (no floor-flip risk)
+    micro = ((num - num % den) / den).cast("long")
+    return micro / F.lit(1e6)
+
+
 def q_ds_rollup(spark, sf_dir):
     ev = events_ts(spark, sf_dir)
     ds = downsample(ev, ["event_type"], RES)
-    # avg re-derived from the (exact 2-decimal) sum so the division input
-    # is the identical double in any engine — raw avg can terminate
-    # exactly on a round-6 half-boundary where summation-order ulp noise
-    # flips the digit
     return ds.select("event_type", "ts", "ttime", "min", "max",
                      F.round("sum", 2).alias("sum"), "count",
-                     F.round(F.round("sum", 2) / F.col("count"), 6)
+                     _exact_avg6(F.col("sum"), F.col("count"))
                      .alias("avg"))
 
 
@@ -43,8 +58,9 @@ def q_ds_avg_rewrite(spark, sf_dir):
     grid = grid_from_bounds(lo, hi, STEP)
     ex = explode_to_steps(ds, grid, DAY)
     out = ex.groupBy("event_type", "t").agg(
-        (F.round(F.sum("sum"), 2) / F.sum("count")).alias("_v"))
-    return out.select("event_type", "t", F.round("_v", 6).alias("value"))
+        F.sum("sum").alias("_s"), F.sum("count").alias("_c"))
+    return out.select("event_type", "t",
+                      _exact_avg6(F.col("_s"), F.col("_c")).alias("value"))
 
 
 def q_ds_cascade(spark, sf_dir):
@@ -56,7 +72,7 @@ def q_ds_cascade(spark, sf_dir):
     ds24 = downsample_cascade(ds6, ["event_type"], DAY)
     return ds24.select("event_type", "ts", "ttime", "min", "max",
                        F.round("sum", 2).alias("sum"), "count",
-                       F.round(F.round("sum", 2) / F.col("count"), 6)
+                       _exact_avg6(F.col("sum"), F.col("count"))
                        .alias("avg"))
 
 
@@ -80,11 +96,18 @@ ds AS (
 )
 """
 
+# round(sum/count, 6) in exact BIGINT arithmetic (mirrors _exact_avg6;
+# the half-boundary double-rounding hazard found at sf0.1):
+# cents = round(sum*100); micro = (cents*20000 + cnt) // (2*cnt)
+_AVG6 = """((CAST(round("sum" * 100) AS BIGINT) * 20000
+             + CAST("count" AS BIGINT))
+            // (2 * CAST("count" AS BIGINT))) / 1e6"""
+
 ORACLES = {
-    "ds_rollup": _ROLLUP_CTE + """
+    "ds_rollup": _ROLLUP_CTE + f"""
 SELECT event_type, ttime AS ts, ttime, "min", "max",
        round("sum", 2) AS "sum", "count",
-       round(round("sum", 2) / "count", 6) AS "avg"
+       {_AVG6} AS "avg"
 FROM ds""",
     "ds_cascade": f"""
 WITH raw AS (
@@ -99,7 +122,7 @@ ds AS (
 )
 SELECT event_type, ttime AS ts, ttime, "min", "max",
        round("sum", 2) AS "sum", "count",
-       round(round("sum", 2) / "count", 6) AS "avg"
+       {_AVG6} AS "avg"
 FROM ds""",
     "ds_avg_rewrite": _ROLLUP_CTE + f""",
 bounds AS (
@@ -111,7 +134,9 @@ grid AS (
                                 (SELECT gend FROM bounds), {STEP})) AS t
 )
 SELECT ds.event_type, grid.t,
-       round(round(sum(ds."sum"), 2) / sum(ds."count"), 6) AS value
+       ((CAST(round(sum(ds."sum") * 100) AS BIGINT) * 20000
+         + CAST(sum(ds."count") AS BIGINT))
+        // (2 * CAST(sum(ds."count") AS BIGINT))) / 1e6 AS value
 FROM grid JOIN ds ON ds.ttime BETWEEN grid.t - {DAY} AND grid.t
 GROUP BY 1, 2""",
 }

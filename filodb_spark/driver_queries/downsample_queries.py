@@ -31,9 +31,12 @@ def _exact_avg6(sum_col, count_col):
     cents = F.round(sum_col * 100, 0).cast("long")
     cnt = count_col.cast("long")
     num, den = cents * 20000 + cnt, cnt * 2
-    # exact long division: num - num%den is an exact multiple of den,
-    # so the IEEE quotient is the exact integer (no floor-flip risk)
-    micro = ((num - num % den) / den).cast("long")
+    # true integer division (SQL `div`, no double round-trip): exact
+    # for ANY long magnitude, unlike the former subtract-remainder
+    # double quotient which silently degraded past 2^53 (ADVICE r4).
+    # `div` truncates while DuckDB's // floors — identical on the
+    # nonnegative domain this is documented for.
+    micro = F.call_function("div", num, den)
     return micro / F.lit(1e6)
 
 

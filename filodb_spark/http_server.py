@@ -127,7 +127,16 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
                 if write_buffer is None:
                     return self._error("remote write not enabled", 404)
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
+                    try:
+                        n = int(self.headers.get("Content-Length", "0"))
+                    except ValueError:
+                        return self._error("bad Content-Length", 400)
+                    if n <= 0:
+                        # a negative/zero length would turn read(n) into
+                        # read-until-EOF — the unbounded-body hole the
+                        # cap exists to close (ADVICE r4)
+                        return self._error("missing or non-positive "
+                                           "Content-Length", 400)
                     if n > MAX_WRITE_BODY:
                         # reject before reading: one oversized request
                         # must not be able to exhaust driver memory
@@ -148,6 +157,10 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
             try:
                 from filodb_spark import remote_read as rr
                 n = int(self.headers.get("Content-Length", "0"))
+                if n <= 0 or n > MAX_WRITE_BODY:
+                    # same guard as /write: negative lengths must not
+                    # become read-until-EOF (ADVICE r4)
+                    return self._error(f"bad Content-Length {n}", 400)
                 raw = self.rfile.read(n)
                 accepted = rr.decode_accepted_types(rr.snappy_decompress(raw))
                 if rr.STREAMED_XOR_CHUNKS in accepted:

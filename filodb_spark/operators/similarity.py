@@ -530,6 +530,41 @@ def _adc_dist(codes: Column, lut: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+_PQ_INTERNAL = ("vid", "v", "codes", "err2")
+
+
+def _validate_encoded(enc: DataFrame, m: int, n_codes: int,
+                      id_col: str, need_bucket: bool = False) -> None:
+    """Entry validation for prebuilt codes (pq_topk(encoded=) /
+    ivfpq_topk(index=)), which skip pq_encode's own checks: a stored
+    index built with different m/n_codes would otherwise zip_with-pad
+    to nulls or read past the LUT row — silently wrong distances
+    instead of an error (ADVICE r4). Cost: one map+aggregate pass over
+    (codes) — exact (a sampled row can miss an out-of-range code
+    elsewhere), run once per search against a prebuilt index."""
+    cols = enc.columns
+    if "codes" not in cols or id_col not in cols:
+        raise ValueError(f"prebuilt index must have ({id_col}, codes); "
+                         f"got {cols}")
+    if need_bucket and "_bucket" not in cols:
+        raise ValueError(f"prebuilt IVF x PQ index must carry _bucket; "
+                         f"got {cols}")
+    stats = enc.agg(
+        F.min(F.size("codes")).alias("m_lo"),
+        F.max(F.size("codes")).alias("m_hi"),
+        F.min(F.array_min("codes")).alias("c_lo"),
+        F.max(F.array_max("codes")).alias("c_hi")).first()
+    if stats["m_lo"] is None:
+        return                      # empty index — nothing to contradict
+    if stats["m_lo"] != m or stats["m_hi"] != m:
+        raise ValueError(f"prebuilt codes have m={stats['m_lo']}.."
+                         f"{stats['m_hi']} subspaces, search asked m={m}"
+                         " subspaces")
+    if stats["c_lo"] is None or stats["c_lo"] < 0 or stats["c_hi"] >= n_codes:
+        raise ValueError(f"prebuilt codes span [{stats['c_lo']}, "
+                         f"{stats['c_hi']}] outside [0, n_codes={n_codes})")
+
+
 def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
               id_col: str = "vec_id", vec_col: str = "embedding",
               codebook: DataFrame | None = None,
@@ -553,6 +588,10 @@ def pq_encode(corpus: DataFrame, m: int = 4, k: int = 4,
     map-only either way).
     """
     src = codebook if codebook is not None else corpus
+    for c in carry:
+        if c in _PQ_INTERNAL or (c.startswith("_c") and c[2:].isdigit()):
+            raise ValueError(f"carry column {c!r} collides with a "
+                             "pq_encode internal name")
     vecs = corpus.select(F.col(id_col).alias("vid"),
                          as_double(F.col(vec_col)).alias("v"), *carry)
     seed_rows = _pq_seeds(src, k, id_col, vec_col, round_to)
@@ -612,11 +651,16 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     result, typically read back from storage) to search prebuilt codes
     without re-encoding.
     """
+    if encoded is not None:
+        _validate_encoded(encoded, m, n_codes, id_col)
     enc = encoded if encoded is not None else pq_encode(
         corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
         codebook=codebook, round_to=round_to)
     seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
                           n_codes, id_col, vec_col, round_to)
+    dim = len(seed_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     q = queries.select(F.col(id_col).alias("qid"),
                        _pq_lut(seed_rows, m, vec_col).alias("_lut"))
     pairs = (enc.select(F.col(id_col).alias("nid"), "codes")
@@ -643,6 +687,11 @@ def ivfpq_index(corpus: DataFrame, m: int = 4, n_codes: int = 4,
     so searches prune file groups) and searches many times — encode
     cost amortizes to zero per query; ivfpq_topk(index=...) then scans
     codes only. At 100 TB of vectors the index is ~m bytes/vector."""
+    if "_bucket" in corpus.columns:
+        # withColumn would silently REPLACE a caller's _bucket and
+        # corrupt the stored index rather than fail (ADVICE r4)
+        raise ValueError("corpus already has a _bucket column; rename "
+                         "it before building an IVF x PQ index")
     b = sign_bucket(vec_col)
     return pq_encode(corpus.withColumn("_bucket", b), m=m, k=n_codes,
                      id_col=id_col, vec_col=vec_col, codebook=codebook,
@@ -687,11 +736,16 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             f"n_probes={n_probes} exceeds {_SIGN_BITS + 1} "
             "(identity probe + one single-bit flip per bucket bit)")
     b = sign_bucket(vec_col)
+    if index is not None:
+        _validate_encoded(index, m, n_codes, id_col, need_bucket=True)
     enc = index if index is not None else ivfpq_index(
         corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
         codebook=codebook, round_to=round_to)
     seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
                           n_codes, id_col, vec_col, round_to)
+    dim = len(seed_rows[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     probes = F.array(*[b.bitwiseXOR(0 if p == 0 else 1 << (p - 1))
                        for p in range(n_probes)])
     q = queries.select(F.col(id_col).alias("qid"),

@@ -117,6 +117,30 @@ class TestHttpWrite:
         finally:
             srv.shutdown()
 
+    def test_negative_content_length_400(self, spark):
+        """Content-Length: -1 must be rejected, not turned into
+        read-until-EOF (the unbounded-body hole — ADVICE r4)."""
+        import socket
+        from filodb_spark.http_server import serve
+        from filodb_spark.promql import PromQLEngine
+        buf = WriteBuffer(spark)
+        srv = serve(PromQLEngine(spark, buf.to_store()), write_buffer=buf)
+        host, port = srv.server_address
+        try:
+            for bad in (b"-1", b"0", b"garbage"):
+                s = socket.create_connection((host, port), timeout=60)
+                try:
+                    s.sendall(b"POST /api/v1/write HTTP/1.1\r\n"
+                              b"Host: t\r\nContent-Length: " + bad +
+                              b"\r\nConnection: close\r\n\r\n")
+                    status = s.recv(65536).decode().splitlines()[0]
+                    assert " 400 " in status, (bad, status)
+                finally:
+                    s.close()
+            assert buf.n_samples == 0
+        finally:
+            srv.shutdown()
+
     def test_write_disabled_404(self, spark):
         from filodb_spark.http_server import serve
         from filodb_spark.promql import PromQLEngine

@@ -296,3 +296,46 @@ class TestTopkRecall:
         out = {r.qid: r for r in topk_recall(approx, exact).collect()}
         assert (out[1].n_true, out[1].n_hit, out[1].recall) == (3, 2, round(2/3, 6))
         assert (out[2].n_true, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
+
+
+class TestPrebuiltIndexValidation:
+    """ADVICE r4: prebuilt-code entry points must reject indexes that
+    disagree with the search parameters instead of silently producing
+    null/wrong ADC distances."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_mismatched_m_raises(self, emb):
+        q = emb.where(F.col("vec_id") < 3)
+        idx = sim.ivfpq_index(emb, m=4, n_codes=4)
+        with pytest.raises(ValueError, match="subspaces"):
+            sim.ivfpq_topk(emb, q, k=3, m=2, n_codes=4, index=idx)
+
+    def test_out_of_range_codes_raise(self, emb):
+        q = emb.where(F.col("vec_id") < 3)
+        enc = sim.pq_encode(emb, m=4, k=4)
+        with pytest.raises(ValueError, match="n_codes=2"):
+            sim.pq_topk(emb, q, k=3, m=4, n_codes=2, encoded=enc)
+
+    def test_missing_bucket_raises(self, emb):
+        q = emb.where(F.col("vec_id") < 3)
+        enc = sim.pq_encode(emb, m=4, k=4)   # no _bucket carry
+        with pytest.raises(ValueError, match="_bucket"):
+            sim.ivfpq_topk(emb, q, k=3, m=4, n_codes=4, index=enc)
+
+    def test_missing_codes_column_raises(self, emb):
+        q = emb.where(F.col("vec_id") < 3)
+        with pytest.raises(ValueError, match="codes"):
+            sim.pq_topk(emb, q, k=3, encoded=emb.select("vec_id"))
+
+    def test_index_build_rejects_bucket_collision(self, emb):
+        with pytest.raises(ValueError, match="_bucket"):
+            sim.ivfpq_index(emb.withColumn("_bucket", F.lit(0)))
+
+    def test_encode_rejects_carry_collision(self, emb):
+        for bad in ("codes", "err2", "_c0"):
+            with pytest.raises(ValueError, match="collides"):
+                sim.pq_encode(emb.withColumn(bad, F.lit(1)),
+                              carry=(bad,))

@@ -194,8 +194,37 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     return similarity.topk_recall(approx, exact)
 
 
+IVFPQ_KMEANS = dict(m=4, n_codes=4, n_buckets=16, iterations=2,
+                    n_probes=1)   # fraction ~1/16 == sign-hash 4/64
+
+
+def q_ann_ivfpq_kmeans(spark, sf_dir):
+    """IVF x PQ over TRAINED coarse buckets (r4 verdict item 2):
+    deterministic portable k-means clusters replace the sign-hash
+    cells at the same candidate fraction (1/16) — measured recall@3
+    lift ~4-5x (scripts/recall_lift_ivfpq_kmeans.py). Exact oracle:
+    the SQL twin unrolls the Lloyd's rounds, probe ranking, PQ
+    encode and ADC bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_kmeans_topk(e, q, k=3, **IVFPQ_KMEANS)
+
+
+def q_ann_ivfpq_kmeans_recall(spark, sf_dir):
+    """Recall@3 of the trained-bucket IVF x PQ against the exact L2
+    baseline — compare ann_ivfpq_recall (sign-hash buckets, equal
+    candidate fraction) for the training lift."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk_l2(e, q, k=3)
+    approx = similarity.ivfpq_kmeans_topk(e, q, k=3, **IVFPQ_KMEANS)
+    return similarity.topk_recall(approx, exact)
+
+
 QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivfpq_kmeans": q_ann_ivfpq_kmeans,
+    "ann_ivfpq_kmeans_recall": q_ann_ivfpq_kmeans_recall,
     "emb_pq": q_emb_pq,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_recall": q_ann_pq_recall,
@@ -652,6 +681,114 @@ SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
        round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
 FROM ({_L2_EXACT}) ex
 LEFT JOIN ({_pq_adc_sql()}) ap
+  ON ex.qid = ap.qid AND ex.nid = ap.nid
+GROUP BY ex.qid"""
+
+def _ivfpq_kmeans_sql(K: int = 16, iterations: int = 2, m: int = 4,
+                      n_codes: int = 4, n_probes: int = 1,
+                      topk: int = 3, dim: int = 64) -> str:
+    """ivfpq_kmeans_topk's oracle: _pq_sql's codebook/encode chain plus
+    the unrolled deterministic Lloyd's rounds (same pattern as
+    _kmeans_portable_sql, renamed ke/kc*/ka* to coexist with the PQ
+    CTEs), nearest-n_probes centroid probing per query by the same
+    (d2, cluster) order, candidates joined on cluster, ADC-scored."""
+    sub = dim // m
+    base = _pq_sql(m, n_codes, dim)
+    with_part = base[:base.rindex("\nSELECT vec_id,")]
+
+    def kassign(i: int, cent: str) -> str:
+        return f""",
+ka{i} AS (
+  SELECT vid, v, cluster FROM (
+    SELECT ke.vid, ke.v, s.cluster,
+           row_number() OVER (
+             PARTITION BY ke.vid
+             ORDER BY list_inner_product(ke.v, ke.v)
+                      - 2 * list_inner_product(ke.v, s.c)
+                      + list_inner_product(s.c, s.c), s.cluster) AS rk
+    FROM ke CROSS JOIN {cent} s)
+  WHERE rk = 1
+)"""
+
+    def kupdate(i: int, members: str) -> str:
+        return f""",
+kc{i} AS (
+  SELECT cluster, list(mu ORDER BY pos) AS c
+  FROM (
+    SELECT cluster, u.pos AS pos, round(avg(u.x), 6) AS mu
+    FROM (SELECT cluster,
+                 unnest(list_transform(range(1, len(v) + 1),
+                                       i -> {{'pos': i, 'x': v[i]}})) AS u
+          FROM {members})
+    GROUP BY cluster, u.pos)
+  GROUP BY cluster
+)"""
+
+    parts = [with_part, f""",
+ke AS (SELECT vec_id AS vid, v FROM e),
+kc0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cluster,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT vid, v FROM ke ORDER BY vid LIMIT {K})
+)"""]
+    for i in range(iterations):
+        parts.append(kassign(i, f"kc{i}"))
+        parts.append(kupdate(i + 1, f"ka{i}"))
+    parts.append(kassign(iterations, f"kc{iterations}"))
+    codes_sel = ", ".join(f"best{j}.c{j} AS c{j}" for j in range(m))
+    codes_frm = "best0" + "".join(f" JOIN best{j} USING (vec_id)"
+                                  for j in range(1, m))
+    dterms, cbjoins = [], []
+    for j in range(m):
+        a, b = j * sub + 1, (j + 1) * sub
+        cbjoins.append(f" JOIN cb cb{j} ON cb{j}.code = n.c{j}")
+        dterms.append(
+            f"list_inner_product(qv.qv[{a}:{b}], qv.qv[{a}:{b}])"
+            f" - 2 * list_inner_product(qv.qv[{a}:{b}], cb{j}.c[{a}:{b}])"
+            f" + list_inner_product(cb{j}.c[{a}:{b}], cb{j}.c[{a}:{b}])")
+    parts.append(f""",
+codes AS (SELECT best0.vec_id, {codes_sel} FROM {codes_frm}),
+qp AS (
+  SELECT vid AS qid, cluster FROM (
+    SELECT ke.vid, s.cluster,
+           row_number() OVER (
+             PARTITION BY ke.vid
+             ORDER BY list_inner_product(ke.v, ke.v)
+                      - 2 * list_inner_product(ke.v, s.c)
+                      + list_inner_product(s.c, s.c), s.cluster) AS rk
+    FROM ke CROSS JOIN kc{iterations} s WHERE ke.vid < 10)
+  WHERE rk <= {n_probes}
+),
+qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT qp.qid, af.vid AS nid,
+         round({" + ".join(dterms)}, 6) AS adist2
+  FROM qp JOIN ka{iterations} af ON af.cluster = qp.cluster
+       JOIN qv ON qv.qid = qp.qid
+       JOIN codes n ON n.vec_id = af.vid{''.join(cbjoins)}
+  WHERE af.vid <> qp.qid
+),
+rk AS (
+  SELECT qid, nid, adist2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist2, nid) AS rank
+  FROM scored
+)
+SELECT qid, nid, rank, adist2 FROM rk WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+ORACLES["ann_ivfpq_kmeans"] = _ivfpq_kmeans_sql(
+    K=IVFPQ_KMEANS["n_buckets"], iterations=IVFPQ_KMEANS["iterations"],
+    m=IVFPQ_KMEANS["m"], n_codes=IVFPQ_KMEANS["n_codes"],
+    n_probes=IVFPQ_KMEANS["n_probes"])
+
+ORACLES["ann_ivfpq_kmeans_recall"] = f"""
+SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(ap.nid) AS BIGINT) AS n_hit,
+       round(count(ap.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ({_L2_EXACT}) ex
+LEFT JOIN ({ORACLES["ann_ivfpq_kmeans"]}) ap
   ON ex.qid = ap.qid AND ex.nid = ap.nid
 GROUP BY ex.qid"""
 

@@ -410,19 +410,27 @@ def _kmeans_assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]],
     dist2 uses the inner-product decomposition |v|^2 - 2 v.c + |c|^2 with
     sequential folds so any engine's sequential inner product reproduces
     the bit pattern (same trick as the ANN oracles)."""
-    vnorm = norm_sq(F.col("v"))
+    best = F.array_min(_centroid_dist_structs(F.col("v"), centroids))
+    return vecs.select("vid", "v", best["cluster"].alias("cluster"),
+                       best["d2"].alias("d2"))
+
+
+def _centroid_dist_structs(v: Column, centroids) -> Column:
+    """array<struct(d2, cluster)> of exact squared-L2 distances from `v`
+    to every literal centroid — the join-free broadcast-small-side shape
+    shared by assignment (array_min) and probing (array_sort + slice).
+    Struct field order (d2, cluster) IS the tie-break."""
+    vnorm = norm_sq(v)
     cands = []
     for j, c in centroids:
         c_lit = F.array(*[F.lit(float(x)) for x in c])
         cnorm = 0.0
         for x in c:                  # same left-to-right fold as the SQL
             cnorm += float(x) * float(x)
-        d2 = vnorm - 2.0 * dot(F.col("v"), c_lit) + F.lit(cnorm)
+        d2 = vnorm - 2.0 * dot(v, c_lit) + F.lit(cnorm)
         cands.append(F.struct(d2.alias("d2"),
                               F.lit(int(j)).alias("cluster")))
-    best = F.array_min(F.array(*cands))
-    return vecs.select("vid", "v", best["cluster"].alias("cluster"),
-                       best["d2"].alias("d2"))
+    return F.array(*cands)
 
 
 def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
@@ -449,6 +457,26 @@ def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
 
     Output: (id, cluster, dist2) with dist2 rounded to `round_to`.
     """
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_fit_portable(corpus, k=k, iterations=iterations,
+                                id_col=id_col, vec_col=vec_col,
+                                round_to=round_to)
+    final = _kmeans_assign(vecs, cents)
+    return final.select(F.col("vid").alias(id_col), "cluster",
+                        F.round("d2", round_to).alias("dist2"))
+
+
+def kmeans_fit_portable(corpus: DataFrame, k: int = 4,
+                        iterations: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_to: int = 6) -> list:
+    """The fit half of kmeans_portable: run the deterministic Lloyd's
+    rounds and return the FINAL centroid list [(cluster, [floats])] —
+    the reusable trained model (bounded driver state: k x dim floats)
+    that kmeans_portable assigns with and ivfpq_kmeans_topk buckets
+    with. Clusters that lose all members drop out, mirrored by the
+    oracle's per-round GROUP BY."""
     vecs = corpus.select(F.col(id_col).alias("vid"),
                          as_double(F.col(vec_col)).alias("v"))
     # round via Spark (HALF_UP), not Python (HALF_EVEN) — the oracle's
@@ -478,9 +506,7 @@ def kmeans_portable(corpus: DataFrame, k: int = 4, iterations: int = 2,
                .collect())
         cents = sorted((r["cluster"], [r[f"_m{p}"] for p in range(dim)])
                        for r in upd)
-    final = _kmeans_assign(vecs, cents)
-    return final.select(F.col("vid").alias(id_col), "cluster",
-                        F.round("d2", round_to).alias("dist2"))
+    return cents
 
 
 def _pq_seeds(src: DataFrame, k: int, id_col: str, vec_col: str,
@@ -751,6 +777,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     q = queries.select(F.col(id_col).alias("qid"),
                        _pq_lut(seed_rows, m, vec_col).alias("_lut"),
                        F.explode(probes).alias("_bucket"))
+    return _adc_bucket_rank(enc, q, k, id_col, round_to)
+
+
+def _adc_bucket_rank(enc: DataFrame, q: DataFrame, k: int,
+                     id_col: str, round_to: int) -> DataFrame:
+    """Shared IVF x PQ search tail: codes side (id, codes, _bucket)
+    equi-joined against the broadcast query side (qid, _lut, _bucket),
+    ADC-scored, window-ranked to top-k. The shuffled candidate width is
+    m ints + the LUT ride-along — never the raw vectors."""
     pairs = (enc.select(F.col(id_col).alias("nid"), "codes", "_bucket")
              .join(broadcast(q), "_bucket")
              .where(F.col("nid") != F.col("qid")))
@@ -763,6 +798,83 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("qid", "nid", "rank", "adist2"))
+
+
+def kmeans_bucket_col(centroids: list, vec_col: str) -> Column:
+    """Nearest-centroid cluster id as a plain Column: literal centroids
+    baked into a join-free argmin (array_min over (d2, cluster)
+    structs) — the same exact decomposition as _kmeans_assign, usable
+    as an ivfpq carry/bucket expression."""
+    v = as_double(F.col(vec_col))
+    return F.array_min(_centroid_dist_structs(v, centroids))["cluster"]
+
+
+def kmeans_probe_col(centroids: list, vec_col: str,
+                     n_probes: int) -> Column:
+    """The n_probes nearest centroid ids for a query vector, nearest
+    first: array_sort over the same (d2, cluster) structs — struct
+    field order IS the (distance, cluster) tie-break — then slice +
+    project. Join-free; explodes to one row per probed bucket."""
+    v = as_double(F.col(vec_col))
+    ranked = F.array_sort(_centroid_dist_structs(v, centroids))
+    return F.transform(F.slice(ranked, 1, n_probes),
+                       lambda s: s["cluster"])
+
+
+def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                      m: int = 4, n_codes: int = 4,
+                      n_buckets: int = 16, iterations: int = 2,
+                      n_probes: int = 1,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      codebook: DataFrame | None = None,
+                      centroids: list | None = None,
+                      round_to: int = 6) -> DataFrame:
+    """IVF x PQ with TRAINED coarse buckets (r4 verdict item 2): the
+    coarse layer is the deterministic portable k-means of
+    kmeans_fit_portable instead of sign-hash cells — measured on the
+    fixture, trained buckets lift recall@3 well above sign-hash at the
+    SAME candidate fraction (sign-hash partitions by quadrant, k-means
+    by density; see scripts/recall_lift_ivfpq_kmeans.py / PERF.md).
+
+    Fully oracle-exact end to end: deterministic centroids (lowest-id
+    seeds, per-round rounding), exact argmin bucket assignment, exact
+    array_sort probe ranking by (d2, cluster), deterministic PQ
+    codebook, left-fold ADC — every stage is the SQL twin's stage.
+
+    Plan shape: ONE map-only corpus projection emits (id, m int codes,
+    cluster) — assignment and encode are both literal-expression math,
+    no fit join, no floats past the scan; queries ride a broadcast
+    carrying LUT + probe list; one equi-join on cluster; one window
+    top-k. Probe fraction ≈ n_probes/n_buckets (by mass of the actual
+    cluster sizes). At 100 TB: fit on a sample (the centroid model is
+    k x dim floats of driver state, MLlib-equivalent), assignment stays
+    map-only.
+
+    Output: (qid, nid, rank, adist2) — the ivfpq_topk contract."""
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    if "_bucket" in corpus.columns:
+        raise ValueError("corpus already has a _bucket column; rename "
+                         "it before building an IVF x PQ index")
+    cents = centroids if centroids is not None else kmeans_fit_portable(
+        corpus, k=n_buckets, iterations=iterations, id_col=id_col,
+        vec_col=vec_col, round_to=round_to)
+    if n_probes > len(cents):
+        raise ValueError(f"n_probes={n_probes} exceeds the "
+                         f"{len(cents)} trained buckets")
+    enc = pq_encode(corpus.withColumn("_bucket",
+                                      kmeans_bucket_col(cents, vec_col)),
+                    m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+                    codebook=codebook, round_to=round_to,
+                    carry=("_bucket",))
+    seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
+                          n_codes, id_col, vec_col, round_to)
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _pq_lut(seed_rows, m, vec_col).alias("_lut"),
+                       F.explode(kmeans_probe_col(cents, vec_col,
+                                                  n_probes))
+                       .alias("_bucket"))
+    return _adc_bucket_rank(enc, q, k, id_col, round_to)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",

@@ -339,3 +339,82 @@ class TestPrebuiltIndexValidation:
             with pytest.raises(ValueError, match="collides"):
                 sim.pq_encode(emb.withColumn(bad, F.lit(1)),
                               carry=(bad,))
+
+
+class TestIvfPqKmeans:
+    """IVF x PQ over trained (portable k-means) coarse buckets."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def cents(self, emb):
+        return sim.kmeans_fit_portable(emb, k=16, iterations=2)
+
+    def test_candidates_share_probed_cluster(self, emb, cents):
+        """At n_probes=1 every returned neighbor must live in the
+        query's own nearest cluster — the coarse layer gates."""
+        q = emb.where(F.col("vec_id") < 10)
+        out = sim.ivfpq_kmeans_topk(emb, q, k=100, n_buckets=16,
+                                    n_probes=1, centroids=cents)
+        asg = emb.select(
+            F.col("vec_id"),
+            sim.kmeans_bucket_col(cents, "embedding").alias("c"))
+        cmap = {r["vec_id"]: r["c"] for r in asg.collect()}
+        rows = out.collect()
+        assert rows
+        for r in rows:
+            assert cmap[r["nid"]] == cmap[r["qid"]]
+
+    def test_beats_sign_hash_at_equal_fraction(self, emb, cents):
+        """The whole point: trained buckets must beat sign-hash at the
+        same candidate budget (1/16 == 4/64). Measured 0.167 vs 0.033
+        on this fixture — floors are conservative."""
+        q = emb.where(F.col("vec_id") < 10)
+        exact = sim.brute_force_topk_l2(emb, q, k=3)
+        km = sim.topk_recall(
+            sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                  n_probes=1, centroids=cents),
+            exact).agg(F.avg("recall")).first()[0]
+        sh = sim.topk_recall(
+            sim.ivfpq_topk(emb, q, k=3, n_probes=4),
+            exact).agg(F.avg("recall")).first()[0]
+        assert km > sh
+        assert km >= 0.10
+
+    def test_centroid_reuse_matches_refit(self, emb, cents):
+        q = emb.where(F.col("vec_id") < 5)
+        a = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+             sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                   centroids=cents).collect()}
+        b = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+             sim.ivfpq_kmeans_topk(emb, q, k=3,
+                                   n_buckets=16).collect()}
+        assert a == b
+
+    def test_probe_bounds(self, emb, cents):
+        q = emb.limit(1)
+        with pytest.raises(ValueError, match="n_probes"):
+            sim.ivfpq_kmeans_topk(emb, q, k=3, n_probes=0,
+                                  centroids=cents)
+        with pytest.raises(ValueError, match="n_probes"):
+            sim.ivfpq_kmeans_topk(emb, q, k=3, centroids=cents,
+                                  n_probes=len(cents) + 1)
+
+    def test_bucket_collision_raises(self, emb, cents):
+        with pytest.raises(ValueError, match="_bucket"):
+            sim.ivfpq_kmeans_topk(emb.withColumn("_bucket", F.lit(0)),
+                                  emb.limit(1), k=3, centroids=cents)
+
+    def test_fit_matches_kmeans_portable_assignment(self, emb):
+        """kmeans_fit_portable + _kmeans_assign must equal the original
+        kmeans_portable end-to-end (the refactor is behavior-neutral)."""
+        full = {(r["vec_id"], r["cluster"]) for r in
+                sim.kmeans_portable(emb, k=4, iterations=2).collect()}
+        cents4 = sim.kmeans_fit_portable(emb, k=4, iterations=2)
+        asg = emb.select(
+            F.col("vec_id"),
+            sim.kmeans_bucket_col(cents4, "embedding").alias("cluster"))
+        refit = {(r["vec_id"], r["cluster"]) for r in asg.collect()}
+        assert full == refit

@@ -194,6 +194,31 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     return similarity.topk_recall(approx, exact)
 
 
+def q_ann_ivfpq_stored(spark, sf_dir):
+    """The stored-index lifecycle end to end (r4 verdict item 5):
+    ivfpq_index -> bucketed catalog table (ivfpq_write_index) -> read
+    back pre-filtered to the queries' probe buckets (computed up front
+    via sign_probe_buckets, so the literal IN-filter bucket-prunes the
+    files — SelectedBucketsCount asserted in tests/test_plans.py) ->
+    ivfpq_topk(index=...). Results are identical to the direct search,
+    so the oracle is ann_ivfpq_topk's — what's under test is that the
+    parquet round trip + probe pre-filter preserve them exactly.
+    The probe-list collect is |Q| x n_probes ints of driver state (the
+    query-router footprint, not a data-path collect)."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    tbl = "ivfpq_stored_" + "".join(
+        c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    similarity.ivfpq_write_index(similarity.ivfpq_index(e), tbl)
+    probe_ids = sorted({b for r in q.select(
+        similarity.sign_probe_buckets("embedding", IVFPQ_PROBES)
+        .alias("p")).collect() for b in r["p"]})
+    stored = similarity.ivfpq_read_index(spark, tbl,
+                                         probe_buckets=probe_ids)
+    return similarity.ivfpq_topk(e, q, k=3, m=4, n_codes=4,
+                                 n_probes=IVFPQ_PROBES, index=stored)
+
+
 IVFPQ_KMEANS = dict(m=4, n_codes=4, n_buckets=16, iterations=2,
                     n_probes=1)   # fraction ~1/16 == sign-hash 4/64
 
@@ -225,6 +250,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivfpq_kmeans": q_ann_ivfpq_kmeans,
     "ann_ivfpq_kmeans_recall": q_ann_ivfpq_kmeans_recall,
+    "ann_ivfpq_stored": q_ann_ivfpq_stored,
     "emb_pq": q_emb_pq,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_recall": q_ann_pq_recall,
@@ -793,6 +819,8 @@ LEFT JOIN ({ORACLES["ann_ivfpq_kmeans"]}) ap
 GROUP BY ex.qid"""
 
 ORACLES["ann_ivfpq_topk"] = _pq_adc_sql(n_probes=IVFPQ_PROBES)
+# the stored-index round trip must reproduce the direct search exactly
+ORACLES["ann_ivfpq_stored"] = ORACLES["ann_ivfpq_topk"]
 ORACLES["ann_ivfpq_recall"] = f"""
 SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_true,
        CAST(count(ap.nid) AS BIGINT) AS n_hit,

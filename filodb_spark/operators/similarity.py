@@ -724,6 +724,53 @@ def ivfpq_index(corpus: DataFrame, m: int = 4, n_codes: int = 4,
                      round_to=round_to, carry=("_bucket",))
 
 
+def sign_probe_buckets(vec_col: str, n_probes: int) -> Column:
+    """The XOR multi-probe bucket list for a query vector as an array
+    Column: its own sign bucket plus one single-bit flip per additional
+    probe (probe p flips bit p-1). The same expression ivfpq_topk uses
+    internally — exposed so a query router can compute probe lists
+    up front (e.g. to push a `_bucket IN (...)` filter into a stored
+    bucketed index and prune files at planning time)."""
+    if n_probes > _SIGN_BITS + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds {_SIGN_BITS + 1} "
+            "(identity probe + one single-bit flip per bucket bit)")
+    b = sign_bucket(vec_col)
+    return F.array(*[b.bitwiseXOR(0 if p == 0 else 1 << (p - 1))
+                     for p in range(n_probes)])
+
+
+def ivfpq_write_index(index: DataFrame, table_name: str,
+                      n_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Persist an ivfpq_index result as a hash-bucketed, bucket-sorted
+    catalog table: a probe-list filter (`_bucket IN (...)`) then prunes
+    to the probed file buckets at PLANNING time (SelectedBucketsCount
+    in the scan — unprobed files never open their footers), the same
+    storage trick write_series_table_bucketed plays for metric lookups
+    (sources/table.py). One shuffle at write time (repartition by
+    _bucket so each file holds whole buckets); searches amortize it
+    forever. Requires saveAsTable — bucket metadata lives in the
+    catalog."""
+    (index.repartition(F.col("_bucket"))
+          .write.mode(mode)
+          .bucketBy(n_buckets, "_bucket")
+          .sortBy("_bucket")
+          .format("parquet")
+          .saveAsTable(table_name))
+
+
+def ivfpq_read_index(spark, table_name: str,
+                     probe_buckets=None) -> DataFrame:
+    """Read a stored IVF x PQ index back, optionally pre-filtered to a
+    probe-bucket list (computed up front via sign_probe_buckets) so the
+    literal IN-filter reaches the scan and bucket-prunes the files."""
+    df = spark.table(table_name)
+    if probe_buckets is not None:
+        df = df.where(F.col("_bucket")
+                      .isin([int(b) for b in probe_buckets]))
+    return df
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                m: int = 4, n_codes: int = 4, n_probes: int = 4,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -757,11 +804,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     only (id, codes, _bucket) is scanned. The codebook source (corpus
     or `codebook`) must be the one the index was built with.
     """
-    if n_probes > _SIGN_BITS + 1:
-        raise ValueError(
-            f"n_probes={n_probes} exceeds {_SIGN_BITS + 1} "
-            "(identity probe + one single-bit flip per bucket bit)")
-    b = sign_bucket(vec_col)
+    probes = sign_probe_buckets(vec_col, n_probes)
     if index is not None:
         _validate_encoded(index, m, n_codes, id_col, need_bucket=True)
     enc = index if index is not None else ivfpq_index(
@@ -772,8 +815,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    probes = F.array(*[b.bitwiseXOR(0 if p == 0 else 1 << (p - 1))
-                       for p in range(n_probes)])
     q = queries.select(F.col(id_col).alias("qid"),
                        _pq_lut(seed_rows, m, vec_col).alias("_lut"),
                        F.explode(probes).alias("_bucket"))

@@ -593,3 +593,44 @@ class TestRetentionLadder:
             now_ms=t0 + 100 * day,
             tiers=((3600 * 1000, "1h", 1),), raw_keep_days=1)
         assert stats["1h"] == 0
+
+
+class TestIvfPqStoredIndex:
+    """ivfpq_write_index/ivfpq_read_index: a probe-list IN-filter on the
+    stored bucketed index must prune file buckets at planning time
+    (SelectedBucketsCount) — unprobed index files never open."""
+
+    TBL = "t_ivfpq_plan_test"
+
+    def test_probe_filter_prunes_buckets_and_preserves_results(self, spark):
+        import re
+        from filodb_spark.operators import similarity as sim
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        try:
+            sim.ivfpq_write_index(sim.ivfpq_index(emb), self.TBL,
+                                  n_buckets=64)
+            pruned = sim.ivfpq_read_index(spark, self.TBL,
+                                          probe_buckets=[3, 7, 11, 15])
+            m = re.search(r"SelectedBucketsCount: (\d+) out of 64",
+                          plan_of(pruned))
+            assert m is not None
+            assert 1 <= int(m.group(1)) <= 4   # <=: value-hash collisions
+            # no filter -> no pruning claim in the plan
+            assert "SelectedBucketsCount: 4 out of" not in plan_of(
+                sim.ivfpq_read_index(spark, self.TBL))
+            # the pre-filtered stored search equals the direct search
+            q = emb.where(F.col("vec_id") < 10)
+            probes = sorted({b for r in q.select(
+                sim.sign_probe_buckets("embedding", 4).alias("p"))
+                .collect() for b in r["p"]})
+            stored = sim.ivfpq_read_index(spark, self.TBL,
+                                          probe_buckets=probes)
+            direct = {(r["qid"], r["nid"]): (r["rank"], r["adist2"])
+                      for r in sim.ivfpq_topk(emb, q, k=3).collect()}
+            via = {(r["qid"], r["nid"]): (r["rank"], r["adist2"])
+                   for r in sim.ivfpq_topk(emb, q, k=3,
+                                           index=stored).collect()}
+            assert via == direct
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {self.TBL}")

@@ -50,15 +50,27 @@ def _uvarint(n: int) -> bytes:
 
 
 def _read_uvarint(buf: bytes, i: int) -> tuple[int, int]:
+    """Strict uvarint: raises ValueError on truncation (continuation
+    bit set at end of buffer) and on encodings longer than the 10
+    bytes a 64-bit value can need — a malformed field must fail
+    cleanly, never mis-parse or scan past the message (fuzz battery:
+    tests/test_remote_write_fuzz.py)."""
     shift = 0
     val = 0
     while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift
         if not b & 0x80:
-            return val, i
+            # take the low 64 bits like every conformant protobuf
+            # decoder: a 10th byte with garbage high bits must not
+            # overflow downstream to_bytes(8) calls
+            return val & (1 << 64) - 1, i
         shift += 7
+        if shift > 63:
+            raise ValueError("over-long varint (>10 bytes)")
 
 
 def _field(num: int, wire: int) -> bytes:
@@ -72,21 +84,36 @@ def _len_delim(num: int, payload: bytes) -> bytes:
 def _iter_fields(buf: bytes):
     """Yield (field_number, wire_type, value) over a message body.
     value: int for varint(0)/fixed64(1, raw little-endian int),
-    bytes for length-delimited(2)."""
+    bytes for length-delimited(2).
+
+    Strict: field number 0 is illegal in protobuf, and a fixed-width
+    or length-delimited payload that runs past the buffer raises
+    instead of silently truncating (a Python slice would hand back a
+    SHORT value — a mis-parse, not an error)."""
     i = 0
     while i < len(buf):
         key, i = _read_uvarint(buf, i)
         num, wire = key >> 3, key & 7
+        if num == 0:
+            raise ValueError("illegal field number 0")
         if wire == 0:
             val, i = _read_uvarint(buf, i)
         elif wire == 1:
+            if i + 8 > len(buf):
+                raise ValueError("truncated fixed64")
             val = int.from_bytes(buf[i:i + 8], "little")
             i += 8
         elif wire == 2:
             ln, i = _read_uvarint(buf, i)
+            if ln > len(buf) - i:
+                raise ValueError(
+                    f"length-delimited field claims {ln} bytes, "
+                    f"{len(buf) - i} remain")
             val = buf[i:i + ln]
             i += ln
         elif wire == 5:
+            if i + 4 > len(buf):
+                raise ValueError("truncated fixed32")
             val = int.from_bytes(buf[i:i + 4], "little")
             i += 4
         else:
@@ -134,26 +161,37 @@ def snappy_decompress(data: bytes) -> bytes:
             n = tag >> 2
             if n >= 60:                   # 60/61/62/63 → 1/2/3/4 length bytes
                 nbytes = n - 59
+                if i + nbytes > len(data):
+                    raise ValueError("snappy: truncated literal length")
                 n = int.from_bytes(data[i:i + nbytes], "little")
                 i += nbytes
             n += 1
+            if i + n > len(data):
+                raise ValueError("snappy: truncated literal body")
             out += data[i:i + n]
             i += n
         else:                             # copy
             if kind == 1:
+                nbytes = 1
+            elif kind == 2:
+                nbytes = 2
+            else:
+                nbytes = 4
+            if i + nbytes > len(data):
+                raise ValueError("snappy: truncated copy offset")
+            if kind == 1:
                 n = ((tag >> 2) & 7) + 4
                 off = ((tag >> 5) << 8) | data[i]
-                i += 1
             elif kind == 2:
                 n = (tag >> 2) + 1
                 off = int.from_bytes(data[i:i + 2], "little")
-                i += 2
             else:
                 n = (tag >> 2) + 1
                 off = int.from_bytes(data[i:i + 4], "little")
-                i += 4
-            if off == 0:
-                raise ValueError("snappy: zero copy offset")
+            i += nbytes
+            if off == 0 or off > len(out):
+                raise ValueError(f"snappy: copy offset {off} outside "
+                                 f"the {len(out)} decoded bytes")
             for _ in range(n):            # byte-wise: offsets may overlap
                 out.append(out[-off])
     if len(out) != total:

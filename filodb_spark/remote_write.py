@@ -65,14 +65,21 @@ def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
     """Raw (uncompressed) WriteRequest bytes ->
     [(labels dict, [(ts_ms, value), ...]), ...]."""
     out = []
-    for num, _, val in _iter_fields(raw):
+    for num, wire, val in _iter_fields(raw):
         if num != 1:
             continue
+        if wire != 2:   # a TimeSeries is length-delimited, nothing else
+            raise ValueError(f"WriteRequest.timeseries has wire {wire}")
         labels, samples = {}, []
-        for tn, _, tv in _iter_fields(val):
+        for tn, tw, tv in _iter_fields(val):
+            if tn in (1, 2) and tw != 2:
+                raise ValueError(f"TimeSeries field {tn} has wire {tw}")
             if tn == 1:
                 name = value = ""
-                for ln, _, lv in _iter_fields(tv):
+                for ln, lw, lv in _iter_fields(tv):
+                    if ln in (1, 2) and lw != 2:
+                        raise ValueError(f"Label field {ln} has "
+                                         f"wire {lw}")
                     if ln == 1:
                         name = lv.decode()
                     elif ln == 2:
@@ -80,11 +87,17 @@ def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
                 labels[name] = value
             elif tn == 2:
                 v, ts = 0.0, 0
-                for sn, _, sv in _iter_fields(tv):
+                for sn, sw, sv in _iter_fields(tv):
                     if sn == 1:
+                        if sw != 1:
+                            raise ValueError("Sample.value must be "
+                                             f"fixed64, got wire {sw}")
                         v = struct.unpack("<d",
                                           sv.to_bytes(8, "little"))[0]
                     elif sn == 2:
+                        if sw != 0:
+                            raise ValueError("Sample.timestamp must be "
+                                             f"varint, got wire {sw}")
                         # sign-extend: a real prompb negative int64
                         # arrives as a 10-byte two's-complement varint
                         ts = sv - (1 << 64) if sv >= 1 << 63 else sv

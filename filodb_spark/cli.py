@@ -7,6 +7,9 @@ Usage:
   python -m filodb_spark.cli labels --store <path>
   python -m filodb_spark.cli label-values --store <path> --label job
   python -m filodb_spark.cli series --store <path> --match 'm{job="x"}'
+  python -m filodb_spark.cli label-cardinality --store <path> [--match m]
+  python -m filodb_spark.cli ts-cardinality --store <path> \
+      [--group-by __name__,job] [--active-after epoch_ms]
   python -m filodb_spark.cli serve  --store <path> [--port 9090] \
       [--token T] [--tls-cert c.pem --tls-key k.pem] [--enable-remote-write]
 
@@ -55,13 +58,21 @@ def main(argv=None) -> int:
     sv.add_argument("--tls-key", default=None)
     sv.add_argument("--enable-remote-write", action="store_true")
 
-    for name in ("labels", "label-values", "series"):
+    for name in ("labels", "label-values", "series",
+                 "label-cardinality", "ts-cardinality"):
         p = sub.add_parser(name)
         p.add_argument("--store", required=True)
         if name == "label-values":
             p.add_argument("--label", required=True)
         if name == "series":
             p.add_argument("--match", required=True)
+        if name == "ts-cardinality":
+            # CliMain.scala's tsCard surface: shard-key prefix grouping
+            # + active split, mirrored from the HTTP route
+            p.add_argument("--group-by", default="__name__",
+                           help="comma-separated label names")
+            p.add_argument("--active-after", type=int, default=None,
+                           help="epoch ms; adds active_series counts")
         p.add_argument("--match" if name != "series" else "--unused",
                        required=False, default=None, dest="match_opt")
 
@@ -113,6 +124,14 @@ def main(argv=None) -> int:
     elif args.cmd == "label-values":
         out = [r["value"] for r in
                md.label_values(store, args.label, args.match_opt).collect()]
+    elif args.cmd == "label-cardinality":
+        out = [{"label": r["label"], "cardinality": r["cardinality"]}
+               for r in md.label_cardinality(store,
+                                             args.match_opt).collect()]
+    elif args.cmd == "ts-cardinality":
+        rows = md.ts_cardinality(store, tuple(args.group_by.split(",")),
+                                 args.active_after).collect()
+        out = [r.asDict() for r in rows]
     else:
         out = [dict(r["labels"]) for r in
                md.series(store, args.match).collect()]

@@ -37,6 +37,29 @@ class TestCli:
         assert json.loads(out) == ["click", "error", "purchase",
                                    "signup", "view"]
 
+    def test_label_cardinality(self, spark):
+        """CliMain.scala's cardinality surface, mirrored from the HTTP
+        status routes (r4 verdict item 8)."""
+        rc, out = run_cli(["label-cardinality", "--store", STORE])
+        assert rc == 0
+        rows = {r["label"]: r["cardinality"] for r in json.loads(out)}
+        assert rows["__name__"] == 5      # five event types
+        assert rows["user"] >= 1
+
+    def test_ts_cardinality(self, spark):
+        rc, out = run_cli(["ts-cardinality", "--store", STORE,
+                           "--group-by", "__name__"])
+        assert rc == 0
+        rows = {r["__name__"]: r["total_series"] for r in json.loads(out)}
+        assert set(rows) == {"click", "error", "purchase", "signup",
+                             "view"}
+        # active split: everything is active after ts=0
+        rc, out = run_cli(["ts-cardinality", "--store", STORE,
+                           "--group-by", "__name__",
+                           "--active-after", "0"])
+        for r in json.loads(out):
+            assert r["active_series"] == r["total_series"]
+
     def test_series(self, spark):
         rc, out = run_cli(["series", "--store", STORE,
                            "--match", 'purchase{user="3"}'])

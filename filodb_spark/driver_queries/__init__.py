@@ -23,40 +23,46 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 4's window
+    # covers the first 50 registered queries per round. Round 5's window
     # (scripts/gate_hygiene.py computes the never-gated list):
-    #   1-30  every query with no driver CORRECTNESS row in any round
-    #         (the round-3 late additions; all exact oracles, all passing
-    #         scripts/check_oracle.py at sf0.001 and sf0.01),
-    #   31    emb_quantize re-gated after the r3 array-output contract fix
-    #         (codes array<int> -> codes_csv; same fix applied to emb_pq
-    #         and pl_url_filter above before their first gating),
-    #   32-50 regression canaries: the six displaced in r3 plus
-    #         one-per-family picks (each already driver-green in r1-r3).
+    #   1-3   the three round-4 additions — the only queries with no
+    #         driver CORRECTNESS row after r4 (r4 verdict item 1),
+    #   4-6   the three round-5 additions the r4 verdict itself mandated
+    #         (items 2 and 5: k-means-bucketed IVFPQ x2, stored-index
+    #         lifecycle) — gated in their own round so the never-gated
+    #         list stays empty; all pre-verified exact at
+    #         sf0.001/0.01/0.1 via scripts/check_oracle.py,
+    #   7-50  regression canaries favoring queries driver-gated exactly
+    #         ONCE, oldest gate round first (r1 ts_*, r2 tpch/doc, r2-r3
+    #         others), spread across every family.
     window = [
-        # never-gated (round-3 late additions)
-        "doc_split_leakage", "doc_chunks", "doc_unigram_lp",
-        "doc_bigram_lp", "doc_lsh_verify", "doc_dedup_keep",
-        "doc_tokenizer_fertility",
-        "emb_pq", "ann_pq_topk", "ann_pq_recall",
-        "emb_kmeans", "emb_kmeans_summary", "ann_filtered",
-        "ann_recall_curve", "emb_outliers",
-        "ev_anomalies", "ev_rolling", "ev_rfm", "ev_funnel",
-        "ev_funnel_summary", "ev_cohort_retention", "ev_transitions",
-        "pq_trig", "ts_remote_write_roundtrip",
-        "pl_token_budget", "pl_dedup_incremental", "pl_dataset_diff",
-        "pl_url_filter", "pl_source_divergence", "pl_length_quantiles",
-        # re-gate after the array-output contract fix (r3 verdict item 1)
-        "emb_quantize",
-        # canaries displaced by the r3 six-swap
-        "ev_gap_fill", "doc_dedup_exact", "doc_minhash_portable",
-        "ann_ivf_portable", "emb_near_dup", "ds_cascade",
-        # one-per-family canaries
-        "ts_rate", "ts_agg_sum_rate", "ts_hist_quantile",
-        "tpch_q1", "tpch_q5", "tpch_q12",
-        "ev_sessions", "ev_asof_join",
-        "doc_dedup_clusters", "doc_tfidf_topk",
-        "ann_bruteforce", "mm_image_features", "ds_rollup",
+        # never-gated round-4 additions
+        "ann_ivfpq_topk", "ann_ivfpq_recall", "mm_y4m_frames",
+        # round-5 additions (mandated by r4 verdict items 2 and 5)
+        "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall", "ann_ivfpq_stored",
+        # canaries: r1-gated PromQL range/instant/agg family
+        "ts_increase", "ts_irate", "ts_resets", "ts_changes",
+        "ts_holt_winters", "ts_predict_linear", "ts_deriv", "ts_zscore",
+        "ts_quantile_over_time", "ts_mad_over_time", "ts_agg_topk",
+        "ts_salted_sum",
+        # canaries: r1-gated joins/sets/metadata
+        "ts_join_ratio", "ts_join_group_left", "ts_set_and",
+        "ts_label_values", "ts_series_cardinality", "ts_absent",
+        # canaries: r2-gated TPC-H
+        "tpch_q2", "tpch_q3", "tpch_q6", "tpch_q9",
+        "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
+        # canaries: r2/r3-gated documents
+        "doc_langid", "doc_token_count", "doc_fingerprint",
+        "doc_ngram_jaccard", "doc_segment_dedup", "doc_simhash_portable",
+        # canaries: r3-gated pipeline
+        "pl_contamination", "pl_pii_scrub", "pl_quality_filter",
+        "pl_pack_sequences",
+        # canaries: r1-r3-gated PromQL-path
+        "pq_sum_rate", "pq_subquery", "pq_hist_fraction",
+        "pq_preagg_route",
+        # canaries: embeddings / multimodal / downsample
+        "emb_norm_stats", "emb_semantic_dedup",
+        "mm_frame_sample", "ds_avg_rewrite",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -751,6 +751,22 @@ def ivfpq_write_index(index: DataFrame, table_name: str,
     _bucket so each file holds whole buckets); searches amortize it
     forever. Requires saveAsTable — bucket metadata lives in the
     catalog."""
+    spark = index.sparkSession
+    if mode == "overwrite":
+        # DROP handles a live catalog entry; a stale managed-table
+        # directory left by a PREVIOUS session blocks CREATE even
+        # after DROP (the fresh in-memory catalog never knew it), so
+        # clear a local leftover too (no-op for object-store
+        # warehouses, where the long-lived metastore makes DROP
+        # sufficient)
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        import os
+        import shutil
+        from urllib.parse import urlparse
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table_name.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc)
     (index.repartition(F.col("_bucket"))
           .write.mode(mode)
           .bucketBy(n_buckets, "_bucket")

@@ -190,6 +190,30 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
             try:
                 path = url.path.rstrip("/")
                 timeout_s = _parse_timeout(q)
+                if path.endswith("/__liveness"):
+                    # HealthRoute.scala:105 __liveness — reachable as
+                    # soon as the server thread serves; no engine work
+                    # (the reference likewise doesn't wait for shards)
+                    return self._send({"status": "UP"})
+                if path.endswith("/__health"):
+                    # HealthRoute.scala:80 __health — the reference
+                    # reports per-shard ingestion health; the Spark
+                    # analog is session + executor + store reachability:
+                    # a 1-row JVM round trip proves the SparkContext is
+                    # alive, the store schema proves the source resolves
+                    # (metadata only — no data scan on a health probe)
+                    try:
+                        sc = engine.spark.sparkContext
+                        alive = (not sc._jsc.sc().isStopped()) and \
+                            engine.spark.sql("SELECT 1").collect()[0][0] == 1
+                        body = {"status": "healthy" if alive else "down",
+                                "sparkAppId": sc.applicationId,
+                                "storeColumns": [f.name for f in
+                                                 engine.store.df.schema]}
+                        return self._send(body, 200 if alive else 503)
+                    except Exception as ex:
+                        return self._send({"status": "down",
+                                           "error": str(ex)}, 503)
                 if path.endswith("/api/v1/query_range"):
                     resp = run_with_timeout(
                         engine.spark,

@@ -83,6 +83,21 @@ class TestHttpApi:
         assert e.value.code == 404
 
 
+class TestHealthRoutes:
+    """__health / __liveness parity (reference HealthRoute.scala)."""
+
+    def test_liveness_up(self, server):
+        status, body = get(server, "/__liveness")
+        assert status == 200 and body == {"status": "UP"}
+
+    def test_health_reports_session_and_store(self, server):
+        status, body = get(server, "/__health")
+        assert status == 200
+        assert body["status"] == "healthy"
+        assert body["sparkAppId"]
+        assert set(body["storeColumns"]) >= {"labels", "ts", "value"}
+
+
 class TestQueryTimeout:
     def test_run_with_timeout_mechanics(self, spark):
         import time

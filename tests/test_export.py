@@ -1,0 +1,155 @@
+"""Batch-export rule cascade tests (reference BatchExporter.scala
+getRuleIfShouldExport semantics, pinned case by case)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.sources.export import (ExportRule, export_rows,
+                                         export_series_table,
+                                         rule_index_col)
+
+TS = 1_704_067_200_000   # 2024-01-01T00:00:00Z
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    rows = [
+        ({"__name__": "cpu", "ns": "App-0", "env": "prod"}, TS, 1.0),
+        ({"__name__": "cpu", "ns": "App-1", "env": "dev"},
+         TS + 3_600_000, 2.0),
+        ({"__name__": "mem", "ns": "App-0", "env": "prod"},
+         TS + 25 * 3_600_000, 3.0),
+        ({"__name__": "mem", "ns": "App-2"}, TS, 4.0),   # no env label
+    ]
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+
+
+def winners(spark, store, rules):
+    out = store.select(
+        F.col("labels")["__name__"].alias("m"),
+        F.col("labels")["ns"].alias("ns"),
+        rule_index_col(F.col("labels"), rules).alias("r"))
+    return {(x["m"], x["ns"]): x["r"] for x in out.collect()}
+
+
+class TestRuleCascade:
+    def test_first_allow_wins_in_order(self, spark, store):
+        rules = (
+            ExportRule(allow_filter_groups=((("env", "=", "prod"),),)),
+            ExportRule(allow_filter_groups=((("__name__", "=", "cpu"),),)),
+        )
+        w = winners(spark, store, rules)
+        assert w[("cpu", "App-0")] == 0     # prod matches rule 0 first
+        assert w[("cpu", "App-1")] == 1     # dev cpu falls to rule 1
+        assert w[("mem", "App-0")] == 0
+        assert w[("mem", "App-2")] is None  # neither
+
+    def test_block_cuts_off_that_rule_and_all_later(self, spark, store):
+        # reference takeWhile: the first rule whose block matches ends
+        # the walk INCLUDING itself — later allows are unreachable
+        rules = (
+            ExportRule(allow_filter_groups=((("env", "=", "dev"),),)),
+            ExportRule(block_filter_groups=((("ns", "=", "App-0"),),),
+                       allow_filter_groups=()),
+            ExportRule(allow_filter_groups=((("__name__", "=", "cpu"),),)),
+        )
+        w = winners(spark, store, rules)
+        assert w[("cpu", "App-1")] == 0     # dev wins at rule 0
+        # App-0 series: rule 1's block matches -> rules 1,2 unreachable
+        assert w[("cpu", "App-0")] is None
+        assert w[("mem", "App-0")] is None
+        # App-2 mem: not blocked, rule 1 allow-empty matches everything
+        assert w[("mem", "App-2")] == 1
+
+    def test_empty_allow_matches_everything(self, spark, store):
+        w = winners(spark, store, (ExportRule(),))
+        assert all(v == 0 for v in w.values())
+
+    def test_group_is_conjunction_groups_are_disjunction(self, spark, store):
+        rules = (ExportRule(allow_filter_groups=(
+            (("__name__", "=", "cpu"), ("env", "=", "prod")),   # AND
+            (("ns", "=", "App-2"),),                            # OR group
+        )),)
+        w = winners(spark, store, rules)
+        assert w[("cpu", "App-0")] == 0
+        assert w[("cpu", "App-1")] is None   # cpu but not prod
+        assert w[("mem", "App-2")] == 0
+        assert w[("mem", "App-0")] is None
+
+    def test_missing_label_never_matches_even_negated(self, spark, store):
+        # partKeyMap.get(col).exists(...): mem/App-2 has NO env label,
+        # so even env != prod / env !~ prod must NOT match it
+        for op, val in (("!=", "prod"), ("!~", "pr.*")):
+            rules = (ExportRule(allow_filter_groups=((("env", op, val),),)),)
+            w = winners(spark, store, rules)
+            assert w[("mem", "App-2")] is None
+            assert w[("cpu", "App-1")] == 0   # env=dev satisfies both
+
+    def test_regex_is_full_anchored(self, spark, store):
+        rules = (ExportRule(allow_filter_groups=((("ns", "=~", "App"),),)),)
+        assert all(v is None
+                   for v in winners(spark, store, rules).values())
+        rules = (ExportRule(allow_filter_groups=((("ns", "=~", "App-[01]"),),)),)
+        w = winners(spark, store, rules)
+        assert w[("cpu", "App-0")] == 0 and w[("mem", "App-2")] is None
+
+
+class TestExportRows:
+    def test_row_shape_and_date_parts(self, spark, store):
+        out = export_rows(store, (ExportRule(),)).orderBy("epoch_timestamp")
+        rows = out.collect()
+        assert out.columns == ["metric", "labels", "epoch_timestamp",
+                               "timestamp", "value", "year", "month",
+                               "day", "hour"]
+        r0 = rows[0]
+        assert r0["metric"] in ("cpu", "mem")
+        assert (r0["year"], r0["month"], r0["day"], r0["hour"]) == \
+            (2024, 1, 1, 0)
+        late = [r for r in rows if r["epoch_timestamp"] ==
+                TS + 25 * 3_600_000][0]
+        assert (late["day"], late["hour"]) == (2, 1)
+
+    def test_winning_rules_drop_labels_apply(self, spark, store):
+        rules = (
+            ExportRule(allow_filter_groups=((("env", "=", "prod"),),),
+                       drop_labels=("env",)),
+            ExportRule(),
+        )
+        out = export_rows(store, rules, drop_labels=("ns",))
+        for r in out.collect():
+            assert "ns" not in r["labels"]          # global drop
+            if r["labels"].get("env") is not None:
+                assert r["labels"]["env"] == "dev"  # rule-0 drop hit prod
+
+    def test_label_columns_surface(self, spark, store):
+        out = export_rows(store, (ExportRule(),),
+                          label_columns=(("ns", "workspace"),))
+        assert "workspace" in out.columns
+        assert {r["workspace"] for r in out.collect()} == \
+            {"App-0", "App-1", "App-2"}
+
+    def test_histogram_buckets_explode(self, spark):
+        hrows = [({"__name__": "lat", "ns": "a"}, TS,
+                  0.0, ([1.0, 2.0, float("inf")], [1.0, 3.0, 5.0]))]
+        df = spark.createDataFrame(
+            hrows, "labels map<string,string>, ts long, value double, "
+                   "hist struct<les: array<double>, values: array<double>>")
+        out = export_rows(df, (ExportRule(),), explode_hist_col="hist")
+        got = {(r["labels"]["le"], r["value"]) for r in out.collect()}
+        assert got == {("1", 1.0), ("2", 3.0), ("+Inf", 5.0)}
+        names = {r["metric"] for r in out.collect()}
+        assert names == {"lat_bucket"}   # metric reflects the explode
+
+    def test_partitioned_write_prunes_by_date_and_metric(
+            self, spark, store, tmp_path):
+        path = str(tmp_path / "export")
+        export_series_table(store, (ExportRule(),), path,
+                            label_columns=(("ns", "ws"),))
+        back = spark.read.parquet(path)
+        assert back.count() == 4
+        plan = back.where((F.col("year") == 2024) & (F.col("day") == 1)
+                          & (F.col("metric") == "cpu")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "metric" in plan
+        assert back.where(F.col("day") == 1).count() == 3

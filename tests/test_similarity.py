@@ -407,6 +407,19 @@ class TestIvfPqKmeans:
             sim.ivfpq_kmeans_topk(emb.withColumn("_bucket", F.lit(0)),
                                   emb.limit(1), k=3, centroids=cents)
 
+    def test_all_probes_equals_full_adc(self, emb, cents):
+        """Probing every trained cluster makes the coarse layer a
+        no-op: results must equal pq_topk's full ADC scan exactly
+        (same codes, distances, ranks)."""
+        q = emb.where(F.col("vec_id") < 5)
+        full = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                sim.pq_topk(emb, q, k=3, m=4, n_codes=4).collect()}
+        comp = {(r["qid"], r["nid"]): (r["rank"], r["adist2"]) for r in
+                sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                      n_probes=len(cents),
+                                      centroids=cents).collect()}
+        assert comp == full
+
     def test_fit_matches_kmeans_portable_assignment(self, emb):
         """kmeans_fit_portable + _kmeans_assign must equal the original
         kmeans_portable end-to-end (the refactor is behavior-neutral)."""

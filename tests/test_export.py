@@ -153,3 +153,88 @@ class TestExportRows:
             ._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "metric" in plan
         assert back.where(F.col("day") == 1).count() == 3
+
+
+class TestRuleCascadeProperty:
+    """Hypothesis: the in-plan when-chain must agree with a direct
+    Python transcription of BatchExporter.getRuleIfShouldExport on
+    random label maps and rule cascades."""
+
+    @staticmethod
+    def _py_match(labels, filt):
+        label, op, value = filt
+        if label not in labels:
+            return False
+        v = labels[label]
+        import re
+        if op == "=":
+            return v == value
+        if op == "!=":
+            return v != value
+        if op == "=~":
+            return re.fullmatch(f"(?:{value})", v) is not None
+        return re.fullmatch(f"(?:{value})", v) is None
+
+    @classmethod
+    def _py_rule_index(cls, labels, rules):
+        for i, rule in enumerate(rules):
+            if any(all(cls._py_match(labels, f) for f in g)
+                   for g in rule.block_filter_groups):
+                return None                       # takeWhile cutoff
+            if not rule.allow_filter_groups or any(
+                    all(cls._py_match(labels, f) for f in g)
+                    for g in rule.allow_filter_groups):
+                return i
+        return None
+
+    def test_agrees_with_python_reference(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        label_names = ["a", "b", "c"]
+        values = ["x", "y", "z"]
+        filt = st.tuples(st.sampled_from(label_names),
+                         st.sampled_from(["=", "!=", "=~", "!~"]),
+                         st.sampled_from(values))
+        group = st.lists(filt, min_size=1, max_size=2).map(tuple)
+        groups = st.lists(group, min_size=0, max_size=2).map(tuple)
+        rule = st.builds(ExportRule, allow_filter_groups=groups,
+                         block_filter_groups=groups)
+        cascades = st.lists(rule, min_size=1, max_size=3).map(tuple)
+        labelmaps = st.dictionaries(st.sampled_from(label_names),
+                                    st.sampled_from(values), max_size=3)
+
+        # collect cases first, evaluate in ONE Spark job (per-example
+        # Spark round trips would make hypothesis unusably slow)
+        cases = []
+
+        @settings(max_examples=60, deadline=None)
+        @given(cascades, st.lists(labelmaps, min_size=1, max_size=4))
+        def collect(rules, lmaps):
+            cases.append((rules, lmaps))
+
+        collect()
+        rows, expected = [], []
+        for ci, (rules, lmaps) in enumerate(cases):
+            for li, lm in enumerate(lmaps):
+                rows.append((ci, li, lm))
+                expected.append(self._py_rule_index(lm, rules))
+        df = spark.createDataFrame(
+            rows, "ci int, li int, labels map<string,string>")
+        got = {}
+        # one select per cascade (rule column depends on the cascade),
+        # unioned into a single action
+        out = None
+        for ci, (rules, _) in enumerate(cases):
+            part = (df.where(F.col("ci") == ci)
+                    .select("ci", "li",
+                            rule_index_col(F.col("labels"), rules)
+                            .alias("r")))
+            out = part if out is None else out.unionByName(part)
+        for r in out.collect():
+            got[(r["ci"], r["li"])] = r["r"]
+        idx = 0
+        for ci, (rules, lmaps) in enumerate(cases):
+            for li, lm in enumerate(lmaps):
+                assert got[(ci, li)] == expected[idx], \
+                    (rules, lm, got[(ci, li)], expected[idx])
+                idx += 1

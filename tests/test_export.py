@@ -238,3 +238,31 @@ class TestRuleCascadeProperty:
                 assert got[(ci, li)] == expected[idx], \
                     (rules, lm, got[(ci, li)], expected[idx])
                 idx += 1
+
+
+class TestStagedOracle:
+    """The staged r6 registry candidate must already be bit-exact vs
+    its DuckDB oracle (the driver's own comparison, reproduced)."""
+
+    @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+    def test_ts_export_rules_exact(self, spark, sf):
+        import duckdb
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "scripts"))
+        from check_oracle import rows_key
+        from filodb_spark.driver_queries.staged_r6 import (
+            STAGED_ORACLES, STAGED_QUERIES)
+        sf_dir = f"/root/testdata/{sf}"
+        sdf = STAGED_QUERIES["ts_export_rules"](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+        res = con.sql(STAGED_ORACLES["ts_export_rules"])
+        ocols = [d[0] for d in res.description]
+        orows = [tuple(r) for r in res.fetchall()]
+        assert sorted(scols) == sorted(ocols)
+        assert len(srows) == len(orows) and len(srows) > 0
+        assert rows_key(srows, scols) == rows_key(orows, ocols)

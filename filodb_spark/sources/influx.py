@@ -44,11 +44,26 @@ def parse_influx_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
         out = F.regexp_replace(out, _S, " ")
         return F.regexp_replace(out, _E, "=")
 
-    tags = F.map_from_entries(F.transform(
+    entries = F.transform(
         tag_parts,
         lambda kv: F.struct(
             unescape(F.split(kv, "=").getItem(0)).alias("key"),
-            unescape(F.split(kv, "=").getItem(1)).alias("value"))))
+            unescape(F.split(kv, "=").getItem(1)).alias("value")))
+    # hostile-line hardening (one bad line must not kill the batch job):
+    # - a tag literally named __name__ would collide with the metric key
+    #   in map_concat (EXCEPTION dedup policy) -> reserved, dropped
+    # - duplicate tag keys would make map_from_entries raise -> first
+    #   occurrence wins (O(tags^2) per line, tags are few)
+    # - a tag token without '=' yields a NULL key -> dropped
+    entries = F.filter(entries, lambda e: e["key"].isNotNull()
+                       & (e["key"] != "__name__"))
+    entries = F.aggregate(
+        entries,
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a["key"] == e["key"]), acc)
+        .otherwise(F.array_append(acc, e)))
+    tags = F.map_from_entries(entries)
 
     field_parts = F.split(fields_str, ",")
     fields = F.transform(
@@ -61,8 +76,13 @@ def parse_influx_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
     ts_ms = F.coalesce(
         (ts_ns.cast("decimal(38,0)") / F.lit(1_000_000)).cast("long"),
         F.unix_millis(F.current_timestamp()))
+    # a PRESENT but non-numeric timestamp must DROP the line, not
+    # silently ingest it at "now" (only a genuinely absent third
+    # section gets the line-protocol now() default)
+    ts_valid = (F.size(parts) < 3) | ts_ns.isNotNull()
 
-    out = (df.select(measurement.alias("_m"), tags.alias("_tags"),
+    out = (df.where(ts_valid)
+             .select(measurement.alias("_m"), tags.alias("_tags"),
                      fields.alias("_fields"), ts_ms.alias("ts"))
              .select("_m", "_tags", "ts",
                      F.explode("_fields").alias("_f"))

@@ -634,3 +634,37 @@ class TestIvfPqStoredIndex:
             assert via == direct
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {self.TBL}")
+
+
+class TestRound5PlanShapes:
+    def test_ivfpq_kmeans_is_broadcast_equi_join_no_fit_join(self, spark):
+        """Trained-bucket IVFPQ: assignment and encode are literal
+        expressions (no fit join anywhere), candidates come from ONE
+        broadcast equi-join on the cluster id — never a cartesian."""
+        from filodb_spark.operators import similarity as sim
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10)
+        cents = sim.kmeans_fit_portable(emb, k=16, iterations=2)
+        plan = plan_of(sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                             centroids=cents))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # exactly one join: the candidate-generation bucket join
+        assert plan.count("HashJoin") == 1
+
+    def test_export_rows_is_map_only(self, spark):
+        """The export cascade must compile to a shuffle-free plan —
+        rules, drops, and date parts all ride the scan."""
+        from filodb_spark.sources.export import ExportRule, export_rows
+        rows = [({"__name__": "m", "ns": "a"}, 1_700_000_000_000, 1.0)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        rules = (ExportRule(block_filter_groups=((("ns", "=", "x"),),),
+                            drop_labels=("ns",)),
+                 ExportRule(allow_filter_groups=((("ns", "=~", "a.*"),),)),)
+        plan = plan_of(export_rows(df, rules,
+                                   label_columns=(("ns", "ws"),)))
+        assert "Exchange" not in plan
+        assert "Join" not in plan

@@ -35,6 +35,42 @@ class TestInflux:
         disk = [r for r in df.collect() if r["labels"]["__name__"] == "disk_free"]
         assert disk[0]["labels"]["path"] == "/a b"
 
+    def test_hostile_lines_drop_not_crash(self, spark):
+        """Ingest hardening: one malformed line must never kill the
+        batch — it is dropped (or leniently parsed) while good lines
+        in the SAME batch survive."""
+        lines = [
+            "cpu,host=h1 usage=0.5 1700000000000000000",     # good
+            "garbage",                                       # no fields
+            "m,host=h1,host=h2 v=1 1700000000000000000",     # dup tag key
+            "m,__name__=evil v=1 1700000000000000000",       # reserved tag
+            "m,host v=1 1700000000000000000",                # tag missing =
+            "m,host=h1 v=notanumber 1700000000000000000",    # bad field
+            "m,host=h1 v=1 not_a_timestamp",                 # bad ts
+            "",                                              # empty
+        ]
+        df = parse_influx_lines(spark.createDataFrame(
+            [(l,) for l in lines], "value string"))
+        rows = df.collect()   # must not raise
+        got = {(r["labels"]["__name__"], r["ts"], r["value"])
+               for r in rows}
+        assert ("cpu_usage", 1700000000000, 0.5) in got
+        # dup-tag line survives with first-occurrence-wins tags
+        dup = [r for r in rows if r["labels"]["__name__"] == "m_v"
+               and r["labels"].get("host") == "h1"]
+        assert any(r["labels"].get("host") == "h1" for r in dup)
+        # reserved __name__ tag cannot hijack the metric name
+        assert all(r["labels"]["__name__"] != "evil" for r in rows)
+        # bad-timestamp line is dropped, not ingested at "now"
+        assert all(r["ts"] == 1700000000000 for r in rows)
+
+    def test_missing_timestamp_defaults_to_now(self, spark):
+        import time
+        df = parse_influx_lines(spark.createDataFrame(
+            [("cpu,host=h1 usage=1",)], "value string"))
+        r = df.collect()[0]
+        assert abs(r["ts"] - time.time() * 1000) < 60_000
+
 
 class TestDownsample:
     def _raw(self, spark):

@@ -64,12 +64,24 @@ def parse_json_records(df: DataFrame) -> DataFrame:
         "value",
         "metric string, tags map<string,string>, ts long, value double"
     ).alias("r"))
-    return parsed.select(
-        F.map_concat(F.coalesce(F.col("r.tags"),
-                                F.create_map().cast("map<string,string>")),
-                     F.create_map(F.lit("__name__"), F.col("r.metric")))
-        .alias("labels"),
-        F.col("r.ts").alias("ts"), F.col("r.value").alias("value"))
+    # hostile-record hardening: a tag literally named __name__ would
+    # make map_concat raise under the default EXCEPTION dedup policy
+    # (one bad record must not kill the micro-batch) -> reserved,
+    # dropped; unparseable JSON / missing metric or ts -> row dropped
+    tags = F.map_filter(
+        F.coalesce(F.col("r.tags"),
+                   F.create_map().cast("map<string,string>")),
+        lambda k, _: k != "__name__")
+    return (parsed
+            .where(F.col("r.metric").isNotNull()
+                   & F.col("r.ts").isNotNull())
+            .select(
+                F.map_concat(tags,
+                             F.create_map(F.lit("__name__"),
+                                          F.col("r.metric")))
+                .alias("labels"),
+                F.col("r.ts").alias("ts"),
+                F.col("r.value").alias("value")))
 
 
 def dedupe_batch(batch: DataFrame, series_cols: list[str],

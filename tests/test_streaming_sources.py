@@ -72,6 +72,21 @@ class TestInflux:
         assert abs(r["ts"] - time.time() * 1000) < 60_000
 
 
+class TestJsonRecordHardening:
+    def test_hostile_records_drop_not_crash(self, spark):
+        recs = [
+            '{"metric":"m","tags":{"h":"a"},"ts":1,"value":2.0}',  # good
+            'not json at all',
+            '{"metric":"m","tags":{"__name__":"evil"},"ts":1,"value":2.0}',
+            '{"tags":{"h":"a"},"ts":1,"value":2.0}',     # no metric
+            '{"metric":"m","value":2.0}',                # no ts
+        ]
+        out = parse_json_records(spark.createDataFrame(
+            [(r,) for r in recs], "value string")).collect()
+        assert len(out) == 2       # good + de-hijacked evil record
+        assert all(r["labels"]["__name__"] == "m" for r in out)
+
+
 class TestDownsample:
     def _raw(self, spark):
         rows = [("a", i * 60_000, float(i)) for i in range(10)]

@@ -278,7 +278,8 @@ def parse_y4m(data: bytes) -> dict:
 def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
                   content_col: str = "content",
                   duration_col: str = "duration_ms",
-                  decode_backend: str = "fake") -> DataFrame:
+                  decode_backend: str = "fake",
+                  on_error: str = "raise") -> DataFrame:
     """Video frame sampling: emits one row per sampled offset.
 
     - "fake": frame 'content' derived deterministically from
@@ -288,7 +289,17 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
       sampled offset; duration comes from the stream itself
       (duration_col is ignored for Y4M). Compressed codecs (mp4/webm)
       would need ffmpeg — that plug-in point raises
-      NotImplementedError, same contract as the pillow image guard."""
+      NotImplementedError, same contract as the pillow image guard.
+
+    on_error: 'raise' (default) fails the job on a CORRUPT container —
+    right for tests and small batches; 'skip' drops the corrupt doc and
+    keeps the batch alive — right for 100 TB pipeline runs where one
+    bad video must not abort the stage. A non-Y4M container under
+    decode_backend='real' always raises (capability gap, not data
+    corruption)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', "
+                         f"got {on_error!r}")
     out_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_ms", T.LongType()),
@@ -309,7 +320,12 @@ def sample_frames(df: DataFrame, every_ms: int, id_col: str = "doc_id",
                             "real frame sampling decodes uncompressed "
                             "Y4M only; compressed codecs need the "
                             "ffmpeg plug-in backend")
-                    meta = parse_y4m(raw)
+                    try:
+                        meta = parse_y4m(raw)
+                    except ValueError:
+                        if on_error == "skip":
+                            continue
+                        raise
                     n, num, den = (len(meta["frames"]), meta["fps_num"],
                                    meta["fps_den"])
                     for off in range(0, meta["duration_ms"], every_ms):

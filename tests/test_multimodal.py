@@ -213,3 +213,35 @@ class TestY4m:
                                    "duration_ms long")
         with pytest.raises(Exception, match="ffmpeg"):
             sample_frames(df, every_ms=100, decode_backend="real").collect()
+
+
+class TestSampleFramesOnError:
+    def test_skip_drops_corrupt_doc_keeps_batch(self, spark):
+        from filodb_spark.operators.multimodal import (sample_frames,
+                                                       synth_y4m)
+        good = synth_y4m(8, 8, 3, fps_num=10, fps_den=1)
+        corrupt = b"YUV4MPEG2 W8"      # magic, truncated header
+        df = spark.createDataFrame(
+            [(1, good, None), (2, corrupt, None)],
+            "doc_id long, content binary, duration_ms long")
+        out = sample_frames(df, 100, decode_backend="real",
+                            on_error="skip").collect()
+        assert out and {r["doc_id"] for r in out} == {1}
+
+    def test_raise_default_fails_on_corrupt(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from filodb_spark.operators.multimodal import sample_frames
+        df = spark.createDataFrame(
+            [(2, b"YUV4MPEG2 W8", None)],
+            "doc_id long, content binary, duration_ms long")
+        with pytest.raises(Exception):
+            sample_frames(df, 100, decode_backend="real").collect()
+
+    def test_bad_on_error_value(self, spark):
+        import pytest
+        from filodb_spark.operators.multimodal import sample_frames
+        df = spark.createDataFrame(
+            [(1, b"x", 10)], "doc_id long, content binary, duration_ms long")
+        with pytest.raises(ValueError, match="on_error"):
+            sample_frames(df, 100, on_error="ignore")

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 def all_queries():
     from filodb_spark.driver_queries import (downsample_queries,
+                                             export_queries,
                                              histogram_queries, mm_ops,
                                              pipeline_ops, promql_events,
                                              promql_path, text_ops,
@@ -19,50 +20,42 @@ def all_queries():
     o: dict = {}
     for mod in (tpch, text_ops, vector_ops, mm_ops, downsample_queries,
                 timeseries_ops, promql_path, histogram_queries,
-                promql_events, pipeline_ops):
+                promql_events, pipeline_ops, export_queries):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 5's window
+    # covers the first 50 registered queries per round. Round 6's window
     # (scripts/gate_hygiene.py computes the never-gated list):
-    #   1-3   the three round-4 additions — the only queries with no
-    #         driver CORRECTNESS row after r4 (r4 verdict item 1),
-    #   4-6   the three round-5 additions the r4 verdict itself mandated
-    #         (items 2 and 5: k-means-bucketed IVFPQ x2, stored-index
-    #         lifecycle) — gated in their own round so the never-gated
-    #         list stays empty; all pre-verified exact at
+    #   1-2   the two round-6 additions — the r5-staged BatchExporter
+    #         cascade query (r5 verdict item 1) + the labelColumnMapping
+    #         sibling (r5 verdict item 8); both pre-verified exact at
     #         sf0.001/0.01/0.1 via scripts/check_oracle.py,
-    #   7-50  regression canaries favoring queries driver-gated exactly
-    #         ONCE, oldest gate round first (r1 ts_*, r2 tpch/doc, r2-r3
-    #         others), spread across every family.
+    #   3-50  regression canaries rotated per r5 verdict item 3: every
+    #         query driver-gated exactly once whose gate round is 1 or 2
+    #         (oldest first — all 29 r1-once-gated + all 18
+    #         r2-once-gated), plus one r3-once-gated to fill the window.
     window = [
-        # never-gated round-4 additions
-        "ann_ivfpq_topk", "ann_ivfpq_recall", "mm_y4m_frames",
-        # round-5 additions (mandated by r4 verdict items 2 and 5)
-        "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall", "ann_ivfpq_stored",
-        # canaries: r1-gated PromQL range/instant/agg family
-        "ts_increase", "ts_irate", "ts_resets", "ts_changes",
-        "ts_holt_winters", "ts_predict_linear", "ts_deriv", "ts_zscore",
-        "ts_quantile_over_time", "ts_mad_over_time", "ts_agg_topk",
-        "ts_salted_sum",
-        # canaries: r1-gated joins/sets/metadata
-        "ts_join_ratio", "ts_join_group_left", "ts_set_and",
-        "ts_label_values", "ts_series_cardinality", "ts_absent",
-        # canaries: r2-gated TPC-H
-        "tpch_q2", "tpch_q3", "tpch_q6", "tpch_q9",
-        "tpch_q13", "tpch_q17", "tpch_q18", "tpch_q21",
-        # canaries: r2/r3-gated documents
-        "doc_langid", "doc_token_count", "doc_fingerprint",
-        "doc_ngram_jaccard", "doc_segment_dedup", "doc_simhash_portable",
-        # canaries: r3-gated pipeline
-        "pl_contamination", "pl_pii_scrub", "pl_quality_filter",
-        "pl_pack_sequences",
-        # canaries: r1-r3-gated PromQL-path
-        "pq_sum_rate", "pq_subquery", "pq_hist_fraction",
-        "pq_preagg_route",
-        # canaries: embeddings / multimodal / downsample
-        "emb_norm_stats", "emb_semantic_dedup",
-        "mm_frame_sample", "ds_avg_rewrite",
+        # round-6 additions (r5 verdict items 1, 2, 8)
+        "ts_export_rules", "ts_export_columns",
+        # canaries: r1-gated (gated exactly once, in round 1)
+        "pq_bool_compare", "pq_raw_matrix", "ts_agg_avg_by",
+        "ts_agg_bottomk", "ts_agg_count_values", "ts_agg_quantile",
+        "ts_avg_over_time", "ts_count_over_time", "ts_csv_roundtrip",
+        "ts_day_of_week", "ts_delta", "ts_hist_bucket",
+        "ts_hist_fraction", "ts_hist_sum_quantile", "ts_idelta",
+        "ts_influx_roundtrip", "ts_instant_last", "ts_instant_math",
+        "ts_join_group_right", "ts_mad_outlier", "ts_max_over_time",
+        "ts_min_over_time", "ts_present_over_time", "ts_set_or",
+        "ts_set_unless", "ts_stddev_over_time", "ts_stdvar_over_time",
+        "ts_sum_over_time", "ts_timestamp",
+        # canaries: r2-gated (gated exactly once, in round 2)
+        "doc_dedup_summary", "doc_rolling_fp", "doc_split", "doc_stats",
+        "doc_subword_count", "pq_hist_bucket_quantile",
+        "pq_scalar_vector", "tpch_q4", "tpch_q7", "tpch_q8",
+        "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q19", "tpch_q20", "tpch_q22",
+        # canary: r3-gated filler to round the window to 50
+        "pq_at_modifier",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -6,6 +6,10 @@ stream into date-partitioned tables for external consumers).
 Semantics mirrored from `getRuleIfShouldExport`
 (BatchExporter.scala:235-252):
 
+- the config-level `keyFilters` conjunction gates everything: a series
+  that fails any key filter is never exported, before the rule cascade
+  is even consulted (`BatchExporter.scala:238-240`); missing-label-
+  never-matches applies here exactly as in the rule groups,
 - rules are ORDERED; evaluation walks them in order,
 - the walk stops at the first rule whose block-filter groups match
   (that rule and everything after it is unreachable — takeWhile),
@@ -120,23 +124,40 @@ def _drop_labels_col(labels: Column, rules, drop_labels,
     return out
 
 
+def key_filters_col(labels: Column, key_filters) -> Column:
+    """The config-level keyFilters conjunction: ALL filters must match
+    (matchAllFilters over `keyFilters` — BatchExporter.scala:238-240),
+    with the same missing-label-never-matches rule as filter groups.
+    Empty filter list matches everything."""
+    return _group_match(labels, key_filters)
+
+
 def export_rows(df: DataFrame, rules,
                 drop_labels: tuple = (),
                 label_columns: tuple = (),
-                explode_hist_col: str | None = None) -> DataFrame:
+                explode_hist_col: str | None = None,
+                key_filters: tuple = ()) -> DataFrame:
     """Apply the export-rule cascade to a (labels, ts, value[, hist])
     frame and return the exportable rows in the reference's row shape:
     (metric, labels, epoch_timestamp, timestamp, value, year, month,
     day, hour, *label_columns). Map-only; not yet written anywhere.
 
-    label_columns: labels additionally surfaced as top-level columns
-    (the reference's labelColumnMapping) so the write can partition by
-    them. explode_hist_col: name of a histogram struct column — its
-    buckets become `<metric>_bucket` series with an `le` label."""
+    key_filters: the config-level ColumnFilter conjunction applied
+    BEFORE the rule cascade (a series failing any key filter is never
+    exported; a filter on a missing label never matches, even for
+    negative matchers). label_columns: labels additionally surfaced as
+    top-level columns (the reference's labelColumnMapping) so the
+    write can partition by them. explode_hist_col: name of a histogram
+    struct column — its buckets become `<metric>_bucket` series with
+    an `le` label."""
     rules = tuple(rules)
+    key_filters = tuple(key_filters)
     labels = F.col("labels")
-    out = df.withColumn("_rule", rule_index_col(labels, rules)) \
-            .where(F.col("_rule").isNotNull())
+    out = df
+    if key_filters:
+        out = out.where(key_filters_col(labels, key_filters))
+    out = out.withColumn("_rule", rule_index_col(labels, rules)) \
+             .where(F.col("_rule").isNotNull())
     if explode_hist_col is not None and explode_hist_col in out.columns:
         from filodb_spark.kernels.histogram import explode_hist, le_label
         ex = explode_hist(out, explode_hist_col)
@@ -176,13 +197,14 @@ def export_series_table(df: DataFrame, rules, path: str,
                         drop_labels: tuple = (),
                         label_columns: tuple = (),
                         explode_hist_col: str | None = None,
+                        key_filters: tuple = (),
                         mode: str = "overwrite") -> None:
     """The full export job: apply the cascade and write the
     date-partitioned table (year/month/day/<label cols>/metric — the
     reference's PARTITIONED BY clause), so downstream consumers prune
     by date and metric at planning time."""
     rows = export_rows(df, rules, drop_labels, label_columns,
-                       explode_hist_col)
+                       explode_hist_col, key_filters)
     part_cols = ["year", "month", "day",
                  *[c for _, c in label_columns], "metric"]
     rows.write.mode(mode).partitionBy(*part_cols).parquet(path)

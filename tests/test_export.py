@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from filodb_spark.sources.export import (ExportRule, export_rows,
                                          export_series_table,
-                                         rule_index_col)
+                                         key_filters_col, rule_index_col)
 
 TS = 1_704_067_200_000   # 2024-01-01T00:00:00Z
 
@@ -95,6 +95,43 @@ class TestRuleCascade:
         assert w[("cpu", "App-0")] == 0 and w[("mem", "App-2")] is None
 
 
+class TestKeyFilters:
+    """Config-level keyFilters conjunction — applied BEFORE the rule
+    cascade (BatchExporter.scala:238-240), matchAllFilters semantics."""
+
+    def test_conjunction_gates_before_cascade(self, spark, store):
+        # allow-everything rule; the key filter alone decides
+        out = export_rows(store, (ExportRule(),),
+                          key_filters=(("env", "=", "prod"),
+                                       ("__name__", "=", "cpu")))
+        rows = out.collect()
+        assert len(rows) == 1
+        assert rows[0]["labels"]["ns"] == "App-0"
+
+    def test_missing_label_never_matches_even_negated(self, spark, store):
+        # mem/App-2 has NO env label: even env != prod must exclude it
+        out = export_rows(store, (ExportRule(),),
+                          key_filters=(("env", "!=", "prod"),))
+        got = {(r["metric"], r["labels"]["ns"]) for r in out.collect()}
+        assert got == {("cpu", "App-1")}
+        out = export_rows(store, (ExportRule(),),
+                          key_filters=(("env", "!~", "pro.*"),))
+        got = {(r["metric"], r["labels"]["ns"]) for r in out.collect()}
+        assert got == {("cpu", "App-1")}
+
+    def test_empty_key_filters_match_everything(self, spark, store):
+        assert export_rows(store, (ExportRule(),),
+                           key_filters=()).count() == 4
+
+    def test_key_filter_composes_with_block(self, spark, store):
+        # key filter passes prod series; rule 0 then blocks App-0
+        rules = (ExportRule(block_filter_groups=((("ns", "=", "App-0"),),)),)
+        out = export_rows(store, rules,
+                          key_filters=(("env", "=~", "prod|dev"),))
+        got = {(r["metric"], r["labels"]["ns"]) for r in out.collect()}
+        assert got == {("cpu", "App-1")}
+
+
 class TestExportRows:
     def test_row_shape_and_date_parts(self, spark, store):
         out = export_rows(store, (ExportRule(),)).orderBy("epoch_timestamp")
@@ -176,7 +213,10 @@ class TestRuleCascadeProperty:
         return re.fullmatch(f"(?:{value})", v) is None
 
     @classmethod
-    def _py_rule_index(cls, labels, rules):
+    def _py_rule_index(cls, labels, rules, key_filters=()):
+        # getRuleIfShouldExport: keyFilters conjunction gates first
+        if not all(cls._py_match(labels, f) for f in key_filters):
+            return None
         for i, rule in enumerate(rules):
             if any(all(cls._py_match(labels, f) for f in g)
                    for g in rule.block_filter_groups):
@@ -200,6 +240,7 @@ class TestRuleCascadeProperty:
         rule = st.builds(ExportRule, allow_filter_groups=groups,
                          block_filter_groups=groups)
         cascades = st.lists(rule, min_size=1, max_size=3).map(tuple)
+        key_filters = st.lists(filt, min_size=0, max_size=2).map(tuple)
         labelmaps = st.dictionaries(st.sampled_from(label_names),
                                     st.sampled_from(values), max_size=3)
 
@@ -208,59 +249,65 @@ class TestRuleCascadeProperty:
         cases = []
 
         @settings(max_examples=60, deadline=None)
-        @given(cascades, st.lists(labelmaps, min_size=1, max_size=4))
-        def collect(rules, lmaps):
-            cases.append((rules, lmaps))
+        @given(cascades, key_filters,
+               st.lists(labelmaps, min_size=1, max_size=4))
+        def collect(rules, kf, lmaps):
+            cases.append((rules, kf, lmaps))
 
         collect()
         rows, expected = [], []
-        for ci, (rules, lmaps) in enumerate(cases):
+        for ci, (rules, kf, lmaps) in enumerate(cases):
             for li, lm in enumerate(lmaps):
                 rows.append((ci, li, lm))
-                expected.append(self._py_rule_index(lm, rules))
+                expected.append(self._py_rule_index(lm, rules, kf))
         df = spark.createDataFrame(
             rows, "ci int, li int, labels map<string,string>")
         got = {}
         # one select per cascade (rule column depends on the cascade),
-        # unioned into a single action
+        # unioned into a single action; the combined export decision is
+        # NULL-if-key-filter-fails else the winning rule index, exactly
+        # what export_rows' where-chain implements
         out = None
-        for ci, (rules, _) in enumerate(cases):
+        for ci, (rules, kf, _) in enumerate(cases):
+            labels = F.col("labels")
+            decision = F.when(key_filters_col(labels, kf),
+                              rule_index_col(labels, rules))
             part = (df.where(F.col("ci") == ci)
-                    .select("ci", "li",
-                            rule_index_col(F.col("labels"), rules)
-                            .alias("r")))
+                    .select("ci", "li", decision.alias("r")))
             out = part if out is None else out.unionByName(part)
         for r in out.collect():
             got[(r["ci"], r["li"])] = r["r"]
         idx = 0
-        for ci, (rules, lmaps) in enumerate(cases):
+        for ci, (rules, kf, lmaps) in enumerate(cases):
             for li, lm in enumerate(lmaps):
                 assert got[(ci, li)] == expected[idx], \
-                    (rules, lm, got[(ci, li)], expected[idx])
+                    (rules, kf, lm, got[(ci, li)], expected[idx])
                 idx += 1
 
 
-class TestStagedOracle:
-    """The staged r6 registry candidate must already be bit-exact vs
-    its DuckDB oracle (the driver's own comparison, reproduced)."""
+class TestRegisteredOracle:
+    """The round-6 registered exporter queries must be bit-exact vs
+    their DuckDB oracles (the driver's own comparison, reproduced)."""
 
+    @pytest.mark.parametrize("name", ["ts_export_rules",
+                                      "ts_export_columns"])
     @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
-    def test_ts_export_rules_exact(self, spark, sf):
+    def test_export_queries_exact(self, spark, sf, name):
         import duckdb
         import sys, os
         sys.path.insert(0, os.path.join(os.path.dirname(__file__),
                                         "..", "scripts"))
         from check_oracle import rows_key
-        from filodb_spark.driver_queries.staged_r6 import (
-            STAGED_ORACLES, STAGED_QUERIES)
+        from filodb_spark.driver_queries.export_queries import (ORACLES,
+                                                                QUERIES)
         sf_dir = f"/root/testdata/{sf}"
-        sdf = STAGED_QUERIES["ts_export_rules"](spark, sf_dir)
+        sdf = QUERIES[name](spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         con = duckdb.connect()
         con.sql(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/events.parquet')")
-        res = con.sql(STAGED_ORACLES["ts_export_rules"])
+        res = con.sql(ORACLES[name])
         ocols = [d[0] for d in res.description]
         orows = [tuple(r) for r in res.fetchall()]
         assert sorted(scols) == sorted(ocols)

@@ -130,7 +130,8 @@ def main(argv=None) -> int:
                                              args.match_opt).collect()]
     elif args.cmd == "ts-cardinality":
         rows = md.ts_cardinality(store, tuple(args.group_by.split(",")),
-                                 args.active_after).collect()
+                                 args.active_after,
+                                 match=args.match_opt).collect()
         out = [r.asDict() for r in rows]
     else:
         out = [dict(r["labels"]) for r in

@@ -103,10 +103,12 @@ def chunk_meta(spark, table_path: str) -> DataFrame:
 
 
 def ts_cardinality(store: TsStore, group_labels: tuple[str, ...] = ("__name__",),
-                   active_after_ms: int | None = None) -> DataFrame:
+                   active_after_ms: int | None = None,
+                   match: str | None = None) -> DataFrame:
     """TsCardExec: series counts grouped by shard-key prefixes
-    (total + active)."""
-    df = store.df.withColumn("_sk", canonical_labels(F.col("labels")))
+    (total + active), optionally restricted by a series selector."""
+    df = _scan(store, match, None, None) \
+        .withColumn("_sk", canonical_labels(F.col("labels")))
     keys = [F.col("labels")[g].alias(g) for g in group_labels]
     total = df.groupBy(*keys).agg(
         F.count_distinct("_sk").alias("total_series"))

@@ -420,6 +420,12 @@ def _centroid_dist_structs(v: Column, centroids) -> Column:
     to every literal centroid — the join-free broadcast-small-side shape
     shared by assignment (array_min) and probing (array_sort + slice).
     Struct field order (d2, cluster) IS the tie-break."""
+    dims = {len(c) for _, c in centroids}
+    if len(dims) > 1:
+        # a ragged centroid list can only be a caller bug; zip_with in
+        # dot() would null-pad the mismatch into silently-arbitrary
+        # assignments (ADVICE r5)
+        raise ValueError(f"centroids have inconsistent dims {sorted(dims)}")
     vnorm = norm_sq(v)
     cands = []
     for j, c in centroids:
@@ -658,7 +664,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             id_col: str = "vec_id", vec_col: str = "embedding",
             codebook: DataFrame | None = None,
             round_to: int = 6,
-            encoded: DataFrame | None = None) -> DataFrame:
+            encoded: DataFrame | None = None,
+            validate: bool = True) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: corpus vectors are reduced to their pq_encode() codes;
     each query precomputes an m x n_codes lookup table of exact
@@ -675,9 +682,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     Output: (qid, nid, rank, adist2). Pass `encoded=` (a pq_encode
     result, typically read back from storage) to search prebuilt codes
-    without re-encoding.
+    without re-encoding; `validate=False` skips the one-aggregate-pass
+    code check when the index was already validated (e.g. once at
+    ivfpq_read_index time) so repeated searches don't pay a full index
+    scan each (ADVICE r5).
     """
-    if encoded is not None:
+    if encoded is not None and validate:
         _validate_encoded(encoded, m, n_codes, id_col)
     enc = encoded if encoded is not None else pq_encode(
         corpus, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
@@ -751,6 +761,13 @@ def ivfpq_write_index(index: DataFrame, table_name: str,
     _bucket so each file holds whole buckets); searches amortize it
     forever. Requires saveAsTable — bucket metadata lives in the
     catalog."""
+    import re
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        # qualified (db.tbl) or exotic names would reach raw SQL and a
+        # warehouse-relative rmtree below with the wrong layout (ADVICE
+        # r5) — require a bare identifier so both paths are exact
+        raise ValueError(f"table_name must be a bare identifier "
+                         f"[A-Za-z_][A-Za-z0-9_]*, got {table_name!r}")
     spark = index.sparkSession
     if mode == "overwrite":
         # DROP handles a live catalog entry; a stale managed-table
@@ -776,11 +793,20 @@ def ivfpq_write_index(index: DataFrame, table_name: str,
 
 
 def ivfpq_read_index(spark, table_name: str,
-                     probe_buckets=None) -> DataFrame:
+                     probe_buckets=None,
+                     m: int | None = None, n_codes: int | None = None,
+                     id_col: str = "vec_id") -> DataFrame:
     """Read a stored IVF x PQ index back, optionally pre-filtered to a
     probe-bucket list (computed up front via sign_probe_buckets) so the
-    literal IN-filter reaches the scan and bucket-prunes the files."""
+    literal IN-filter reaches the scan and bucket-prunes the files.
+
+    Pass m/n_codes to validate the stored codes ONCE here (full-index
+    aggregate) — then search with validate=False so repeated
+    pq_topk/ivfpq_topk calls against the same index skip the per-search
+    validation scan (ADVICE r5)."""
     df = spark.table(table_name)
+    if m is not None and n_codes is not None:
+        _validate_encoded(df, m, n_codes, id_col, need_bucket=True)
     if probe_buckets is not None:
         df = df.where(F.col("_bucket")
                       .isin([int(b) for b in probe_buckets]))
@@ -792,7 +818,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                id_col: str = "vec_id", vec_col: str = "embedding",
                codebook: DataFrame | None = None,
                round_to: int = 6,
-               index: DataFrame | None = None) -> DataFrame:
+               index: DataFrame | None = None,
+               validate: bool = True) -> DataFrame:
     """The composed billion-scale ANN shape: IVF coarse buckets select
     WHICH candidates a query meets (sub-linear: ~n_probes/2^_SIGN_BITS
     of the corpus per query) and PQ codes decide HOW each candidate is
@@ -819,9 +846,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     stored parquet) to search a prebuilt index — encode is skipped and
     only (id, codes, _bucket) is scanned. The codebook source (corpus
     or `codebook`) must be the one the index was built with.
+    `validate=False` skips the one-aggregate-pass code check when the
+    index was already validated (e.g. once at ivfpq_read_index time) —
+    repeated searches then don't re-scan the index (ADVICE r5).
     """
     probes = sign_probe_buckets(vec_col, n_probes)
-    if index is not None:
+    if index is not None and validate:
         _validate_encoded(index, m, n_codes, id_col, need_bucket=True)
     enc = index if index is not None else ivfpq_index(
         corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
@@ -926,6 +956,12 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                     carry=("_bucket",))
     seed_rows = _pq_seeds(codebook if codebook is not None else corpus,
                           n_codes, id_col, vec_col, round_to)
+    dim = len(seed_rows[0]["v"])
+    bad = [len(c) for _, c in cents if len(c) != dim]
+    if bad:
+        # caller-supplied centroids of the wrong width would null-pad
+        # through zip_with into arbitrary bucket assignment (ADVICE r5)
+        raise ValueError(f"centroid dim {bad[0]} != vector dim {dim}")
     q = queries.select(F.col(id_col).alias("qid"),
                        _pq_lut(seed_rows, m, vec_col).alias("_lut"),
                        F.explode(kmeans_probe_col(cents, vec_col,

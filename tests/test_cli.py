@@ -59,6 +59,14 @@ class TestCli:
                            "--active-after", "0"])
         for r in json.loads(out):
             assert r["active_series"] == r["total_series"]
+        # --match restricts the counted series (ADVICE r5: the flag was
+        # accepted but silently ignored)
+        rc, out = run_cli(["ts-cardinality", "--store", STORE,
+                           "--group-by", "__name__",
+                           "--match", "purchase"])
+        assert rc == 0
+        rows = {r["__name__"]: r["total_series"] for r in json.loads(out)}
+        assert set(rows) == {"purchase"}
 
     def test_series(self, spark):
         rc, out = run_cli(["series", "--store", STORE,

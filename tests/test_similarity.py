@@ -340,6 +340,43 @@ class TestPrebuiltIndexValidation:
                 sim.pq_encode(emb.withColumn(bad, F.lit(1)),
                               carry=(bad,))
 
+    def test_validate_false_skips_check_same_results(self, emb):
+        """ADVICE r5: validate=False must skip the per-search full
+        index aggregation without changing results (the once-per-index
+        validation path)."""
+        q = emb.where(F.col("vec_id") < 3)
+        idx = sim.ivfpq_index(emb, m=4, n_codes=4)
+        a = sorted(tuple(r) for r in
+                   sim.ivfpq_topk(emb, q, k=3, m=4, n_codes=4,
+                                  index=idx).collect())
+        b = sorted(tuple(r) for r in
+                   sim.ivfpq_topk(emb, q, k=3, m=4, n_codes=4,
+                                  index=idx, validate=False).collect())
+        assert a == b and len(a) > 0
+        # validate=False really skips: a mismatched-m search now fails
+        # downstream or returns wrong results, but must NOT raise the
+        # validation error eagerly
+        sim.ivfpq_topk(emb, q, k=3, m=2, n_codes=4, index=idx,
+                       validate=False)   # builds without the eager check
+
+    def test_wrong_dim_centroids_raise(self, emb):
+        """ADVICE r5: caller-supplied centroids of the wrong width must
+        raise, not null-pad into arbitrary bucket assignment."""
+        cents = sim.kmeans_fit_portable(emb, k=4, iterations=1)
+        short = [(j, c[:-1]) for j, c in cents]
+        q = emb.where(F.col("vec_id") < 3)
+        with pytest.raises(ValueError, match="dim"):
+            sim.ivfpq_kmeans_topk(emb, q, k=3, centroids=short)
+        ragged = [(j, c[:-1] if j == 0 else c) for j, c in cents]
+        with pytest.raises(ValueError, match="inconsistent"):
+            sim.kmeans_bucket_col(ragged, "embedding")
+
+    def test_write_index_rejects_non_bare_table_name(self, emb):
+        idx = sim.ivfpq_index(emb.limit(4), m=4, n_codes=4)
+        for bad in ("db.tbl", "t-x", "t x", "`t`", "a;drop", ""):
+            with pytest.raises(ValueError, match="bare identifier"):
+                sim.ivfpq_write_index(idx, bad)
+
 
 class TestIvfPqKmeans:
     """IVF x PQ over trained (portable k-means) coarse buckets."""

@@ -128,11 +128,26 @@ def main():
                     queries[name](spark, warm_dir).count()
                 except Exception as exc:   # warm-up must never fail bench
                     print(f"# warm-up {name}: {exc}", file=sys.stderr)
+    # Untimed warm-up sweep at the BENCH sf itself (r5 verdict item 4):
+    # the sf0.001 loop above warms codegen/compile paths but round-over-
+    # round totals still carried a measured 15-20% JIT warm-up-order
+    # sensitivity (PERF.md round-5 A/B dissection). One discarded run of
+    # each headline query at full bench scale pins the timed pass to
+    # steady state — JIT tiers, parquet footers, and OS page cache all
+    # settled before the first measurement.
+    t_warm = time.time()
+    for name in HEADLINE:
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception as exc:       # warm-up must never fail bench
+            print(f"# warm-up@sf {name}: {exc}", file=sys.stderr)
+    print(f"# warm-up sweep at {sf_dir}: {time.time() - t_warm:.1f}s "
+          "(discarded)", file=sys.stderr)
+
     timings = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        # warm the plan (parquet footer reads etc.) without timing data scan
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         dt = time.time() - t0

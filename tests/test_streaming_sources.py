@@ -397,6 +397,119 @@ class TestStreamingDownsample:
         assert len(g) >= len(b) - 2     # at most the last window per series open
 
 
+class TestStreamingExport:
+    """Streaming twin of the batch exporter: same cascade, same
+    partitioned layout, row-equal to export_rows, restart-safe."""
+
+    RULES = None   # built lazily (ExportRule import at class body is fine)
+
+    @staticmethod
+    def _rules():
+        from filodb_spark.sources.export import ExportRule
+        return (
+            ExportRule(block_filter_groups=((("ns", "=", "blocked"),),),
+                       allow_filter_groups=((("__name__", "=", "cpu"),),),
+                       drop_labels=("env",)),
+            ExportRule(allow_filter_groups=((("__name__", "=~", "mem|io"),),)),
+        )
+
+    @staticmethod
+    def _rows(lo, hi):
+        ts0 = 1_704_067_200_000
+        out = []
+        names = ["cpu", "mem", "io", "net"]
+        for i in range(lo, hi):
+            out.append({"labels": {"__name__": names[i % 4],
+                                   "ns": "blocked" if i % 5 == 0 else f"app-{i % 3}",
+                                   "env": "prod" if i % 2 else "dev"},
+                        "ts": ts0 + i * 3_600_000,
+                        "value": float(i)})
+        return out
+
+    def _write_batch(self, src, name, recs):
+        import json as _json
+        with open(src / name, "w") as f:
+            for r in recs:
+                f.write(_json.dumps(r) + "\n")
+
+    def _run_once(self, spark, src, out, ckpt):
+        from filodb_spark.streaming.export import streaming_export
+        stream = spark.readStream.schema(
+            "labels map<string,string>, ts long, value double").json(str(src))
+        q = streaming_export(stream, self._rules(), str(out), str(ckpt),
+                             key_filters=(("env", "=~", "prod|dev"),),
+                             label_columns=(("ns", "ns_col"),))
+        q.awaitTermination(120)
+
+    def test_matches_batch_and_survives_restart(self, spark, tmp_path):
+        from filodb_spark.sources.export import export_rows
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+
+        self._write_batch(src, "b1.json", self._rows(0, 40))
+        self._run_once(spark, src, out, ckpt)
+        batch1 = export_rows(
+            spark.createDataFrame(
+                [(r["labels"], r["ts"], r["value"])
+                 for r in self._rows(0, 40)],
+                "labels map<string,string>, ts long, value double"),
+            self._rules(), key_filters=(("env", "=~", "prod|dev"),),
+            label_columns=(("ns", "ns_col"),))
+        cols = ["metric", "epoch_timestamp", "value", "year", "month",
+                "day", "hour", "ns_col"]
+        def key(df):
+            return sorted((tuple(r[c] for c in cols),
+                           tuple(sorted(r["labels"].items())))
+                          for r in df.collect())
+        got = spark.read.parquet(str(out))
+        assert key(got) == key(batch1)
+        assert len(key(got)) > 0
+        # winning-rule drop applied in-stream: cpu rows lost env
+        for r in got.collect():
+            if r["metric"] == "cpu":
+                assert "env" not in r["labels"]
+
+        # restart from the same checkpoint: only the new file processes,
+        # no duplicates, and the union equals the batch path over all rows
+        self._write_batch(src, "b2.json", self._rows(40, 60))
+        self._run_once(spark, src, out, ckpt)
+        batch_all = export_rows(
+            spark.createDataFrame(
+                [(r["labels"], r["ts"], r["value"])
+                 for r in self._rows(0, 60)],
+                "labels map<string,string>, ts long, value double"),
+            self._rules(), key_filters=(("env", "=~", "prod|dev"),),
+            label_columns=(("ns", "ns_col"),))
+        assert key(spark.read.parquet(str(out))) == key(batch_all)
+
+    def test_partition_layout_matches_batch_job(self, spark, tmp_path):
+        """The stream sink writes the same year/month/day/<label>/metric
+        directory layout as export_series_table, and a metric+label
+        filter partition-prunes the read."""
+        from pyspark.sql import functions as F
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        self._write_batch(src, "b1.json", self._rows(0, 24))
+        self._run_once(spark, src, out, ckpt)
+        import glob
+        parts = glob.glob(str(out) + "/year=*/month=*/day=*/ns_col=*/metric=*")
+        assert parts, "expected partition directories"
+        back = spark.read.parquet(str(out))
+        plan = back.where((F.col("metric") == "mem")
+                          & (F.col("ns_col") == "app-1")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+    def test_rejects_batch_frame(self, spark):
+        from filodb_spark.streaming.export import streaming_export_rows
+        df = spark.createDataFrame(
+            [({"__name__": "m"}, 0, 1.0)],
+            "labels map<string,string>, ts long, value double")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="streaming"):
+            streaming_export_rows(df, self._rules())
+
+
 class TestStreamingDocDedup:
     def test_first_occurrence_survives_across_batches(self, spark, tmp_path):
         """Streaming exact dedup: duplicates inside a batch AND re-sent

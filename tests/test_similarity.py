@@ -457,6 +457,26 @@ class TestIvfPqKmeans:
                                       centroids=cents).collect()}
         assert comp == full
 
+    def test_prebuilt_index_equals_direct_search(self, emb, cents):
+        """ivfpq_kmeans_index + ivfpq_kmeans_topk(index=) must equal
+        the re-encoding search exactly (the write-once/search-forever
+        path for trained buckets)."""
+        q = emb.where(F.col("vec_id") < 5)
+        direct = sorted(tuple(r) for r in
+                        sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                              n_probes=2,
+                                              centroids=cents).collect())
+        idx = sim.ivfpq_kmeans_index(emb, cents, m=4, n_codes=4)
+        stored = sorted(tuple(r) for r in
+                        sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                              n_probes=2, centroids=cents,
+                                              index=idx).collect())
+        assert direct == stored and len(direct) > 0
+        # validation still guards the prebuilt path
+        with pytest.raises(ValueError, match="subspaces"):
+            sim.ivfpq_kmeans_topk(emb, q, k=3, m=2, centroids=cents,
+                                  index=idx)
+
     def test_fit_matches_kmeans_portable_assignment(self, emb):
         """kmeans_fit_portable + _kmeans_assign must equal the original
         kmeans_portable end-to-end (the refactor is behavior-neutral)."""

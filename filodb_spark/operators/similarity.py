@@ -554,6 +554,54 @@ def _pq_lut(seed_rows: list, m: int, vec_col: str) -> Column:
     return F.array(*lut_rows)
 
 
+def _pq_lut_table(queries: DataFrame, seed_rows: list, m: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """The same ADC lookup table as _pq_lut, built as DATA instead of a
+    literal expression: the codebook becomes a broadcast (j, c, subvec,
+    cnorm) frame of m x n_codes rows, each query joins it once, and the
+    per-(qid, j, c) cell distances fold back into the m x n_codes array
+    shape with order-pinned array_sort(collect_list(struct)) — struct
+    field order (c,...)/(j,...) IS the sort key, so cell order matches
+    the literal layout exactly.
+
+    Why: at production codebook shape (m=8, n_codes=256) the literal
+    LUT is a ~2048-cell expression tree and every search pays ~1 min of
+    Catalyst/codegen compile before any data moves (measured,
+    PERF.md r6); as data the expression stays O(1) in codebook size and
+    the work is an |Q| x (m x n_codes) broadcast join — still entirely
+    query-side. Bit-exact vs the literal path: same slice, same
+    zero-seeded left-fold dot/norm, same Python-float cnorm (asserted
+    at fixture scale in tests)."""
+    spark = queries.sparkSession
+    dim = len(seed_rows[0]["v"])
+    sub = dim // m
+    cb_rows = []
+    for j in range(m):
+        for c, r in enumerate(seed_rows):
+            cj = [float(x) for x in r["v"][j * sub: (j + 1) * sub]]
+            cnorm = 0.0
+            for x in cj:            # same left-to-right fold as _pq_lut
+                cnorm += x * x
+            cb_rows.append((j, c, cj, cnorm))
+    cb = spark.createDataFrame(
+        cb_rows, "j int, c int, subvec array<double>, cnorm double")
+    qv = as_double(F.col(vec_col))
+    q = queries.select(F.col(id_col).alias("qid"), qv.alias("_qv"))
+    qj = F.slice(F.col("_qv"), F.col("j") * sub + 1, sub)
+    cells = (q.join(broadcast(cb))
+             .select("qid", "j", "c",
+                     (norm_sq(qj) - 2.0 * dot(qj, F.col("subvec"))
+                      + F.col("cnorm")).alias("d2")))
+    per_j = (cells.groupBy("qid", "j")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("c", "d2"))),
+                 lambda s: s["d2"]).alias("row")))
+    return (per_j.groupBy("qid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "row"))),
+                lambda s: s["row"]).alias("_lut")))
+
+
 def _adc_dist(codes: Column, lut: Column) -> Column:
     """ADC distance: sum of the LUT cells the candidate's codes select
     (zero-seeded left fold — associativity order matches the oracle)."""
@@ -665,7 +713,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             codebook: DataFrame | None = None,
             round_to: int = 6,
             encoded: DataFrame | None = None,
-            validate: bool = True) -> DataFrame:
+            validate: bool = True,
+            lut: str = "literal") -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over
     PQ codes: corpus vectors are reduced to their pq_encode() codes;
     each query precomputes an m x n_codes lookup table of exact
@@ -685,8 +734,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     without re-encoding; `validate=False` skips the one-aggregate-pass
     code check when the index was already validated (e.g. once at
     ivfpq_read_index time) so repeated searches don't pay a full index
-    scan each (ADVICE r5).
+    scan each (ADVICE r5). `lut="table"` builds the per-query lookup
+    table as a broadcast join against a codebook frame instead of a
+    literal expression — bit-identical results, O(1) expression size in
+    m x n_codes (the scale path for production codebooks, where the
+    literal tree costs ~1 min of compile per search; PERF.md r6).
     """
+    if lut not in ("literal", "table"):
+        raise ValueError(f"lut must be 'literal' or 'table', got {lut!r}")
     if encoded is not None and validate:
         _validate_encoded(encoded, m, n_codes, id_col)
     enc = encoded if encoded is not None else pq_encode(
@@ -697,8 +752,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    q = queries.select(F.col(id_col).alias("qid"),
-                       _pq_lut(seed_rows, m, vec_col).alias("_lut"))
+    if lut == "table":
+        q = _pq_lut_table(queries, seed_rows, m, id_col, vec_col)
+    else:
+        q = queries.select(F.col(id_col).alias("qid"),
+                           _pq_lut(seed_rows, m, vec_col).alias("_lut"))
     pairs = (enc.select(F.col(id_col).alias("nid"), "codes")
              .crossJoin(broadcast(q))
              .where(F.col("nid") != F.col("qid")))
@@ -841,7 +899,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                codebook: DataFrame | None = None,
                round_to: int = 6,
                index: DataFrame | None = None,
-               validate: bool = True) -> DataFrame:
+               validate: bool = True,
+               lut: str = "literal") -> DataFrame:
     """The composed billion-scale ANN shape: IVF coarse buckets select
     WHICH candidates a query meets (sub-linear: ~n_probes/2^_SIGN_BITS
     of the corpus per query) and PQ codes decide HOW each candidate is
@@ -871,7 +930,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     `validate=False` skips the one-aggregate-pass code check when the
     index was already validated (e.g. once at ivfpq_read_index time) —
     repeated searches then don't re-scan the index (ADVICE r5).
+    `lut="table"` builds the ADC lookup table as a broadcast codebook
+    join instead of a literal expression — bit-identical, the scale
+    path for production codebooks (see pq_topk).
     """
+    if lut not in ("literal", "table"):
+        raise ValueError(f"lut must be 'literal' or 'table', got {lut!r}")
     probes = sign_probe_buckets(vec_col, n_probes)
     if index is not None and validate:
         _validate_encoded(index, m, n_codes, id_col, need_bucket=True)
@@ -883,9 +947,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    q = queries.select(F.col(id_col).alias("qid"),
-                       _pq_lut(seed_rows, m, vec_col).alias("_lut"),
-                       F.explode(probes).alias("_bucket"))
+    if lut == "table":
+        q = (queries.select(F.col(id_col).alias("qid"),
+                            F.explode(probes).alias("_bucket"))
+             .join(broadcast(_pq_lut_table(queries, seed_rows, m,
+                                           id_col, vec_col)), "qid"))
+    else:
+        q = queries.select(F.col(id_col).alias("qid"),
+                           _pq_lut(seed_rows, m, vec_col).alias("_lut"),
+                           F.explode(probes).alias("_bucket"))
     return _adc_bucket_rank(enc, q, k, id_col, round_to)
 
 
@@ -939,7 +1009,8 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       centroids: list | None = None,
                       round_to: int = 6,
                       index: DataFrame | None = None,
-                      validate: bool = True) -> DataFrame:
+                      validate: bool = True,
+                      lut: str = "literal") -> DataFrame:
     """IVF x PQ with TRAINED coarse buckets (r4 verdict item 2): the
     coarse layer is the deterministic portable k-means of
     kmeans_fit_portable instead of sign-hash cells — measured on the
@@ -997,11 +1068,21 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
         # caller-supplied centroids of the wrong width would null-pad
         # through zip_with into arbitrary bucket assignment (ADVICE r5)
         raise ValueError(f"centroid dim {bad[0]} != vector dim {dim}")
-    q = queries.select(F.col(id_col).alias("qid"),
-                       _pq_lut(seed_rows, m, vec_col).alias("_lut"),
-                       F.explode(kmeans_probe_col(cents, vec_col,
-                                                  n_probes))
-                       .alias("_bucket"))
+    if lut == "table":
+        q = (queries.select(F.col(id_col).alias("qid"),
+                            F.explode(kmeans_probe_col(cents, vec_col,
+                                                       n_probes))
+                            .alias("_bucket"))
+             .join(broadcast(_pq_lut_table(queries, seed_rows, m,
+                                           id_col, vec_col)), "qid"))
+    elif lut == "literal":
+        q = queries.select(F.col(id_col).alias("qid"),
+                           _pq_lut(seed_rows, m, vec_col).alias("_lut"),
+                           F.explode(kmeans_probe_col(cents, vec_col,
+                                                      n_probes))
+                           .alias("_bucket"))
+    else:
+        raise ValueError(f"lut must be 'literal' or 'table', got {lut!r}")
     return _adc_bucket_rank(enc, q, k, id_col, round_to)
 
 

@@ -57,8 +57,13 @@ def synth_corpus(n: int):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    probes = [int(p) for p in sys.argv[2:]] or [1, 2, 4, 8, 16]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lut = "literal"
+    for a in sys.argv[1:]:
+        if a.startswith("--lut="):
+            lut = a.split("=", 1)[1]
+    n = int(args[0]) if args else 20_000
+    probes = [int(p) for p in args[1:]] or [1, 2, 4, 8, 16]
 
     import filodb_spark
     from pyspark.sql import functions as F
@@ -112,11 +117,12 @@ def main():
         t0 = time.time()
         approx = sim.ivfpq_kmeans_topk(
             corpus, q, k=K, m=M, n_codes=N_CODES, n_buckets=N_BUCKETS,
-            n_probes=p, centroids=cents, index=enc, validate=(p == probes[0]))
+            n_probes=p, centroids=cents, index=enc,
+            validate=(p == probes[0]), lut=lut)
         rec = (sim.topk_recall(approx, exact)
                .agg(F.avg("recall")).first()[0])
         dt = time.time() - t0
-        row = {"n_probes": p,
+        row = {"n_probes": p, "lut": lut,
                "theory_fraction": round(p / N_BUCKETS, 4),
                "cand_fraction": round(cand / (N_QUERIES * n), 4),
                "mean_recall_at_10": round(rec, 4),

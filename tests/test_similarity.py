@@ -477,6 +477,31 @@ class TestIvfPqKmeans:
             sim.ivfpq_kmeans_topk(emb, q, k=3, m=2, centroids=cents,
                                   index=idx)
 
+    def test_lut_table_mode_bit_equal(self, emb, cents):
+        """lut='table' (broadcast codebook join) must be bit-identical
+        to the literal-expression LUT across all three ADC entry points
+        — same slice, same zero-seeded left folds, same Python-float
+        cnorm (the production-codebook scale path, PERF.md r6)."""
+        q = emb.where(F.col("vec_id") < 5)
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        a = rows(sim.pq_topk(emb, q, k=3, m=4, n_codes=4))
+        b = rows(sim.pq_topk(emb, q, k=3, m=4, n_codes=4, lut="table"))
+        assert a == b and len(a) > 0
+        a = rows(sim.ivfpq_topk(emb, q, k=3, n_probes=3))
+        b = rows(sim.ivfpq_topk(emb, q, k=3, n_probes=3, lut="table"))
+        assert a == b
+        a = rows(sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                       n_probes=2, centroids=cents))
+        b = rows(sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                       n_probes=2, centroids=cents,
+                                       lut="table"))
+        assert a == b
+        with pytest.raises(ValueError, match="lut"):
+            sim.pq_topk(emb, q, k=3, lut="nope")
+
     def test_fit_matches_kmeans_portable_assignment(self, emb):
         """kmeans_fit_portable + _kmeans_assign must equal the original
         kmeans_portable end-to-end (the refactor is behavior-neutral)."""

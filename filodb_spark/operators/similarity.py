@@ -88,6 +88,41 @@ def brute_force_topk_l2(corpus: DataFrame, queries: DataFrame, k: int,
             .select("qid", "nid", "rank", "dist2"))
 
 
+def rerank_exact(corpus: DataFrame, queries: DataFrame,
+                 candidates: DataFrame, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_to: int = 6) -> DataFrame:
+    """Exact squared-L2 re-rank of an ANN candidate stream — the final
+    stage every production ANN stack (FAISS et al.) bolts onto its
+    IVF x PQ pipeline: the coarse+ADC layers decide WHICH ~R candidates
+    per query are worth a full distance, this stage ranks those exactly
+    so the ADC quantization ceiling disappears from the top-k.
+
+    candidates: any (qid, nid, ...) frame (an *_topk result searched
+    with a generous k, e.g. 10-50x the final k). The join back to raw
+    vectors touches candidate rows only — never all pairs — so the
+    shuffled volume is |Q| x R vectors, independent of corpus size.
+    Same fold orders as brute_force_topk_l2, so on identical candidate
+    sets the two rank identically (SQL-oracle-parity preserved).
+    Output: (qid, nid, rank, dist2) — the *_topk contract."""
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      as_double(F.col(vec_col)).alias("nv"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       as_double(F.col(vec_col)).alias("qv"))
+    cand = candidates.select("qid", "nid").distinct()
+    pairs = (cand.join(c, "nid").join(broadcast(q), "qid")
+             .where(F.col("nid") != F.col("qid")))
+    d2 = (norm_sq(F.col("qv")) - 2.0 * dot(F.col("qv"), F.col("nv"))
+          + norm_sq(F.col("nv")))
+    scored = pairs.select("qid", "nid",
+                          F.round(d2, round_to).alias("dist2"))
+    w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),
+                                          F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "rank", "dist2"))
+
+
 _SIGN_BITS = 6
 
 
@@ -1010,7 +1045,8 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       round_to: int = 6,
                       index: DataFrame | None = None,
                       validate: bool = True,
-                      lut: str = "literal") -> DataFrame:
+                      lut: str = "literal",
+                      rerank_k: int | None = None) -> DataFrame:
     """IVF x PQ with TRAINED coarse buckets (r4 verdict item 2): the
     coarse layer is the deterministic portable k-means of
     kmeans_fit_portable instead of sign-hash cells — measured on the
@@ -1032,7 +1068,12 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
     k x dim floats of driver state, MLlib-equivalent), assignment stays
     map-only.
 
-    Output: (qid, nid, rank, adist2) — the ivfpq_topk contract.
+    Output: (qid, nid, rank, adist2) — the ivfpq_topk contract. With
+    `rerank_k=R` (R >= k), ADC selects R candidates per query and an
+    exact squared-L2 re-rank (rerank_exact) produces the final top-k —
+    output column becomes exact `dist2` and the ADC quantization
+    ceiling leaves the top-k (the FAISS-style refine stage; recall
+    lift measured in PERF.md r6).
 
     Pass `index=` (an ivfpq_kmeans_index result, typically read back
     from storage) with the SAME centroids/codebook it was built with to
@@ -1083,7 +1124,16 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                            .alias("_bucket"))
     else:
         raise ValueError(f"lut must be 'literal' or 'table', got {lut!r}")
-    return _adc_bucket_rank(enc, q, k, id_col, round_to)
+    if rerank_k is None:
+        return _adc_bucket_rank(enc, q, k, id_col, round_to)
+    # production tail: ADC selects rerank_k candidates per query, the
+    # exact stage ranks those (and only those) with full distances —
+    # output switches from approximate adist2 to exact dist2
+    if rerank_k < k:
+        raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
+    cand = _adc_bucket_rank(enc, q, rerank_k, id_col, round_to)
+    return rerank_exact(corpus, queries, cand, k,
+                        id_col=id_col, vec_col=vec_col, round_to=round_to)
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",

@@ -59,9 +59,12 @@ def synth_corpus(n: int):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     lut = "literal"
+    rerank_k = None
     for a in sys.argv[1:]:
         if a.startswith("--lut="):
             lut = a.split("=", 1)[1]
+        if a.startswith("--rerank="):
+            rerank_k = int(a.split("=", 1)[1])
     n = int(args[0]) if args else 20_000
     probes = [int(p) for p in args[1:]] or [1, 2, 4, 8, 16]
 
@@ -118,11 +121,11 @@ def main():
         approx = sim.ivfpq_kmeans_topk(
             corpus, q, k=K, m=M, n_codes=N_CODES, n_buckets=N_BUCKETS,
             n_probes=p, centroids=cents, index=enc,
-            validate=(p == probes[0]), lut=lut)
+            validate=(p == probes[0]), lut=lut, rerank_k=rerank_k)
         rec = (sim.topk_recall(approx, exact)
                .agg(F.avg("recall")).first()[0])
         dt = time.time() - t0
-        row = {"n_probes": p, "lut": lut,
+        row = {"n_probes": p, "lut": lut, "rerank_k": rerank_k,
                "theory_fraction": round(p / N_BUCKETS, 4),
                "cand_fraction": round(cand / (N_QUERIES * n), 4),
                "mean_recall_at_10": round(rec, 4),

@@ -186,9 +186,14 @@ class TestExportRows:
         back = spark.read.parquet(path)
         assert back.count() == 4
         plan = back.where((F.col("year") == 2024) & (F.col("day") == 1)
-                          & (F.col("metric") == "cpu")) \
+                          & (F.col("metric") == "cpu")
+                          & (F.col("ws") == "App-0")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "metric" in plan
+        # the label->column mapping is itself a partition key: the ws
+        # filter must prune at planning time too (reference
+        # labelColumnMapping + PARTITIONED BY, BatchExporter.scala:220-232)
+        assert "ws" in plan.split("PartitionFilters")[1][:200]
         assert back.where(F.col("day") == 1).count() == 3
 
 

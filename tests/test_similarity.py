@@ -477,6 +477,33 @@ class TestIvfPqKmeans:
             sim.ivfpq_kmeans_topk(emb, q, k=3, m=2, centroids=cents,
                                   index=idx)
 
+    def test_rerank_exact_matches_bruteforce_on_candidates(self, emb,
+                                                           cents):
+        """rerank_exact over the FULL corpus as candidates must equal
+        brute_force_topk_l2 exactly (same folds, same tie-break); with
+        rerank_k wide enough to cover every probed candidate, the
+        composed ivfpq_kmeans_topk(rerank_k=) equals the exact top-k
+        restricted to probed buckets."""
+        q = emb.where(F.col("vec_id") < 5)
+        all_pairs = (emb.select(F.col("vec_id").alias("nid"))
+                     .crossJoin(q.select(F.col("vec_id").alias("qid"))))
+        got = sorted(tuple(r) for r in
+                     sim.rerank_exact(emb, q, all_pairs, k=3).collect())
+        exact = sorted(tuple(r) for r in
+                       sim.brute_force_topk_l2(emb, q, k=3).collect())
+        assert got == exact and len(got) > 0
+        # all buckets probed + wide rerank => exact top-k end to end
+        n = emb.count()
+        composed = sorted(tuple(r) for r in
+                          sim.ivfpq_kmeans_topk(
+                              emb, q, k=3, n_buckets=16,
+                              n_probes=len(cents), centroids=cents,
+                              rerank_k=n).collect())
+        assert composed == exact
+        with pytest.raises(ValueError, match="rerank_k"):
+            sim.ivfpq_kmeans_topk(emb, q, k=5, centroids=cents,
+                                  rerank_k=3)
+
     def test_lut_table_mode_bit_equal(self, emb, cents):
         """lut='table' (broadcast codebook join) must be bit-identical
         to the literal-expression LUT across all three ADC entry points

@@ -59,15 +59,49 @@ def to_vector_response(df: DataFrame) -> dict:
             "data": {"resultType": "vector", "result": out}}
 
 
+def _with_stats(run, render, limits):
+    """Execute a query with a QueryStats collector attached and append
+    queryStats / queryWarnings to the rendered response (SuccessResponse
+    shape, PromQueryResponse.scala:10-14; stats rendered like
+    PrometheusModel.toQueryStatistics / toQueryWarningsResponse)."""
+    import json as _json
+    import time as _time
+
+    from filodb_spark.promql.stats import (QueryStatsCollector,
+                                           warnings_response)
+    col = QueryStatsCollector()
+    t0 = _time.monotonic_ns()
+    resp = render(run(col))          # render collects -> metrics land
+    col.cpu_nanos = _time.monotonic_ns() - t0
+    col.result_bytes = len(_json.dumps(resp["data"]).encode())
+    rows = col.groups()
+    resp["queryStats"] = rows
+    resp["queryWarnings"] = warnings_response(rows, limits)
+    return resp
+
+
 def query_range_api(engine, query: str, start_s: float, end_s: float,
-                    step_s: float) -> dict:
-    """GET /api/v1/query_range equivalent."""
-    df = engine.query_range(query, int(start_s * 1000), int(end_s * 1000),
-                            int(step_s * 1000))
-    return to_matrix_response(df)
+                    step_s: float, stats: bool = False,
+                    limits=None) -> dict:
+    """GET /api/v1/query_range equivalent. stats=True appends
+    queryStats/queryWarnings (reference returns them always; here
+    opt-in so stat-less responses stay byte-stable)."""
+    args = (query, int(start_s * 1000), int(end_s * 1000),
+            int(step_s * 1000))
+    if not stats:
+        return to_matrix_response(engine.query_range(*args))
+    return _with_stats(
+        lambda col: engine.query_range(*args, stats_collector=col),
+        to_matrix_response, limits)
 
 
-def query_api(engine, query: str, time_s: float) -> dict:
+def query_api(engine, query: str, time_s: float, stats: bool = False,
+              limits=None) -> dict:
     """GET /api/v1/query equivalent."""
-    df = engine.query_instant(query, int(time_s * 1000))
-    return to_vector_response(df)
+    if not stats:
+        return to_vector_response(engine.query_instant(query,
+                                                       int(time_s * 1000)))
+    return _with_stats(
+        lambda col: engine.query_instant(query, int(time_s * 1000),
+                                         stats_collector=col),
+        to_vector_response, limits)

@@ -75,7 +75,8 @@ def _parse_timeout(q: dict) -> float | None:
 MAX_WRITE_BODY = 10 * 1024 * 1024
 
 
-def make_handler(engine, write_buffer=None, bearer_token=None):
+def make_handler(engine, write_buffer=None, bearer_token=None,
+                 warn_limits=None):
     import hmac
 
     class Handler(BaseHTTPRequestHandler):
@@ -215,17 +216,25 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
                         return self._send({"status": "down",
                                            "error": str(ex)}, 503)
                 if path.endswith("/api/v1/query_range"):
+                    # &stats=true appends queryStats/queryWarnings
+                    # (PrometheusApiRoute.scala renders them on every
+                    # SuccessResponse; opt-in here)
+                    want_stats = q.get("stats", "") in ("true", "1")
                     resp = run_with_timeout(
                         engine.spark,
                         lambda: render.query_range_api(
                             engine, q["query"], float(q["start"]),
-                            float(q["end"]), float(q.get("step", "60"))),
+                            float(q["end"]), float(q.get("step", "60")),
+                            stats=want_stats, limits=warn_limits),
                         timeout_s)
                 elif path.endswith("/api/v1/query"):
+                    want_stats = q.get("stats", "") in ("true", "1")
                     resp = run_with_timeout(
                         engine.spark,
                         lambda: render.query_api(engine, q["query"],
-                                                 float(q["time"])),
+                                                 float(q["time"]),
+                                                 stats=want_stats,
+                                                 limits=warn_limits),
                         timeout_s)
                 elif path.endswith("/api/v1/labels"):
                     resp = {"status": "success",
@@ -289,7 +298,8 @@ def make_handler(engine, write_buffer=None, bearer_token=None):
 
 def serve(engine, host: str = "127.0.0.1", port: int = 0,
           write_buffer=None, bearer_token=None,
-          certfile: str | None = None, keyfile: str | None = None):
+          certfile: str | None = None, keyfile: str | None = None,
+          warn_limits=None):
     """Start the API server on a background thread; returns the server
     (use .server_address, .shutdown()). Pass a
     remote_write.WriteBuffer to enable POST /api/v1/write, a
@@ -299,7 +309,7 @@ def serve(engine, host: str = "127.0.0.1", port: int = 0,
     deployments — this covers direct exposure)."""
     srv = ThreadingHTTPServer((host, port),
                               make_handler(engine, write_buffer,
-                                           bearer_token))
+                                           bearer_token, warn_limits))
     if certfile:
         import ssl
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)

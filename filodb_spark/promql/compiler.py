@@ -228,6 +228,19 @@ class PromQLEngine:
         # (AggrOverRangeVectors.scala:236-253); None = unenforced
         self.groupby_cardinality_limit = groupby_cardinality_limit
         self._preagg_enabled = True
+        # per-query QueryStats hook (stats.QueryStatsCollector): when
+        # set, every leaf scan is wrapped in a DataFrame.observe node
+        # (QueryStats analog, QueryContext.scala:385-470)
+        self._stats = None
+
+    def _scan(self, sel: A.VectorSelector) -> DataFrame:
+        """Leaf scan with optional stats observation — the
+        MultiSchemaPartitionsExec boundary where the reference's chunk
+        iterators count timeSeriesScanned/samplesScanned."""
+        df = self.store.select(sel)
+        if self._stats is not None:
+            df = self._stats.observe_scan(df, (sel.metric or "",))
+        return df
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
@@ -245,7 +258,20 @@ class PromQLEngine:
         return result
 
     def query_range(self, promql: str, start_ms: int, end_ms: int,
-                    step_ms: int, limit: int | None = None) -> DataFrame:
+                    step_ms: int, limit: int | None = None,
+                    stats_collector=None) -> DataFrame:
+        """stats_collector: a stats.QueryStatsCollector — leaf scans
+        built during this call observe into it (QueryStats analog);
+        the caller resolves it after its action."""
+        self._stats = stats_collector
+        try:
+            return self._query_range_impl(promql, start_ms, end_ms,
+                                          step_ms, limit)
+        finally:
+            self._stats = None
+
+    def _query_range_impl(self, promql: str, start_ms: int, end_ms: int,
+                          step_ms: int, limit: int | None = None) -> DataFrame:
         if self.retention_floor_ms is not None and \
                 start_ms < self.retention_floor_ms:
             # clamp to the earliest retained instant on the step grid
@@ -268,7 +294,7 @@ class PromQLEngine:
             at = sel.at_ms if sel.at_ms is not None else end_ms
             t_end = at - sel.offset_ms
             from filodb_spark.kernels.grid import drop_nan
-            df = drop_nan(self.store.select(sel).where(
+            df = drop_nan(self._scan(sel).where(
                 F.col("ts").between(t_end - core.range_ms, t_end)))
             return df.select("labels", F.col("ts").alias("t"), "value")
         res = self._eval(ast, grid)
@@ -282,8 +308,10 @@ class PromQLEngine:
                       .drop("_sk"))
         return res
 
-    def query_instant(self, promql: str, time_ms: int) -> DataFrame:
-        return self.query_range(promql, time_ms, time_ms, 1)
+    def query_instant(self, promql: str, time_ms: int,
+                      stats_collector=None) -> DataFrame:
+        return self.query_range(promql, time_ms, time_ms, 1,
+                                stats_collector=stats_collector)
 
     # ---- helpers -------------------------------------------------------
 
@@ -338,7 +366,7 @@ class PromQLEngine:
 
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
-        df = self.store.select(sel)
+        df = self._scan(sel)
         # time-range pruning: pushed to parquet min/max skipping
         df = df.where((F.col("ts") >= grid.start - window)
                       & (F.col("ts") <= grid.end))

@@ -1,0 +1,120 @@
+"""QueryStats / QueryWarnings parity (reference QueryContext.scala:
+59-110,385-470 rendered per PromQueryResponse.scala:10-31): per-leaf
+scan statistics collected via DataFrame.observe, soft warn limits, and
+the HTTP surface."""
+
+import json
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.api import query_api, query_range_api
+from filodb_spark.promql import PromQLEngine
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.promql.stats import PerQueryLimits
+from filodb_spark.tsdf import events_labels_ts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    df = events_labels_ts(spark, SF)
+    e = PromQLEngine(spark, TsStore(df), lookback_ms=24 * 3600 * 1000)
+    lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
+    return e, lo, hi, df
+
+
+class TestQueryStats:
+    def test_stats_off_response_unchanged(self, eng):
+        e, lo, hi, _ = eng
+        resp = query_range_api(e, "sum(rate(purchase[24h]))",
+                               lo / 1000, hi / 1000, 6 * 3600)
+        assert "queryStats" not in resp and "queryWarnings" not in resp
+
+    def test_samples_and_series_counts_exact(self, eng):
+        e, lo, hi, df = eng
+        resp = query_range_api(e, "sum(rate(purchase[24h]))",
+                               lo / 1000, hi / 1000, 6 * 3600,
+                               stats=True)
+        [st] = resp["queryStats"]
+        assert st["group"] == ["purchase"]
+        # the leaf observes post-selector, pre-time-filter rows —
+        # every purchase sample flows through the scan
+        scan = df.where(F.col("labels")["__name__"] == "purchase")
+        n = scan.count()
+        assert st["samplesScanned"] == n
+        assert st["dataBytesScanned"] == n * 16
+        # approx_count_distinct is exact at this cardinality (15 users)
+        series = scan.select(F.col("labels")["user"]).distinct().count()
+        assert st["timeSeriesScanned"] == series
+        assert st["cpuNanos"] > 0 and st["resultBytes"] > 0
+
+    def test_two_leaves_two_groups(self, eng):
+        e, lo, hi, _ = eng
+        resp = query_range_api(
+            e, "sum(rate(purchase[24h])) / sum(rate(click[24h]))",
+            lo / 1000, hi / 1000, 6 * 3600, stats=True)
+        groups = {tuple(s["group"]) for s in resp["queryStats"]}
+        assert groups == {("purchase",), ("click",)}
+        for s in resp["queryStats"]:
+            assert s["samplesScanned"] > 0
+
+    def test_warnings_fire_only_past_limits(self, eng):
+        e, lo, hi, _ = eng
+        lim_hot = PerQueryLimits(warn_time_series_scanned=1,
+                                 warn_samples_scanned_bytes=1,
+                                 warn_result_bytes=1)
+        resp = query_range_api(e, "sum(rate(purchase[24h]))",
+                               lo / 1000, hi / 1000, 6 * 3600,
+                               stats=True, limits=lim_hot)
+        w = resp["queryWarnings"]
+        assert w["timeSeriesScanned"] > 1
+        assert w["timeSeriesSamplesScannedBytes"] > 1
+        assert w["execPlanResultBytes"] > 1
+        lim_cold = PerQueryLimits(warn_time_series_scanned=10 ** 9,
+                                  warn_samples_scanned_bytes=10 ** 15,
+                                  warn_result_bytes=10 ** 15)
+        resp = query_range_api(e, "sum(rate(purchase[24h]))",
+                               lo / 1000, hi / 1000, 6 * 3600,
+                               stats=True, limits=lim_cold)
+        assert not any(resp["queryWarnings"].values())
+
+    def test_instant_query_stats(self, eng):
+        e, lo, hi, _ = eng
+        resp = query_api(e, "count(purchase)", hi / 1000, stats=True)
+        [st] = resp["queryStats"]
+        assert st["samplesScanned"] > 0
+
+    def test_scalar_only_query_has_no_groups(self, eng):
+        e, lo, hi, _ = eng
+        resp = query_range_api(e, "time()", lo / 1000, hi / 1000,
+                               6 * 3600, stats=True)
+        assert resp["queryStats"] == []
+        assert not any(resp["queryWarnings"].values())
+
+
+class TestHttpStats:
+    def test_stats_param_end_to_end(self, eng):
+        from filodb_spark.http_server import serve
+        e, lo, hi, _ = eng
+        srv = serve(e, warn_limits=PerQueryLimits(
+            warn_time_series_scanned=1))
+        try:
+            host, port = srv.server_address
+            url = (f"http://{host}:{port}/promql/ds/api/v1/query_range"
+                   f"?query=sum(rate(purchase[24h]))"
+                   f"&start={lo / 1000}&end={hi / 1000}&step=21600"
+                   f"&stats=true")
+            body = json.loads(urllib.request.urlopen(url).read())
+            assert body["status"] == "success"
+            [st] = body["queryStats"]
+            assert st["samplesScanned"] > 0
+            assert body["queryWarnings"]["timeSeriesScanned"] > 1
+            # without the param: byte-stable legacy shape
+            body2 = json.loads(urllib.request.urlopen(
+                url.replace("&stats=true", "")).read())
+            assert "queryStats" not in body2
+        finally:
+            srv.shutdown()

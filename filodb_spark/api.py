@@ -80,6 +80,27 @@ def _with_stats(run, render, limits):
     return resp
 
 
+def explain_response(df: DataFrame) -> dict:
+    """ExplainPlanResponse shape (PromQueryResponse.scala:16-18;
+    rendered by PrometheusModel.toPromExplainPlanResponse from
+    ExecPlan.getPlan()). The reference prints its materialized ExecPlan
+    tree; the Spark-first equivalent of that tree IS the Catalyst query
+    execution — parsed/analyzed/optimized/physical — so debugInfo
+    carries its full printout (the artifact you read to check pushdown
+    and join strategy)."""
+    lines = df._jdf.queryExecution().toString().splitlines()
+    return {"status": "success", "debugInfo": lines}
+
+
+def explain_range_api(engine, query: str, start_s: float, end_s: float,
+                      step_s: float) -> dict:
+    """GET /api/v1/query_range?explainOnly=true equivalent — plan the
+    query, run nothing."""
+    df = engine.query_range(query, int(start_s * 1000),
+                            int(end_s * 1000), int(step_s * 1000))
+    return explain_response(df)
+
+
 def query_range_api(engine, query: str, start_s: float, end_s: float,
                     step_s: float, stats: bool = False,
                     limits=None) -> dict:

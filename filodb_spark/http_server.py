@@ -216,9 +216,14 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                         return self._send({"status": "down",
                                            "error": str(ex)}, 503)
                 if path.endswith("/api/v1/query_range"):
-                    # &stats=true appends queryStats/queryWarnings
-                    # (PrometheusApiRoute.scala renders them on every
-                    # SuccessResponse; opt-in here)
+                    # &explainOnly=true plans without executing
+                    # (PrometheusApiRoute.scala:52-58); &stats=true
+                    # appends queryStats/queryWarnings
+                    if q.get("explainOnly", "") in ("true", "1"):
+                        resp = render.explain_range_api(
+                            engine, q["query"], float(q["start"]),
+                            float(q["end"]), float(q.get("step", "60")))
+                        return self._send(resp)
                     want_stats = q.get("stats", "") in ("true", "1")
                     resp = run_with_timeout(
                         engine.spark,

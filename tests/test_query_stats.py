@@ -95,6 +95,34 @@ class TestQueryStats:
         assert not any(resp["queryWarnings"].values())
 
 
+class TestExplain:
+    def test_explain_response_carries_catalyst_plan(self, eng):
+        from filodb_spark.api import explain_range_api
+        e, lo, hi, _ = eng
+        resp = explain_range_api(e, "sum(rate(purchase[24h]))",
+                                 lo / 1000, hi / 1000, 21600)
+        assert resp["status"] == "success"
+        text = "\n".join(resp["debugInfo"])
+        assert "Physical Plan" in text and "Optimized Logical Plan" in text
+
+    def test_http_explain_only(self, eng):
+        from filodb_spark.http_server import serve
+        e, lo, hi, _ = eng
+        srv = serve(e)
+        try:
+            host, port = srv.server_address
+            url = (f"http://{host}:{port}/promql/ds/api/v1/query_range"
+                   f"?query=sum(rate(purchase[24h]))"
+                   f"&start={lo / 1000}&end={hi / 1000}&step=21600"
+                   f"&explainOnly=true")
+            body = json.loads(urllib.request.urlopen(url).read())
+            assert body["status"] == "success"
+            assert any("Physical Plan" in ln for ln in body["debugInfo"])
+            assert "data" not in body
+        finally:
+            srv.shutdown()
+
+
 class TestHttpStats:
     def test_stats_param_end_to_end(self, eng):
         from filodb_spark.http_server import serve

@@ -25,9 +25,42 @@ def _fmt(v: float) -> str:
     return repr(v)
 
 
+def _hist_sampl(t_ms: int, hist) -> dict:
+    """HistSampl (PromQueryResponse.scala:59; rendered by
+    PrometheusModel.toHistResult:176-200): histogram sample as
+    {timestamp, buckets: {le_string: cumulative_count}}, +Inf rendered
+    Prometheus-style."""
+    buckets = {}
+    for le, v in zip(hist["les"], hist["values"]):
+        key = "+Inf" if math.isinf(le) and le > 0 else _fmt(float(le))
+        buckets[key] = v
+    return {"timestamp": t_ms / 1000.0, "buckets": buckets}
+
+
+def _hist_matrix_response(df: DataFrame) -> dict:
+    series: dict = defaultdict(list)
+    keys: dict = {}
+    for row in df.collect():
+        labels = dict(row["labels"] or {})
+        if row["hist"] is None or not row["hist"]["les"]:
+            continue            # empty histograms dropped (numBuckets>0)
+        k = tuple(sorted(labels.items()))
+        keys[k] = labels
+        series[k].append(_hist_sampl(row["t"], row["hist"]))
+    result = [{"metric": keys[k],
+               "values": sorted(vs, key=lambda s: s["timestamp"])}
+              for k, vs in series.items()]
+    result.sort(key=lambda r: sorted(r["metric"].items()))
+    return {"status": "success",
+            "data": {"resultType": "matrix", "result": result}}
+
+
 def to_matrix_response(df: DataFrame) -> dict:
     """Range-query response: resultType=matrix. NaN points are dropped
-    (stale/absent), empty series omitted."""
+    (stale/absent), empty series omitted. Histogram-schema results
+    (hist struct column) render as HistSampl buckets maps."""
+    if "hist" in df.columns:
+        return _hist_matrix_response(df)
     series: dict = defaultdict(list)
     keys: dict = {}
     for row in df.collect():
@@ -46,7 +79,19 @@ def to_matrix_response(df: DataFrame) -> dict:
 
 
 def to_vector_response(df: DataFrame) -> dict:
-    """Instant-query response: resultType=vector (single timestep)."""
+    """Instant-query response: resultType=vector (single timestep).
+    Histogram-schema results render as a single HistSampl per series
+    (toHistResult InstantVector branch)."""
+    if "hist" in df.columns:
+        out = []
+        for row in df.collect():
+            if row["hist"] is None or not row["hist"]["les"]:
+                continue
+            out.append({"metric": dict(row["labels"] or {}),
+                        "value": _hist_sampl(row["t"], row["hist"])})
+        out.sort(key=lambda r: sorted(r["metric"].items()))
+        return {"status": "success",
+                "data": {"resultType": "vector", "result": out}}
     out = []
     for row in df.collect():
         v = row["value"]

@@ -294,9 +294,14 @@ class PromQLEngine:
             at = sel.at_ms if sel.at_ms is not None else end_ms
             t_end = at - sel.offset_ms
             from filodb_spark.kernels.grid import drop_nan
-            df = drop_nan(self._scan(sel).where(
-                F.col("ts").between(t_end - core.range_ms, t_end)))
-            return df.select("labels", F.col("ts").alias("t"), "value")
+            df = self._scan(sel).where(
+                F.col("ts").between(t_end - core.range_ms, t_end))
+            if "hist" in df.columns:
+                # histogram-schema raw matrix: samples are the hist
+                # structs (reference returns HistSampl rows)
+                return df.select("labels", F.col("ts").alias("t"), "hist")
+            return drop_nan(df).select("labels", F.col("ts").alias("t"),
+                                       "value")
         res = self._eval(ast, grid)
         if isinstance(res, Scalar):
             return self._scalar_to_vector(res, grid)

@@ -95,6 +95,35 @@ class TestQueryStats:
         assert not any(resp["queryWarnings"].values())
 
 
+class TestHistResponse:
+    def test_hist_selector_renders_bucket_maps(self, spark):
+        """Raw histogram selector over HTTP-shape rendering: HistSampl
+        {timestamp, buckets} per sample, +Inf Prometheus-style
+        (PrometheusModel.toHistResult:176-200)."""
+        from filodb_spark.api import to_matrix_response, to_vector_response
+        hrows = [({"__name__": "lat", "ns": "a"}, 1000 + i * 1000,
+                  float(i), 3.0,
+                  ([1.0, 2.0, float("inf")], [1.0, 3.0, 5.0 + i]))
+                 for i in range(5)]
+        hdf = spark.createDataFrame(
+            hrows, "labels map<string,string>, ts long, sum double, "
+                   "count double, "
+                   "hist struct<les: array<double>, values: array<double>>")
+        store = TsStore(df=hdf.select("labels", "ts",
+                                      F.col("sum").alias("value")),
+                        hist_df=hdf, hist_metrics=("lat",))
+        e = PromQLEngine(spark, store, lookback_ms=3600_000)
+        resp = to_vector_response(e.query_range("lat", 5000, 5000, 1000))
+        [r] = resp["data"]["result"]
+        assert r["value"]["buckets"] == {"1": 1.0, "2": 3.0, "+Inf": 9.0}
+        assert r["value"]["timestamp"] == 5.0
+        # matrix form: raw matrix selector lat[4s]
+        resp = to_matrix_response(e.query_range("lat[4s]", 5000, 5000, 1000))
+        [r] = resp["data"]["result"]
+        assert len(r["values"]) == 5     # inclusive [1000, 5000] window
+        assert r["values"][-1]["buckets"]["+Inf"] == 9.0
+
+
 class TestExplain:
     def test_explain_response_carries_catalyst_plan(self, eng):
         from filodb_spark.api import explain_range_api

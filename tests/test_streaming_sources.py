@@ -509,6 +509,33 @@ class TestStreamingExport:
         with _pytest.raises(ValueError, match="streaming"):
             streaming_export_rows(df, self._rules())
 
+    def test_histogram_explode_in_stream(self, spark, tmp_path):
+        """The `_bucket` explode path through the streaming twin: shared
+        code with batch, but exercised here on a streaming frame."""
+        import json as _json
+        from filodb_spark.sources.export import ExportRule
+        from filodb_spark.streaming.export import streaming_export
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        ts0 = 1_704_067_200_000
+        with open(src / "b1.json", "w") as f:
+            f.write(_json.dumps({
+                "labels": {"__name__": "lat", "ns": "a"}, "ts": ts0,
+                "value": 0.0,
+                "hist": {"les": [1.0, 2.0, float("inf")],
+                         "values": [1.0, 3.0, 5.0]}}) + "\n")
+        stream = spark.readStream.schema(
+            "labels map<string,string>, ts long, value double, "
+            "hist struct<les: array<double>, values: array<double>>") \
+            .json(str(src))
+        q = streaming_export(stream, (ExportRule(),), str(out), str(ckpt),
+                             explode_hist_col="hist")
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        rows = {(r["labels"]["le"], r["value"]) for r in got.collect()}
+        assert rows == {("1", 1.0), ("2", 3.0), ("+Inf", 5.0)}
+        assert {r["metric"] for r in got.collect()} == {"lat_bucket"}
+
 
 class TestStreamingDocDedup:
     def test_first_occurrence_survives_across_batches(self, spark, tmp_path):

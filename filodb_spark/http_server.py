@@ -124,6 +124,26 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
             if not self._authorized():
                 return self._unauthorized()
             url = urlparse(self.path)
+            if "/admin/loglevel/" in url.path:
+                # AdminRoutes.scala:10-18 — POST body = new level for
+                # the named logger; log4j2 Configurator is the engine's
+                # logging backend here as there
+                logger_name = url.path.rstrip("/").rsplit("/", 1)[1]
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    level = self.rfile.read(max(n, 0)).decode().strip() \
+                        or "INFO"
+                    jvm = engine.spark.sparkContext._jvm
+                    jlevel = jvm.org.apache.logging.log4j.Level.valueOf(
+                        level)
+                    jvm.org.apache.logging.log4j.core.config.Configurator \
+                        .setLevel(logger_name, jlevel)
+                    return self._send(
+                        {"status": "success",
+                         "message": f"Changed log level for "
+                                    f"{logger_name} to {level}"})
+                except Exception as ex:
+                    return self._error(f"loglevel: {ex}", 400)
             if url.path.rstrip("/").endswith("/api/v1/write"):
                 if write_buffer is None:
                     return self._error("remote write not enabled", 404)
@@ -191,6 +211,19 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
             try:
                 path = url.path.rstrip("/")
                 timeout_s = _parse_timeout(q)
+                if "/api/v1/cluster/" in path and \
+                        path.endswith("/status"):
+                    # ClusterApiRoute.scala:24-36 shard health report.
+                    # Spark analog: shards == executors (capacity is
+                    # executor count, MIGRATION.md); HttpShardState
+                    # field shape (shard, status, address) kept.
+                    jsc = engine.spark.sparkContext._jsc.sc()
+                    infos = jsc.statusTracker().getExecutorInfos()
+                    data = [{"shard": i, "status": "ShardStatusActive",
+                             "address": e.host()}
+                            for i, e in enumerate(infos)]
+                    return self._send({"status": "success",
+                                       "data": data})
                 if path.endswith("/__liveness"):
                     # HealthRoute.scala:105 __liveness — reachable as
                     # soon as the server thread serves; no engine work

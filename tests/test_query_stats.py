@@ -95,6 +95,32 @@ class TestQueryStats:
         assert not any(resp["queryWarnings"].values())
 
 
+class TestOpsRoutes:
+    def test_cluster_status_and_loglevel(self, eng):
+        """ClusterApiRoute shard-status analog (shards == executors)
+        and the AdminRoutes loglevel setter."""
+        from filodb_spark.http_server import serve
+        e, lo, hi, _ = eng
+        srv = serve(e)
+        try:
+            host, port = srv.server_address
+            body = json.loads(urllib.request.urlopen(
+                f"http://{host}:{port}/api/v1/cluster/ds/status").read())
+            assert body["status"] == "success"
+            assert len(body["data"]) >= 1
+            s0 = body["data"][0]
+            assert set(s0) == {"shard", "status", "address"}
+            assert s0["status"] == "ShardStatusActive"
+            req = urllib.request.Request(
+                f"http://{host}:{port}/admin/loglevel/filodb.test",
+                data=b"WARN", method="POST")
+            body = json.loads(urllib.request.urlopen(req).read())
+            assert body["status"] == "success"
+            assert "filodb.test" in body["message"]
+        finally:
+            srv.shutdown()
+
+
 class TestHistResponse:
     def test_hist_selector_renders_bucket_maps(self, spark):
         """Raw histogram selector over HTTP-shape rendering: HistSampl

@@ -59,20 +59,27 @@ def main(argv=None) -> int:
     sv.add_argument("--enable-remote-write", action="store_true")
 
     for name in ("labels", "label-values", "series",
-                 "label-cardinality", "ts-cardinality"):
+                 "label-cardinality", "ts-cardinality", "status"):
         p = sub.add_parser(name)
         p.add_argument("--store", required=True)
         if name == "label-values":
             p.add_argument("--label", required=True)
+            # CliMain `indexvalues` parity: (term, freq) instead of the
+            # bare value list
+            p.add_argument("--counts", action="store_true",
+                           help="emit {value, freq} by series count")
         if name == "series":
             p.add_argument("--match", required=True)
         if name == "ts-cardinality":
             # CliMain.scala's tsCard surface: shard-key prefix grouping
-            # + active split, mirrored from the HTTP route
+            # + active split, mirrored from the HTTP route; --top-k is
+            # the `topkcardlocal` command
             p.add_argument("--group-by", default="__name__",
                            help="comma-separated label names")
             p.add_argument("--active-after", type=int, default=None,
                            help="epoch ms; adds active_series counts")
+            p.add_argument("--top-k", type=int, default=None,
+                           help="only the k highest-cardinality groups")
         p.add_argument("--match" if name != "series" else "--unused",
                        required=False, default=None, dest="match_opt")
 
@@ -122,17 +129,35 @@ def main(argv=None) -> int:
     if args.cmd == "labels":
         out = [r["label"] for r in md.label_names(store, args.match_opt).collect()]
     elif args.cmd == "label-values":
-        out = [r["value"] for r in
-               md.label_values(store, args.label, args.match_opt).collect()]
+        if args.counts:
+            out = [{"value": r["value"], "freq": r["freq"]} for r in
+                   md.label_value_freqs(store, args.label,
+                                        args.match_opt).collect()]
+        else:
+            out = [r["value"] for r in
+                   md.label_values(store, args.label,
+                                   args.match_opt).collect()]
     elif args.cmd == "label-cardinality":
         out = [{"label": r["label"], "cardinality": r["cardinality"]}
                for r in md.label_cardinality(store,
                                              args.match_opt).collect()]
     elif args.cmd == "ts-cardinality":
-        rows = md.ts_cardinality(store, tuple(args.group_by.split(",")),
-                                 args.active_after,
-                                 match=args.match_opt).collect()
+        if args.top_k is not None:
+            rows = md.topk_cardinality(
+                store, tuple(args.group_by.split(",")), args.top_k,
+                args.active_after, match=args.match_opt).collect()
+        else:
+            rows = md.ts_cardinality(
+                store, tuple(args.group_by.split(",")),
+                args.active_after, match=args.match_opt).collect()
         out = [r.asDict() for r in rows]
+    elif args.cmd == "status":
+        # CliMain `status` (dumpShardStatus): shards == executors here
+        jsc = spark.sparkContext._jsc.sc()
+        out = [{"shard": i, "status": "ShardStatusActive",
+                "address": e.host()}
+               for i, e in enumerate(
+                   jsc.statusTracker().getExecutorInfos())]
     else:
         out = [dict(r["labels"]) for r in
                md.series(store, args.match).collect()]

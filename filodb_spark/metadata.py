@@ -55,6 +55,20 @@ def label_values(store: TsStore, label: str, match: str | None = None,
             .distinct().orderBy("value"))
 
 
+def label_value_freqs(store: TsStore, label: str,
+                      match: str | None = None) -> DataFrame:
+    """CliMain `indexvalues` parity (CliMain.scala:182-187 — the
+    part-key index's (term, freq) listing): each label value with its
+    distinct-series count, frequency-descending like the index dump."""
+    df = _scan(store, match, None, None)
+    return (df.withColumn("_sk", canonical_labels(F.col("labels")))
+            .select(F.col("labels")[label].alias("value"), "_sk")
+            .where(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.count_distinct("_sk").alias("freq"))
+            .orderBy(F.col("freq").desc(), "value"))
+
+
 def series(store: TsStore, match: str, start_ms: int | None = None,
            end_ms: int | None = None) -> DataFrame:
     """/api/v1/series (PartKeysExec): distinct label sets with data in
@@ -120,3 +134,18 @@ def ts_cardinality(store: TsStore, group_labels: tuple[str, ...] = ("__name__",)
     names = [g for g in group_labels]
     return (total.join(active, names, "left")
             .na.fill({"active_series": 0}))
+
+
+def topk_cardinality(store: TsStore,
+                     group_labels: tuple[str, ...] = ("__name__",),
+                     k: int = 10,
+                     active_after_ms: int | None = None,
+                     match: str | None = None) -> DataFrame:
+    """CliMain `topkcardlocal` parity (CliMain.scala:188-207 /
+    getTopkCardinality): the k highest-cardinality shard-key groups,
+    sorted by total (or active, when an active split is requested)
+    series count descending."""
+    card = ts_cardinality(store, group_labels, active_after_ms, match)
+    order_col = ("active_series" if active_after_ms is not None
+                 else "total_series")
+    return card.orderBy(F.col(order_col).desc(), *group_labels).limit(k)

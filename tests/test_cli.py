@@ -68,6 +68,34 @@ class TestCli:
         rows = {r["__name__"]: r["total_series"] for r in json.loads(out)}
         assert set(rows) == {"purchase"}
 
+    def test_topk_cardinality(self, spark):
+        # CliMain topkcardlocal parity: k highest-cardinality groups,
+        # count-descending
+        rc, out = run_cli(["ts-cardinality", "--store", STORE,
+                           "--group-by", "__name__", "--top-k", "2"])
+        assert rc == 0
+        rows = json.loads(out)
+        assert len(rows) == 2
+        assert rows[0]["total_series"] >= rows[1]["total_series"]
+
+    def test_label_values_counts(self, spark):
+        # CliMain indexvalues parity: (term, freq), frequency-descending
+        rc, out = run_cli(["label-values", "--store", STORE,
+                           "--label", "__name__", "--counts"])
+        assert rc == 0
+        rows = json.loads(out)
+        assert {r["value"] for r in rows} == {"click", "error",
+                                              "purchase", "signup",
+                                              "view"}
+        freqs = [r["freq"] for r in rows]
+        assert freqs == sorted(freqs, reverse=True) and min(freqs) > 0
+
+    def test_status(self, spark):
+        rc, out = run_cli(["status", "--store", STORE])
+        assert rc == 0
+        rows = json.loads(out)
+        assert rows and rows[0]["status"] == "ShardStatusActive"
+
     def test_series(self, spark):
         rc, out = run_cli(["series", "--store", STORE,
                            "--match", 'purchase{user="3"}'])

@@ -58,14 +58,22 @@ class QueryStatsCollector:
         out: dict[tuple, dict] = {}
         for group, obs in self._obs:
             samples = series = 0
-            # non-blocking read: a leaf whose observed node was pruned
-            # (or never acted on) must report zeros, not hang — getRow()
-            # / Observation.get would block forever on it
+            # non-blocking probe first: a leaf whose observed node was
+            # pruned (or never acted on) must report zeros, not hang —
+            # Observation.get alone would block forever on it. Once the
+            # probe confirms the metrics exist, Observation.get returns
+            # immediately (and handles schema-less empty-result rows).
             jopt = obs._jo.getRowOrEmpty() if obs._jo is not None else None
             if jopt is not None and jopt.isDefined():
+                # positional read (samples, series — the observe expr
+                # order): the metrics row of an empty scan comes back
+                # schema-less, which breaks name-based access; a leaf
+                # whose plan was folded empty (PropagateEmptyRelation)
+                # reports a ZERO-LENGTH row — that's a zero-sample scan
                 jrow = jopt.get()
-                samples = int(jrow.get(jrow.fieldIndex("samples")))
-                series = int(jrow.get(jrow.fieldIndex("series")))
+                if jrow.size() >= 2:
+                    samples = int(jrow.get(0) or 0)
+                    series = int(jrow.get(1) or 0)
             g = out.setdefault(group, {
                 "group": list(group), "timeSeriesScanned": 0,
                 "dataBytesScanned": 0, "samplesScanned": 0,

@@ -87,6 +87,28 @@ class TestQueryStats:
         [st] = resp["queryStats"]
         assert st["samplesScanned"] > 0
 
+    @pytest.mark.parametrize("promql,selector_pred", [
+        ('sum(count_over_time(purchase{user="3"}[24h]))',
+         lambda l: l["__name__"] == "purchase" and l["user"] == "3"),
+        ('count(count_over_time({user=~"1|2|3"}[24h]))',
+         lambda l: l["user"] in ("1", "2", "3")),
+        ('sum(count_over_time(click{user!="0"}[24h]))',
+         lambda l: l["__name__"] == "click" and l["user"] != "0"),
+        ('sum(count_over_time({missing="x"}[24h]))', lambda l: False),
+    ])
+    def test_samples_scanned_matches_selector_count(self, eng, promql,
+                                                    selector_pred):
+        """samplesScanned must equal the true post-selector sample
+        count for every matcher shape (the leaf observe node sits
+        exactly at the selector boundary)."""
+        e, lo, hi, df = eng
+        resp = query_range_api(e, promql, lo / 1000, hi / 1000,
+                               6 * 3600, stats=True)
+        expected = sum(1 for r in df.collect()
+                       if selector_pred(dict(r["labels"])))
+        got = sum(s["samplesScanned"] for s in resp["queryStats"])
+        assert got == expected
+
     def test_scalar_only_query_has_no_groups(self, eng):
         e, lo, hi, _ = eng
         resp = query_range_api(e, "time()", lo / 1000, hi / 1000,

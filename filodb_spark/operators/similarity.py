@@ -907,6 +907,52 @@ def ivfpq_write_index(index: DataFrame, table_name: str,
           .saveAsTable(table_name))
 
 
+def write_vector_table(vectors: DataFrame, table_name: str,
+                       n_buckets: int = 64,
+                       id_col: str = "vec_id",
+                       mode: str = "overwrite") -> None:
+    """Persist raw vectors as a catalog table hash-bucketed BY ID — the
+    refine-stage companion to ivfpq_write_index: rerank_exact's
+    candidate fetch (`id IN (<candidate ids>)`) then bucket-prunes the
+    vector files at planning time instead of scanning every raw vector
+    (at 100 TB the codes index is ~m bytes/vector but the raw floats
+    are the bulk; the refine stage should touch only the files holding
+    its |Q| x R candidates)."""
+    import re
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        raise ValueError(f"table_name must be a bare identifier "
+                         f"[A-Za-z_][A-Za-z0-9_]*, got {table_name!r}")
+    spark = vectors.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        import os
+        import shutil
+        from urllib.parse import urlparse
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table_name.lower())
+        if wh and os.path.isdir(loc):
+            shutil.rmtree(loc)
+    (vectors.repartition(F.col(id_col))
+            .write.mode(mode)
+            .bucketBy(n_buckets, id_col)
+            .sortBy(id_col)
+            .format("parquet")
+            .saveAsTable(table_name))
+
+
+def read_vector_table(spark, table_name: str, ids=None,
+                      id_col: str = "vec_id") -> DataFrame:
+    """Read a stored vector table back, optionally pre-filtered to a
+    candidate id list so the literal IN-filter bucket-prunes files at
+    planning time (SelectedBucketsCount in the scan). Feed the result
+    to rerank_exact as its `corpus`."""
+    df = spark.table(table_name)
+    if ids is not None:
+        ids = list(ids)
+        df = df.where(F.col(id_col).isin(ids) if ids else F.lit(False))
+    return df
+
+
 def ivfpq_read_index(spark, table_name: str,
                      probe_buckets=None,
                      m: int | None = None, n_codes: int | None = None,

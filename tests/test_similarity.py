@@ -504,6 +504,38 @@ class TestIvfPqKmeans:
             sim.ivfpq_kmeans_topk(emb, q, k=5, centroids=cents,
                                   rerank_k=3)
 
+    def test_stored_vector_table_rerank(self, emb, cents, spark):
+        """write_vector_table/read_vector_table: the refine stage over
+        a candidate-id-filtered bucketed table equals the full-corpus
+        rerank exactly, and the id IN-filter bucket-prunes at planning
+        time (SelectedBucketsCount)."""
+        q = emb.where(F.col("vec_id") < 3)
+        cand = sim.ivfpq_kmeans_topk(emb, q, k=12, n_buckets=16,
+                                     n_probes=2, centroids=cents)
+        full = sorted(tuple(r) for r in
+                      sim.rerank_exact(emb, q, cand, k=3).collect())
+        sim.write_vector_table(emb, "verify_vecs_r6", n_buckets=64)
+        try:
+            ids = [r["nid"] for r in cand.select("nid").distinct()
+                   .collect()]
+            pruned = sim.read_vector_table(spark, "verify_vecs_r6",
+                                           ids=ids)
+            stored = sorted(tuple(r) for r in
+                            sim.rerank_exact(pruned, q, cand,
+                                             k=3).collect())
+            assert stored == full and len(stored) > 0
+            plan = pruned._jdf.queryExecution().executedPlan().toString()
+            import re as _re
+            m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)",
+                           plan)
+            assert m, "bucket pruning not in plan"
+            assert int(m.group(1)) < int(m.group(2))
+            # empty candidate list must yield an empty frame, not a scan
+            assert sim.read_vector_table(spark, "verify_vecs_r6",
+                                         ids=[]).count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS verify_vecs_r6")
+
     def test_lut_table_mode_bit_equal(self, emb, cents):
         """lut='table' (broadcast codebook join) must be bit-identical
         to the literal-expression LUT across all three ADC entry points

@@ -102,6 +102,33 @@ def q_avg_over_time_det(spark, sf_dir):
                       F.round(F.col("_s") / F.col("_n"), 6).alias("value"))
 
 
+FINE_STEP = 2 * 60 * 1000        # 2min step
+FINE_WINDOW = 4 * 3600 * 1000    # 4h window -> window/step = 120 (tiled)
+FINE_SPAN = 2 * DAY              # grid limited to the trailing 2 days
+
+
+def q_rate_fine(spark, sf_dir):
+    """rate() at the dashboard shape that forces the tiled two-level
+    kernel: 4h window on a 2min step grid (ratio 120 >= TILE_RATIO=16 —
+    kernels/range_fns.py `_tiled_range_function`). The grid covers the
+    trailing 2 days of the data range to bound the gate compare; samples
+    are unrestricted (the 4h lookback reaches behind the grid start on
+    both sides identically)."""
+    from filodb_spark.kernels.range_fns import TILE_RATIO
+    assert FINE_WINDOW // FINE_STEP >= TILE_RATIO
+    ev = _events_cached(spark, sf_dir)
+    _, hi = _bounds(spark, sf_dir)
+    from filodb_spark.kernels.grid import StepGrid
+    grid = StepGrid(hi - FINE_SPAN, hi, FINE_STEP).aligned()
+    out = range_function(ev, "rate", ["event_type"], grid, FINE_WINDOW)
+    # floor-based half-up rounding: identical IEEE ops in both engines.
+    # Spark's round() goes through shortest-decimal BigDecimal and rounds
+    # 0.0156390624999999984 -> ...63 while DuckDB gives ...62; the raw
+    # doubles are bit-identical, so an arithmetic-only rounder agrees.
+    val = (F.floor(F.col("value") * 1e9 + F.lit(0.5)) / 1e9).alias("value")
+    return _no_nan(out).select("event_type", "t", val)
+
+
 def q_agg_sum_rate(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
     r = range_function(ev, "rate", ["event_type"], grid, WINDOW)
@@ -380,6 +407,7 @@ QUERIES = {
     "ts_quantile_over_time": _range_query("quantile_over_time", 6, params=(0.9,)),
     "ts_mad_over_time": _range_query("mad_over_time", 6),
     "ts_rate": _range_query("rate", 9),
+    "ts_rate_fine": q_rate_fine,
     "ts_increase": _range_query("increase", 6),
     "ts_delta": _range_query("delta", 6),
     "ts_idelta": _range_query("idelta", None),
@@ -425,15 +453,20 @@ QUERIES = {
 
 
 def _base(step: int, window: int, series: str = "event_type",
-          where: str = "TRUE") -> str:
+          where: str = "TRUE", span_ms: int | None = None) -> str:
+    # span_ms: limit the grid to the trailing span of the data range
+    # (mirrors StepGrid(hi - span, hi, step).aligned() on the Spark side)
+    lo_expr = (f"(SELECT MAX(epoch_ms(ts)) FROM events) - {span_ms}"
+               if span_ms is not None
+               else "(SELECT MIN(epoch_ms(ts)) FROM events)")
     return f"""
 WITH raw AS (
   SELECT {series} AS sk, epoch_ms(ts) AS ts, max(value) AS value
   FROM events WHERE {where} GROUP BY 1, 2
 ),
 bounds AS (
-  SELECT CAST(ceil((SELECT MIN(ts) FROM (SELECT epoch_ms(ts) AS ts FROM events)) / {step}.0) AS BIGINT) * {step} AS gstart,
-         CAST(floor((SELECT MAX(ts) FROM (SELECT epoch_ms(ts) AS ts FROM events)) / {step}.0) AS BIGINT) * {step} AS gend
+  SELECT CAST(ceil(({lo_expr}) / {step}.0) AS BIGINT) * {step} AS gstart,
+         CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {step}.0) AS BIGINT) * {step} AS gend
 ),
 grid AS (
   SELECT unnest(generate_series((SELECT gstart FROM bounds),
@@ -461,13 +494,18 @@ def _simple_oracle(agg: str, round_to: int | None, step=STEP, window=WINDOW) -> 
 # the extrapolatedRate formula, expression-by-expression
 # (RateFunctions.scala:72-111); {delta_expr} picks counter vs gauge
 def _rate_oracle(is_counter: bool, is_rate: bool, round_to: int,
-                 step=STEP, window=WINDOW) -> str:
+                 step=STEP, window=WINDOW, span_ms: int | None = None,
+                 floor_round: bool = False) -> str:
     corr = " + corr" if is_counter else ""
     zero_clamp = """
          CASE WHEN delta > 0 AND first_val >= 0 AND si * (first_val / delta) < dts0
               THEN si * (first_val / delta) ELSE dts0 END""" if is_counter else "dts0"
     final = f"delta * (ext / si) / {window / 1000.0}" if is_rate else "delta * (ext / si)"
-    return (_base(step, window) + f""",
+    # floor_round: arithmetic-only half-up rounding (identical IEEE ops in
+    # Spark and DuckDB) — avoids Spark round()'s shortest-decimal detour
+    rounded = (f"floor(({final}) * {10.0 ** round_to} + 0.5) / {10.0 ** round_to}"
+               if floor_round else f"round({final}, {round_to})")
+    return (_base(step, window, span_ms=span_ms) + f""",
 a AS (
   SELECT sk, t, count(*) AS cnt,
          min(ts) AS first_ts, max(ts) AS last_ts,
@@ -495,7 +533,7 @@ c3 AS (
             + (CASE WHEN dte < ad * 1.1 THEN dte ELSE ad / 2.0 END) AS ext
   FROM c2
 )
-SELECT sk AS event_type, t, round({final}, {round_to}) AS value FROM c3""")
+SELECT sk AS event_type, t, {rounded} AS value FROM c3""")
 
 
 _IDELTA_A = f""",
@@ -575,6 +613,9 @@ SELECT w.sk AS event_type, w.t,
        round(quantile_cont(abs(w.value - m.med), 0.5), 6) AS value
 FROM w JOIN m ON w.sk = m.sk AND w.t = m.t GROUP BY w.sk, w.t""",
     "ts_rate": _rate_oracle(True, True, 9),
+    "ts_rate_fine": _rate_oracle(True, True, 9, step=FINE_STEP,
+                                 window=FINE_WINDOW, span_ms=FINE_SPAN,
+                                 floor_round=True),
     "ts_increase": _rate_oracle(True, False, 6),
     "ts_delta": _rate_oracle(False, False, 6),
     "ts_idelta": _base(STEP, WINDOW) + _IDELTA_A + f"""

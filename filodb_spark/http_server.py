@@ -124,15 +124,26 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
             if not self._authorized():
                 return self._unauthorized()
             url = urlparse(self.path)
-            if "/admin/loglevel/" in url.path:
+            if url.path.startswith("/admin/loglevel/"):
                 # AdminRoutes.scala:10-18 — POST body = new level for
                 # the named logger; log4j2 Configurator is the engine's
-                # logging backend here as there
-                logger_name = url.path.rstrip("/").rsplit("/", 1)[1]
+                # logging backend here as there. Route is anchored and
+                # the logger segment must be non-empty (a trailing-slash
+                # path must not reconfigure a logger named 'loglevel'),
+                # and the level is validated against log4j's known names
+                # before anything reaches the Configurator.
+                logger_name = url.path[len("/admin/loglevel/"):].strip("/")
+                if not logger_name:
+                    return self._error("missing logger name", 400)
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     level = self.rfile.read(max(n, 0)).decode().strip() \
                         or "INFO"
+                    if level.upper() not in (
+                            "OFF", "FATAL", "ERROR", "WARN", "INFO",
+                            "DEBUG", "TRACE", "ALL"):
+                        return self._error(f"unknown log level: {level}",
+                                           400)
                     jvm = engine.spark.sparkContext._jvm
                     jlevel = jvm.org.apache.logging.log4j.Level.valueOf(
                         level)

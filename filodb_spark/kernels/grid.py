@@ -89,6 +89,17 @@ def grid_from_bounds(min_ts: int, max_ts: int, step: int) -> StepGrid:
     return StepGrid(min_ts, max_ts, step).aligned()
 
 
+def step_bounds(grid: StepGrid, window: int, ts: Column) -> tuple[Column, Column]:
+    """Inclusive step-index range [k_min, k_max] of the windows
+    ``[t_k - window, t_k]`` containing a sample at ``ts`` (clamped to the
+    grid). Pure integer arithmetic — shared by the explode path and the
+    tiled two-level path."""
+    k_min = F.greatest(_ceildiv(ts - F.lit(grid.start), grid.step), F.lit(0))
+    k_max = F.least(_floordiv(ts + F.lit(window) - F.lit(grid.start), grid.step),
+                    F.lit(grid.n_steps - 1))
+    return k_min, k_max
+
+
 def explode_to_steps(df: DataFrame, grid: StepGrid, window: int,
                      ts_col: str = "ts") -> DataFrame:
     """Explode samples onto the step grid.
@@ -97,10 +108,7 @@ def explode_to_steps(df: DataFrame, grid: StepGrid, window: int,
     step window ``[t-window, t]`` containing it. Rows contributing to no
     step are dropped map-side (before any shuffle).
     """
-    ts = F.col(ts_col)
-    k_min = F.greatest(_ceildiv(ts - F.lit(grid.start), grid.step), F.lit(0))
-    k_max = F.least(_floordiv(ts + F.lit(window) - F.lit(grid.start), grid.step),
-                    F.lit(grid.n_steps - 1))
+    k_min, k_max = step_bounds(grid, window, F.col(ts_col))
     out = (
         df.withColumn("_k_min", k_min)
           .withColumn("_k_max", k_max)

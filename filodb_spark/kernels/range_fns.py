@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from filodb_spark.kernels.grid import (StepGrid, drop_nan, explode_to_steps,
-                                       with_prev_sample)
+                                       step_bounds, with_prev_sample)
 
 def NAN() -> Column:
     return F.lit(float("nan"))
@@ -239,6 +239,192 @@ def _build(fn: str, window: int, params: tuple):
 
 NEEDS_PREV = {"changes", "resets", "idelta", "irate", "rate", "increase", "delta"}
 
+# ---------------------------------------------------------------------------
+# Tiled (two-level) window evaluation for high window/step ratios
+# ---------------------------------------------------------------------------
+#
+# The grid explode above amplifies each sample ~ window/step + 1 times. For
+# the common shapes (window a small multiple of step) that is a 1-5x
+# expansion; but a dashboard shape like rate(m[1h]) at a 15s step is a 240x
+# shuffle amplification — the one scale-killer left in the PromQL path at
+# 100 TB. The reference pays O(samples) regardless (its ChunkedWindowIterator
+# slides over chunks, PeriodicSamplesMapper.scala:405-441).
+#
+# Two-level tiling restores O(tiles):
+#   1. Group samples by (series, k_min, k_max) — their exact window-index
+#      range from grid.step_bounds. Samples in the same inter-step gap and
+#      boundary class share the group, so there are at most ~2 * n_steps
+#      groups per series *independent of sample density*. Compute
+#      associative partials per group with one map-side-combinable hash
+#      aggregation (shuffle rows = groups, not samples).
+#   2. Explode the *group partials* to their step indices (<= window/step +1
+#      each) and combine with a second hash aggregation per (series, t).
+#
+# Shuffle volume: samples + n_steps * window/step per series, vs
+# samples * window/step for the explode path — flat in density. Because the
+# group key carries the exact (k_min, k_max), window membership is
+# bit-exact, including the inclusive [t-window, t] boundary samples
+# (no edge-tile special case: a boundary sample simply has k_max one
+# higher and lands in its own group).
+#
+# Consecutive-pair statistics (counter resets, changes, idelta/irate) ride a
+# SECOND partial stream: a pair (prev, cur) belongs to window k iff both
+# endpoints do, i.e. k in [k_min(cur_ts), k_max(prev_ts)] — again a
+# contiguous range, grouped and exploded the same way, then unioned with the
+# sample stream before the final combine (null-skipping aggregates keep the
+# streams separate; Spark's max_by/min_by/sum all skip null inputs).
+#
+# Semantics proof for idelta/irate ("last pair in window" == the explode
+# path's "last sample's pair if in window"): if the last sample L's
+# predecessor P is outside the window, every earlier sample is <= P and
+# hence also outside, so no pair is fully in-window; conversely if P is
+# in-window then (P, L) is in-window and is the latest pair.
+#
+# Non-associative kernels (quantile_over_time, mad_over_time, holt_winters,
+# z_score, deriv/predict_linear) keep the explode path — the boundary is
+# TILEABLE below. The auto-switch engages at window/step >= TILE_RATIO.
+
+TILE_RATIO = 16
+
+TILEABLE = frozenset(
+    "sum_over_time avg_over_time count_over_time min_over_time max_over_time "
+    "stddev_over_time stdvar_over_time last_over_time present_over_time "
+    "timestamp changes resets idelta irate rate increase delta rate_delta "
+    "increase_delta".split())
+
+_TILED_NEEDS_PAIR = {"changes", "resets", "idelta", "irate", "rate", "increase"}
+
+
+def _build_tiled(fn: str, window: int, params: tuple):
+    """Per-fn pieces of the tiled plan: (sample-tile aggs, pair-tile aggs
+    or None, final combine aggs, post projection). Combine aliases are
+    chosen so `post` can reuse the explode path's expressions."""
+    v, ts = F.col("value"), F.col("ts")
+    if fn == "sum_over_time":
+        return ([F.sum(v).alias("_ps")], None,
+                [F.sum("_ps").alias("_v")], _nan_if_null(F.col("_v")))
+    if fn == "avg_over_time":
+        return ([F.sum(v).alias("_ps"), F.count(v).alias("_pc")], None,
+                [F.sum("_ps").alias("_s"), F.sum("_pc").alias("_c")],
+                _nan_if_null(F.col("_s") / F.col("_c")))
+    if fn == "count_over_time":
+        return ([F.count(v).alias("_pc")], None,
+                [F.sum("_pc").cast("double").alias("_v")],
+                _nan_if_null(F.col("_v")))
+    if fn == "min_over_time":
+        return ([F.min(v).alias("_pm")], None,
+                [F.min("_pm").alias("_v")], _nan_if_null(F.col("_v")))
+    if fn == "max_over_time":
+        return ([F.max(v).alias("_pm")], None,
+                [F.max("_pm").alias("_v")], _nan_if_null(F.col("_v")))
+    if fn in ("stddev_over_time", "stdvar_over_time"):
+        # population moments; combined exactly, variance from the moment
+        # identity (documented precision trade vs Welford merging — fine
+        # at metric magnitudes, clamped at 0 against cancellation)
+        aggs = [F.count(v).alias("_pc"), F.sum(v).alias("_ps"),
+                F.sum(v * v).alias("_pss")]
+        comb = [F.sum("_pc").cast("double").alias("_n"),
+                F.sum("_ps").alias("_s"), F.sum("_pss").alias("_ss")]
+        n, s, ss = F.col("_n"), F.col("_s"), F.col("_ss")
+        var = F.greatest(ss / n - (s / n) * (s / n), F.lit(0.0))
+        return (aggs, None, comb,
+                F.sqrt(var) if fn == "stddev_over_time" else var)
+    if fn == "last_over_time":
+        return ([F.max(ts).alias("_plt"), F.max_by(v, ts).alias("_plv")], None,
+                [F.max_by(F.col("_plv"), F.col("_plt")).alias("_v")],
+                _nan_if_null(F.col("_v")))
+    if fn == "present_over_time":
+        return ([F.count(v).alias("_pc")], None,
+                [F.sum("_pc").alias("_v")], F.lit(1.0))
+    if fn == "timestamp":
+        return ([F.max(ts).alias("_pmt")], None,
+                [F.max("_pmt").alias("_v")], F.col("_v") / 1000.0)
+    if fn in ("changes", "resets"):
+        cond = (v != F.col("prev_value")) if fn == "changes" \
+            else (v < F.col("prev_value"))
+        return ([F.count(v).alias("_pc")],
+                [F.sum(F.when(cond, 1).otherwise(0)).alias("_pb")],
+                [F.coalesce(F.sum("_pb"), F.lit(0)).cast("double").alias("_v")],
+                F.col("_v"))
+    if fn in ("idelta", "irate"):
+        pair = F.struct(F.col("prev_ts").alias("prev_ts"),
+                        F.col("prev_value").alias("prev_val"),
+                        ts.alias("last_ts"), v.alias("last_val"))
+        paggs = [F.max(ts).alias("_ppt"), F.max_by(pair, ts).alias("_pp")]
+        comb = [F.max_by(F.col("_pp"), F.col("_ppt")).alias("_pair")]
+        p = F.col("_pair")
+        if fn == "idelta":
+            out = p["last_val"] - p["prev_val"]
+        else:
+            dv = F.when(p["last_val"] >= p["prev_val"],
+                        p["last_val"] - p["prev_val"]).otherwise(p["last_val"])
+            dt = (p["last_ts"] - p["prev_ts"]).cast("double") / 1000.0
+            out = F.when(dt > 0, dv / dt).otherwise(NAN())
+        return ([F.count(v).alias("_pc")], paggs, comb,
+                F.when(p.isNull(), NAN()).otherwise(out))
+    if fn in ("rate", "increase", "delta"):
+        is_counter = fn in ("rate", "increase")
+        saggs = [F.count(v).alias("_pcnt"),
+                 F.min(ts).alias("_pfts"), F.max(ts).alias("_plts"),
+                 F.min_by(v, ts).alias("_pfv"), F.max_by(v, ts).alias("_plv")]
+        comb = [F.sum("_pcnt").alias("_cnt"),
+                F.min("_pfts").alias("_first_ts"),
+                F.max("_plts").alias("_last_ts"),
+                F.min_by(F.col("_pfv"), F.col("_pfts")).alias("_first_val"),
+                F.max_by(F.col("_plv"), F.col("_plts")).alias("_last_val")]
+        paggs = None
+        if is_counter:
+            paggs = [F.sum(F.when(v < F.col("prev_value"), F.col("prev_value"))
+                           .otherwise(F.lit(0.0))).alias("_prc")]
+            comb.append(F.coalesce(F.sum("_prc"), F.lit(0.0)).alias("_reset_corr"))
+        return (saggs, paggs, comb,
+                _extrapolated_expr(window, is_counter, fn == "rate"))
+    if fn == "rate_delta":
+        return ([F.sum(v).alias("_ps")], None,
+                [(F.sum("_ps") / F.lit(window / 1000.0)).alias("_v")],
+                _nan_if_null(F.col("_v")))
+    if fn == "increase_delta":
+        return ([F.sum(v).alias("_ps")], None,
+                [F.sum("_ps").alias("_v")], _nan_if_null(F.col("_v")))
+    raise ValueError(f"range function not tileable: {fn}")
+
+
+def _tiled_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
+                          grid: StepGrid, window: int, params: tuple,
+                          carry_cols: Sequence[str]) -> DataFrame:
+    """Two-level tiled evaluation (see block comment above). `df` is
+    NaN-filtered with canonical ts/value names; prev columns attached here
+    when the pair stream needs them."""
+    saggs, paggs, comb, post = _build_tiled(fn, window, params)
+    if paggs is not None:
+        df = with_prev_sample(df, series_cols)
+
+    def grouped(frame: DataFrame, lo: Column, hi: Column, aggs) -> DataFrame:
+        g = (frame.withColumn("_gmin", lo).withColumn("_gmax", hi)
+                  .where(F.col("_gmin") <= F.col("_gmax")))
+        keys = [*series_cols, "_gmin", "_gmax"]
+        extra = [F.first(c).alias(c) for c in carry_cols] if aggs is saggs else []
+        return g.groupBy(*keys).agg(*aggs, *extra)
+
+    k_min, k_max = step_bounds(grid, window, F.col("ts"))
+    tiles = grouped(df, k_min, k_max, saggs)
+    if paggs is not None:
+        # pair (prev, cur) is in window k iff k_min(cur) <= k <= k_max(prev)
+        # (prev_ts sentinel => empty range => filtered, no special case)
+        _, pk_max = step_bounds(grid, window, F.col("prev_ts"))
+        pairs = grouped(df, k_min, pk_max, paggs)
+        tiles = tiles.unionByName(pairs, allowMissingColumns=True)
+    exploded = (
+        tiles.withColumn("_k", F.explode(F.sequence(F.col("_gmin"), F.col("_gmax"))))
+             .withColumn("t", (F.lit(grid.start) + F.col("_k") * F.lit(grid.step))
+                         .cast("long"))
+             .drop("_gmin", "_gmax", "_k"))
+    keys = [*series_cols, "t"]
+    carries = [F.first(c, ignorenulls=True).alias(c) for c in carry_cols]
+    return (exploded.groupBy(*keys).agg(*comb, *carries)
+                    .select(*keys, *carry_cols, post.alias("value")))
+
+
 RANGE_FUNCTIONS = (
     "sum_over_time avg_over_time count_over_time min_over_time max_over_time "
     "stddev_over_time stdvar_over_time last_over_time present_over_time timestamp "
@@ -250,7 +436,8 @@ RANGE_FUNCTIONS = (
 def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                    grid: StepGrid, window: int, params: tuple = (),
                    ts_col: str = "ts", value_col: str = "value",
-                   carry_cols: Sequence[str] = ()) -> DataFrame:
+                   carry_cols: Sequence[str] = (),
+                   tiling: bool | None = None) -> DataFrame:
     """Evaluate PromQL range function `fn` on the step grid.
 
     `df` must have `series_cols`, `ts_col` (long ms) and `value_col`
@@ -259,6 +446,11 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     `carry_cols` are series-constant columns (e.g. the labels map behind
     a canonical key) carried through the aggregation with first() —
     avoids a re-join to recover them.
+
+    `tiling`: None = auto (two-level tiled plan when the fn is
+    associative-decomposable and window/step >= TILE_RATIO — caps shuffle
+    amplification at the tile count instead of sample count x ratio);
+    True = force tiled (tileable fns only); False = always grid-explode.
     """
     df = drop_nan(df, value_col)
     if value_col != "value":
@@ -269,6 +461,11 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
         return _mad_over_time(df, series_cols, grid, window)
     if fn == "last_over_time_is_mad_outlier":
         return _mad_outlier(df, series_cols, grid, window, params)
+    if tiling is None:
+        tiling = fn in TILEABLE and window // grid.step >= TILE_RATIO
+    if tiling:
+        return _tiled_range_function(df, fn, series_cols, grid, window,
+                                     params, carry_cols)
     if fn in NEEDS_PREV:
         df = with_prev_sample(df, series_cols)
     exploded = explode_to_steps(df, grid, window)

@@ -1092,7 +1092,8 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       index: DataFrame | None = None,
                       validate: bool = True,
                       lut: str = "literal",
-                      rerank_k: int | None = None) -> DataFrame:
+                      rerank_k: int | None = None,
+                      rerank_corpus: DataFrame | None = None) -> DataFrame:
     """IVF x PQ with TRAINED coarse buckets (r4 verdict item 2): the
     coarse layer is the deterministic portable k-means of
     kmeans_fit_portable instead of sign-hash cells — measured on the
@@ -1178,7 +1179,14 @@ def ivfpq_kmeans_topk(corpus: DataFrame, queries: DataFrame, k: int,
     if rerank_k < k:
         raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
     cand = _adc_bucket_rank(enc, q, rerank_k, id_col, round_to)
-    return rerank_exact(corpus, queries, cand, k,
+    # rerank_corpus: the raw-vector source for the refine fetch —
+    # pass read_vector_table(spark, name, ids=...) (or the lazy frame
+    # returned by read_vector_table with the candidate ids unresolved)
+    # so the prebuilt `index=` search path never scans the full raw
+    # corpus; the id-bucketed table prunes to the candidates' buckets
+    # at planning time (ADVICE r6). Defaults to `corpus`.
+    return rerank_exact(rerank_corpus if rerank_corpus is not None
+                        else corpus, queries, cand, k,
                         id_col=id_col, vec_col=vec_col, round_to=round_to)
 
 

@@ -18,6 +18,7 @@ per distinct labels value (RangeVector.scala:126-144).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -230,14 +231,32 @@ class PromQLEngine:
         self._preagg_enabled = True
         # per-query QueryStats hook (stats.QueryStatsCollector): when
         # set, every leaf scan is wrapped in a DataFrame.observe node
-        # (QueryStats analog, QueryContext.scala:385-470)
-        self._stats = None
+        # (QueryStats analog, QueryContext.scala:385-470). Thread-local:
+        # the HTTP server is ThreadingHTTPServer, so concurrent requests
+        # compile on distinct threads against the SAME engine — instance
+        # state would misattribute one request's leaf observations to
+        # another request's collector.
+        self._stats_tls = threading.local()
 
-    def _scan(self, sel: A.VectorSelector) -> DataFrame:
+    @property
+    def _stats(self):
+        return getattr(self._stats_tls, "collector", None)
+
+    def _scan(self, sel: A.VectorSelector, ts_lo: int | None = None,
+              ts_hi: int | None = None) -> DataFrame:
         """Leaf scan with optional stats observation — the
         MultiSchemaPartitionsExec boundary where the reference's chunk
-        iterators count timeSeriesScanned/samplesScanned."""
+        iterators count timeSeriesScanned/samplesScanned.
+
+        The time-range filter is applied HERE, below the observation:
+        CollectMetrics is a pushdown barrier, so observing under the
+        filter would lose parquet ts min/max pruning and count the
+        selector's full history (the reference counts post-chunk-pruning
+        samples — ExecPlan.scala:214-226 semantics)."""
         df = self.store.select(sel)
+        if ts_lo is not None:
+            # time-range pruning: pushed to parquet min/max skipping
+            df = df.where((F.col("ts") >= ts_lo) & (F.col("ts") <= ts_hi))
         if self._stats is not None:
             df = self._stats.observe_scan(df, (sel.metric or "",))
         return df
@@ -263,12 +282,12 @@ class PromQLEngine:
         """stats_collector: a stats.QueryStatsCollector — leaf scans
         built during this call observe into it (QueryStats analog);
         the caller resolves it after its action."""
-        self._stats = stats_collector
+        self._stats_tls.collector = stats_collector
         try:
             return self._query_range_impl(promql, start_ms, end_ms,
                                           step_ms, limit)
         finally:
-            self._stats = None
+            self._stats_tls.collector = None
 
     def _query_range_impl(self, promql: str, start_ms: int, end_ms: int,
                           step_ms: int, limit: int | None = None) -> DataFrame:
@@ -294,8 +313,7 @@ class PromQLEngine:
             at = sel.at_ms if sel.at_ms is not None else end_ms
             t_end = at - sel.offset_ms
             from filodb_spark.kernels.grid import drop_nan
-            df = self._scan(sel).where(
-                F.col("ts").between(t_end - core.range_ms, t_end))
+            df = self._scan(sel, t_end - core.range_ms, t_end)
             if "hist" in df.columns:
                 # histogram-schema raw matrix: samples are the hist
                 # structs (reference returns HistSampl rows)
@@ -371,10 +389,7 @@ class PromQLEngine:
 
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
-        df = self._scan(sel)
-        # time-range pruning: pushed to parquet min/max skipping
-        df = df.where((F.col("ts") >= grid.start - window)
-                      & (F.col("ts") <= grid.end))
+        df = self._scan(sel, grid.start - window, grid.end)
         df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
         lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
         if "hist" in df.columns:

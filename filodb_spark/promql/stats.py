@@ -63,17 +63,25 @@ class QueryStatsCollector:
             # Observation.get alone would block forever on it. Once the
             # probe confirms the metrics exist, Observation.get returns
             # immediately (and handles schema-less empty-result rows).
-            jopt = obs._jo.getRowOrEmpty() if obs._jo is not None else None
-            if jopt is not None and jopt.isDefined():
-                # positional read (samples, series — the observe expr
-                # order): the metrics row of an empty scan comes back
-                # schema-less, which breaks name-based access; a leaf
-                # whose plan was folded empty (PropagateEmptyRelation)
-                # reports a ZERO-LENGTH row — that's a zero-sample scan
-                jrow = jopt.get()
-                if jrow.size() >= 2:
-                    samples = int(jrow.get(0) or 0)
-                    series = int(jrow.get(1) or 0)
+            try:
+                jopt = obs._jo.getRowOrEmpty() if obs._jo is not None else None
+                if jopt is not None and jopt.isDefined():
+                    # positional read (samples, series — the observe expr
+                    # order): the metrics row of an empty scan comes back
+                    # schema-less, which breaks name-based access; a leaf
+                    # whose plan was folded empty (PropagateEmptyRelation)
+                    # reports a ZERO-LENGTH row — that's a zero-sample scan
+                    jrow = jopt.get()
+                    if jrow.size() >= 2:
+                        samples = int(jrow.get(0) or 0)
+                        series = int(jrow.get(1) or 0)
+            except Exception:
+                # the probe uses private PySpark/JVM accessors
+                # (Observation._jo + private[sql] getRowOrEmpty) that a
+                # Spark upgrade or Spark Connect may remove — degrade to
+                # the documented pruned-leaf zeros rather than failing
+                # the query response at render time
+                samples = series = 0
             g = out.setdefault(group, {
                 "group": list(group), "timeSeriesScanned": 0,
                 "dataBytesScanned": 0, "samplesScanned": 0,

@@ -536,6 +536,28 @@ class TestIvfPqKmeans:
         finally:
             spark.sql("DROP TABLE IF EXISTS verify_vecs_r6")
 
+    def test_rerank_corpus_param(self, emb, cents, spark):
+        """ivfpq_kmeans_topk(rerank_k=, rerank_corpus=): the refine
+        fetch uses the supplied vector source instead of the raw
+        corpus frame (ADVICE r6 — lets the stored-index path feed the
+        bucketed vector table), result identical to the default."""
+        q = emb.where(F.col("vec_id") < 3)
+        base = sim.ivfpq_kmeans_topk(emb, q, k=3, n_buckets=16,
+                                     n_probes=2, centroids=cents,
+                                     rerank_k=12)
+        sim.write_vector_table(emb, "verify_vecs_r7", n_buckets=64)
+        try:
+            stored = sim.ivfpq_kmeans_topk(
+                emb, q, k=3, n_buckets=16, n_probes=2, centroids=cents,
+                rerank_k=12,
+                rerank_corpus=sim.read_vector_table(spark,
+                                                    "verify_vecs_r7"))
+            a = sorted(tuple(r) for r in base.collect())
+            b = sorted(tuple(r) for r in stored.collect())
+            assert a == b and len(a) > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS verify_vecs_r7")
+
     def test_lut_table_mode_bit_equal(self, emb, cents):
         """lut='table' (broadcast codebook join) must be bit-identical
         to the literal-expression LUT across all three ADC entry points

@@ -18,6 +18,7 @@ from urllib.parse import parse_qs, urlparse
 
 from filodb_spark import api as render
 from filodb_spark import metadata as md
+from filodb_spark.promql.compiler import QueryLimitException
 
 
 def run_with_timeout(spark, fn, timeout_s: float | None):
@@ -269,6 +270,14 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                             float(q["end"]), float(q.get("step", "60")))
                         return self._send(resp)
                     want_stats = q.get("stats", "") in ("true", "1")
+                    if warn_limits is not None:
+                        # plan-time enforced limit: reject before the
+                        # full job runs (413, ExecPlan.scala:214-226)
+                        engine.enforce_plan_limits(
+                            q["query"], int(float(q["start"]) * 1000),
+                            int(float(q["end"]) * 1000),
+                            int(float(q.get("step", "60")) * 1000),
+                            warn_limits)
                     resp = run_with_timeout(
                         engine.spark,
                         lambda: render.query_range_api(
@@ -278,6 +287,10 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                         timeout_s)
                 elif path.endswith("/api/v1/query"):
                     want_stats = q.get("stats", "") in ("true", "1")
+                    if warn_limits is not None:
+                        t_ms = int(float(q["time"]) * 1000)
+                        engine.enforce_plan_limits(q["query"], t_ms, t_ms,
+                                                   60_000, warn_limits)
                     resp = run_with_timeout(
                         engine.spark,
                         lambda: render.query_api(engine, q["query"],
@@ -333,6 +346,12 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                 else:
                     return self._error(f"unknown endpoint {url.path}", 404)
                 self._send(resp)
+            except QueryLimitException as ex:
+                # plan-estimated limit breach: 413 like the reference's
+                # QueryLimitException -> PayloadTooLarge mapping
+                self._send({"status": "error",
+                            "errorType": "query_limit_exceeded",
+                            "error": str(ex)}, 413)
             except TimeoutError as ex:
                 self._send({"status": "error", "errorType": "timeout",
                             "error": str(ex)}, 503)

@@ -200,6 +200,39 @@ class TsStore:
         return df
 
 
+class QueryLimitException(ValueError):
+    """Pre-execution limit rejection (QueryLimitException analog,
+    core/query/QueryLimitException.scala) — the HTTP layer maps it to
+    413 Payload Too Large, like the reference's error-to-status
+    mapping for plan-estimated limit breaches."""
+
+
+def _leaf_selectors(node, default_window_ms: int, _window=None):
+    """Yield (VectorSelector, effective_window_ms) for every leaf under
+    `node`, carrying the innermost enclosing matrix/subquery range —
+    the lookback each leaf's scan reaches behind the query start."""
+    import dataclasses
+    w = _window if _window is not None else default_window_ms
+    if isinstance(node, A.VectorSelector):
+        yield node, w
+        return
+    if isinstance(node, A.MatrixSelector):
+        yield from _leaf_selectors(node.base, default_window_ms,
+                                   node.range_ms)
+        return
+    if isinstance(node, A.Subquery):
+        yield from _leaf_selectors(node.expr, default_window_ms,
+                                   node.range_ms + w)
+        return
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            for x in (v if isinstance(v, (list, tuple)) else (v,)):
+                if dataclasses.is_dataclass(x) and \
+                        not isinstance(x, A.LabelMatcher):
+                    yield from _leaf_selectors(x, default_window_ms, _window)
+
+
 class Scalar:
     """Scalar result: constant float, or per-step DataFrame(t, value)."""
 
@@ -262,6 +295,47 @@ class PromQLEngine:
         return df
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
+
+    def estimate_time_series_scanned(self, promql: str, start_ms: int,
+                                     end_ms: int, step_ms: int) -> int:
+        """Plan-time scan-cardinality estimate: distinct series over each
+        pruned leaf scan, summed across leaves.
+
+        The reference enforces PerQueryLimits BEFORE execution by
+        estimating from its part-key index (QueryContext.scala:385-470,
+        checked in ExecPlan.scala:214-226); the Spark analog is one cheap
+        approx_count_distinct aggregate per leaf over the
+        filter-pushed-down scan — labels column only (column pruning),
+        never the windowing/join stages of the full plan."""
+        ast = _resolve_at_sentinels(parse(promql), start_ms, end_ms)
+        total = 0
+        for sel, window in _leaf_selectors(ast, self.lookback_ms):
+            at = sel.at_ms if sel.at_ms is not None else end_ms
+            lo = min(start_ms, at) - window - sel.offset_ms
+            hi = max(end_ms, at)
+            df = self.store.select(sel).where(
+                (F.col("ts") >= lo) & (F.col("ts") <= hi))
+            row = df.agg(F.approx_count_distinct(
+                bin_k.canonical_labels(F.col("labels"))).alias("n")).first()
+            total += int(row["n"] or 0)
+        return total
+
+    def enforce_plan_limits(self, promql: str, start_ms: int, end_ms: int,
+                            step_ms: int, limits) -> None:
+        """Pre-execution gate (ExecPlan.scala:214-226 semantics): reject
+        a query whose estimated scan exceeds
+        limits.enforce_time_series_scanned WITHOUT running its full job.
+        Raises QueryLimitException (HTTP layer renders it as 413)."""
+        cap = getattr(limits, "enforce_time_series_scanned", None)
+        if cap is None:
+            return
+        est = self.estimate_time_series_scanned(promql, start_ms, end_ms,
+                                                step_ms)
+        if est > cap:
+            raise QueryLimitException(
+                f"Query is estimated to scan {est} time series, which "
+                f"exceeds the enforced limit {cap}. Try applying more "
+                "filters or reducing the time range.")
 
     def check_result_cardinality(self, result: DataFrame,
                                  max_series: int) -> DataFrame:

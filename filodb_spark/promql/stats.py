@@ -105,6 +105,12 @@ class PerQueryLimits:
     warn_time_series_scanned: int | None = None
     warn_samples_scanned_bytes: int | None = None
     warn_result_bytes: int | None = None
+    # HARD limit, enforced BEFORE execution from a plan-time estimate
+    # (PromQLEngine.enforce_plan_limits; ExecPlan.scala:214-226 /
+    # QueryContext.scala:385-470 semantics): queries whose pruned leaf
+    # scans are estimated to touch more series are rejected with a
+    # 413-mapped QueryLimitException without running their full job.
+    enforce_time_series_scanned: int | None = None
 
 
 def warnings_response(stats_rows: list[dict],

@@ -37,11 +37,39 @@ def _prepped(df: DataFrame, shard_labels: tuple[str, ...]) -> DataFrame:
                .withColumn("_sk", canonical_labels(F.col("labels"))))
 
 
+def delta_available(spark: SparkSession) -> bool:
+    """True when the Delta Lake runtime is on the session classpath.
+    SURVEY §7 names Parquet/Delta as the storage formats; parquet is the
+    default (no extra jar), Delta is the optional upgrade carrying data
+    skipping, OPTIMIZE ZORDER, and ACID appends. The verification
+    container ships no delta jar and has no network to fetch one, so the
+    Delta paths below are availability-gated (tests skip-mark, mirroring
+    the pillow guard in operators/multimodal.py)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _require_delta(spark: SparkSession) -> None:
+    if not delta_available(spark):
+        raise RuntimeError(
+            "format='delta' requires the delta-spark runtime on the "
+            "classpath (pip install delta-spark, or "
+            "--packages io.delta:delta-spark_2.13:<ver> with the "
+            "DeltaCatalog/extension session confs); this environment has "
+            "neither the jar nor network access. Use the default "
+            "format='parquet'.")
+
+
 def write_series_table(df: DataFrame, path: str,
                        shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
                        mode: str = "overwrite",
-                       files_per_partition: int | None = None) -> None:
-    """Write (labels, ts, value...) to a partitioned parquet table.
+                       files_per_partition: int | None = None,
+                       format: str = "parquet") -> None:
+    """Write (labels, ts, value...) to a partitioned parquet/Delta table.
 
     Shard-key labels and the UTC date become physical partition columns;
     rows are sorted by (metric, series, ts) within partitions.
@@ -51,17 +79,41 @@ def write_series_table(df: DataFrame, path: str,
     a series-hash so every file stays executor-sized while (metric,
     series, ts) sorting inside each file keeps row-group min/max skipping
     tight. Series rows never straddle files within a directory.
+
+    format='delta' keeps the identical physical layout but writes through
+    the Delta log: per-file column min/max land in the transaction log
+    (data skipping without opening footers), appends become ACID (the
+    compaction job can then OPTIMIZE instead of overwrite), and
+    optimize_series_table_delta replaces the hand-rolled z-order
+    projection with OPTIMIZE ZORDER where the runtime is present.
     """
     out = _prepped(df, shard_labels)
     keys = [F.col(c) for c in [*shard_labels, "date"]]
     if files_per_partition:
         keys.append(F.pmod(F.xxhash64(F.col("_sk")),
                            F.lit(files_per_partition)))
+    if format not in ("parquet", "delta"):
+        raise ValueError(f"format must be 'parquet' or 'delta', got {format!r}")
+    if format == "delta":
+        _require_delta(df.sparkSession)
     (out.repartition(*keys)
         .sortWithinPartitions("_metric", "_sk", "ts")
         .write.mode(mode)
         .partitionBy(*shard_labels, "date")
-        .parquet(path))
+        .format(format)
+        .save(path))
+
+
+def optimize_series_table_delta(spark: SparkSession, path: str,
+                                zorder: tuple[str, ...] = ("_metric", "_sk")
+                                ) -> None:
+    """Delta-native replacement for write_series_table_zorder's manual
+    Morton projection: compact small ingest files and cluster by the
+    query dimensions so the Delta log's per-file stats prune label-first
+    scans. Availability-gated like the writer."""
+    _require_delta(spark)
+    cols = ", ".join(zorder)
+    spark.sql(f"OPTIMIZE delta.`{path}` ZORDER BY ({cols})")
 
 
 def write_series_table_bucketed(df: DataFrame, table_name: str,
@@ -144,11 +196,15 @@ def write_series_table_zorder(df: DataFrame, path: str,
     w.partitionBy(*shard_labels, "date").parquet(path)
 
 
-def read_series_table(spark: SparkSession, path: str) -> DataFrame:
+def read_series_table(spark: SparkSession, path: str,
+                      format: str = "parquet") -> DataFrame:
     """Read back to the universal layout. Filters on shard labels /
     __name__ / ts prune partitions and row groups (Catalyst pushes the
-    label-column predicates into the scan)."""
-    df = spark.read.parquet(path)
+    label-column predicates into the scan; on format='delta' the Delta
+    log's per-file stats additionally skip whole files)."""
+    if format == "delta":
+        _require_delta(spark)
+    df = spark.read.format(format).load(path)
     return df.select("labels", "ts", "value", "_metric", *SHARD_KEY_LABELS,
                      "date")
 

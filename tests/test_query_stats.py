@@ -4,6 +4,7 @@ scan statistics collected via DataFrame.observe, soft warn limits, and
 the HTTP surface."""
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -40,8 +41,10 @@ class TestQueryStats:
                                stats=True)
         [st] = resp["queryStats"]
         assert st["group"] == ["purchase"]
-        # the leaf observes post-selector, pre-time-filter rows —
-        # every purchase sample flows through the scan
+        # the leaf observes post-selector, post-time-filter rows
+        # (reference counts post-chunk-pruning samples; ADVICE r6 moved
+        # the observation above the ts filter to keep pushdown) — this
+        # query's grid covers the whole range, so that is every sample
         scan = df.where(F.col("labels")["__name__"] == "purchase")
         n = scan.count()
         assert st["samplesScanned"] == n
@@ -198,6 +201,66 @@ class TestExplain:
             assert "data" not in body
         finally:
             srv.shutdown()
+
+
+class TestPlanTimeLimits:
+    """Enforced (not just warned) limits, checked BEFORE execution from
+    a plan-time estimate (ExecPlan.scala:214-226 /
+    QueryContext.scala:385-470): over-limit queries get 413 without
+    running their full job."""
+
+    def test_estimate_matches_distinct_series(self, eng):
+        e, lo, hi, df = eng
+        est = e.estimate_time_series_scanned(
+            "sum(rate(purchase[24h]))", lo, hi, 6 * 3600 * 1000)
+        exact = (df.where(F.col("labels")["__name__"] == "purchase")
+                 .select(F.col("labels")["user"]).distinct().count())
+        assert est == exact  # approx_count_distinct exact at 15 series
+
+    def test_estimate_sums_binary_leaves(self, eng):
+        e, lo, hi, _ = eng
+        one = e.estimate_time_series_scanned(
+            "sum(rate(purchase[24h]))", lo, hi, 6 * 3600 * 1000)
+        two = e.estimate_time_series_scanned(
+            "sum(rate(purchase[24h])) / sum(rate(click[24h]))",
+            lo, hi, 6 * 3600 * 1000)
+        assert two > one
+
+    def test_over_limit_rejected_413_without_execution(self, eng):
+        from filodb_spark.http_server import serve
+        e, lo, hi, _ = eng
+        srv = serve(e, warn_limits=PerQueryLimits(
+            enforce_time_series_scanned=2))
+        try:
+            host, port = srv.server_address
+            url = (f"http://{host}:{port}/promql/ds/api/v1/query_range"
+                   f"?query=sum(rate(purchase[24h]))"
+                   f"&start={lo / 1000}&end={hi / 1000}&step=21600")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(url)
+            assert ei.value.code == 413
+            body = json.loads(ei.value.read())
+            assert body["errorType"] == "query_limit_exceeded"
+            assert "estimated to scan" in body["error"]
+            # an under-limit query on the same server still executes
+            ok = json.loads(urllib.request.urlopen(
+                url.replace("query=sum(rate(purchase[24h]))",
+                            "query=sum(rate(purchase{user=\"3\"}[24h]))"))
+                .read())
+            assert ok["status"] == "success"
+        finally:
+            srv.shutdown()
+
+    def test_engine_level_enforce(self, eng):
+        from filodb_spark.promql.compiler import QueryLimitException
+        e, lo, hi, _ = eng
+        limits = PerQueryLimits(enforce_time_series_scanned=1)
+        with pytest.raises(QueryLimitException, match="estimated to scan"):
+            e.enforce_plan_limits("sum(rate(purchase[24h]))", lo, hi,
+                                  6 * 3600 * 1000, limits)
+        # None cap -> no-op
+        e.enforce_plan_limits("sum(rate(purchase[24h]))", lo, hi,
+                              6 * 3600 * 1000, PerQueryLimits())
 
 
 class TestHttpStats:

@@ -125,11 +125,65 @@ SELECT event_type AS metric,
 FROM raw
 WHERE NOT regexp_full_match(event_type, '(?:error|view)')"""
 
+def q_ts_export_remote_write(spark, sf_dir):
+    """Job-level migration round trip (r6 verdict item 6): the two wire
+    directions composed in one pipeline — the BatchExporter cascade
+    selects and re-labels the exportable slice, records_to_frames
+    encodes it as snappy+protobuf WriteRequests, frames_to_records
+    decodes them back (both directions Arrow-batched mapInPandas) —
+    and the decoded stream must equal the exported rows identically.
+    This is exactly what a real migration replay does: export a
+    partition, replay it into a remote-write endpoint, verify parity.
+    Any defect in the cascade OR the codec breaks the value hash."""
+    from filodb_spark.remote_write import (frames_to_records,
+                                           records_to_frames)
+    ev = events_labels_ts(spark, sf_dir)
+    exported = export_rows(ev, EXPORT_RULES,
+                           key_filters=EXPORT_KEY_FILTERS)
+    recs = exported.select("labels",
+                           F.col("epoch_timestamp").alias("ts"), "value")
+    out = frames_to_records(records_to_frames(recs))
+    return out.select(
+        F.col("labels")["__name__"].alias("metric"),
+        _labels_csv().alias("labels_csv"),
+        F.col("ts").alias("epoch_timestamp"),
+        F.round("value", 2).alias("value"))
+
+
+# identity over the surviving rows: the cascade CTE of
+# ORACLE_TS_EXPORT_RULES without the date parts (the wire carries
+# labels/ts/value only)
+ORACLE_TS_EXPORT_REMOTE_WRITE = """
+WITH raw AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user_s,
+         epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2, 3
+),
+ruled AS (
+  SELECT *,
+         CASE
+           WHEN user_s = '3' THEN NULL
+           WHEN event_type = 'purchase' THEN 0
+           WHEN regexp_full_match(event_type, '(?:sign.*|click)') THEN 1
+         END AS rule
+  FROM raw
+  WHERE user_s <> '9'
+)
+SELECT event_type AS metric,
+       CASE WHEN rule = 0 THEN '__name__=' || event_type
+            ELSE '__name__=' || event_type || ',user=' || user_s
+       END AS labels_csv,
+       ts AS epoch_timestamp,
+       round(value, 2) AS value
+FROM ruled WHERE rule IS NOT NULL"""
+
 QUERIES = {
     "ts_export_rules": q_ts_export_rules,
     "ts_export_columns": q_ts_export_columns,
+    "ts_export_remote_write": q_ts_export_remote_write,
 }
 ORACLES = {
     "ts_export_rules": ORACLE_TS_EXPORT_RULES,
     "ts_export_columns": ORACLE_TS_EXPORT_COLUMNS,
+    "ts_export_remote_write": ORACLE_TS_EXPORT_REMOTE_WRITE,
 }

@@ -24,38 +24,39 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 6's window
+    # covers the first 50 registered queries per round. Round 7's window
     # (scripts/gate_hygiene.py computes the never-gated list):
-    #   1-2   the two round-6 additions — the r5-staged BatchExporter
-    #         cascade query (r5 verdict item 1) + the labelColumnMapping
-    #         sibling (r5 verdict item 8); both pre-verified exact at
-    #         sf0.001/0.01/0.1 via scripts/check_oracle.py,
-    #   3-50  regression canaries rotated per r5 verdict item 3: every
-    #         query driver-gated exactly once whose gate round is 1 or 2
-    #         (oldest first — all 29 r1-once-gated + all 18
-    #         r2-once-gated), plus one r3-once-gated to fill the window.
+    #   1-2   the two round-7 additions — ts_rate_fine (r6 verdict item 3:
+    #         the query that FORCES the tiled two-level window kernel,
+    #         exact oracle) and ts_export_remote_write (item 6: exporter
+    #         cascade -> remote-write wire round trip); both pre-verified
+    #         exact at sf0.001/0.01/0.1 via scripts/check_oracle.py,
+    #   3-50  regression canaries per r6 verdict item 2, oldest gate
+    #         round first: ALL 25 r3-once-gated (incl. the 4 rows-only
+    #         approximate ops) + the 23 alphabetically-first of the 30
+    #         r4-once-gated. The remaining 7 r4 + 6 r5 + 2 r6 once-gated
+    #         queries are the r8 canary backlog.
     window = [
-        # round-6 additions (r5 verdict items 1, 2, 8)
-        "ts_export_rules", "ts_export_columns",
-        # canaries: r1-gated (gated exactly once, in round 1)
-        "pq_bool_compare", "pq_raw_matrix", "ts_agg_avg_by",
-        "ts_agg_bottomk", "ts_agg_count_values", "ts_agg_quantile",
-        "ts_avg_over_time", "ts_count_over_time", "ts_csv_roundtrip",
-        "ts_day_of_week", "ts_delta", "ts_hist_bucket",
-        "ts_hist_fraction", "ts_hist_sum_quantile", "ts_idelta",
-        "ts_influx_roundtrip", "ts_instant_last", "ts_instant_math",
-        "ts_join_group_right", "ts_mad_outlier", "ts_max_over_time",
-        "ts_min_over_time", "ts_present_over_time", "ts_set_or",
-        "ts_set_unless", "ts_stddev_over_time", "ts_stdvar_over_time",
-        "ts_sum_over_time", "ts_timestamp",
-        # canaries: r2-gated (gated exactly once, in round 2)
-        "doc_dedup_summary", "doc_rolling_fp", "doc_split", "doc_stats",
-        "doc_subword_count", "pq_hist_bucket_quantile",
-        "pq_scalar_vector", "tpch_q4", "tpch_q7", "tpch_q8",
-        "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16",
-        "tpch_q19", "tpch_q20", "tpch_q22",
-        # canary: r3-gated filler to round the window to 50
-        "pq_at_modifier",
+        # round-7 additions (r6 verdict items 3, 6)
+        "ts_rate_fine", "ts_export_remote_write",
+        # canaries: r3-gated (gated exactly once, in round 3)
+        "ann_ivf", "ann_ivf_kmeans", "ann_recall", "doc_minhash_lsh",
+        "doc_simhash", "pl_dataset_card", "pl_manifest",
+        "pl_mix_sources", "pl_repetition", "pl_strat_sample",
+        "pl_strat_topk", "pq_absent", "pq_binary_user_ratio",
+        "pq_count_by_metric", "pq_hist_struct_quantile",
+        "pq_hist_to_prom", "pq_instant_chain", "pq_label_join",
+        "pq_label_replace", "pq_offset", "pq_quantile_last",
+        "pq_set_unless", "pq_topk", "ts_exp_hist_quantile",
+        "ts_hist_mixed_sum",
+        # canaries: r4-gated (gated exactly once, in round 4)
+        "ann_filtered", "ann_pq_recall", "ann_pq_topk",
+        "ann_recall_curve", "doc_bigram_lp", "doc_chunks",
+        "doc_dedup_keep", "doc_lsh_verify", "doc_split_leakage",
+        "doc_tokenizer_fertility", "doc_unigram_lp", "emb_kmeans",
+        "emb_kmeans_summary", "emb_outliers", "emb_pq", "ev_anomalies",
+        "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
+        "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_diff",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

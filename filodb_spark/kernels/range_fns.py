@@ -280,8 +280,11 @@ NEEDS_PREV = {"changes", "resets", "idelta", "irate", "rate", "increase", "delta
 # hence also outside, so no pair is fully in-window; conversely if P is
 # in-window then (P, L) is in-window and is the latest pair.
 #
-# Non-associative kernels (quantile_over_time, mad_over_time, holt_winters,
-# z_score, deriv/predict_linear) keep the explode path — the boundary is
+# deriv/predict_linear tile through shifted regression moments
+# (`_tiled_regression` — per-group centering keeps the numerics at the
+# explode path's magnitude); z_score through value moments. The genuinely
+# non-associative kernels (quantile_over_time, mad_over_time,
+# holt_winters, mad_outlier) keep the explode path — the boundary is
 # TILEABLE below. The auto-switch engages at window/step >= TILE_RATIO.
 
 TILE_RATIO = 16
@@ -290,7 +293,7 @@ TILEABLE = frozenset(
     "sum_over_time avg_over_time count_over_time min_over_time max_over_time "
     "stddev_over_time stdvar_over_time last_over_time present_over_time "
     "timestamp changes resets idelta irate rate increase delta rate_delta "
-    "increase_delta".split())
+    "increase_delta deriv predict_linear z_score".split())
 
 _TILED_NEEDS_PAIR = {"changes", "resets", "idelta", "irate", "rate", "increase"}
 
@@ -386,7 +389,71 @@ def _build_tiled(fn: str, window: int, params: tuple):
     if fn == "increase_delta":
         return ([F.sum(v).alias("_ps")], None,
                 [F.sum("_ps").alias("_v")], _nan_if_null(F.col("_v")))
+    if fn == "z_score":
+        # moments instead of Welford stddev_pop: same value to float
+        # noise, clamped at 0 against cancellation (as stddev above)
+        aggs = [F.max(ts).alias("_plt"), F.max_by(v, ts).alias("_plv"),
+                F.count(v).alias("_pc"), F.sum(v).alias("_ps"),
+                F.sum(v * v).alias("_pss")]
+        n = F.sum("_pc").cast("double")
+        s, ss = F.sum("_ps"), F.sum("_pss")
+        comb = [F.max_by(F.col("_plv"), F.col("_plt")).alias("_last"),
+                (s / n).alias("_avg"),
+                F.sqrt(F.greatest(ss / n - (s / n) * (s / n),
+                                  F.lit(0.0))).alias("_sd")]
+        return (aggs, None, comb,
+                F.when(F.col("_sd") == 0.0, NAN()).otherwise(
+                    (F.col("_last") - F.col("_avg")) / F.col("_sd")))
     raise ValueError(f"range function not tileable: {fn}")
+
+
+def _tiled_regression(df: DataFrame, fn: str, series_cols: Sequence[str],
+                      grid: StepGrid, window: int, params: tuple,
+                      carry_cols: Sequence[str]) -> DataFrame:
+    """Tiled deriv / predict_linear: the regression sums depend on the
+    window end t (x = (ts - t)/1000), so raw per-tile moments centered
+    at a GLOBAL reference would square epoch-scale numbers into
+    catastrophic cancellation. Instead each group's partials are
+    centered at its own last window end t_gmax (u stays window-sized,
+    the same magnitude the explode path's x has), and the combine
+    shifts them to each t with the exact identities
+        Sx(t)  = Su + n*d,      Sxy(t) = Suv + d*Sv,
+        Sxx(t) = Suu + 2d*Su + n*d^2,      d = (t_gmax - t)/1000.
+    The final slope/intercept/NaN-guard expression is shared with the
+    explode path (`_build`)."""
+    v, ts = F.col("value"), F.col("ts")
+    k_min, k_max = step_bounds(grid, window, ts)
+    g = (df.withColumn("_gmin", k_min).withColumn("_gmax", k_max)
+           .where(F.col("_gmin") <= F.col("_gmax")))
+    tref = (F.lit(grid.start) + F.col("_gmax") * F.lit(grid.step)) \
+        .cast("double")
+    u = (ts.cast("double") - tref) / 1000.0
+    keys = [*series_cols, "_gmin", "_gmax"]
+    tiles = g.groupBy(*keys).agg(
+        F.count(v).alias("_tn"), F.sum(u).alias("_tsu"),
+        F.sum(v).alias("_tsv"), F.sum(u * v).alias("_tsuv"),
+        F.sum(u * u).alias("_tsuu"),
+        *[F.first(c).alias(c) for c in carry_cols])
+    ex = (tiles.withColumn("_k", F.explode(F.sequence(F.col("_gmin"),
+                                                      F.col("_gmax"))))
+          .withColumn("t", (F.lit(grid.start) + F.col("_k") * F.lit(grid.step))
+                      .cast("long"))
+          .withColumn("_d", ((F.lit(grid.start)
+                              + F.col("_gmax") * F.lit(grid.step))
+                             .cast("double")
+                             - F.col("t").cast("double")) / 1000.0)
+          .drop("_gmin", "_gmax", "_k"))
+    d, tn, tsu, tsv = (F.col(c) for c in ("_d", "_tn", "_tsu", "_tsv"))
+    fkeys = [*series_cols, "t"]
+    out = ex.groupBy(*fkeys).agg(
+        F.sum(tn).alias("_n"),
+        F.sum(tsu + tn * d).alias("_sx"),
+        F.sum(tsv).alias("_sy"),
+        F.sum(F.col("_tsuv") + d * tsv).alias("_sxy"),
+        F.sum(F.col("_tsuu") + 2.0 * d * tsu + tn * d * d).alias("_sxx"),
+        *[F.first(c) .alias(c) for c in carry_cols])
+    _, post = _build(fn, window, params)
+    return out.select(*fkeys, *carry_cols, post.alias("value"))
 
 
 def _tiled_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
@@ -395,6 +462,9 @@ def _tiled_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     """Two-level tiled evaluation (see block comment above). `df` is
     NaN-filtered with canonical ts/value names; prev columns attached here
     when the pair stream needs them."""
+    if fn in ("deriv", "predict_linear"):
+        return _tiled_regression(df, fn, series_cols, grid, window,
+                                 params, carry_cols)
     saggs, paggs, comb, post = _build_tiled(fn, window, params)
     if paggs is not None:
         df = with_prev_sample(df, series_cols)

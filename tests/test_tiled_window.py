@@ -98,6 +98,26 @@ def test_non_tileable_fn_ignores_ratio(spark, samples):
     assert "percentile" in plan
 
 
+def test_regression_numerics_at_epoch_timestamps(spark):
+    """deriv's tiled moments must stay window-magnitude at real epoch
+    timestamps (a global-reference centering would square 1.7e12 into
+    catastrophic cancellation — the reason _tiled_regression centers
+    per group)."""
+    t0 = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [("a", t0 + i * 1_700, 2.0 + 0.001 * i + (i % 7) * 0.01)
+         for i in range(2_000)],
+        "series string, ts long, value double")
+    grid = StepGrid(t0 + 500_000, t0 + 3_000_000, 10_000)
+    a = _rows_map(range_function(df, "deriv", ["series"], grid, 320_000,
+                                 tiling=True))
+    b = _rows_map(range_function(df, "deriv", ["series"], grid, 320_000,
+                                 tiling=False))
+    assert set(a) == set(b) and a
+    for k in a:
+        assert _same(a[k], b[k]), (k, a[k], b[k])
+
+
 def test_force_tiled_rejects_non_tileable(spark, samples):
     with pytest.raises(ValueError, match="not tileable"):
         range_function(samples, "quantile_over_time", ["series"], GRID,

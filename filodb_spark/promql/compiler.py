@@ -251,10 +251,21 @@ class PromQLEngine:
     def __init__(self, spark: SparkSession, store: TsStore,
                  lookback_ms: int = STALE_SAMPLE_AFTER_MS,
                  retention_floor_ms: int | None = None,
-                 groupby_cardinality_limit: int | None = None):
+                 groupby_cardinality_limit: int | None = None,
+                 window_mode: str = "auto"):
         self.spark = spark
         self.store = store
         self.lookback_ms = lookback_ms
+        # windowing plan family for range functions (kernels/range_fns):
+        #   auto    — grid explode, tiled two-level above TILE_RATIO
+        #   explode — always grid explode
+        #   tiled   — force tiled where the kernel supports it
+        #   asof    — prefix-sum/as-of (zero amplification; per-series
+        #             sort — see _asof_range_function's skew note) where
+        #             supported, auto elsewhere
+        if window_mode not in ("auto", "explode", "tiled", "asof"):
+            raise ValueError(f"unknown window_mode {window_mode!r}")
+        self.window_mode = window_mode
         # boundToStartTimeToEarliestRetained
         # (SingleClusterPlanner.scala:873-897)
         self.retention_floor_ms = retention_floor_ms
@@ -461,6 +472,19 @@ class PromQLEngine:
     HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
                       "last_over_time"}
 
+    def _tiling_arg(self, fn: str):
+        """Map the engine's window_mode to range_function's tiling param,
+        falling back to auto where the mode doesn't support the fn."""
+        from filodb_spark.kernels.range_fns import ASOF_SUPPORTED, TILEABLE
+        m = self.window_mode
+        if m == "explode":
+            return False
+        if m == "tiled" and fn in TILEABLE:
+            return True
+        if m == "asof" and fn in ASOF_SUPPORTED:
+            return "asof"
+        return None
+
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
         df = self._scan(sel, grid.start - window, grid.end)
@@ -514,7 +538,8 @@ class PromQLEngine:
             ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
             ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
             raw_out = range_function(df, fn, ["_sk"], grid, window,
-                                     params=params, carry_cols=["labels"]) \
+                                     params=params, carry_cols=["labels"],
+                                     tiling=self._tiling_arg(fn)) \
                 .where(F.col("t") >= boundary) \
                 .select("labels", "t", "value")
             return raw_out.unionByName(ds_out)
@@ -522,7 +547,8 @@ class PromQLEngine:
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
             return (out.join(lab, "_sk").select("labels", "t", "value"))
         out = range_function(df, fn, ["_sk"], grid, window, params=params,
-                             carry_cols=["labels"])
+                             carry_cols=["labels"],
+                             tiling=self._tiling_arg(fn))
         return out.select("labels", "t", "value")
 
     def _absent_from(self, present: DataFrame, sel: A.VectorSelector,

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from filodb_spark.kernels.grid import StepGrid
 from filodb_spark.kernels import range_fns
-from filodb_spark.kernels.range_fns import TILEABLE, range_function
+from filodb_spark.kernels.range_fns import (ASOF_SUPPORTED, TILEABLE,
+                                            range_function)
 
 STEP = 10_000
 WINDOW = 320_000  # window/step = 32 >= TILE_RATIO -> auto-tiled
@@ -29,13 +30,19 @@ PARAMS = {"quantile_over_time": (0.9,), "predict_linear": (3600.0,),
 def samples(spark):
     # deterministic LCG; boundary-aligned ts every 7th sample; resets for
     # counter kernels; NaN staleness markers; two series with different
-    # densities (series b sparse: some windows hold 0 or 1 sample)
-    rows, x = [], 12345
+    # densities (series b sparse: some windows hold 0 or 1 sample).
+    # Timestamps deduped per series — the engine dedupes upstream, and
+    # equal-ts ties make "first/last sample" plan-dependent (min_by/
+    # max_by tie order is unspecified)
+    rows, x, seen = [], 12345, set()
     for i in range(400):
         x = (1103515245 * x + 12345) % (1 << 31)
         ts = 990_000 + i * 1_700
         if i % 7 == 0:
             ts = GRID.start + (i // 7) * STEP  # exactly on a grid instant
+        if ts in seen:
+            continue
+        seen.add(ts)
         v = float(x % 10_000) / 7.0
         if i % 31 == 0:
             v = float("nan")
@@ -52,12 +59,19 @@ def _rows_map(df):
     return out
 
 
-def _same(a, b):
+def _same(a, b, abs_tol=1e-12):
     if a is None or b is None:
         return a is b
     if math.isnan(a):
         return math.isnan(b)
-    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=abs_tol)
+
+
+# prefix-difference kernels carry the documented subtractive-cancellation
+# residue ~ulp(prefix sum): a true-zero variance window can come back as
+# ~1e-7 stddev. Bounded by series length; rounded outputs absorb it.
+_ASOF_ABS_TOL = {"stddev_over_time": 1e-5, "stdvar_over_time": 1e-5,
+                 "z_score": 1e-5}
 
 
 @pytest.mark.parametrize("fn", sorted(TILEABLE))
@@ -133,6 +147,157 @@ def test_carry_cols_survive_tiling(spark):
                          carry_cols=["extra"], tiling=True)
     rows = out.collect()
     assert rows and all(r["extra"] == "lbl-a" for r in rows)
+
+
+@pytest.mark.parametrize("fn", sorted(ASOF_SUPPORTED))
+def test_asof_equals_explode(spark, samples, fn):
+    """The prefix-sum/as-of plan (zero amplification) must agree with
+    the explode plan for every supported kernel — including the
+    inclusive [t-window, t] boundary samples (the start probe's
+    tie-break makes the boundary sample count on the window side)."""
+    params = PARAMS.get(fn, ())
+    a = _rows_map(range_function(samples, fn, ["series"], GRID, WINDOW,
+                                 params=params, tiling="asof"))
+    b = _rows_map(range_function(samples, fn, ["series"], GRID, WINDOW,
+                                 params=params, tiling=False))
+    assert set(a) == set(b)
+    tol = _ASOF_ABS_TOL.get(fn, 1e-12)
+    bad = [(k, a[k], b[k]) for k in a if not _same(a[k], b[k], tol)]
+    assert not bad, f"{fn}: {bad[:5]} (+{len(bad)} total)"
+
+
+def test_asof_plan_has_no_explode(spark, samples):
+    out = range_function(samples, "rate", ["series"], GRID, WINDOW,
+                         tiling="asof")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the SAMPLE stream must never be amplified — assert by the absence
+    # of sequence-explode (the amplifying construct of the other two
+    # paths) and the presence of the running-window operator. (The plan
+    # DOES contain one BroadcastNestedLoopJoin: the intentional
+    # distinct-series x grid cross join that BUILDS the probe rows —
+    # both sides are result-cardinality-sized, never samples.)
+    assert "sequence(" not in plan
+    assert "Window" in plan
+
+
+def test_asof_rejects_unsupported(spark, samples):
+    with pytest.raises(ValueError, match="as-of"):
+        range_function(samples, "min_over_time", ["series"], GRID, WINDOW,
+                       tiling="asof")
+
+
+def test_asof_carry_cols(spark):
+    df = spark.createDataFrame(
+        [("a", "lbl-a", 1_000_000 + i * 1_000, float(i)) for i in range(200)],
+        "series string, extra string, ts long, value double")
+    out = range_function(df, "rate", ["series"],
+                         StepGrid(1_000_000, 1_200_000, 5_000), 160_000,
+                         carry_cols=["extra"], tiling="asof")
+    rows = out.collect()
+    assert rows and all(r["extra"] == "lbl-a" for r in rows)
+
+
+class TestEngineWindowMode:
+    """PromQLEngine(window_mode=...) — the user-facing switch between
+    the three plan families; results must agree across all of them."""
+
+    @pytest.fixture(scope="class")
+    def labels_df(self, spark):
+        rows = []
+        for inst in ("0", "1"):
+            v = 0.0
+            for i in range(300):
+                v += (i * 13 + int(inst)) % 7
+                rows.append(({"__name__": "m", "inst": inst},
+                             1_000_000 + i * 2_000 + int(inst), v))
+        return spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+
+    @pytest.mark.parametrize("promql", [
+        "rate(m[4m])", "sum_over_time(m[4m])",
+        "sum(rate(m[4m]))", "min_over_time(m[4m])",
+    ])
+    def test_modes_agree(self, spark, labels_df, promql):
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        res = {}
+        for mode in ("auto", "explode", "tiled", "asof"):
+            eng = PromQLEngine(spark, TsStore(labels_df),
+                               window_mode=mode)
+            rows = eng.query_range(promql, 1_300_000, 1_600_000,
+                                   5_000).collect()
+            res[mode] = {(tuple(sorted(r["labels"].items())), r["t"]):
+                         r["value"] for r in rows}
+        base = res["explode"]
+        for mode in ("auto", "tiled", "asof"):
+            assert set(res[mode]) == set(base), mode
+            bad = [k for k in base if not _same(res[mode][k], base[k], 1e-9)]
+            assert not bad, (mode, promql, bad[:3])
+
+    def test_bad_mode_rejected(self, spark, labels_df):
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        with pytest.raises(ValueError, match="window_mode"):
+            PromQLEngine(spark, TsStore(labels_df), window_mode="banana")
+
+
+def _random_dataset(seed):
+    """Adversarial random series: irregular cadence, counter resets,
+    NaN staleness markers, grid-aligned timestamps, dense and sparse
+    series — deduped per (series, ts) like the engine does (max_by tie
+    order between plans is otherwise unspecified)."""
+    import random
+    rng = random.Random(seed)
+    step = rng.choice([1_000, 5_000, 20_000])
+    ratio = rng.randint(16, 48)
+    window = step * ratio + rng.choice([0, step // 2, 1])  # non-multiples too
+    start = rng.randint(0, 3) * step + 1_000_000
+    grid = StepGrid(start, start + step * rng.randint(20, 60), step)
+    rows = {}
+    for s in range(8):
+        n = rng.randint(0, 300)
+        v = rng.uniform(0, 100)
+        for _ in range(n):
+            ts = rng.randint(grid.start - 2 * window, grid.end + window)
+            if rng.random() < 0.2:
+                ts = grid.start + rng.randint(0, grid.n_steps) * step
+            r = rng.random()
+            if r < 0.05:
+                val = float("nan")
+            elif r < 0.15:
+                v = rng.uniform(0, 5)
+                val = v
+            else:
+                v += rng.uniform(0, 10)
+                val = v
+            key = (f"s{s}", ts)
+            prev = rows.get(key)
+            rows[key] = val if prev is None or (
+                not math.isnan(val) and (math.isnan(prev) or val > prev)) \
+                else prev
+    data = [(s, ts, v) for (s, ts), v in rows.items()]
+    return data, grid, window
+
+
+@pytest.mark.parametrize("seed", [7, 101, 20260814])
+def test_tiled_equals_explode_randomized(spark, seed):
+    """Property battery: on random adversarial datasets and random
+    (step, window) with ratio >= 16 (including window not a multiple of
+    step), every tileable kernel must agree between the two plans."""
+    data, grid, window = _random_dataset(seed)
+    df = spark.createDataFrame(data, "series string, ts long, value double")
+    for fn in sorted(TILEABLE):
+        params = PARAMS.get(fn, ())
+        b = _rows_map(range_function(df, fn, ["series"], grid, window,
+                                     params=params, tiling=False))
+        variants = [("tiled", True)]
+        if fn in ASOF_SUPPORTED:
+            variants.append(("asof", "asof"))
+        for label, mode in variants:
+            a = _rows_map(range_function(df, fn, ["series"], grid, window,
+                                         params=params, tiling=mode))
+            assert set(a) == set(b), (fn, label, seed)
+            tol = _ASOF_ABS_TOL.get(fn, 1e-12) if label == "asof" else 1e-12
+            bad = [(k, a[k], b[k]) for k in a if not _same(a[k], b[k], tol)]
+            assert not bad, (fn, label, seed, bad[:3], len(bad))
 
 
 def test_tile_count_independent_of_density(spark):

@@ -45,6 +45,9 @@ def main(argv=None) -> int:
     q.add_argument("--step", type=float, default=60.0)
     q.add_argument("--lookback", type=float, default=300.0)
     q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--window-mode", default="auto",
+                   choices=["auto", "explode", "tiled", "asof"],
+                   help="windowing plan family (kernels/range_fns.py)")
     q.add_argument("--format", choices=["json", "table"], default="json")
 
     sv = sub.add_parser("serve", help="start the HTTP API server")
@@ -52,6 +55,8 @@ def main(argv=None) -> int:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=9090)
     sv.add_argument("--lookback", type=float, default=300.0)
+    sv.add_argument("--window-mode", default="auto",
+                   choices=["auto", "explode", "tiled", "asof"])
     sv.add_argument("--token", default=None,
                     help="require Authorization: Bearer <token>")
     sv.add_argument("--tls-cert", default=None, help="PEM cert for TLS")
@@ -94,7 +99,8 @@ def main(argv=None) -> int:
     if args.cmd == "query":
         from filodb_spark.api import to_matrix_response
         eng = PromQLEngine(spark, store,
-                           lookback_ms=int(args.lookback * 1000))
+                           lookback_ms=int(args.lookback * 1000),
+                           window_mode=args.window_mode)
         df = eng.query_range(args.promql, int(args.start * 1000),
                              int(args.end * 1000), int(args.step * 1000),
                              limit=args.limit)
@@ -107,7 +113,8 @@ def main(argv=None) -> int:
     if args.cmd == "serve":
         from filodb_spark.http_server import serve
         eng = PromQLEngine(spark, store,
-                           lookback_ms=int(args.lookback * 1000))
+                           lookback_ms=int(args.lookback * 1000),
+                           window_mode=args.window_mode)
         buf = None
         if args.enable_remote_write:
             from filodb_spark.remote_write import WriteBuffer

@@ -29,6 +29,19 @@ class TestCli:
         assert len(resp["data"]["result"]) == 1
         assert len(resp["data"]["result"][0]["values"]) > 50
 
+    def test_query_window_mode(self, spark):
+        """--window-mode selects the plan family; asof must return the
+        same values as the default on the same query."""
+        args = ["query", "sum(count_over_time(purchase[24h]))",
+                "--store", STORE,
+                "--start", "1704153600", "--end", "1706486400",
+                "--step", "21600"]
+        _, base = run_cli(args)
+        _, asof = run_cli(args + ["--window-mode", "asof"])
+        a = json.loads(base)["data"]["result"][0]["values"]
+        b = json.loads(asof)["data"]["result"][0]["values"]
+        assert a == b and len(a) > 50
+
     def test_labels_and_values(self, spark):
         rc, out = run_cli(["labels", "--store", STORE])
         assert json.loads(out) == ["__name__", "user"]

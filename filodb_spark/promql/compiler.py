@@ -272,7 +272,12 @@ class PromQLEngine:
         # enforcedLimits.groupByCardinality
         # (AggrOverRangeVectors.scala:236-253); None = unenforced
         self.groupby_cardinality_limit = groupby_cardinality_limit
-        self._preagg_enabled = True
+        # per-query preagg-routing toggle (no_optimize/optimize_with_agg
+        # hints set it around a subtree eval) — thread-local for the same
+        # reason as _stats_tls: concurrent HTTP requests share the engine,
+        # and one request's no_optimize(...) must not disable routing for
+        # a query compiling on another thread (ADVICE r6 class)
+        self._preagg_tls = threading.local()
         # per-query QueryStats hook (stats.QueryStatsCollector): when
         # set, every leaf scan is wrapped in a DataFrame.observe node
         # (QueryStats analog, QueryContext.scala:385-470). Thread-local:
@@ -285,6 +290,10 @@ class PromQLEngine:
     @property
     def _stats(self):
         return getattr(self._stats_tls, "collector", None)
+
+    @property
+    def _preagg_enabled(self) -> bool:
+        return getattr(self._preagg_tls, "enabled", True)
 
     def _scan(self, sel: A.VectorSelector, ts_lo: int | None = None,
               ts_hi: int | None = None) -> DataFrame:
@@ -637,11 +646,11 @@ class PromQLEngine:
             # LogicalPlan.scala:74-119): toggle preagg routing for the
             # wrapped subtree
             prev = self._preagg_enabled
-            self._preagg_enabled = name == "optimize_with_agg"
+            self._preagg_tls.enabled = name == "optimize_with_agg"
             try:
                 return self._eval(e.args[0], grid)
             finally:
-                self._preagg_enabled = prev
+                self._preagg_tls.enabled = prev
         if name in RANGE_FN_MAP:
             return self._range_call(RANGE_FN_MAP[name], e.args[0], grid, ())
         if name == "last_over_time_is_mad_outlier":

@@ -145,3 +145,30 @@ class TestLongTimeRangeRouting:
         assert got[t_raw] == float(sum(range(10, 15)))
         # a DS step: rollup bucket sums ride in
         assert any(t < boundary for t in ts)
+
+
+def test_preagg_toggle_is_thread_local(spark, preagg_engine=None):
+    """The no_optimize/optimize_with_agg hint toggles routing via
+    thread-local state: a hint active on one request thread must not
+    disable routing for a query compiling concurrently on another
+    (the ADVICE-r6 shared-mutable-engine-state class, same fix as the
+    stats collector)."""
+    import threading
+
+    from filodb_spark.promql import PromQLEngine
+    from filodb_spark.promql.compiler import TsStore
+    df = spark.createDataFrame(
+        [({"__name__": "m"}, 1_000_000, 1.0)],
+        "labels map<string,string>, ts long, value double")
+    eng = PromQLEngine(spark, TsStore(df))
+    eng._preagg_tls.enabled = False          # this thread: hint active
+    seen = {}
+
+    def other():
+        seen["enabled"] = eng._preagg_enabled
+
+    t = threading.Thread(target=other)
+    t.start(); t.join()
+    assert seen["enabled"] is True           # other thread: default
+    assert eng._preagg_enabled is False      # this thread: unchanged
+    eng._preagg_tls.enabled = True

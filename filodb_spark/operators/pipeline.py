@@ -29,7 +29,8 @@ __all__ = [
     "quality_filter", "dataset_card", "url_domain_filter",
     "pack_sequences", "mix_sources", "source_divergence",
     "split_leakage", "length_quantiles", "token_budget_select",
-    "incremental_dedup", "dataset_diff",
+    "incremental_dedup", "dataset_diff", "shuffle_shards",
+    "write_training_shards", "read_training_shard",
 ]
 
 
@@ -507,6 +508,72 @@ def length_quantiles(df: DataFrame, group_col: str = "source",
         aggs.append(F.round(F.percentile(F.col("_n"), F.lit(q)), 6)
                     .alias(f"q{int(q * 100)}"))
     return base.groupBy(group_col).agg(*aggs)
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, seed: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    reproducible randomization every training run needs: the SAME
+    (corpus, seed) must produce the SAME document order on any cluster
+    size, and a different seed a statistically independent order.
+
+    Order key = xxhash64(id, seed): pure column math, so the shuffle is
+    a property of the data, not of partition layout or task scheduling
+    (unlike orderBy(rand()) which is neither reproducible nor resumable).
+    shard = pmod(key, n_shards); `pos` is the document's rank within its
+    shard — a trainer can resume mid-shard at a known position. One
+    window shuffle per shard key (parallel across shards)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = df.withColumn("_key", key) \
+            .withColumn("shard", F.pmod(F.col("_key"),
+                                        F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          seed: int = 0, id_col: str = "doc_id",
+                          mode: str = "overwrite") -> DataFrame:
+    """Terminal pipeline stage: write the seeded global shuffle as one
+    parquet file per shard directory (`shard=k/part-*.parquet`), rows
+    stored in shuffle order, and return the written artifact's MANIFEST
+    computed by RE-READING the output (so it certifies the files on
+    disk, not the plan): (shard, rows, key_xor, first_id, last_id).
+
+    key_xor is the bit-XOR of the shard's order keys — order-insensitive
+    and collision-resistant enough to detect a dropped/duplicated row;
+    with the row count it pins shard content across environments. A
+    re-run with the same (corpus, seed, n_shards) reproduces the
+    manifest bit-for-bit; any upstream change breaks it loudly.
+
+    Each shard lives in exactly ONE task partition (repartition on the
+    shard column), so each `shard=` directory holds exactly one data
+    file — the unit a data-loader worker maps to."""
+    sh = shuffle_shards(df, n_shards, seed, id_col)
+    (sh.repartition(n_shards, F.col("shard"))
+       .sortWithinPartitions("shard", "_key", id_col)
+       .write.mode(mode).partitionBy("shard").parquet(path))
+    back = df.sparkSession.read.parquet(path)
+    return (back.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.expr("bit_xor(_key)").alias("key_xor"),
+                 F.min_by(F.col(id_col), F.col("_key")).alias("first_id"),
+                 F.max_by(F.col(id_col), F.col("_key")).alias("last_id"))
+            .orderBy("shard"))
+
+
+def read_training_shard(spark, path: str, shard: int,
+                        from_pos: int = 1) -> DataFrame:
+    """Data-loader view of one shard, in stored shuffle order, resuming
+    at `from_pos` (1-based, the `pos` column) — the partition filter
+    prunes every other shard's directory at planning time."""
+    return (spark.read.parquet(path)
+            .where(F.col("shard") == shard)
+            .where(F.col("pos") >= from_pos)
+            .orderBy("pos"))
 
 
 def dataset_card(df: DataFrame, dims: Sequence[str] = ("lang", "source"),

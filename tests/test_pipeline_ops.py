@@ -320,3 +320,67 @@ class TestLengthQuantiles:
         assert out["a"].q50 == 3.0
         assert out["a"].q90 == 4.6
         assert out["b"].q99 == 2.0
+
+
+class TestTrainingShards:
+    """Seeded global shuffle writer: reproducible across runs and
+    cluster layouts, one file per shard, resumable in-order reads."""
+
+    def _docs(self, spark, n=500):
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("text "), F.col("id")).alias("text"))
+
+    def test_shuffle_deterministic_and_seeded(self, spark):
+        from filodb_spark.operators.pipeline import shuffle_shards
+        docs = self._docs(spark)
+        a = shuffle_shards(docs, 4, seed=1).select(
+            "shard", "pos", "doc_id").collect()
+        b = shuffle_shards(docs.repartition(13), 4, seed=1).select(
+            "shard", "pos", "doc_id").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = shuffle_shards(docs, 4, seed=2).select(
+            "shard", "pos", "doc_id").collect()
+        assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+        # every shard's pos is a dense 1..k ranking
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_write_manifest_reproducible(self, spark, tmp_path):
+        from filodb_spark.operators.pipeline import write_training_shards
+        docs = self._docs(spark)
+        m1 = [tuple(r) for r in write_training_shards(
+            docs, str(tmp_path / "w1"), 4, seed=7).collect()]
+        m2 = [tuple(r) for r in write_training_shards(
+            docs.repartition(17), str(tmp_path / "w2"), 4, seed=7).collect()]
+        assert m1 == m2 and len(m1) == 4
+        assert sum(r[1] for r in m1) == 500
+        # a corpus change breaks the manifest loudly
+        m3 = [tuple(r) for r in write_training_shards(
+            docs.where("doc_id != 'doc-7'"), str(tmp_path / "w3"), 4,
+            seed=7).collect()]
+        assert m1 != m3
+
+    def test_one_file_per_shard_and_resume(self, spark, tmp_path):
+        import glob
+        from filodb_spark.operators.pipeline import (read_training_shard,
+                                                     write_training_shards)
+        path = str(tmp_path / "shards")
+        write_training_shards(self._docs(spark), path, 4, seed=3)
+        for k in range(4):
+            files = glob.glob(f"{path}/shard={k}/*.parquet")
+            assert len(files) == 1, (k, files)
+        full = [r["doc_id"] for r in
+                read_training_shard(spark, path, 2).collect()]
+        resumed = [r["doc_id"] for r in
+                   read_training_shard(spark, path, 2,
+                                       from_pos=11).collect()]
+        assert resumed == full[10:] and len(full) > 20
+        # partition pruning reaches the scan
+        plan = read_training_shard(spark, path, 2) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan

@@ -123,9 +123,15 @@ class WriteBuffer:
     Kafka/object storage and decodes them with frames_to_records."""
 
     def __init__(self, spark, max_rows: int = 10_000_000):
+        import threading
         self._spark = spark
         self._rows: list[tuple[dict, int, float]] = []
         self._max_rows = max_rows
+        # the HTTP server is ThreadingHTTPServer: concurrent /write
+        # requests append from different threads, and the capacity
+        # check + extend must be one atomic step or racing writers can
+        # overshoot max_rows (the cap exists to bound driver memory)
+        self._lock = threading.Lock()
 
     def append(self, body: bytes) -> int:
         """Ingest one snappy-compressed WriteRequest; returns the
@@ -133,11 +139,12 @@ class WriteBuffer:
         max_rows — repeated writes must not exhaust driver memory (the
         scale path is frames_to_records, not this sink)."""
         rows = _body_to_rows(body)
-        if len(self._rows) + len(rows) > self._max_rows:
-            raise ValueError(
-                f"WriteBuffer full ({self.n_samples} rows, max "
-                f"{self._max_rows}); drain it or use frames_to_records")
-        self._rows.extend(rows)
+        with self._lock:
+            if len(self._rows) + len(rows) > self._max_rows:
+                raise ValueError(
+                    f"WriteBuffer full ({len(self._rows)} rows, max "
+                    f"{self._max_rows}); drain it or use frames_to_records")
+            self._rows.extend(rows)
         return len(rows)
 
     @property

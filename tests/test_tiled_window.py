@@ -197,6 +197,44 @@ def test_asof_carry_cols(spark):
     assert rows and all(r["extra"] == "lbl-a" for r in rows)
 
 
+def test_hist_rate_inherits_tiling(spark):
+    """hist_range_function bucket-explodes then delegates to
+    range_function — histogram rate at a high window/step ratio must
+    ride the tiled kernel (per bucket series) and equal the explode
+    result bucket-for-bucket."""
+    from filodb_spark.kernels.histogram import hist_range_function
+    rows = []
+    for s in ("a", "b"):
+        counts = [0.0, 0.0, 0.0]
+        for i in range(250):
+            for j in range(3):
+                counts[j] += (i * (j + 1) + (7 if s == "b" else 0)) % 5
+            rows.append((s, 1_000_000 + i * 2_000,
+                         ([1.0, 5.0, float("inf")], list(counts))))
+    df = spark.createDataFrame(
+        rows, "series string, ts long, "
+              "hist struct<les: array<double>, values: array<double>>")
+    grid = StepGrid(1_200_000, 1_500_000, 5_000)   # ratio 32 -> tiled
+    window = 160_000
+    out = hist_range_function(df, "rate", ["series"], grid, window)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 4       # two-level (tiled)
+    # equality vs a forced-explode evaluation of the same buckets
+    from filodb_spark.kernels.histogram import assemble_hist, explode_hist
+    ex = range_function(explode_hist(df), "rate", ["series", "bucket_le"],
+                        grid, window, tiling=False)
+    ref = assemble_hist(ex.where(~F.isnan("value")), ["series", "t"])
+    a = {(r["series"], r["t"]): (tuple(r["hist"]["les"]),
+                                 tuple(round(v, 9) for v in
+                                       r["hist"]["values"]))
+         for r in out.collect()}
+    b = {(r["series"], r["t"]): (tuple(r["hist"]["les"]),
+                                 tuple(round(v, 9) for v in
+                                       r["hist"]["values"]))
+         for r in ref.collect()}
+    assert a == b and len(a) > 50
+
+
 class TestEngineWindowMode:
     """PromQLEngine(window_mode=...) — the user-facing switch between
     the three plan families; results must agree across all of them."""

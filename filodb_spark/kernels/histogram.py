@@ -246,6 +246,29 @@ def base2_exp_les(scale: int, start_index: int, num_pos: int) -> list[float]:
                     for i in range(1, num_pos + 1)]
 
 
+def monotonic_values(vals: Column) -> Column:
+    """HistogramQuantileMapper.makeMonotonic
+    (HistogramQuantileMapper.scala:139-147): cumulative bucket counts on
+    increasing le must be non-decreasing; a NaN (bucket no longer
+    populated after a scheme change) or a dip (buckets scraped
+    non-atomically, or a new bucket not yet on every instance) is
+    replaced with the running max. Without the repair, a quantile rank
+    crossing above a dipped bucket interpolates against the dip and
+    lands too high (e.g. [15,12,20] at rank 18: raw 3.5 vs repaired
+    3.2 on les [1,2,4])."""
+    return F.aggregate(
+        vals,
+        F.struct(F.lit(0.0).alias("mx"),
+                 F.array().cast("array<double>").alias("out")),
+        lambda acc, v: F.struct(
+            F.when(~F.isnan(v) & (v > acc["mx"]), v)
+             .otherwise(acc["mx"]).alias("mx"),
+            F.concat(acc["out"], F.array(
+                F.when(F.isnan(v) | (v < acc["mx"]), acc["mx"])
+                 .otherwise(v))).alias("out")),
+        lambda acc: acc["out"])
+
+
 def hist_quantile(q: Column | float, hist: Column,
                   min_hint: Column | None = None,
                   max_hint: Column | None = None,

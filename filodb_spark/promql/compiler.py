@@ -889,9 +889,16 @@ class PromQLEngine:
                 .agg(F.array_sort(F.collect_list(F.struct("le", "value")))
                      .alias("_buckets"),
                      F.first("labels").alias("labels")))
-        from filodb_spark.kernels.histogram import hist_struct, hist_quantile
-        h = hist_struct(F.transform("_buckets", lambda p: p["le"]),
-                        F.transform("_buckets", lambda p: p["value"]))
+        from filodb_spark.kernels.histogram import (hist_quantile,
+                                                    hist_struct,
+                                                    monotonic_values)
+        # makeMonotonic repair (HistogramQuantileMapper.scala:139-147):
+        # non-atomic scrapes / bucket-set changes can dip or NaN the
+        # cumulative counts — replaced with the running max before
+        # interpolation, exactly as the reference mapper does
+        h = hist_struct(
+            F.transform("_buckets", lambda p: p["le"]),
+            monotonic_values(F.transform("_buckets", lambda p: p["value"])))
         return per.select("labels", "t", hist_quantile(q, h).alias("value"))
 
     # ---- aggregation ----------------------------------------------------

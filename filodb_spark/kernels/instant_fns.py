@@ -15,6 +15,21 @@ def NAN() -> Column:
     return F.lit(float("nan"))
 
 
+def _nonfinite(v: Column) -> Column:
+    return F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+
+
+def _log_like(expr: Column, v: Column) -> Column:
+    """scala.math log semantics: log(0) = -Inf, log(<0) = NaN, NaN -> NaN.
+
+    Spark's log/log10/log2 return NULL for non-positive input
+    (InstantFunctionSpec.scala:135-143 asserts the scala.math values).
+    """
+    return F.coalesce(
+        expr,
+        F.when(v == 0.0, F.lit(float("-inf"))).otherwise(NAN()))
+
+
 def _ts_utc(t_ms: Column):
     return F.timestamp_millis(t_ms.cast("long"))
 
@@ -29,35 +44,44 @@ def instant_fn_expr(fn: str, v: Column, params: tuple = (),
     if fn == "abs":
         return F.abs(v)
     if fn == "ceil":
-        return F.ceil(v).cast("double")
+        # Spark ceil returns LONG: NaN -> 0, Inf -> Long.Max. scala.math
+        # passes non-finite doubles through (InstantFunctionSpec.scala:124).
+        return F.when(_nonfinite(v), v).otherwise(F.ceil(v).cast("double"))
     if fn == "floor":
-        return F.floor(v).cast("double")
+        return F.when(_nonfinite(v), v).otherwise(F.floor(v).cast("double"))
     if fn == "exp":
         return F.exp(v)
     if fn == "ln":
-        return F.log(v)
+        return _log_like(F.log(v), v)
     if fn == "log2":
-        return F.log2(v)
+        return _log_like(F.log2(v), v)
     if fn == "log10":
-        return F.log10(v)
+        return _log_like(F.log10(v), v)
     if fn == "sqrt":
         return F.sqrt(v)
     if fn == "sgn":
         return F.signum(v)
     if fn == "round":
-        # round(v, to_nearest): nearest multiple, ties toward +Inf
-        # (InstantFunction.scala round impl follows Prometheus)
-        nearest = float(params[0]) if params else 1.0
-        return F.floor(v / F.lit(nearest) + 0.5) * F.lit(nearest)
+        # round(v, to_nearest): nearest multiple, ties toward +Inf, NaN/Inf
+        # passthrough — exact reference arithmetic: inv = 1/nearest,
+        # floor(v*inv + 0.5)/inv (InstantFunction.scala RoundImpl;
+        # InstantFunctionSpec.scala:157-178)
+        inv = 1.0 / float(params[0]) if params else 1.0
+        return F.when(_nonfinite(v), v).otherwise(
+            F.floor(v * F.lit(inv) + 0.5) / F.lit(inv))
     if fn == "clamp_max":
-        return F.least(v, F.lit(float(params[0])))
+        # Spark least/greatest order NaN as the largest double;
+        # scala.math.min(NaN, x) is NaN (InstantFunctionSpec NaN battery)
+        return F.when(F.isnan(v), v).otherwise(F.least(v, F.lit(float(params[0]))))
     if fn == "clamp_min":
-        return F.greatest(v, F.lit(float(params[0])))
+        return F.when(F.isnan(v), v).otherwise(
+            F.greatest(v, F.lit(float(params[0]))))
     if fn == "clamp":
         lo, hi = float(params[0]), float(params[1])
         if lo > hi:
             return NAN()
-        return F.least(F.greatest(v, F.lit(lo)), F.lit(hi))
+        return F.when(F.isnan(v), v).otherwise(
+            F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
     if fn == "or_vector":
         # FiloDB extension: NaN -> default (InstantFunction.scala:151-156)
         return F.when(F.isnan(v), F.lit(float(params[0]))).otherwise(v)
@@ -67,19 +91,22 @@ def instant_fn_expr(fn: str, v: Column, params: tuple = (),
               "minute", "month", "year"):
         ts = F.timestamp_seconds(v)
         if fn == "day_of_month":
-            return F.dayofmonth(ts).cast("double")
-        if fn == "day_of_week":
-            return (F.dayofweek(ts) - 1).cast("double")  # Prom: 0=Sunday
-        if fn == "days_in_month":
-            return F.dayofmonth(F.last_day(ts)).cast("double")
-        if fn == "hour":
-            return F.hour(ts).cast("double")
-        if fn == "minute":
-            return F.minute(ts).cast("double")
-        if fn == "month":
-            return F.month(ts).cast("double")
-        if fn == "year":
-            return F.year(ts).cast("double")
+            out = F.dayofmonth(ts).cast("double")
+        elif fn == "day_of_week":
+            out = (F.dayofweek(ts) - 1).cast("double")  # Prom: 0=Sunday
+        elif fn == "days_in_month":
+            out = F.dayofmonth(F.last_day(ts)).cast("double")
+        elif fn == "hour":
+            out = F.hour(ts).cast("double")
+        elif fn == "minute":
+            out = F.minute(ts).cast("double")
+        elif fn == "month":
+            out = F.month(ts).cast("double")
+        else:
+            out = F.year(ts).cast("double")
+        # NaN (and unrepresentable, e.g. Inf) epochs stay NaN, not null
+        # (InstantFunctionSpec.scala:416-435)
+        return F.coalesce(out, NAN())
     raise ValueError(f"unknown instant function: {fn}")
 
 

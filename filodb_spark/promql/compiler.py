@@ -788,8 +788,25 @@ class PromQLEngine:
                 if len(e.args) > 1 else ()
             if name in ("clamp", "clamp_max", "clamp_min", "round", "or_vector"):
                 v = self._vector(e.args[0], grid)
-                return v.withColumn("value",
-                                    instant_fn_expr(name, F.col("value"), params))
+                out = v.withColumn("value",
+                                   instant_fn_expr(name, F.col("value"), params))
+                if name == "or_vector":
+                    # Empty source -> one static series over the grid
+                    # (InstantFunctionSpec.scala:236-260: OrVectorDouble on
+                    # zero range vectors emits vector(default)). A 1-row
+                    # marker + left_anti keeps the plan lazy: the fallback
+                    # rows survive only when the source produced nothing.
+                    marker = v.select(F.lit(1).alias("_m")).limit(1)
+                    fallback = (self._grid_df(grid)
+                                .join(marker, F.lit(True), "left_anti")
+                                .select(F.create_map()
+                                        .cast("map<string,string>")
+                                        .alias("labels"),
+                                        "t",
+                                        F.lit(float(params[0]))
+                                        .alias("value")))
+                    out = out.unionByName(fallback)
+                return out
             v = self._vector(e.args[0], grid)
             return v.withColumn("value", instant_fn_expr(name, F.col("value")))
         raise ValueError(f"unsupported function: {name}")

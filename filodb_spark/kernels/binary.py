@@ -46,8 +46,11 @@ def op_expr(op: str, l: Column, r: Column) -> Column:
     if op == "*":
         return l * r
     if op == "/":
+        # NaN numerator must be tested FIRST: Spark orders NaN > 0 as true,
+        # which would turn NaN/0 into Inf (IEEE: NaN)
         return F.when(r == 0.0,
-                      F.when(l > 0, INF()).when(l < 0, -INF()).otherwise(NAN())
+                      F.when(F.isnan(l), l)
+                      .when(l > 0, INF()).when(l < 0, -INF()).otherwise(NAN())
                       ).otherwise(l / r)
     if op == "%":
         return F.when(r == 0.0, NAN()).otherwise(l % r)
@@ -63,20 +66,39 @@ def comparison_cond(op: str, l: Column, r: Column) -> Column:
             ">=": l >= r, "<=": l <= r}[op]
 
 
+def ieee_comparison_cond(op: str, l: Column, r: Column) -> Column:
+    """IEEE-754 comparison: any comparison against NaN is false, except
+    ``!=`` which is true. Spark ORDERS NaN instead (NaN == NaN is true,
+    NaN > x is true), so the raw condition must be NaN-masked
+    (BinaryOperatorSpec.scala:68-101 NaN battery)."""
+    either_nan = F.isnan(l) | F.isnan(r)
+    raw = comparison_cond(op, l, r)
+    return (raw | either_nan) if op == "!=" else (raw & ~either_nan)
+
+
+def comparison_bool_value(op: str, l: Column, r: Column) -> Column:
+    """`bool`-modifier value: 1.0/0.0, except NaN when either operand is
+    NaN (BinaryOperatorSpec.scala:207-246 — *_BOOL on NaN is NaN, for
+    ``!=`` too)."""
+    return F.when(F.isnan(l) | F.isnan(r), NAN()).otherwise(
+        F.when(ieee_comparison_cond(op, l, r), 1.0).otherwise(0.0))
+
+
 def scalar_op(df: DataFrame, op: str, scalar: float, scalar_on_lhs: bool = False,
               bool_modifier: bool = False, value_col: str = "value") -> DataFrame:
     """scalar-vector operation (ScalarOperationMapper,
-    RangeVectorTransformer.scala:200-279). Comparisons filter (keep the
-    vector value); `bool` variants return 1/0 and keep all rows."""
+    RangeVectorTransformer.scala:200-279). Comparisons filter, keeping the
+    LHS operand value — the scalar itself when it is on the left
+    (BinaryOperatorSpec.scala:184-205); `bool` variants return 1/0
+    (NaN-propagating) and keep all rows."""
     v = F.col(value_col)
     s = F.lit(float(scalar))
     l, r = (s, v) if scalar_on_lhs else (v, s)
     if op in MATH_OPS:
         return df.withColumn(value_col, op_expr(op, l, r))
-    cond = comparison_cond(op, l, r)
     if bool_modifier:
-        return df.withColumn(value_col, F.when(cond, 1.0).otherwise(0.0))
-    return df.where(cond)
+        return df.withColumn(value_col, comparison_bool_value(op, l, r))
+    return df.where(ieee_comparison_cond(op, l, r)).withColumn(value_col, l)
 
 
 # ---------------------------------------------------------------------------
@@ -183,13 +205,13 @@ def vector_binary_op(lhs: DataFrame, rhs: DataFrame, op: str,
         out_val = op_expr(op, lv, rv)
         out = joined.select(res.alias(labels_col), "t", out_val.alias(value_col))
     else:
-        cond = comparison_cond(op, lv, rv)
         if bool_modifier:
             res_b = _drop_keys(res, [METRIC_LABEL])
             out = joined.select(res_b.alias(labels_col), "t",
-                                F.when(cond, 1.0).otherwise(0.0).alias(value_col))
+                                comparison_bool_value(op, lv, rv).alias(value_col))
         else:
-            out = joined.where(cond).select(res.alias(labels_col), "t", lv.alias(value_col))
+            out = joined.where(ieee_comparison_cond(op, lv, rv)) \
+                        .select(res.alias(labels_col), "t", lv.alias(value_col))
     if err_frame is not None:
         out = out.unionByName(err_frame)
     return out

@@ -1137,11 +1137,14 @@ class PromQLEngine:
                 if e.op in bin_k.MATH_OPS:
                     return j.select("labels", "t",
                                     bin_k.op_expr(e.op, lc, rc).alias("value"))
-                cond = bin_k.comparison_cond(e.op, lc, rc)
                 if e.bool_modifier:
-                    return j.select("labels", "t",
-                                    F.when(cond, 1.0).otherwise(0.0).alias("value"))
-                return j.where(cond).select("labels", "t", "value")
+                    return j.select(
+                        "labels", "t",
+                        bin_k.comparison_bool_value(e.op, lc, rc).alias("value"))
+                # filter comparisons emit the LHS operand value — the
+                # scalar when it is on the left (BinaryOperatorSpec:184-205)
+                return j.where(bin_k.ieee_comparison_cond(e.op, lc, rc)) \
+                        .select("labels", "t", lc.alias("value"))
             # scalar-scalar (ScalarBinaryOperationExec)
             if l.is_const and r.is_const:
                 import math
@@ -1166,7 +1169,7 @@ class PromQLEngine:
                 out = j.select("t", bin_k.op_expr(
                     e.op, F.col("_l"), F.col("_r")).alias("value"))
             else:
-                out = j.select("t", F.when(bin_k.comparison_cond(
+                out = j.select("t", F.when(bin_k.ieee_comparison_cond(
                     e.op, F.col("_l"), F.col("_r")), 1.0).otherwise(0.0)
                     .alias("value"))
             return Scalar(df=out)

@@ -711,7 +711,8 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                    grid: StepGrid, window: int, params: tuple = (),
                    ts_col: str = "ts", value_col: str = "value",
                    carry_cols: Sequence[str] = (),
-                   tiling: bool | str | None = None) -> DataFrame:
+                   tiling: bool | str | None = None,
+                   honor_stale_marker: bool = False) -> DataFrame:
     """Evaluate PromQL range function `fn` on the step grid.
 
     `df` must have `series_cols`, `ts_col` (long ms) and `value_col`
@@ -729,8 +730,21 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     all — O(samples + 2 x series x n_steps) shuffle rows regardless of
     window/step AND density (ASOF_SUPPORTED fns only; per-series sort,
     see the skew note above _asof_range_function).
+
+    `honor_stale_marker` (last_over_time only): a NaN sample is a
+    staleness marker that SHADOWS older samples — the series is absent
+    at steps whose latest in-window sample is NaN. This is the raw-data
+    semantics of the reference's LastSampleChunkedFunctionD
+    (RangeFunction.scala:541-546); the default (skip NaN, return the
+    last real sample) matches its sliding/subquery LastSampleFunction.
+    Works on all three plan families: the last-sample combiner is
+    max_by(v, ts) everywhere, which is NaN-transparent.
     """
-    df = drop_nan(df, value_col)
+    stale_last = honor_stale_marker and fn == "last_over_time"
+    if stale_last:
+        df = df.where(F.col(value_col).isNotNull())  # keep NaN markers
+    else:
+        df = drop_nan(df, value_col)
     if value_col != "value":
         df = df.withColumnRenamed(value_col, "value")
     if ts_col != "ts":
@@ -739,24 +753,28 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
         return _mad_over_time(df, series_cols, grid, window)
     if fn == "last_over_time_is_mad_outlier":
         return _mad_outlier(df, series_cols, grid, window, params)
+    def _stale_filter(out: DataFrame) -> DataFrame:
+        # latest sample was a staleness marker -> series absent at step
+        return out.where(~F.isnan("value")) if stale_last else out
+
     if tiling == "asof":
         # opt-in zero-amplification path (see _asof_range_function for
         # the skew/precision trade that keeps it off the auto-switch)
-        return _asof_range_function(df, fn, series_cols, grid, window,
-                                    params, carry_cols)
+        return _stale_filter(_asof_range_function(
+            df, fn, series_cols, grid, window, params, carry_cols))
     if tiling is None:
         tiling = fn in TILEABLE and window // grid.step >= TILE_RATIO
     if tiling:
-        return _tiled_range_function(df, fn, series_cols, grid, window,
-                                     params, carry_cols)
+        return _stale_filter(_tiled_range_function(
+            df, fn, series_cols, grid, window, params, carry_cols))
     if fn in NEEDS_PREV:
         df = with_prev_sample(df, series_cols)
     exploded = explode_to_steps(df, grid, window)
     aggs, post = _build(fn, window, params)
     aggs = [*aggs, *[F.first(c).alias(c) for c in carry_cols]]
     keys = [*series_cols, "t"]
-    return exploded.groupBy(*keys).agg(*aggs) \
-                   .select(*keys, *carry_cols, post.alias("value"))
+    return _stale_filter(exploded.groupBy(*keys).agg(*aggs)
+                         .select(*keys, *carry_cols, post.alias("value")))
 
 
 def _mad_over_time(df: DataFrame, series_cols: Sequence[str],
@@ -814,6 +832,8 @@ def instant_default(df: DataFrame, series_cols: Sequence[str], grid: StepGrid,
                     lookback_ms: int = 5 * 60 * 1000,
                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """Default PromQL instant selector: last sample within the staleness
-    lookback at each step (PeriodicSamplesMapper.scala:78-81)."""
+    lookback at each step (PeriodicSamplesMapper.scala:78-81). Raw data
+    honors NaN staleness markers (LastSampleChunkedFunctionD)."""
     return range_function(df, "last_over_time", series_cols, grid, lookback_ms,
-                          ts_col=ts_col, value_col=value_col)
+                          ts_col=ts_col, value_col=value_col,
+                          honor_stale_marker=True)

@@ -548,16 +548,22 @@ class PromQLEngine:
             ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
             raw_out = range_function(df, fn, ["_sk"], grid, window,
                                      params=params, carry_cols=["labels"],
-                                     tiling=self._tiling_arg(fn)) \
+                                     tiling=self._tiling_arg(fn),
+                                     honor_stale_marker=True) \
                 .where(F.col("t") >= boundary) \
                 .select("labels", "t", "value")
             return raw_out.unionByName(ds_out)
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
             return (out.join(lab, "_sk").select("labels", "t", "value"))
+        # _run_range_fn is the RAW-data path: last/last_over_time (and the
+        # default instant lookback routed here) honor NaN staleness markers
+        # (LastSampleChunkedFunctionD, RangeFunction.scala:541-546); the
+        # subquery path (_eval_subquery) keeps last-non-NaN semantics
         out = range_function(df, fn, ["_sk"], grid, window, params=params,
                              carry_cols=["labels"],
-                             tiling=self._tiling_arg(fn))
+                             tiling=self._tiling_arg(fn),
+                             honor_stale_marker=True)
         return out.select("labels", "t", "value")
 
     def _absent_from(self, present: DataFrame, sel: A.VectorSelector,

@@ -1,0 +1,76 @@
+"""Goldens ported from the reference's QuantileOverTimeSpec and
+ChangesFunctionSpec.
+
+Source (behavior only):
+- query/src/test/scala/filodb/query/exec/rangefn/QuantileOverTimeSpec.scala
+  (NaN-skipping quantile with linear interpolation, hard-coded expecteds)
+- query/src/test/scala/filodb/query/exec/rangefn/ChangesFunctionSpec.scala
+  (NaN samples never count as a change; all-NaN window -> absent)
+
+The shared gauge fixture (timestamps 8072000..8162999, startTs 8071950,
+endTs 8163070) is evaluated as a single window ending at endTs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.grid import StepGrid
+from filodb_spark.kernels.range_fns import range_function
+
+NAN = float("nan")
+
+GAUGE = [(8072000, 7419.0), (8082100, NAN), (8092196, 4614.0),
+         (8102215, 4909.0), (8112223, 4909.0), (8122388, 4948.0),
+         (8132570, NAN), (8142822, NAN), (8152858, NAN),
+         (8162999, 8201.0)]
+ALL_NAN = [(8082100, NAN), (8132570, NAN), (8142822, NAN), (8152858, NAN)]
+ALL_SAME = [(8082100, 8201.0), (8132570, 8201.0), (8142822, 8201.0),
+            (8152858, 8201.0)]
+ONE_LIVE = [(8082100, NAN), (8132570, 8201.0), (8142823, NAN),
+            (8152858, NAN)]
+LINEAR = [(8072000 + i * 10_000, float(i + 1)) for i in range(10)]
+
+END, WINDOW = 8163070, 8163070 - 8071950
+
+
+def _run(spark, samples, fn, params=(), tiling=False):
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in samples], "k string, ts long, value double")
+    out = range_function(df, fn, ["k"], StepGrid(END, END, 1_000), WINDOW,
+                         params=params, tiling=tiling).collect()
+    assert len(out) <= 1
+    return out[0]["value"] if out else None
+
+
+class TestQuantileOverTimeSpec:
+    CASES = [
+        (GAUGE, 0.5, 4928.5),          # "normal case"
+        (ALL_NAN, 0.5, None),          # "NaN on empty range" -> absent
+        (ALL_SAME, 0.2, 8201.0),       # "all values are the same"
+        (ONE_LIVE, 0.2, 8201.0),       # "only one value"
+        (LINEAR, 0.2, 2.8000000000000003),
+        (LINEAR, 0.9, 9.1),
+    ]
+
+    @pytest.mark.parametrize("samples,q,want", CASES)
+    def test_golden(self, spark, samples, q, want):
+        got = _run(spark, samples, "quantile_over_time", params=(q,))
+        if want is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-12)
+
+
+class TestChangesFunctionSpec:
+    CASES = [
+        (GAUGE, 4.0),       # NaNs skipped: 7419->4614->4909=4909->4948->8201
+        (ALL_NAN, None),    # empty window -> absent
+        (ALL_SAME, 0.0),
+        (ONE_LIVE, 0.0),    # single live sample, NaN-padded
+    ]
+
+    @pytest.mark.parametrize("samples,want", CASES)
+    @pytest.mark.parametrize("tiling", [False, True, "asof"])
+    def test_golden_all_plan_families(self, spark, samples, want, tiling):
+        got = _run(spark, samples, "changes", tiling=tiling)
+        assert got == want

@@ -863,16 +863,45 @@ class PromQLEngine:
         lab = samples.select("_sk", "labels").dropDuplicates(["_sk"])
         return out.join(lab, "_sk").select("labels", "t", "value")
 
+    # dst/src label identifier rule (MiscellaneousFunction.scala:15)
+    _LABEL_IDENT = r"[a-zA-Z_][a-zA-Z0-9_:\-\.]*"
+
+    def _regex_group_count(self, regex: str) -> int:
+        """Plan-time regex validation + capture-group count
+        (LabelReplaceFunction requires, MiscellaneousFunction.scala:28-35).
+        Python re covers the overwhelming syntax intersection; Java-only
+        constructs fall back to counting unescaped capture groups."""
+        import re as _re
+        for candidate in (regex, _re.sub(r"([*+?}])\+", r"\1", regex)):
+            # second candidate strips Java possessive quantifiers
+            # (python-invalid) so the group count still resolves
+            try:
+                return _re.compile(candidate).groups
+            except _re.error:
+                continue
+        raise ValueError("Invalid Regular Expression for label_replace")
+
     def _eval_label_fn(self, e: A.FunctionCall, grid: StepGrid) -> DataFrame:
+        import re as _re
         v = self._vector(e.args[0], grid)
         labels = F.col("labels")
         if e.name == "label_replace":
             dst, repl, src, regex = (self._str(a) for a in e.args[1:5])
+            if not _re.fullmatch(self._LABEL_IDENT, dst):
+                raise ValueError("Invalid destination label name")
+            n_groups = self._regex_group_count(regex)
             src_val = F.coalesce(labels[src], F.lit(""))
             anchored = f"^(?:{regex})$"
-            # PromQL's $1..$n group references match Java's regexp_replace
-            # syntax directly — no translation needed
-            new_val = F.regexp_replace(src_val, anchored, repl)
+            # Reference replacement algorithm (MiscellaneousFunction.scala
+            # :57-63): sequential LITERAL replace of "$i" for i=1..n with
+            # group(i), then strip any remaining $ref — nonexistent group
+            # references become empty instead of erroring (Java's
+            # regexp_replace would throw "Illegal group reference")
+            new_val = F.lit(repl)
+            for i in range(1, n_groups + 1):
+                new_val = F.replace(new_val, F.lit(f"${i}"),
+                                    F.regexp_extract(src_val, anchored, i))
+            new_val = F.regexp_replace(new_val, r"\$[A-Za-z0-9]+", "")
             matches = src_val.rlike(anchored)
             updated = F.when(
                 matches & (new_val != ""),
@@ -887,6 +916,11 @@ class PromQLEngine:
         dst = self._str(e.args[1])
         sep = self._str(e.args[2])
         srcs = [self._str(a) for a in e.args[3:]]
+        if not _re.fullmatch(self._LABEL_IDENT, dst):
+            raise ValueError("Invalid destination label name in label_join()")
+        for s in srcs:
+            if not _re.fullmatch(self._LABEL_IDENT, s):
+                raise ValueError("Invalid source label name in label_join()")
         joined = F.concat_ws(sep, *[F.coalesce(labels[s], F.lit("")) for s in srcs])
         updated = F.when(
             joined != "",

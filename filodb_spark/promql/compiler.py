@@ -631,12 +631,12 @@ class PromQLEngine:
     def _eval_function(self, e: A.FunctionCall, grid: StepGrid):
         name = e.name
         if name in self.TIME_COMPONENT_FNS and not e.args:
-            # no-arg form: component of the evaluation timestep
-            # (ScalarFunctionId + TimeScalarGeneratorExec,
-            # ScalarBinaryOperationExec.scala family; Prometheus defines
-            # hour() == hour(vector(time())))
-            e = A.FunctionCall(
-                name, (A.FunctionCall("vector", (A.FunctionCall("time", ()),)),))
+            # no-arg form is a SCALAR: component of the evaluation timestep
+            # (ScalarFunctionId + TimeScalarGeneratorExec — HourScalar et
+            # al. are scalar plans, so vector(hour()) and hour() + m must
+            # see a scalar operand; ScalarFunctionSpec.scala:176-211)
+            return Scalar(df=self._grid_df(grid).withColumn(
+                "value", instant_fn_expr(name, F.col("t") / 1000.0)))
         if name == "_filodb_chunkmeta_all":
             # debug: physical chunk metadata (FiloFunctionId.ChunkMetaAll,
             # SelectChunkInfosExec) — parquet row-group stats are the

@@ -61,6 +61,40 @@ class TestQuantileOverTimeSpec:
             assert got == pytest.approx(want, rel=1e-12)
 
 
+class TestPeriodicRateFunctionsSpec:
+    """PeriodicRateFunctionsSpec.scala:26-80 — rate over delta-counter
+    schemas: sum(in-window samples) / window_seconds; a single-sample
+    window is NOT NaN; flat (non-increasing) samples still rate > 0."""
+
+    DELTA = [(8072000, 111.0), (8082100, 92.0), (8092196, 103.0),
+             (8102215, 110.0), (8112223, 185.0), (8122388, 39.0),
+             (8132570, 52.0), (8142822, 95.0), (8152858, 7.0),
+             (8162999, 99.0)]
+
+    @pytest.mark.parametrize("tiling", [False, True, "asof"])
+    def test_rate_over_delta_golden(self, spark, tiling):
+        want = sum(v for _, v in self.DELTA) / WINDOW * 1000
+        got = _run(spark, self.DELTA, "rate_delta", tiling=tiling)
+        assert got == pytest.approx(want, abs=1e-7)
+        got_inc = _run(spark, self.DELTA, "increase_delta", tiling=tiling)
+        assert got_inc == pytest.approx(sum(v for _, v in self.DELTA),
+                                        abs=1e-7)
+
+    def test_single_sample_window_not_nan(self, spark):
+        df = spark.createDataFrame(
+            [("s", t, v) for t, v in self.DELTA], "k string, ts long, value double")
+        w = 8103215 - 8101215
+        out = range_function(df, "rate_delta", ["k"],
+                             StepGrid(8103215, 8103215, 1_000), w).collect()
+        assert len(out) == 1
+        assert out[0]["value"] == pytest.approx(110.0 / w * 1000)
+
+    def test_flat_samples_nonzero(self, spark):
+        flat = [(t, 111.0) for t, _ in self.DELTA]
+        got = _run(spark, flat, "rate_delta")
+        assert got and got > 0.0
+
+
 class TestChangesFunctionSpec:
     CASES = [
         (GAUGE, 4.0),       # NaNs skipped: 7419->4614->4909=4909->4948->8201

@@ -73,6 +73,41 @@ class TestTimeScalarGenerators:
         assert all(v == 0.0 for _, v in got)
 
 
+class TestSortFunctionSpec:
+    """SortFunctionSpec.scala — sort/sort_desc order series by last
+    value; empty input stays empty."""
+
+    @pytest.fixture(scope="class")
+    def sort_engine(self, spark):
+        rows = [({"__name__": "s", "i": str(i)}, T0, float(v))
+                for i, v in enumerate([1, 5, 3, 2, 4, 6, 0])]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        return PromQLEngine(spark, TsStore(df))
+
+    def test_sort_ascending(self, sort_engine):
+        res = sort_engine.query_range("sort(s)", T0, T0, 10_000).collect()
+        assert [r["value"] for r in res] == [0.0, 1.0, 2.0, 3.0, 4.0,
+                                             5.0, 6.0]
+
+    def test_sort_descending(self, sort_engine):
+        res = sort_engine.query_range("sort_desc(s)", T0, T0,
+                                      10_000).collect()
+        assert [r["value"] for r in res] == [6.0, 5.0, 4.0, 3.0, 2.0,
+                                             1.0, 0.0]
+
+    def test_sort_empty(self, sort_engine):
+        assert sort_engine.query_range("sort(nosuch)", T0, T0,
+                                       10_000).collect() == []
+
+    def test_sort_after_grouped_aggregate(self, sort_engine):
+        # :133-170 — sort applies to aggregation output
+        res = sort_engine.query_range('sort(sum by (i) (s))', T0, T0,
+                                      10_000).collect()
+        assert [r["value"] for r in res] == [0.0, 1.0, 2.0, 3.0, 4.0,
+                                             5.0, 6.0]
+
+
 class TestScalarBinaryOnGrid:
     def test_const_multiplication(self, sc_engine):
         # :213-227 — 60 * 60 on every step

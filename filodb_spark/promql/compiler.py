@@ -1166,6 +1166,27 @@ class PromQLEngine:
                     vec = vec.withColumn(
                         "labels", F.map_filter(F.col("labels"),
                                                lambda k, _: k != METRIC))
+                if "hist" in vec.columns:
+                    # bucket-wise scalar math on histogram vectors
+                    # (ScalarOperationMapper on the histogram schema,
+                    # BinaryOperatorSpec.scala:403-461: hist * 2 scales
+                    # every bucket; bucket bounds unchanged)
+                    if e.op not in bin_k.MATH_OPS or not s.is_const:
+                        raise ValueError(
+                            "only constant-scalar math operators are "
+                            "defined over histogram vectors")
+                    sc = F.lit(float(s.const))
+                    op = e.op
+                    scaled = F.transform(
+                        F.col("hist")["values"],
+                        (lambda x: bin_k.op_expr(op, sc, x)) if s_on_lhs
+                        else (lambda x: bin_k.op_expr(op, x, sc)))
+                    keep = [c for c in ("hmin", "hmax") if c in vec.columns]
+                    return vec.select(
+                        "labels", "t",
+                        F.struct(F.col("hist")["les"].alias("les"),
+                                 scaled.alias("values")).alias("hist"),
+                        *keep)
                 if s.is_const:
                     return bin_k.scalar_op(vec, e.op, s.const,
                                            scalar_on_lhs=s_on_lhs,

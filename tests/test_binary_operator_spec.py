@@ -178,3 +178,48 @@ class TestEngineScalarPrefixComparison:
         res2 = eng.query_range("m > 5", T0, T0, 10_000).collect()
         assert len(res2) == 1
         assert res2[0]["labels"]["inst"] == "1" and res2[0]["value"] == 7.0
+
+
+class TestScalarHistogramMath:
+    """BinaryOperatorSpec.scala:403-461 — ScalarOperationMapper on the
+    histogram schema applies math bucket-wise; bounds unchanged."""
+
+    @pytest.fixture(scope="class")
+    def hist_engine(self, spark):
+        from filodb_spark.promql import PromQLEngine
+        from filodb_spark.promql.compiler import TsStore
+        T0 = 1_700_000_000_000
+        rows = [({"__name__": "hl", "job": "a"}, T0, 40.0, 4.0,
+                 ([1.0, 2.0, INF], [1.0, 2.0, 4.0]))]
+        hist_df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        gauge_df = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        return PromQLEngine(spark, TsStore(gauge_df, hist_df=hist_df,
+                                           hist_metrics=("hl",))), T0
+
+    def test_suffix_multiply(self, hist_engine):
+        eng, T0 = hist_engine
+        r = eng.query_range("hl * 2", T0, T0, 10_000).collect()
+        assert r[0]["hist"]["les"] == [1.0, 2.0, INF]
+        assert r[0]["hist"]["values"] == [2.0, 4.0, 8.0]
+
+    def test_prefix_divide(self, hist_engine):
+        eng, T0 = hist_engine
+        r = eng.query_range("2 / hl", T0, T0, 10_000).collect()
+        assert r[0]["hist"]["values"] == [2.0, 1.0, 0.5]
+
+    def test_quantile_scale_invariant(self, hist_engine):
+        eng, T0 = hist_engine
+        a = eng.query_range("histogram_quantile(0.5, hl)",
+                            T0, T0, 10_000).collect()[0]["value"]
+        b = eng.query_range("histogram_quantile(0.5, hl * 2)",
+                            T0, T0, 10_000).collect()[0]["value"]
+        assert a == b == 2.0
+
+    def test_comparison_rejected(self, hist_engine):
+        eng, T0 = hist_engine
+        with pytest.raises(Exception, match="histogram"):
+            eng.query_range("hl > 2", T0, T0, 10_000)

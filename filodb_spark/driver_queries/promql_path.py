@@ -147,6 +147,43 @@ def pq_bool_compare(spark, sf_dir):
                       "t", "value")
 
 
+def pq_prefix_compare(spark, sf_dir):
+    """Prefix-scalar filter comparison: '5 > v' keeps matching series
+    with the SCALAR as the emitted value (ScalarOperationMapper emits the
+    LHS operand, BinaryOperatorSpec.scala:184-205)."""
+    out = _run(spark, sf_dir, "5 > count_over_time(purchase[24h])")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_label_replace_groups(spark, sf_dir):
+    """label_replace with multiple capture groups AND a nonexistent group
+    reference: '$9' is stripped to empty instead of erroring
+    (MiscellaneousFunction.scala:57-63 sequential substitution +
+    $ref sweep)."""
+    q = ('label_replace(count_over_time(purchase[24h]), '
+         '"tag", "$1-u$2 $9", "user", "(.)(.*)")')
+    out = _run(spark, sf_dir, q)
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      F.col("labels")["tag"].alias("tag"),
+                      "t", "value")
+
+
+def pq_hist_scale_quantile(spark, sf_dir):
+    """Bucket-wise scalar math on a histogram vector: scaling every
+    bucket count by 2 leaves histogram_quantile bit-identical (the
+    rank/cumulative ratios cancel exactly in binary FP), so the unscaled
+    quantile oracle pins the scaled plan."""
+    from filodb_spark.driver_queries.histogram_queries import Q
+    eng, g = _hist_struct_engine(spark, sf_dir)
+    out = eng.query_range(
+        f"histogram_quantile({Q}, sum_over_time(ev_hist[24h]) * 2)",
+        g.start, g.end, g.step)
+    return (out.where(~F.isnan("value"))
+            .select(F.col("labels")["etype"].alias("event_type"), "t",
+                    F.round("value", 6).alias("value")))
+
+
 def pq_hist_bucket_quantile(spark, sf_dir):
     """histogram_quantile over Prometheus-style `_bucket` series with an
     `le` label (HistogramQuantileMapper path), end-to-end through the
@@ -316,6 +353,10 @@ QUERIES = {
     "pq_raw_matrix": pq_raw_matrix,
     "pq_bool_compare": pq_bool_compare,
     "pq_trig": pq_trig,
+    # round-7 additions (spec-parity fixes) — never gated, r8 window heads
+    "pq_prefix_compare": pq_prefix_compare,
+    "pq_label_replace_groups": pq_label_replace_groups,
+    "pq_hist_scale_quantile": pq_hist_scale_quantile,
 }
 
 # --- oracles ---------------------------------------------------------------
@@ -572,6 +613,28 @@ from filodb_spark.driver_queries.histogram_queries import ORACLES as _HIST_ORACL
 ORACLES["pq_hist_bucket_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
 ORACLES["pq_hist_struct_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
 ORACLES["pq_hist_fraction"] = _HIST_ORACLES["ts_hist_fraction"]
+# bucket-wise * 2 cancels exactly in the quantile interpolation ratios,
+# so the scaled plan shares the unscaled oracle bit-for-bit
+ORACLES["pq_hist_scale_quantile"] = _HIST_ORACLES["ts_hist_quantile"]
+
+ORACLES["pq_prefix_compare"] = _PURCHASE_GRID + """
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+)
+SELECT user_id, t, 5.0 AS value FROM cnt WHERE 5 > value"""
+
+ORACLES["pq_label_replace_groups"] = _PURCHASE_GRID + """
+, cnt AS (
+  SELECT raw.user_id, grid.t, CAST(count(*) AS DOUBLE) AS value
+  FROM grid JOIN raw ON raw.ts BETWEEN grid.t - 86400000 AND grid.t
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       substr(CAST(user_id AS VARCHAR), 1, 1) || '-u' ||
+       substr(CAST(user_id AS VARCHAR), 2) || ' ' AS tag,
+       t, value FROM cnt"""
 
 
 def _hist_to_prom_oracle() -> str:

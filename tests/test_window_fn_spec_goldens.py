@@ -95,6 +95,80 @@ class TestPeriodicRateFunctionsSpec:
         assert got and got > 0.0
 
 
+class TestResetsFunctionNaN:
+    """AggrOverTimeFunctionsSpec.scala:2357-2473 — resets counts only
+    consecutive REAL-value decreases; NaN samples are skipped, never
+    treated as 0."""
+
+    @pytest.mark.parametrize("tiling", [False, True, "asof"])
+    @pytest.mark.parametrize("samples,want", [
+        ([(1000, 5.0), (2000, NAN)], 0.0),                 # NaN after real
+        ([(1000, 5.0), (2000, NAN), (3000, 7.0)], 0.0),    # NaN between ups
+        ([(1000, 7.0), (2000, 5.0), (3000, NAN)], 1.0),    # one real reset
+    ])
+    def test_nan_skipped(self, spark, samples, want, tiling):
+        df = spark.createDataFrame(
+            [("s", t, v) for t, v in samples], "k string, ts long, value double")
+        end = samples[-1][0]
+        out = range_function(df, "resets", ["k"],
+                             StepGrid(end, end, 1_000), end - samples[0][0],
+                             tiling=tiling).collect()
+        assert len(out) == 1 and out[0]["value"] == want
+
+    def test_window_slide_drops_stale_reset(self, spark):
+        # [7, 5, NaN] -> 1 reset; sliding past 7 -> [5, NaN] -> 0
+        df = spark.createDataFrame(
+            [("s", 1000, 7.0), ("s", 2000, 5.0), ("s", 3000, NAN)],
+            "k string, ts long, value double")
+        out = {r["t"]: r["value"]
+               for r in range_function(df, "resets", ["k"],
+                                       StepGrid(3000, 4000, 1_000),
+                                       2000).collect()}
+        assert out[3000] == 1.0
+        assert out.get(4000, 0.0) == 0.0  # 7.0 slid out
+
+    def test_all_nan_window(self, spark):
+        # reference kernel emits 0.0 for an all-NaN window; under the
+        # engine's NaN-as-stale rendering the series is simply absent —
+        # either way, no spurious reset count
+        df = spark.createDataFrame(
+            [("s", t, NAN) for t in (1000, 2000, 3000)],
+            "k string, ts long, value double")
+        out = range_function(df, "resets", ["k"],
+                             StepGrid(3000, 3000, 1_000), 2000).collect()
+        assert all(r["value"] == 0.0 for r in out)
+
+
+class TestLastSampleStaleMarker:
+    """AggrOverTimeFunctionsSpec.scala:2474-2524 — the raw-data last-sample
+    function propagates a trailing NaN stale marker (series absent) instead
+    of returning the last real value; without a marker the last real value
+    is returned; an empty window is absent."""
+
+    def _last(self, spark, samples, at, window=5 * 60 * 1000):
+        from filodb_spark.kernels.range_fns import instant_default
+        df = spark.createDataFrame(
+            [("s", t, v) for t, v in samples], "k string, ts long, value double")
+        out = instant_default(df, ["k"], StepGrid(at, at, 1_000), window
+                              ).collect()
+        assert len(out) <= 1
+        return out[0]["value"] if out else None
+
+    def test_marker_propagates(self, spark):
+        assert self._last(spark, [(1000, 5.0), (2000, NAN)], 2000) is None
+
+    def test_last_real_value(self, spark):
+        assert self._last(spark, [(1000, 5.0), (2000, 6.0)], 2000) == 6.0
+
+    def test_marker_then_newer_real(self, spark):
+        # :2506-2523 — a real sample after the marker revives the series
+        assert self._last(spark, [(1000, 5.0), (2000, NAN), (3000, 7.0)],
+                          3000) == 7.0
+
+    def test_empty_window(self, spark):
+        assert self._last(spark, [(1000, 5.0)], 400_000) is None
+
+
 class TestChangesFunctionSpec:
     CASES = [
         (GAUGE, 4.0),       # NaNs skipped: 7419->4614->4909=4909->4948->8201

@@ -139,6 +139,35 @@ class TestResetsFunctionNaN:
         assert all(r["value"] == 0.0 for r in out)
 
 
+class TestTimestampFunctionSpec:
+    """TimestampFunctionSpec.scala — timestamp() emits the last in-window
+    sample's timestamp in SECONDS; empty windows are absent."""
+
+    SAMPLES = [(100_000, 1.5), (110_000, 2.5), (120_000, 3.5),
+               (130_000, 4.5), (140_000, 5.5)]
+    LOOKBACK = 5 * 60 * 1000
+
+    def _run_ts(self, spark, samples, grid):
+        df = spark.createDataFrame(
+            [("s", t, v) for t, v in samples], "k string, ts long, value double")
+        out = range_function(df, "timestamp", ["k"], grid, self.LOOKBACK
+                             ).collect()
+        return {r["t"]: r["value"] for r in out}
+
+    def test_various_start_times(self, spark):
+        got = self._run_ts(spark, self.SAMPLES,
+                           StepGrid(100_000, 120_000, 5_000))
+        assert got == {100_000: 100.0, 105_000: 100.0, 110_000: 110.0,
+                       115_000: 110.0, 120_000: 120.0}
+
+    def test_gaps_past_lookback_absent(self, spark):
+        # :24-43 — steps before the first sample or past the staleness
+        # window have no value (reference emits NaN, rendered absent)
+        got = self._run_ts(spark, self.SAMPLES[:3],
+                           StepGrid(95_000, 445_000, 50_000))
+        assert got == {t: 120.0 for t in range(145_000, 396_000, 50_000)}
+
+
 class TestLastSampleStaleMarker:
     """AggrOverTimeFunctionsSpec.scala:2474-2524 — the raw-data last-sample
     function propagates a trailing NaN stale marker (series absent) instead

@@ -776,9 +776,16 @@ class PromQLEngine:
                 raise ValueError("hist_to_prom_vectors needs a histogram vector")
             from filodb_spark.kernels.histogram import explode_hist, le_label
             ex = explode_hist(v.select("labels", "t", "hist"))
+            # metric name gains the Prom _bucket suffix and each series an
+            # le label (HistToPromSeriesMapperSpec.scala:47-51)
             ex = ex.withColumn("labels", F.map_concat(
-                "labels", F.create_map(F.lit("le"),
-                                       le_label(F.col("bucket_le")))))
+                F.map_filter(F.col("labels"), lambda k, _: k != METRIC),
+                F.create_map(F.lit("le"), le_label(F.col("bucket_le"))),
+                F.when(F.col("labels")[METRIC].isNotNull(),
+                       F.create_map(F.lit(METRIC),
+                                    F.concat(F.col("labels")[METRIC],
+                                             F.lit("_bucket"))))
+                 .otherwise(F.create_map().cast("map<string,string>"))))
             return ex.select("labels", "t", "value")
         if name == "histogram_fraction":
             lo = self._const(e.args[0])

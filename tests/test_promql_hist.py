@@ -120,6 +120,10 @@ class TestHistBucketAndSort:
         assert by_series[("a", "2")] == 16.0
         assert by_series[("a", "+Inf")] == 32.0
         assert by_series[("b", "4")] == 12.0
+        # metric name gains the Prom _bucket suffix
+        # (HistToPromSeriesMapperSpec.scala:47-51)
+        assert all(r["labels"]["__name__"] == "http_latency_bucket"
+                   for r in res)
 
     def test_sort_desc(self, hist_engine):
         res = hist_engine.query_range(

@@ -232,3 +232,38 @@ class TestMixedSchemeSum:
         assert vals[0] == 11.0
         assert vals[1] == pytest.approx(1 + 2 ** -0.5 + 15.0)
         assert vals[2:] == [23.0, 35.0, 45.0]
+
+
+class TestMinMaxConstrainedQuantile:
+    """AggrOverTimeFunctionsSpec.scala:1764-1933 — observed min/max
+    tighten the interpolation bucket: a high quantile landing in the top
+    bucket is clamped to max; a low quantile in the bottom bucket to min.
+    Rate-hist fixture: (second - first) buckets / 100 s."""
+
+    LES = [2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, 256.0]
+    TOP_SKEW = [0.01, 0.02, 0.03, 0.04, 0.05, 0.1, 0.5, 10.0]
+    BOT_SKEW = [10.0, 10.01, 10.02, 10.03, 10.04, 10.05, 10.06, 10.07]
+    MAXV, MINV = 200.0, 1.0
+
+    def _q(self, spark, values, q, with_hints):
+        df = hist_df(spark, [("a", self.LES, values)])
+        kw = dict(min_hint=F.lit(self.MINV),
+                  max_hint=F.lit(self.MAXV)) if with_hints else {}
+        return df.select(
+            hist_quantile(q, F.col("hist"), **kw).alias("v")).first()["v"]
+
+    @pytest.mark.parametrize("q", [0.95, 0.99, 0.995, 0.999])
+    def test_max_constrains_top_bucket(self, spark, q):
+        unbounded = self._q(spark, self.TOP_SKEW, q, False)
+        bounded = self._q(spark, self.TOP_SKEW, q, True)
+        assert self.MINV <= bounded <= self.MAXV
+        if unbounded > self.MAXV:
+            assert bounded < unbounded
+
+    @pytest.mark.parametrize("q", [0.001, 0.005, 0.01, 0.05])
+    def test_min_constrains_bottom_bucket(self, spark, q):
+        unbounded = self._q(spark, self.BOT_SKEW, q, False)
+        bounded = self._q(spark, self.BOT_SKEW, q, True)
+        assert self.MINV <= bounded <= self.MAXV
+        if unbounded < self.MINV:
+            assert bounded > unbounded

@@ -157,8 +157,37 @@ class TsStore:
                     return "hist" + suffix
         return "gauge"
 
+    def type_name(self, metric: str | None) -> str:
+        """Schema name exposed through the virtual `_type_` label
+        (Schemas registry; MultiSchemaPartitionsExecSpec.scala:629-655)."""
+        if metric in self.exp_hist_metrics:
+            return "otel-exp-delta-histogram"
+        if self.schema_of(metric) != "gauge":
+            return "prom-histogram"
+        if metric in self.delta_metrics:
+            return "delta-counter"
+        return "gauge"
+
     def select(self, sel: A.VectorSelector) -> DataFrame:
         schema = self.schema_of(sel.metric)
+        # `_type_` is a VIRTUAL label naming the schema, not a stored
+        # label: an Equals matcher gates the scan on the metric's schema
+        # (known-mismatch -> empty result, MultiSchemaPartitionsExec
+        # _type_ filter handling)
+        type_matchers = [m for m in sel.matchers if m.name == "_type_"]
+        if type_matchers:
+            for m in type_matchers:
+                if m.op != "=":
+                    raise ValueError(
+                        "_type_ supports only the = matcher")
+            own = self.type_name(sel.metric)
+            if any(m.value != own for m in type_matchers):
+                base = self.df if schema == "gauge" else self.hist_df
+                return base.where(F.lit(False))
+            sel = A.VectorSelector(
+                sel.metric,
+                tuple(m for m in sel.matchers if m.name != "_type_"),
+                offset_ms=sel.offset_ms, at_ms=sel.at_ms, limit=sel.limit)
         if schema == "gauge":
             df = self.df
         else:

@@ -69,13 +69,34 @@ def label_value_freqs(store: TsStore, label: str,
             .orderBy(F.col("freq").desc(), "value"))
 
 
+def _type_expr(store: TsStore, metric):
+    """Schema name for the virtual `_type_` label, as a column expression
+    (mirrors TsStore.type_name; MetadataExecSpec `_type_` in part keys)."""
+    expr = F.lit("gauge")
+    if store.delta_metrics:
+        expr = F.when(metric.isin(*store.delta_metrics),
+                      F.lit("delta-counter")).otherwise(expr)
+    if store.hist_metrics:
+        expr = F.when(metric.isin(*store.hist_metrics),
+                      F.lit("prom-histogram")).otherwise(expr)
+    if store.exp_hist_metrics:
+        expr = F.when(metric.isin(*store.exp_hist_metrics),
+                      F.lit("otel-exp-delta-histogram")).otherwise(expr)
+    return expr
+
+
 def series(store: TsStore, match: str, start_ms: int | None = None,
            end_ms: int | None = None) -> DataFrame:
     """/api/v1/series (PartKeysExec): distinct label sets with data in
-    range."""
+    range, each carrying the virtual `_type_` schema label like the
+    reference's part-key maps (MetadataExecSpec.scala:167-190)."""
     df = _scan(store, match, start_ms, end_ms)
-    return (df.withColumn("_sk", canonical_labels(F.col("labels")))
-            .dropDuplicates(["_sk"]).select("labels"))
+    labels = F.col("labels")
+    with_type = F.map_concat(
+        labels, F.create_map(F.lit("_type_"),
+                             _type_expr(store, labels["__name__"])))
+    return (df.withColumn("_sk", canonical_labels(labels))
+            .dropDuplicates(["_sk"]).select(with_type.alias("labels")))
 
 
 def label_cardinality(store: TsStore, match: str | None = None) -> DataFrame:

@@ -113,7 +113,8 @@ class TestCli:
         rc, out = run_cli(["series", "--store", STORE,
                            "--match", 'purchase{user="3"}'])
         res = json.loads(out)
-        assert res == [{"__name__": "purchase", "user": "3"}]
+        assert res == [{"__name__": "purchase", "user": "3",
+                        "_type_": "gauge"}]
 
 
 def test_serve_subcommand_dispatch(spark, monkeypatch):

@@ -50,7 +50,10 @@ class TestHttpApi:
         assert "purchase" in resp["data"]
         _, resp = get(server, "/api/v1/series",
                       **{"match[]": 'purchase{user="3"}'})
-        assert resp["data"] == [{"__name__": "purchase", "user": "3"}]
+        # series results carry the virtual _type_ schema label like the
+        # reference part-key maps (MetadataExecSpec.scala:167-190)
+        assert resp["data"] == [{"__name__": "purchase", "user": "3",
+                                 "_type_": "gauge"}]
 
     def test_cardinality_endpoints(self, server):
         """Cardinality over HTTP (r3 verdict item 4): the reference

@@ -152,6 +152,59 @@ def q_ev_anomalies(spark, sf_dir):
     return rolling_anomalies(p, ["user_id"], 7 * 24 * 3600 * 1000)
 
 
+def q_ev_label_churn(spark, sf_dir):
+    """Label churn finder (reference spark-jobs LabelChurnFinder.scala:
+    128-207): per label name over the events series table, series counts
+    active now / within 3d / 7d plus distinct-label-value cardinality
+    at each horizon and the churn ratios the pre-aggregation rule
+    manager consumes. Exact-cardinality twin of the HLL scale path
+    (operator default; tests/test_label_churn pins both)."""
+    from filodb_spark.operators.label_churn import label_churn_stats
+    from filodb_spark.tsdf import events_labels_ts
+    df = events_labels_ts(spark, sf_dir)
+    now = df.agg(F.max("ts")).first()[0]
+    out = label_churn_stats(df, int(now), active_ms=24 * 3600 * 1000,
+                            exact=True)
+    return out.select("ws", "label", "ats_active", "ats_3d", "ats_7d",
+                      "card_active", "card_3d", "card_7d",
+                      "churn_3d", "churn_7d")
+
+
+_LABEL_CHURN_ORACLE = """
+WITH raw AS (
+  SELECT event_type, user_id, epoch_ms(ts) AS ts FROM events
+),
+now_t AS (SELECT max(ts) AS now FROM raw),
+series AS (
+  SELECT event_type, user_id, max(ts) AS end_ts FROM raw GROUP BY 1, 2
+),
+kv AS (
+  SELECT end_ts, '__name__' AS label, event_type AS v FROM series
+  UNION ALL
+  SELECT end_ts, 'user' AS label, CAST(user_id AS VARCHAR) AS v FROM series
+),
+agg AS (
+  SELECT 'All' AS ws, label,
+    count(CASE WHEN end_ts >= now - 86400000 THEN 1 END) AS ats_active,
+    count(CASE WHEN end_ts >= now - 259200000 THEN 1 END) AS ats_3d,
+    count(CASE WHEN end_ts >= now - 604800000 THEN 1 END) AS ats_7d,
+    count(DISTINCT CASE WHEN end_ts >= now - 86400000 THEN v END)
+      AS card_active,
+    count(DISTINCT CASE WHEN end_ts >= now - 259200000 THEN v END)
+      AS card_3d,
+    count(DISTINCT CASE WHEN end_ts >= now - 604800000 THEN v END)
+      AS card_7d
+  FROM kv, now_t GROUP BY 1, 2
+)
+SELECT ws, label, ats_active, ats_3d, ats_7d,
+       card_active, card_3d, card_7d,
+       CAST(card_3d AS DOUBLE) /
+         greatest(CAST(card_active AS DOUBLE), 1.0) AS churn_3d,
+       CAST(card_7d AS DOUBLE) /
+         greatest(CAST(card_active AS DOUBLE), 1.0) AS churn_7d
+FROM agg"""
+
+
 QUERIES = {
     "ev_anomalies": q_ev_anomalies,
     "ev_rolling": q_ev_rolling,
@@ -163,6 +216,8 @@ QUERIES = {
     "ev_asof_join": q_ev_asof_join,
     "ev_sessions": q_ev_sessions,
     "ev_gap_fill": q_ev_gap_fill,
+    # round-7 addition (LabelChurnFinder spark-job parity) — never gated
+    "ev_label_churn": q_ev_label_churn,
 }
 
 _DEDUP = """
@@ -171,6 +226,7 @@ _DEDUP = """
 """
 
 ORACLES = {
+    "ev_label_churn": _LABEL_CHURN_ORACLE,
     "ev_asof_join": f"""
 WITH p AS ({_DEDUP.format(et='purchase')}),
 c AS ({_DEDUP.format(et='click')}),

@@ -55,12 +55,22 @@ def _hist_matrix_response(df: DataFrame) -> dict:
             "data": {"resultType": "matrix", "result": result}}
 
 
-def to_matrix_response(df: DataFrame) -> dict:
+def to_matrix_response(df: DataFrame, histogram_map: bool = False) -> dict:
     """Range-query response: resultType=matrix. NaN points are dropped
-    (stale/absent), empty series omitted. Histogram-schema results
-    (hist struct column) render as HistSampl buckets maps."""
+    (stale/absent), empty series omitted.
+
+    Histogram-schema results (hist struct column) are auto-converted to
+    Prometheus bucket vectors — one series per bucket with an `le`
+    label and a `_bucket` metric suffix — matching the reference route's
+    default; `histogram_map=True` (the `histogramMap=true` query param)
+    renders native HistSampl buckets maps instead
+    (PrometheusApiRouteSpec.scala:146-193)."""
     if "hist" in df.columns:
-        return _hist_matrix_response(df)
+        if histogram_map:
+            return _hist_matrix_response(df)
+        from filodb_spark.kernels.histogram import \
+            hist_to_prom_bucket_vectors
+        return to_matrix_response(hist_to_prom_bucket_vectors(df))
     series: dict = defaultdict(list)
     keys: dict = {}
     for row in df.collect():
@@ -78,10 +88,15 @@ def to_matrix_response(df: DataFrame) -> dict:
             "data": {"resultType": "matrix", "result": result}}
 
 
-def to_vector_response(df: DataFrame) -> dict:
+def to_vector_response(df: DataFrame, histogram_map: bool = False) -> dict:
     """Instant-query response: resultType=vector (single timestep).
-    Histogram-schema results render as a single HistSampl per series
+    Histogram-schema results default to Prom bucket vectors like the
+    matrix path; histogram_map=True renders one HistSampl per series
     (toHistResult InstantVector branch)."""
+    if "hist" in df.columns and not histogram_map:
+        from filodb_spark.kernels.histogram import \
+            hist_to_prom_bucket_vectors
+        return to_vector_response(hist_to_prom_bucket_vectors(df))
     if "hist" in df.columns:
         out = []
         for row in df.collect():
@@ -148,26 +163,33 @@ def explain_range_api(engine, query: str, start_s: float, end_s: float,
 
 def query_range_api(engine, query: str, start_s: float, end_s: float,
                     step_s: float, stats: bool = False,
-                    limits=None) -> dict:
+                    limits=None, histogram_map: bool = False) -> dict:
     """GET /api/v1/query_range equivalent. stats=True appends
     queryStats/queryWarnings (reference returns them always; here
-    opt-in so stat-less responses stay byte-stable)."""
+    opt-in so stat-less responses stay byte-stable). histogram_map
+    mirrors the &histogramMap=true param (native buckets maps instead
+    of the default Prom bucket-vector conversion)."""
+    import functools
     args = (query, int(start_s * 1000), int(end_s * 1000),
             int(step_s * 1000))
+    render_fn = functools.partial(to_matrix_response,
+                                  histogram_map=histogram_map)
     if not stats:
-        return to_matrix_response(engine.query_range(*args))
+        return render_fn(engine.query_range(*args))
     return _with_stats(
         lambda col: engine.query_range(*args, stats_collector=col),
-        to_matrix_response, limits)
+        render_fn, limits)
 
 
 def query_api(engine, query: str, time_s: float, stats: bool = False,
-              limits=None) -> dict:
+              limits=None, histogram_map: bool = False) -> dict:
     """GET /api/v1/query equivalent."""
+    import functools
+    render_fn = functools.partial(to_vector_response,
+                                  histogram_map=histogram_map)
     if not stats:
-        return to_vector_response(engine.query_instant(query,
-                                                       int(time_s * 1000)))
+        return render_fn(engine.query_instant(query, int(time_s * 1000)))
     return _with_stats(
         lambda col: engine.query_instant(query, int(time_s * 1000),
                                          stats_collector=col),
-        to_vector_response, limits)
+        render_fn, limits)

@@ -283,7 +283,9 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                         lambda: render.query_range_api(
                             engine, q["query"], float(q["start"]),
                             float(q["end"]), float(q.get("step", "60")),
-                            stats=want_stats, limits=warn_limits),
+                            stats=want_stats, limits=warn_limits,
+                            histogram_map=q.get("histogramMap", "")
+                            in ("true", "1")),
                         timeout_s)
                 elif path.endswith("/api/v1/query"):
                     want_stats = q.get("stats", "") in ("true", "1")
@@ -296,7 +298,10 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                         lambda: render.query_api(engine, q["query"],
                                                  float(q["time"]),
                                                  stats=want_stats,
-                                                 limits=warn_limits),
+                                                 limits=warn_limits,
+                                                 histogram_map=q.get(
+                                                     "histogramMap", "")
+                                                 in ("true", "1")),
                         timeout_s)
                 elif path.endswith("/api/v1/labels"):
                     resp = {"status": "success",

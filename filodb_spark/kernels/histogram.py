@@ -69,6 +69,28 @@ def explode_hist(df: DataFrame, hist_col: str = "hist") -> DataFrame:
               .drop("_p", hist_col))
 
 
+def hist_to_prom_bucket_vectors(df: DataFrame,
+                                metric_label: str = "__name__") -> DataFrame:
+    """Histogram vector -> Prometheus bucket series: one series per
+    bucket with an `le` label, metric name suffixed `_bucket`
+    (HistToPromSeriesMapper, RangeVectorTransformer.scala:497-573;
+    HistToPromSeriesMapperSpec.scala:47-51). Shared by the
+    hist_to_prom_vectors PromQL function and the HTTP layer's default
+    histogram rendering (PrometheusApiRouteSpec.scala:146-169)."""
+    labels = F.col("labels")
+    ex = explode_hist(df.select("labels", "t", "hist"))
+    named = F.when(labels[metric_label].isNotNull(),
+                   F.create_map(F.lit(metric_label),
+                                F.concat(labels[metric_label],
+                                         F.lit("_bucket")))) \
+        .otherwise(F.create_map().cast("map<string,string>"))
+    ex = ex.withColumn("labels", F.map_concat(
+        F.map_filter(labels, lambda k, _: k != metric_label),
+        F.create_map(F.lit("le"), le_label(F.col("bucket_le"))),
+        named))
+    return ex.select("labels", "t", "value")
+
+
 def assemble_hist(df: DataFrame, group_cols: Sequence[str],
                   le_col: str = "bucket_le",
                   value_col: str = "value") -> DataFrame:

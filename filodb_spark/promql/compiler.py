@@ -803,19 +803,9 @@ class PromQLEngine:
             v = self._vector(e.args[0], grid)
             if "hist" not in v.columns:
                 raise ValueError("hist_to_prom_vectors needs a histogram vector")
-            from filodb_spark.kernels.histogram import explode_hist, le_label
-            ex = explode_hist(v.select("labels", "t", "hist"))
-            # metric name gains the Prom _bucket suffix and each series an
-            # le label (HistToPromSeriesMapperSpec.scala:47-51)
-            ex = ex.withColumn("labels", F.map_concat(
-                F.map_filter(F.col("labels"), lambda k, _: k != METRIC),
-                F.create_map(F.lit("le"), le_label(F.col("bucket_le"))),
-                F.when(F.col("labels")[METRIC].isNotNull(),
-                       F.create_map(F.lit(METRIC),
-                                    F.concat(F.col("labels")[METRIC],
-                                             F.lit("_bucket"))))
-                 .otherwise(F.create_map().cast("map<string,string>"))))
-            return ex.select("labels", "t", "value")
+            from filodb_spark.kernels.histogram import \
+                hist_to_prom_bucket_vectors
+            return hist_to_prom_bucket_vectors(v, metric_label=METRIC)
         if name == "histogram_fraction":
             lo = self._const(e.args[0])
             hi = self._const(e.args[1])

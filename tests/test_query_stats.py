@@ -164,15 +164,48 @@ class TestHistResponse:
                                       F.col("sum").alias("value")),
                         hist_df=hdf, hist_metrics=("lat",))
         e = PromQLEngine(spark, store, lookback_ms=3600_000)
-        resp = to_vector_response(e.query_range("lat", 5000, 5000, 1000))
+        resp = to_vector_response(e.query_range("lat", 5000, 5000, 1000),
+                                  histogram_map=True)
         [r] = resp["data"]["result"]
         assert r["value"]["buckets"] == {"1": 1.0, "2": 3.0, "+Inf": 9.0}
         assert r["value"]["timestamp"] == 5.0
         # matrix form: raw matrix selector lat[4s]
-        resp = to_matrix_response(e.query_range("lat[4s]", 5000, 5000, 1000))
+        resp = to_matrix_response(e.query_range("lat[4s]", 5000, 5000, 1000),
+                                  histogram_map=True)
         [r] = resp["data"]["result"]
         assert len(r["values"]) == 5     # inclusive [1000, 5000] window
         assert r["values"][-1]["buckets"]["+Inf"] == 9.0
+
+    def test_hist_default_renders_prom_bucket_vectors(self, spark):
+        """Default (no histogramMap): histogram results auto-convert to
+        one series per bucket with an le label and a _bucket metric
+        suffix (PrometheusApiRouteSpec.scala:146-169)."""
+        from filodb_spark.api import to_matrix_response, to_vector_response
+        hrows = [({"__name__": "lat", "ns": "a"}, 1000 + i * 1000,
+                  float(i), 3.0,
+                  ([1.0, 2.0, float("inf")], [1.0, 3.0, 5.0 + i]))
+                 for i in range(5)]
+        hdf = spark.createDataFrame(
+            hrows, "labels map<string,string>, ts long, sum double, "
+                   "count double, "
+                   "hist struct<les: array<double>, values: array<double>>")
+        store = TsStore(df=hdf.select("labels", "ts",
+                                      F.col("sum").alias("value")),
+                        hist_df=hdf, hist_metrics=("lat",))
+        e = PromQLEngine(spark, store, lookback_ms=3600_000)
+        resp = to_vector_response(e.query_range("lat", 5000, 5000, 1000))
+        res = resp["data"]["result"]
+        assert len(res) == 3  # one series per bucket
+        by_le = {r["metric"]["le"]: r for r in res}
+        assert set(by_le) == {"1", "2", "+Inf"}
+        assert all(r["metric"]["__name__"] == "lat_bucket" for r in res)
+        assert by_le["+Inf"]["value"][1] == "9"
+        resp = to_matrix_response(
+            e.query_range("lat[4s]", 5000, 5000, 1000))
+        res = resp["data"]["result"]
+        assert len(res) == 3
+        inf_series = next(r for r in res if r["metric"]["le"] == "+Inf")
+        assert len(inf_series["values"]) == 5
 
 
 class TestExplain:

@@ -49,6 +49,10 @@ def main(argv=None) -> int:
                    choices=["auto", "explode", "tiled", "asof"],
                    help="windowing plan family (kernels/range_fns.py)")
     q.add_argument("--format", choices=["json", "table"], default="json")
+    q.add_argument("--histogram-map", action="store_true",
+                   help="render histogram results as native buckets maps "
+                        "instead of Prom bucket vectors (the HTTP "
+                        "histogramMap=true param)")
 
     sv = sub.add_parser("serve", help="start the HTTP API server")
     sv.add_argument("--store", required=True)
@@ -107,7 +111,8 @@ def main(argv=None) -> int:
         if args.format == "table":
             df.orderBy("t").show(100, False)
         else:
-            print(json.dumps(to_matrix_response(df)))
+            print(json.dumps(to_matrix_response(
+                df, histogram_map=args.histogram_map)))
         return 0
 
     if args.cmd == "serve":

@@ -59,3 +59,37 @@ class TestTypeLabel:
     def test_regular_labels_still_match(self, type_engine):
         assert _n(type_engine, 'm{_type_="gauge", a="1"}') == 1
         assert _n(type_engine, 'm{_type_="gauge", a="2"}') == 0
+
+
+class TestMissingLabelMatchers:
+    """MultiSchemaPartitionsExecSpec.scala:539-587 — matcher semantics on
+    labels a series does not carry: `!=""` excludes label-less series,
+    `!="x"` includes them, `=""` selects them."""
+
+    @pytest.fixture(scope="class")
+    def ml_engine(self, spark):
+        rows = [({"__name__": "m", "host": "h1"}, T0, 1.0),
+                ({"__name__": "m"}, T0, 2.0)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        return PromQLEngine(spark, TsStore(df))
+
+    def _vals(self, engine, q):
+        return sorted(r["value"] for r in
+                      engine.query_range(q, T0, T0, 10_000).collect())
+
+    def test_neq_empty_excludes_missing(self, ml_engine):
+        assert self._vals(ml_engine, 'm{host!=""}') == [1.0]
+
+    def test_neq_value_includes_missing(self, ml_engine):
+        assert self._vals(ml_engine, 'm{host!="h2"}') == [1.0, 2.0]
+        assert self._vals(ml_engine, 'm{host!="h1"}') == [2.0]
+
+    def test_eq_empty_selects_missing(self, ml_engine):
+        assert self._vals(ml_engine, 'm{host=""}') == [2.0]
+
+    def test_regex_anchoring_on_missing(self, ml_engine):
+        # =~ treats a missing label as "" (fully-anchored match)
+        assert self._vals(ml_engine, 'm{host=~".*"}') == [1.0, 2.0]
+        assert self._vals(ml_engine, 'm{host=~".+"}') == [1.0]
+        assert self._vals(ml_engine, 'm{host!~".+"}') == [2.0]

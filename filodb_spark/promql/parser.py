@@ -14,6 +14,7 @@ from filodb_spark.promql.ast import (Aggregation, BinaryOp, Expr, FunctionCall,
                                      LabelMatcher, MatrixSelector,
                                      NumberLiteral, Paren, StringLiteral,
                                      Subquery, Unary, VectorSelector)
+from filodb_spark.promql import validate as V
 
 AGG_OPS = {"sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
            "topk", "bottomk", "quantile", "count_values"}
@@ -45,11 +46,16 @@ def duration_ms(text: str) -> int:
 
 
 class Token:
-    __slots__ = ("kind", "text")
+    __slots__ = ("kind", "text", "kw")
 
     def __init__(self, kind: str, text: str):
         self.kind = kind
         self.text = text
+        # keyword view: the grammar's keyword tokens are case-insensitive
+        # (PromQL.g4:166-196 fragment-letter "magic"), while identifiers
+        # used as metric/label NAMES keep their case — so keyword
+        # comparisons go through .kw and name extraction through .text
+        self.kw = text.lower() if kind == "IDENT" else text
 
     def __repr__(self):
         return f"{self.kind}:{self.text}"
@@ -112,29 +118,30 @@ class Parser:
 
     def _binary_tail(self, sub, ops) -> Expr:
         lhs = sub()
-        while self.peek().text in ops or (
-                self.peek().kind == "IDENT" and self.peek().text in ops):
-            op = self.next().text
+        while self.peek().kw in ops:
+            op = self.next().kw
             bool_mod = False
-            if self.peek().text == "bool":
+            if self.peek().kw == "bool":
                 self.next()
                 bool_mod = True
             on = ignoring = None
             include: tuple[str, ...] = ()
             gl = gr = False
-            if self.peek().text in ("on", "ignoring"):
-                kw = self.next().text
+            if self.peek().kw in ("on", "ignoring"):
+                kw = self.next().kw
                 labels = self._label_list()
                 if kw == "on":
                     on = labels
                 else:
                     ignoring = labels
-            if self.peek().text in ("group_left", "group_right"):
-                kw = self.next().text
+            if self.peek().kw in ("group_left", "group_right"):
+                kw = self.next().kw
                 gl, gr = kw == "group_left", kw == "group_right"
                 if self.peek().text == "(":
                     include = self._label_list()
             rhs = sub()
+            V.validate_binary(op, lhs, rhs, bool_mod, on, ignoring or (),
+                              gl, gr, include)
             lhs = BinaryOp(op, lhs, rhs, bool_modifier=bool_mod, on=on,
                            ignoring=ignoring or (), group_left=gl,
                            group_right=gr, include=include)
@@ -179,9 +186,16 @@ class Parser:
 
     def parse_postfix(self) -> Expr:
         e = self.parse_atom()
+        modified = False     # offset/@ seen — a later [range] is an error
         while True:
             t = self.peek()
             if t.text == "[":
+                if modified:
+                    # grammar: offset/@ come AFTER the range selector
+                    # (PromQL.g4 instantOrRangeSelector; ParserSpec
+                    # rejects `m OFFSET 1m[5m]`)
+                    raise SyntaxError(
+                        "range selector must precede offset/@ modifiers")
                 self.next()
                 rng = self.next()
                 # step-multiple notation [3i]
@@ -195,10 +209,15 @@ class Parser:
                     continue
                 if rng.kind != "DURATION":
                     raise SyntaxError(f"expected duration, got {rng.text!r}")
+                if duration_ms(rng.text) <= 0:
+                    raise SyntaxError("duration must be greater than 0")
                 if self.accept(":"):
                     step = None
                     if self.peek().kind == "DURATION":
                         step = duration_ms(self.next().text)
+                        if step <= 0:
+                            raise SyntaxError(
+                                "subquery step must be greater than 0")
                     self.expect("]")
                     e = Subquery(e, duration_ms(rng.text), step)
                 else:
@@ -206,7 +225,7 @@ class Parser:
                     if not isinstance(e, VectorSelector):
                         raise SyntaxError("range selector on non-selector")
                     e = MatrixSelector(e, duration_ms(rng.text))
-            elif t.text == "limit" and self.peek(1).kind == "NUMBER":
+            elif t.kw == "limit" and self.peek(1).kind == "NUMBER":
                 # FiloDB extension: `expr limit N` (PromQL.g4 limitOperation).
                 # Selectors push the limit into the scan; any other vector
                 # expression desugars to limit(N, expr) like the reference
@@ -219,7 +238,7 @@ class Parser:
                 else:
                     e = FunctionCall("limit",
                                      (NumberLiteral(float(k)), e))
-            elif t.text == "offset":
+            elif t.kw == "offset":
                 self.next()
                 neg = self.accept("-")
                 d = self.next()
@@ -228,18 +247,20 @@ class Parser:
                                       f"got {d.text!r}")
                 off = duration_ms(d.text) * (-1 if neg else 1)
                 e = self._with_offset(e, off)
+                modified = True
             elif t.text == "@":
                 self.next()
                 at = self.next()
-                if at.text in ("start", "end"):
+                if at.kw in ("start", "end"):
                     # @ start() / @ end() (PromQL.g4:60,178-179): resolved
                     # against the query range at evaluation time
                     self.expect("(")
                     self.expect(")")
-                    e = self._with_at(e, at.text)
+                    e = self._with_at(e, at.kw)
                 else:
                     at_ms = int(float(at.text) * 1000)
                     e = self._with_at(e, at_ms)
+                modified = True
             else:
                 return e
 
@@ -284,11 +305,12 @@ class Parser:
             # bare durations are numbers of seconds in some contexts; reject
             raise SyntaxError(f"unexpected duration {t.text!r}")
         if t.kind == "IDENT":
-            name = t.text
+            name = t.kw
             if name in AGG_OPS:
                 # aggregation only when called; otherwise the keyword is
                 # a metric name (PromQL.g4 metricKeyword: AGGREGATION_OP)
-                if self.peek(1).text in ("(", "by", "without"):
+                if self.peek(1).text == "(" or \
+                        self.peek(1).kw in ("by", "without"):
                     return self.parse_aggregation()
                 return self.parse_selector()
             if self.peek(1).text == "(" and name not in SET_OPS:
@@ -310,13 +332,14 @@ class Parser:
             while self.accept(","):
                 args.append(self.parse_expr())
         self.expect(")")
+        V.validate_function(name, tuple(args))
         return FunctionCall(name, tuple(args))
 
     def parse_aggregation(self) -> Expr:
-        op = self.next().text
+        op = self.next().kw
         by = without = None
-        if self.peek().text in ("by", "without"):
-            kw = self.next().text
+        if self.peek().kw in ("by", "without"):
+            kw = self.next().kw
             labels = self._label_list()
             if kw == "by":
                 by = labels
@@ -326,19 +349,23 @@ class Parser:
         first = self.parse_expr()
         param = None
         expr = first
+        extra = 0
         if self.accept(","):
             param = first
             expr = self.parse_expr()
-            while self.accept(","):   # count_values etc. take 2 args max
+            while self.accept(","):   # 2 args max; extras are an error
+                extra += 1
                 expr = self.parse_expr()
         self.expect(")")
-        if by is None and without is None and self.peek().text in ("by", "without"):
-            kw = self.next().text
+        if by is None and without is None and \
+                self.peek().kw in ("by", "without"):
+            kw = self.next().kw
             labels = self._label_list()
             if kw == "by":
                 by = labels
             else:
                 without = labels
+        V.validate_aggregation(op, expr, param, extra_args=extra)
         return Aggregation(op, expr, param=param, by=by, without=without)
 
     def parse_selector(self) -> Expr:
@@ -350,6 +377,7 @@ class Parser:
             self.next()
             while self.peek().text != "}":
                 lname = self.next().text
+                V.validate_label_name(lname, "label matcher")
                 opt = self.next().text
                 if opt not in ("=", "!=", "=~", "!~"):
                     raise SyntaxError(f"bad matcher op {opt!r}")
@@ -371,7 +399,9 @@ class Parser:
         self.expect("(")
         labels: list[str] = []
         while self.peek().text != ")":
-            labels.append(self.next().text)
+            name = self.next().text
+            V.validate_label_name(name, "label list")
+            labels.append(name)
             if not self.accept(","):
                 break
         self.expect(")")

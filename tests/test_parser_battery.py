@@ -118,6 +118,33 @@ MUST_FAIL = [
 ]
 
 
+class TestFullParserSpecCorpus:
+    """Every parseSuccessfully/parseError string from the reference
+    ParserSpec.scala (extracted corpus in parser_spec_corpus.py)."""
+
+    def test_full_corpus(self):
+        from tests.parser_spec_corpus import (KNOWN_DEVIATIONS, MUST_FAIL,
+                                              MUST_PARSE)
+        bad_parse, bad_fail = [], []
+        for e in MUST_PARSE:
+            if e in KNOWN_DEVIATIONS:
+                continue
+            try:
+                parse(e)
+            except Exception as ex:
+                bad_parse.append((e, str(ex)))
+        for e in MUST_FAIL:
+            if e in KNOWN_DEVIATIONS:
+                continue
+            try:
+                parse(e)
+                bad_fail.append(e)
+            except Exception:
+                pass
+        assert not bad_parse, f"should parse but failed: {bad_parse}"
+        assert not bad_fail, f"should fail but parsed: {bad_fail}"
+
+
 class TestParserBattery:
     @pytest.mark.parametrize("expr", MUST_PARSE, ids=lambda e: e[:40] or "<empty>")
     def test_parses(self, expr):
@@ -191,9 +218,11 @@ class TestGrammarFuzz:
             q = self._gen_expr(rng)
             try:
                 out = eng.query_range(q, start, end, 300_000)
-            except ValueError:
-                continue    # semantically invalid combo (e.g. scalar-
-                            # only op applied to a vector) — acceptable
+            except (ValueError, SyntaxError):
+                continue    # semantically invalid combo (e.g. a scalar
+                            # literal in an instant-vector slot, which
+                            # parse-time validation now rejects like the
+                            # reference's Functions.scala param specs)
             out.limit(5).collect()
             executed += 1
         assert executed >= 20   # the generator mostly emits valid combos

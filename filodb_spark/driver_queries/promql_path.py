@@ -63,6 +63,28 @@ def pq_set_unless(spark, sf_dir):
                       "t", "value")
 
 
+def pq_set_and(spark, sf_dir):
+    # `and on(user)` through the engine's set_op kernel
+    # (SetOperatorExec.scala:104-196 semantics; kernel pinned by
+    # tests/test_set_operator_spec.py, gated here on real data)
+    q = ("count_over_time(purchase[24h]) and on (user) "
+         "count_over_time(error[24h])")
+    out = _run(spark, sf_dir, q, grid_sel="day")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
+def pq_set_or(spark, sf_dir):
+    # `or on(user)`: all purchase rows plus error rows at (user, t) holes
+    # (SetOperatorExec.scala:200-300). Both sides keep their own labels;
+    # the projection to (user_id, t) makes the result oracle-comparable.
+    q = ("count_over_time(purchase[24h]) or on (user) "
+         "count_over_time(error[24h])")
+    out = _run(spark, sf_dir, q, grid_sel="day")
+    return out.select(F.col("labels")["user"].cast("long").alias("user_id"),
+                      "t", "value")
+
+
 def pq_quantile_last(spark, sf_dir):
     out = _run(spark, sf_dir, "quantile(0.5, {__name__=~\".+\"})")
     return (out.where(~F.isnan("value"))
@@ -348,6 +370,8 @@ QUERIES = {
     "pq_count_by_metric": pq_count_by_metric,
     "pq_binary_user_ratio": pq_binary_user_ratio,
     "pq_set_unless": pq_set_unless,
+    "pq_set_and": pq_set_and,
+    "pq_set_or": pq_set_or,
     "pq_quantile_last": pq_quantile_last,
     "pq_label_join": pq_label_join,
     "pq_raw_matrix": pq_raw_matrix,
@@ -592,6 +616,19 @@ SELECT p.user_id, p.t, p.value
 FROM (SELECT * FROM cnt WHERE event_type = 'purchase') p
 WHERE NOT EXISTS (SELECT 1 FROM cnt e WHERE e.event_type = 'error'
                   AND e.user_id = p.user_id AND e.t = p.t)""",
+    "pq_set_and": _DAILY_MU + """
+SELECT p.user_id, p.t, p.value
+FROM (SELECT * FROM cnt WHERE event_type = 'purchase') p
+WHERE EXISTS (SELECT 1 FROM cnt e WHERE e.event_type = 'error'
+              AND e.user_id = p.user_id AND e.t = p.t)""",
+    "pq_set_or": _DAILY_MU + """
+SELECT p.user_id, p.t, p.value
+FROM (SELECT * FROM cnt WHERE event_type = 'purchase') p
+UNION ALL
+SELECT e.user_id, e.t, e.value
+FROM (SELECT * FROM cnt WHERE event_type = 'error') e
+WHERE NOT EXISTS (SELECT 1 FROM cnt p WHERE p.event_type = 'purchase'
+                  AND p.user_id = e.user_id AND p.t = e.t)""",
     "pq_quantile_last": _BASE_MU + """,
 last AS (
   SELECT event_type, user_id, t, arg_max(value, ts) AS value

@@ -34,6 +34,12 @@ def _ts_utc(t_ms: Column):
     return F.timestamp_millis(t_ms.cast("long"))
 
 
+def _pcol(p) -> Column:
+    """Function parameter as a Column: dynamic scalars pass through,
+    plan-time constants become literals."""
+    return p if isinstance(p, Column) else F.lit(float(p))
+
+
 def instant_fn_expr(fn: str, v: Column, params: tuple = (),
                     t_ms: Column | None = None) -> Column:
     """Expression for instant function `fn` over value column `v`.
@@ -65,23 +71,32 @@ def instant_fn_expr(fn: str, v: Column, params: tuple = (),
         # round(v, to_nearest): nearest multiple, ties toward +Inf, NaN/Inf
         # passthrough — exact reference arithmetic: inv = 1/nearest,
         # floor(v*inv + 0.5)/inv (InstantFunction.scala RoundImpl;
-        # InstantFunctionSpec.scala:157-178)
-        inv = 1.0 / float(params[0]) if params else 1.0
+        # InstantFunctionSpec.scala:157-178). Params may be Columns when
+        # the query passes a dynamic scalar (ExecPlanFuncArgs).
+        if params and isinstance(params[0], Column):
+            inv = F.lit(1.0) / params[0]
+        else:
+            inv = F.lit(1.0 / float(params[0]) if params else 1.0)
         return F.when(_nonfinite(v), v).otherwise(
-            F.floor(v * F.lit(inv) + 0.5) / F.lit(inv))
+            F.floor(v * inv + 0.5) / inv)
     if fn == "clamp_max":
         # Spark least/greatest order NaN as the largest double;
         # scala.math.min(NaN, x) is NaN (InstantFunctionSpec NaN battery)
-        return F.when(F.isnan(v), v).otherwise(F.least(v, F.lit(float(params[0]))))
+        return F.when(F.isnan(v), v).otherwise(F.least(v, _pcol(params[0])))
     if fn == "clamp_min":
         return F.when(F.isnan(v), v).otherwise(
-            F.greatest(v, F.lit(float(params[0]))))
+            F.greatest(v, _pcol(params[0])))
     if fn == "clamp":
-        lo, hi = float(params[0]), float(params[1])
-        if lo > hi:
-            return NAN()
-        return F.when(F.isnan(v), v).otherwise(
-            F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
+        if not (isinstance(params[0], Column) or isinstance(params[1], Column)):
+            lo, hi = float(params[0]), float(params[1])
+            if lo > hi:
+                return NAN()
+            return F.when(F.isnan(v), v).otherwise(
+                F.least(F.greatest(v, F.lit(lo)), F.lit(hi)))
+        lo, hi = _pcol(params[0]), _pcol(params[1])
+        # dynamic bounds: the lo > hi rule becomes per-row
+        return F.when(lo > hi, NAN()).otherwise(
+            F.when(F.isnan(v), v).otherwise(F.least(F.greatest(v, lo), hi)))
     if fn == "or_vector":
         # FiloDB extension: NaN -> default (InstantFunction.scala:151-156)
         return F.when(F.isnan(v), F.lit(float(params[0]))).otherwise(v)

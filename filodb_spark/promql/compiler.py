@@ -720,7 +720,13 @@ class PromQLEngine:
             out = self._grid_df(grid).join(present, "t", "left_anti")
             return out.select(lab.alias("labels"), "t", F.lit(1.0).alias("value"))
         if name == "scalar":
-            v = self._vector(e.args[0], grid)
+            inner = self._eval(e.args[0], grid)
+            if isinstance(inner, Scalar):
+                # scalar() of an already-scalar plan is the identity —
+                # the reference round-trips scalar(time()) et al.
+                # (LogicalPlanParserSpec)
+                return inner
+            v = inner
             # single-series check: NaN when != 1 series at a step
             per_t = v.groupBy("t").agg(
                 F.count(F.lit(1)).alias("_n"), F.first("value").alias("_v"))
@@ -816,12 +822,32 @@ class PromQLEngine:
             return v.select("labels", "t",
                             hist_fraction(lo, hi, F.col("hist")).alias("value"))
         if name in INSTANT_FUNCTIONS:
-            params = tuple(self._const(a) for a in e.args[1:]) \
-                if len(e.args) > 1 else ()
             if name in ("clamp", "clamp_max", "clamp_min", "round", "or_vector"):
                 v = self._vector(e.args[0], grid)
+                # params may be dynamic scalars (scalar(expr)) — the
+                # reference feeds them per-step via ExecPlanFuncArgs;
+                # here a non-const Scalar plan joins in on t
+                params = []
+                for i, a in enumerate(e.args[1:]):
+                    p = self._eval(a, grid)
+                    if not isinstance(p, Scalar):
+                        raise ValueError(
+                            f"{name} parameter must be a scalar")
+                    if p.is_const:
+                        params.append(float(p.const))
+                    elif name == "or_vector":
+                        # the empty-source fallback needs a plan-time
+                        # default; keep this one constant-only
+                        raise ValueError(
+                            "or_vector default must be a constant scalar")
+                    else:
+                        pc = f"_p{i}"
+                        v = v.join(p.df.withColumnRenamed("value", pc), "t")
+                        params.append(F.col(pc))
+                params = tuple(params)
                 out = v.withColumn("value",
                                    instant_fn_expr(name, F.col("value"), params))
+                out = out.drop(*[f"_p{i}" for i in range(len(params))])
                 if name == "or_vector":
                     # Empty source -> one static series over the grid
                     # (InstantFunctionSpec.scala:236-260: OrVectorDouble on
@@ -839,6 +865,12 @@ class PromQLEngine:
                                         .alias("value")))
                     out = out.unionByName(fallback)
                 return out
+            if len(e.args) > 1:
+                # extra scalar params parse (Functions.scala otherParams)
+                # but the executor rejects the count, like the reference
+                raise ValueError(
+                    f"wrong number of parameters for function {name}: "
+                    f"expected 1, got {len(e.args)}")
             v = self._vector(e.args[0], grid)
             return v.withColumn("value", instant_fn_expr(name, F.col("value")))
         raise ValueError(f"unsupported function: {name}")
@@ -1103,7 +1135,12 @@ class PromQLEngine:
 
     def _eval_aggregation(self, e: A.Aggregation, grid: StepGrid):
         e = self._maybe_preagg_rewrite(e, grid)
-        v = self._vector(e.expr, grid)
+        v = self._eval(e.expr, grid)
+        if isinstance(v, Scalar):
+            # aggregations over scalar plans are legal in the reference
+            # (sum(scalar(a) + scalar(b)) round-trips in
+            # LogicalPlanParserSpec): treat as one anonymous series
+            v = self._scalar_to_vector(v, grid)
         labels = F.col("labels")
         if "hist" in v.columns:
             # bucket-wise histogram sum (HistSumRowAggregator.scala:1-34)
@@ -1246,19 +1283,29 @@ class PromQLEngine:
                           "^": lambda: lc ** rc,
                           "atan2": lambda: math.atan2(lc, rc)}[e.op]()
                     return Scalar(const=py)
+                # comparisons (BinaryOperatorFunction.scala:29-72): bool
+                # form is NaN-propagating 1/0; plain form keeps the LHS
+                # value where the condition holds, NaN otherwise
                 res = {"==": lc == rc, "!=": lc != rc, ">": lc > rc,
                        "<": lc < rc, ">=": lc >= rc, "<=": lc <= rc}[e.op]
-                return Scalar(const=1.0 if res else 0.0)
+                if e.bool_modifier:
+                    if math.isnan(lc) or math.isnan(rc):
+                        return Scalar(const=math.nan)
+                    return Scalar(const=1.0 if res else 0.0)
+                return Scalar(const=lc if res else math.nan)
             ldf = self._scalar_df(l, grid).withColumnRenamed("value", "_l")
             rdf = self._scalar_df(r, grid).withColumnRenamed("value", "_r")
             j = ldf.join(rdf, "t")
             if e.op in bin_k.MATH_OPS:
                 out = j.select("t", bin_k.op_expr(
                     e.op, F.col("_l"), F.col("_r")).alias("value"))
+            elif e.bool_modifier:
+                out = j.select("t", bin_k.comparison_bool_value(
+                    e.op, F.col("_l"), F.col("_r")).alias("value"))
             else:
                 out = j.select("t", F.when(bin_k.ieee_comparison_cond(
-                    e.op, F.col("_l"), F.col("_r")), 1.0).otherwise(0.0)
-                    .alias("value"))
+                    e.op, F.col("_l"), F.col("_r")), F.col("_l"))
+                    .otherwise(F.lit(float("nan"))).alias("value"))
             return Scalar(df=out)
         if e.op in ("and", "or", "unless"):
             if not (lv and rv):

@@ -68,6 +68,32 @@ def expr_kind(e: Expr) -> str:
     return INSTANT      # Aggregation and anything vector-shaped
 
 
+def is_scalar_literal(e: Expr) -> bool:
+    """The reference's ScalarExpression covers NUMBER LITERALS only
+    (optionally signed) — compound scalar arithmetic like 1 + 2 is a
+    BinaryExpression and passes the binary checks (LogicalPlanParserSpec
+    round-trips `1 + 2 < Inf` while ParserSpec rejects `1 == 1`)."""
+    if isinstance(e, NumberLiteral):
+        return True
+    if isinstance(e, Unary):
+        return is_scalar_literal(e.expr)
+    return False
+
+
+def is_scalarish(e: Expr) -> bool:
+    """Acceptable where the reference's function otherParams accept a
+    'string, number or scalar function' (Functions.scala:115-126):
+    literal scalar arithmetic, or a scalar-producing function call."""
+    if expr_kind(e) == SCALAR:
+        return True
+    if isinstance(e, (Paren, Unary)):
+        return is_scalarish(e.expr)
+    if isinstance(e, FunctionCall):
+        return e.name in ("scalar", "time", "pi") or \
+            (e.name in _TIME_COMPONENT_FNS and not e.args)
+    return False
+
+
 def const_value(e: Expr) -> float | None:
     """Fold a literal scalar expression; None when not a foldable literal."""
     if isinstance(e, NumberLiteral):
@@ -109,23 +135,25 @@ FUNCTION_SPECS: dict[str, tuple[tuple[str, ...], ...]] = {
     "holt_winters": (("range", "scalar01", "scalar01"),),
     "last_over_time_is_mad_outlier": (("scalar", "scalar", "range"),),
     "timestamp": (("instant",),),
-    # misc / presentation
+    # misc / presentation — non-range functions take scalar-producing
+    # function calls wherever a scalar is wanted (Functions.scala:115-126
+    # otherParams), hence "scalarish"
     "absent": (("instant",),),
-    "scalar": (("instant",),),
+    "scalar": (("any",),),      # scalar(scalar) is identity; compiler checks
     "vector": (("any",),),                      # ignoreChecks in reference
     "time": ((),),
     "pi": ((),),
     "sort": (("instant",),), "sort_desc": (("instant",),),
-    "limit": (("scalar", "instant"),),
+    "limit": (("scalarish", "instant"),),
     "label_replace": (("instant", "string", "string", "string", "string"),),
     # label_join(v, dst, sep, src...) — variadic sources
     "label_join": ("label_join",),
     "hist_to_prom_vectors": (("instant",),),
-    "histogram_quantile": (("scalar", "instant"),),
-    "histogram_max_quantile": (("scalar", "instant"),),
-    "histogram_max_quantile_even": (("scalar", "instant"),),
-    "histogram_fraction": (("scalar", "scalar", "instant"),),
-    "histogram_bucket": (("scalar", "instant"),),
+    "histogram_quantile": (("scalarish", "instant"),),
+    "histogram_max_quantile": (("scalarish", "instant"),),
+    "histogram_max_quantile_even": (("scalarish", "instant"),),
+    "histogram_fraction": (("scalarish", "scalarish", "instant"),),
+    "histogram_bucket": (("scalarish", "instant"),),
     "optimize_with_agg": (("instant",),), "no_optimize": (("instant",),),
     "_filodb_chunkmeta_all": (("instant",),),
     # instant math functions: 1 vector + trailing scalars.  The reference
@@ -135,7 +163,7 @@ FUNCTION_SPECS: dict[str, tuple[tuple[str, ...], ...]] = {
     # and floor(m, m2) do not.  "scalar*" mirrors that split; our
     # compiler raises at eval for a wrong count like the reference's
     # executor does.
-    **{name: (("instant", "scalar*"),) for name in INSTANT_FUNCTIONS},
+    **{name: (("instant", "scalarish*"),) for name in INSTANT_FUNCTIONS},
     # time components double as no-arg scalar generators
     **{name: ((), ("instant",)) for name in _TIME_COMPONENT_FNS},
 }
@@ -149,6 +177,8 @@ def _arg_matches(atom: str, arg: Expr) -> bool:
         return True
     if atom == "scalar":
         return kind == SCALAR
+    if atom == "scalarish":
+        return is_scalarish(arg)
     if atom == "scalar01":
         v = const_value(arg)
         return kind == SCALAR and v is not None and 0 < v < 1
@@ -210,6 +240,7 @@ def validate_binary(op: str, lhs: Expr, rhs: Expr, bool_modifier: bool,
                     on, ignoring, group_left: bool, group_right: bool,
                     include) -> None:
     lk, rk = expr_kind(lhs), expr_kind(rhs)
+    lhs_lit, rhs_lit = is_scalar_literal(lhs), is_scalar_literal(rhs)
     if STRING in (lk, rk):
         raise SyntaxError("string literals are not allowed in binary "
                           "expressions")
@@ -220,19 +251,19 @@ def validate_binary(op: str, lhs: Expr, rhs: Expr, bool_modifier: bool,
         raise SyntaxError(
             "bool modifier can only be used on comparison operators")
     if op in SET_OPS:
-        # Expressions.scala:39-41
-        if SCALAR in (lk, rk):
+        # Expressions.scala:39-41 — literal operands only, like the
+        # reference's isInstanceOf[ScalarExpression]
+        if lhs_lit or rhs_lit:
             raise SyntaxError(
                 "set operators not allowed in binary scalar expression")
         # Vectors.scala:100-102
         if group_left or group_right:
             raise SyntaxError(
                 "no grouping allowed for and, or, unless operations")
-    if op in COMPARISON_OPS and not bool_modifier and \
-            lk == SCALAR and rk == SCALAR:
+    if op in COMPARISON_OPS and not bool_modifier and lhs_lit and rhs_lit:
         # Expressions.scala:43-44
         raise SyntaxError("comparisons between scalars must use BOOL modifier")
-    if (on is not None or ignoring) and SCALAR in (lk, rk):
+    if (on is not None or ignoring) and (lhs_lit or rhs_lit):
         # Vectors.scala:97-99
         raise SyntaxError("vector matching only allowed between instant "
                           "vectors")

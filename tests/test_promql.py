@@ -400,3 +400,58 @@ class TestGroupByCardinalityLimit:
         out = eng.query_range("sum by (inst) (m)",
                               T0 + 20_000, T0 + 20_000, 10_000)
         assert out.count() == 4
+
+
+class TestScalarPlanShapes:
+    """Scalar-plan expression shapes the reference's planner round-trips
+    (LogicalPlanParserSpec / ScalarQueriesSpec): dynamic scalar function
+    params, scalar() identity, aggregation over scalars, and the
+    value-filter semantics of non-bool scalar comparisons
+    (BinaryOperatorFunction.scala:29-35)."""
+
+    def _q(self, engine, q, t_end=T0 + 120_000):
+        return rows_of(engine.query_range(q, T0, t_end, 60_000))
+
+    def test_scalar_comparison_value_filter(self, engine):
+        # 1 + 2 < Inf  ->  3.0 (LHS value where cond holds, not 1.0)
+        res = self._q(engine, "1 + 2 < Inf")
+        assert res and all(v == 3.0 for _, _, v in res)
+        # failing condition -> NaN (rendered stale)
+        res = self._q(engine, "1 + 2 > Inf")
+        assert res and all(math.isnan(v) for _, _, v in res)
+
+    def test_scalar_comparison_bool_nan_propagates(self, engine):
+        res = self._q(engine, "(0 / 0) == bool 1")
+        assert res and all(math.isnan(v) for _, _, v in res)
+
+    def test_scalar_of_scalar_identity(self, engine):
+        res = self._q(engine, "scalar(time())")
+        assert res and all(v == t / 1000.0 for _, t, v in res)
+
+    def test_aggregation_over_scalar(self, engine):
+        # sum(scalar(a) + scalar(b)) plans as one anonymous series
+        res = self._q(engine, "sum(scalar(lim{job='db'}) + scalar(lim{job='db'}))")
+        assert res and all(lab == {} and v == 10.0 for lab, _, v in res)
+
+    def test_dynamic_scalar_param_clamp_max(self, engine):
+        # clamp_max(m, scalar(lim)) — per-step dynamic bound
+        # lim{job="web"} is constant 10; web inst=2 reaches 24 at T0+120s
+        res = self._q(engine, "clamp_max(m{job='web'}, scalar(lim{job='web'}))")
+        assert res
+        for lab, t, v in res:
+            assert v <= 10.0
+        # the inst=1 series is below the bound at T0 (values 0,6,12)
+        lo = at(res, T0, inst="1")
+        assert lo and lo[0][1] == 0.0
+
+    def test_dynamic_scalar_param_round(self, engine):
+        # round(m, scalar(...)) with a dynamic nearest parameter of 5
+        res = self._q(engine,
+                      "round(m{job='web', inst='2'}, scalar(lim{job='db'}))")
+        assert res and all(v % 5.0 == 0.0 for _, _, v in res)
+
+    def test_extra_params_rejected_at_execution(self, engine):
+        # log2(m, 5) parses (reference otherParams) but the executor
+        # rejects the count
+        with pytest.raises(ValueError, match="wrong number of parameters"):
+            engine.query_range("log2(m, 5)", T0, T0 + 60_000, 60_000)

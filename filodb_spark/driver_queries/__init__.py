@@ -24,39 +24,49 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 7's window
-    # (scripts/gate_hygiene.py computes the never-gated list):
-    #   1-2   the two round-7 additions — ts_rate_fine (r6 verdict item 3:
-    #         the query that FORCES the tiled two-level window kernel,
-    #         exact oracle) and ts_export_remote_write (item 6: exporter
-    #         cascade -> remote-write wire round trip); both pre-verified
-    #         exact at sf0.001/0.01/0.1 via scripts/check_oracle.py,
-    #   3-50  regression canaries per r6 verdict item 2, oldest gate
-    #         round first: ALL 25 r3-once-gated (incl. the 4 rows-only
-    #         approximate ops) + the 23 alphabetically-first of the 30
-    #         r4-once-gated. The remaining 7 r4 + 6 r5 + 2 r6 once-gated
-    #         queries are the r8 canary backlog.
+    # covers the first 50 registered queries per round. Round 8's window
+    # (scripts/gate_hygiene.py computes the never-gated list; the r7
+    # verdict fixed the head order):
+    #   1-6   the six never-driver-gated queries (late-r7 additions +
+    #         pq_set_and/pq_set_or) — all pre-verified exact at
+    #         sf0.001/0.01/0.1 via scripts/check_oracle.py,
+    #   next  any round-8 additions (inserted here as they land,
+    #         displacing tail fills),
+    #   then  the 15 once-gated canary backlog (r4 -> r5 -> r6),
+    #   then  ts_label_values + ts_series_cardinality — re-gated
+    #         explicitly because round 8 reroutes them through the
+    #         materialized part-key table (r7 verdict item 1),
+    #   tail  oldest twice-gated canaries: the rest of the [r1,r5]
+    #         group, the [r2,r4] group, emb_quantize [r3,r4], then the
+    #         alphabetically-first [r2,r5] queries to fill 50.
     window = [
-        # round-7 additions (r6 verdict items 3, 6)
-        "ts_rate_fine", "ts_export_remote_write",
-        # canaries: r3-gated (gated exactly once, in round 3)
-        "ann_ivf", "ann_ivf_kmeans", "ann_recall", "doc_minhash_lsh",
-        "doc_simhash", "pl_dataset_card", "pl_manifest",
-        "pl_mix_sources", "pl_repetition", "pl_strat_sample",
-        "pl_strat_topk", "pq_absent", "pq_binary_user_ratio",
-        "pq_count_by_metric", "pq_hist_struct_quantile",
-        "pq_hist_to_prom", "pq_instant_chain", "pq_label_join",
-        "pq_label_replace", "pq_offset", "pq_quantile_last",
-        "pq_set_unless", "pq_topk", "ts_exp_hist_quantile",
-        "ts_hist_mixed_sum",
-        # canaries: r4-gated (gated exactly once, in round 4)
-        "ann_filtered", "ann_pq_recall", "ann_pq_topk",
-        "ann_recall_curve", "doc_bigram_lp", "doc_chunks",
-        "doc_dedup_keep", "doc_lsh_verify", "doc_split_leakage",
-        "doc_tokenizer_fertility", "doc_unigram_lp", "emb_kmeans",
-        "emb_kmeans_summary", "emb_outliers", "emb_pq", "ev_anomalies",
-        "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
-        "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_diff",
+        # never driver-gated (r7 verdict item 2 — window head)
+        "pq_set_and", "pq_set_or", "ev_label_churn",
+        "pq_prefix_compare", "pq_label_replace_groups",
+        "pq_hist_scale_quantile",
+        # round-8 additions (r7 verdict items 1, 4)
+        "ts_label_values_pk", "ts_series_cardinality_pk",
+        "ts_cardbuster",
+        # canary backlog: once-gated, oldest gate round first
+        "pl_dedup_incremental", "pl_length_quantiles",
+        "pl_source_divergence", "pl_token_budget", "pl_url_filter",
+        "pq_trig", "ts_remote_write_roundtrip",
+        "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall",
+        "ann_ivfpq_recall", "ann_ivfpq_stored", "ann_ivfpq_topk",
+        "mm_y4m_frames", "ts_export_columns", "ts_export_rules",
+        # re-gated on the new part-key-table metadata path
+        "ts_label_values", "ts_series_cardinality",
+        # canaries: twice-gated [r1, r5]
+        "ts_absent", "ts_agg_topk", "ts_changes", "ts_deriv",
+        "ts_holt_winters", "ts_increase", "ts_irate",
+        "ts_join_group_left", "ts_join_ratio", "ts_mad_over_time",
+        "ts_predict_linear", "ts_quantile_over_time", "ts_resets",
+        "ts_salted_sum", "ts_set_and", "ts_zscore",
+        # canaries: twice-gated [r2, r4]
+        "ann_ivf_portable", "doc_dedup_exact", "doc_minhash_portable",
+        "ds_cascade", "emb_near_dup", "ev_gap_fill",
+        # canaries: [r3, r4] + alphabetically-first [r2, r5]
+        "emb_quantize", "doc_fingerprint",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

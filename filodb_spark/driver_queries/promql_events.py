@@ -383,16 +383,82 @@ def q_salted_sum(spark, sf_dir):
     return out.select("event_type", F.round("value", 4).alias("value"))
 
 
+def _metadata_store(spark, sf_dir):
+    """Events store with the materialized part-key table attached —
+    metadata queries answer from O(series) index rows, never samples
+    (filodb_spark.partkey; PartKeyLuceneIndex.scala:329-465 analog)."""
+    from filodb_spark.partkey import partkey_from_samples
+    from filodb_spark.promql.compiler import TsStore
+    from filodb_spark.tsdf import events_labels_ts
+    df = events_labels_ts(spark, sf_dir, dedupe=False)
+    return TsStore(df, partkey_df=partkey_from_samples(df))
+
+
 def q_label_values(spark, sf_dir):
-    ev = events_ts(spark, sf_dir, dedupe=False)
-    return ev.select("event_type").distinct()
+    # /api/v1/label/__name__/values through the part-key-table path
+    # (round 8 reroute — formerly a raw distinct over samples)
+    from filodb_spark import metadata
+    store = _metadata_store(spark, sf_dir)
+    return (metadata.label_values(store, "__name__")
+            .select(F.col("value").alias("event_type")))
 
 
 def q_series_cardinality(spark, sf_dir):
-    ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"),
-                   dedupe=False)
-    return ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("card"))
+    # TsCardExec through the part-key table: each index row IS one
+    # series, so cardinality is a plain count per group
+    from filodb_spark import metadata
+    store = _metadata_store(spark, sf_dir)
+    return (metadata.ts_cardinality(store, ("__name__",))
+            .select(F.col("__name__").alias("event_type"),
+                    F.col("total_series").alias("card")))
+
+
+ACTIVE_WINDOW_MS = 43_200_000  # trailing 12h "active series" cutoff
+
+
+def q_label_values_pk(spark, sf_dir):
+    """label_values with a match selector + time range on the part-key
+    path: matcher pushdown + the reference's span-overlap range filter
+    (startTime/endTime postings, PartKeyLuceneIndex.scala:418-447)."""
+    from filodb_spark import metadata
+    store = _metadata_store(spark, sf_dir)
+    _, hi = _bounds(spark, sf_dir)
+    return metadata.label_values(store, "user",
+                                 match='{__name__=~"p.*"}',
+                                 start_ms=hi - ACTIVE_WINDOW_MS)
+
+
+def q_series_cardinality_pk(spark, sf_dir):
+    """TsCardinality with the total/active split — active = series whose
+    last sample is inside the trailing 12h window (TsCardExec active
+    semantics via the index's endTime)."""
+    from filodb_spark import metadata
+    store = _metadata_store(spark, sf_dir)
+    _, hi = _bounds(spark, sf_dir)
+    out = metadata.ts_cardinality(store, ("__name__",),
+                                  active_after_ms=hi - ACTIVE_WINDOW_MS)
+    return out.select(F.col("__name__").alias("event_type"),
+                      "total_series", "active_series")
+
+
+def q_cardbuster(spark, sf_dir):
+    """Cardbuster survivors (PerShardCardinalityBuster.scala:84-102
+    semantics): OR-of-AND anchored label-regex filters + a start-time
+    band over part-key spans; the surviving index rows are exactly what
+    bust_part_keys(simulate=False) would keep."""
+    from filodb_spark.operators.cardbuster import split_part_keys
+    from filodb_spark.partkey import partkey_from_samples
+    from filodb_spark.tsdf import events_labels_ts
+    df = events_labels_ts(spark, sf_dir, dedupe=False)
+    pk = partkey_from_samples(df)
+    lo, _ = _bounds(spark, sf_dir)
+    survivors, _doomed = split_part_keys(
+        pk, [{"__name__": "err.*"}, {"user": "1[0-9]"}],
+        start_lte=lo + 21_600_000)
+    return survivors.select(
+        F.col("labels")["__name__"].alias("event_type"),
+        F.col("labels")["user"].cast("long").alias("user_id"),
+        "first_ts", "last_ts")
 
 
 QUERIES = {
@@ -438,6 +504,9 @@ QUERIES = {
     "ts_mad_outlier": q_ts_mad_outlier,
     "ts_label_values": q_label_values,
     "ts_series_cardinality": q_series_cardinality,
+    "ts_label_values_pk": q_label_values_pk,
+    "ts_series_cardinality_pk": q_series_cardinality_pk,
+    "ts_cardbuster": q_cardbuster,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
     "ts_csv_roundtrip": q_csv_roundtrip,
@@ -789,4 +858,35 @@ SELECT event_type, ts, round(value, 2) AS value FROM raw""",
     "ts_series_cardinality":
         "SELECT event_type, count(DISTINCT user_id) AS card "
         "FROM events GROUP BY event_type",
+    # part-key-path metadata: per-series spans from one aggregate, then
+    # span-overlap / endTime-active semantics (matches the index path)
+    "ts_label_values_pk": """
+WITH per_series AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user,
+         MAX(epoch_ms(ts)) AS last_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT DISTINCT user AS value FROM per_series
+WHERE regexp_matches(event_type, '^(?:p.*)$')
+  AND last_ts >= (SELECT MAX(epoch_ms(ts)) - 43200000 FROM events)""",
+    "ts_series_cardinality_pk": """
+WITH per_series AS (
+  SELECT event_type, user_id, MAX(epoch_ms(ts)) AS last_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS total_series,
+       count(*) FILTER (WHERE last_ts >=
+         (SELECT MAX(epoch_ms(ts)) - 43200000 FROM events)) AS active_series
+FROM per_series GROUP BY 1""",
+    "ts_cardbuster": """
+WITH per_series AS (
+  SELECT event_type, user_id, MIN(epoch_ms(ts)) AS first_ts,
+         MAX(epoch_ms(ts)) AS last_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, first_ts, last_ts FROM per_series
+WHERE NOT (
+  (regexp_matches(event_type, '^(?:err.*)$')
+   OR regexp_matches(CAST(user_id AS VARCHAR), '^(?:1[0-9])$'))
+  AND first_ts <= (SELECT MIN(epoch_ms(ts)) + 21600000 FROM events))""",
 }

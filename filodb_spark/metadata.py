@@ -2,10 +2,19 @@
 
 Reference endpoints: /api/v1/labels, label values, series, label
 cardinality, TS cardinality (LogicalPlan.scala:282-375; exec
-MetadataExecPlan.scala). The reference answers these from the per-shard
-Lucene part-key index; here they are scans/aggregations over the series
-table — Catalyst pushes the label filters down, and distinct/HLL
-aggregations replace the index traversals.
+MetadataExecPlan.scala:334-640). The reference answers these from the
+per-shard part-key index in O(series) — never from samples
+(PartKeyLuceneIndex.scala:329-465). Here every endpoint reads per-series
+rows from `_series_rows`:
+
+- with a part-key table attached to the store
+  (filodb_spark.partkey / TsStore.partkey_df), that is an O(series)
+  scan of the compacted series-dimension table with label matchers
+  pushed down — the sample table is never touched, matching the
+  reference's index path and its span-overlap time-range semantics;
+- without one, the fallback aggregates the sample scan to per-series
+  rows (exact sample-presence semantics) — fine at small scale,
+  O(samples) at 100 TB, which is exactly why the part-key table exists.
 """
 
 from __future__ import annotations
@@ -30,6 +39,7 @@ def _selector(match: str | None) -> VectorSelector:
 
 def _scan(store: TsStore, match: str | None, start_ms: int | None,
           end_ms: int | None) -> DataFrame:
+    """Raw-sample scan fallback (exact sample-presence semantics)."""
     df = store.select(_selector(match)) if match else store.df
     if start_ms is not None:
         df = df.where(F.col("ts") >= start_ms)
@@ -38,18 +48,46 @@ def _scan(store: TsStore, match: str | None, start_ms: int | None,
     return df
 
 
+def _series_rows(store: TsStore, match: str | None, start_ms: int | None,
+                 end_ms: int | None) -> DataFrame:
+    """One row per series in range: (labels, _sk, first_ts, last_ts).
+
+    Part-key path: matcher-filtered index rows with the reference's
+    span-overlap range filter (a series is in range when
+    [first_ts, last_ts] overlaps [start, end] —
+    PartKeyLuceneIndex.scala:418-447 startTime/endTime postings).
+    Fallback: aggregate the pruned sample scan per canonical key."""
+    sel = _selector(match)
+    pk = store.select_partkeys(sel)
+    if pk is not None:
+        if start_ms is not None:
+            pk = pk.where(F.col("last_ts") >= start_ms)
+        if end_ms is not None:
+            pk = pk.where(F.col("first_ts") <= end_ms)
+        return pk.select("labels", "_sk", "first_ts", "last_ts")
+    df = _scan(store, match, start_ms, end_ms)
+    return (df.withColumn("_sk", canonical_labels(F.col("labels")))
+            .groupBy("_sk")
+            .agg(F.first("labels").alias("labels"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"))
+            .select("labels", "_sk", "first_ts", "last_ts"))
+
+
 def label_names(store: TsStore, match: str | None = None,
                 start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
     """/api/v1/labels (LabelNamesExec; index labelNamesEfficient)."""
-    return (_scan(store, match, start_ms, end_ms)
+    return (_series_rows(store, match, start_ms, end_ms)
             .select(F.explode(F.map_keys("labels")).alias("label"))
             .distinct().orderBy("label"))
 
 
 def label_values(store: TsStore, label: str, match: str | None = None,
                  start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
-    """/api/v1/label/{l}/values (LabelValuesExec)."""
-    return (_scan(store, match, start_ms, end_ms)
+    """/api/v1/label/{l}/values (LabelValuesExec; index
+    labelValuesEfficient — the Grafana-autocomplete hot path, O(series)
+    on the part-key table instead of O(samples))."""
+    return (_series_rows(store, match, start_ms, end_ms)
             .select(F.col("labels")[label].alias("value"))
             .where(F.col("value").isNotNull())
             .distinct().orderBy("value"))
@@ -59,13 +97,12 @@ def label_value_freqs(store: TsStore, label: str,
                       match: str | None = None) -> DataFrame:
     """CliMain `indexvalues` parity (CliMain.scala:182-187 — the
     part-key index's (term, freq) listing): each label value with its
-    distinct-series count, frequency-descending like the index dump."""
-    df = _scan(store, match, None, None)
-    return (df.withColumn("_sk", canonical_labels(F.col("labels")))
-            .select(F.col("labels")[label].alias("value"), "_sk")
+    series count, frequency-descending like the index dump."""
+    rows = _series_rows(store, match, None, None)
+    return (rows.select(F.col("labels")[label].alias("value"))
             .where(F.col("value").isNotNull())
             .groupBy("value")
-            .agg(F.count_distinct("_sk").alias("freq"))
+            .agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.col("freq").desc(), "value"))
 
 
@@ -90,20 +127,20 @@ def series(store: TsStore, match: str, start_ms: int | None = None,
     """/api/v1/series (PartKeysExec): distinct label sets with data in
     range, each carrying the virtual `_type_` schema label like the
     reference's part-key maps (MetadataExecSpec.scala:167-190)."""
-    df = _scan(store, match, start_ms, end_ms)
+    rows = _series_rows(store, match, start_ms, end_ms)
     labels = F.col("labels")
     with_type = F.map_concat(
         labels, F.create_map(F.lit("_type_"),
                              _type_expr(store, labels["__name__"])))
-    return (df.withColumn("_sk", canonical_labels(labels))
-            .dropDuplicates(["_sk"]).select(with_type.alias("labels")))
+    return rows.select(with_type.alias("labels"))
 
 
 def label_cardinality(store: TsStore, match: str | None = None) -> DataFrame:
     """LabelCardinalityExec — HLL sketches in the reference; Spark's
-    approx_count_distinct is the same sketch class."""
-    df = _scan(store, match, None, None)
-    kv = df.select(F.explode("labels").alias("label", "value"))
+    approx_count_distinct is the same sketch class, here over
+    O(series) part-key rows rather than O(samples)."""
+    rows = _series_rows(store, match, None, None)
+    kv = rows.select(F.explode("labels").alias("label", "value"))
     return (kv.groupBy("label")
             .agg(F.approx_count_distinct("value").alias("cardinality"))
             .orderBy("label"))
@@ -141,20 +178,18 @@ def ts_cardinality(store: TsStore, group_labels: tuple[str, ...] = ("__name__",)
                    active_after_ms: int | None = None,
                    match: str | None = None) -> DataFrame:
     """TsCardExec: series counts grouped by shard-key prefixes
-    (total + active), optionally restricted by a series selector."""
-    df = _scan(store, match, None, None) \
-        .withColumn("_sk", canonical_labels(F.col("labels")))
+    (total + active), optionally restricted by a series selector.
+    On part-key rows this is one count aggregation — active = series
+    whose last sample is at/after the cutoff (a series has a sample
+    with ts >= cutoff iff max(ts) >= cutoff, so the span-based test is
+    exact here, matching the index's endTime-based active check)."""
+    rows = _series_rows(store, match, None, None)
     keys = [F.col("labels")[g].alias(g) for g in group_labels]
-    total = df.groupBy(*keys).agg(
-        F.count_distinct("_sk").alias("total_series"))
-    if active_after_ms is None:
-        return total
-    active = (df.where(F.col("ts") >= active_after_ms)
-              .groupBy(*[F.col("labels")[g].alias(g) for g in group_labels])
-              .agg(F.count_distinct("_sk").alias("active_series")))
-    names = [g for g in group_labels]
-    return (total.join(active, names, "left")
-            .na.fill({"active_series": 0}))
+    aggs = [F.count(F.lit(1)).alias("total_series")]
+    if active_after_ms is not None:
+        aggs.append(F.sum((F.col("last_ts") >= active_after_ms)
+                          .cast("long")).alias("active_series"))
+    return rows.groupBy(*keys).agg(*aggs)
 
 
 def topk_cardinality(store: TsStore,

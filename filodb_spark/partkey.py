@@ -1,0 +1,159 @@
+"""Materialized part-key (series-dimension) table.
+
+The reference answers the metadata endpoints (/api/v1/labels,
+/api/v1/label/{l}/values, /api/v1/series, label & TS cardinality) from
+the per-shard part-key index in O(series), never touching sample data:
+PartKeyLuceneIndex.scala:329-465 (labelNames/labelValuesEfficient,
+startTime/endTime postings) served through
+MetadataExecPlan.scala:334-640. A raw-sample scan for `label_values`
+(Grafana autocomplete — the hottest metadata path) would read every
+row-group's labels column across the retention window at 100 TB.
+
+The Spark analog is a compacted series-dimension table: ONE ROW PER
+CANONICAL SERIES carrying the labels map, first/last sample timestamps
+and the sample count — partitioned by the shard-key labels like the
+data table, so label filters still prune directories. Metadata queries
+(filodb_spark.metadata), TsCardinality, and the plan-time limit
+estimator (PromQLEngine.estimate_time_series_scanned) read THIS table
+when it is attached to the TsStore; the raw sample table is then only
+touched by data queries.
+
+Time-range semantics match the reference index, not the sample scan: a
+series is "in range" when its [first_ts, last_ts] span OVERLAPS the
+queried range (startTime/endTime posting filter,
+PartKeyLuceneIndex.scala:418-447) — the index can report a series whose
+span covers a range even if no individual sample falls inside it. The
+sample-scan fallback (no partkey table attached) keeps exact
+sample-presence semantics.
+
+Maintenance mirrors the reference's index lifecycle (ingest-time upsert
++ periodic commit): `append_partkey_updates` folds a new batch of
+samples in as per-series delta rows (cheap, append-only);
+`read_partkey_table` merges deltas on read (an O(series) aggregate);
+`compact_partkey_table` rewrites the merged view so reads stay one row
+per series. A streaming twin (`streaming_partkey`) runs the same upsert
+per micro-batch via foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filodb_spark.kernels.binary import canonical_labels
+from filodb_spark.sources.table import SHARD_KEY_LABELS
+
+PARTKEY_COLS = ("labels", "_sk", "first_ts", "last_ts", "samples")
+
+
+def partkey_from_samples(df: DataFrame) -> DataFrame:
+    """Aggregate a samples frame (labels, ts, ...) to one row per
+    canonical series: (labels, _sk, first_ts, last_ts, samples).
+
+    One hash aggregation keyed by the canonical series key — map-side
+    partial aggregation collapses each input partition to its distinct
+    series before the shuffle, so the exchange carries O(series) rows,
+    not O(samples)."""
+    return (df
+            .withColumn("_sk", canonical_labels(F.col("labels")))
+            .groupBy("_sk")
+            .agg(F.first("labels").alias("labels"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"),
+                 F.count(F.lit(1)).alias("samples"))
+            .select(*PARTKEY_COLS))
+
+
+def _with_shard_cols(pk: DataFrame,
+                     shard_labels: tuple[str, ...]) -> DataFrame:
+    out = pk
+    for lab in shard_labels:
+        out = out.withColumn(lab, F.coalesce(F.col("labels")[lab],
+                                             F.lit("__none__")))
+    return out
+
+
+def write_partkey_table(samples_df: DataFrame, path: str,
+                        shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
+                        mode: str = "overwrite") -> None:
+    """Build the part-key table from a samples frame and write it
+    partitioned by the shard-key labels (same physical sharding as
+    write_series_table, so a `_ws_`/`_ns_` filter prunes directories
+    on both tables). Rows are sorted by (_metric, _sk) within files
+    for row-group min/max skipping on metric-scoped metadata lookups."""
+    pk = _with_shard_cols(partkey_from_samples(samples_df), shard_labels)
+    pk = pk.withColumn("_metric", F.col("labels")["__name__"])
+    (pk.repartition(*[F.col(c) for c in shard_labels])
+       .sortWithinPartitions("_metric", "_sk")
+       .write.mode(mode).partitionBy(*shard_labels).parquet(path))
+
+
+def append_partkey_updates(samples_df: DataFrame, path: str,
+                           shard_labels: tuple[str, ...] = SHARD_KEY_LABELS
+                           ) -> None:
+    """Incremental maintenance: fold a new batch of samples in as
+    per-series delta rows (the reference's ingest-time part-key upsert,
+    TimeSeriesShard partKey add/update). Append-only — duplicates across
+    batches are merged on read / at compaction."""
+    write_partkey_table(samples_df, path, shard_labels, mode="append")
+
+
+def read_partkey_table(spark: SparkSession, path: str) -> DataFrame:
+    """Open the part-key table, merging any appended delta rows to one
+    row per canonical series (min first_ts / max last_ts / summed
+    sample count). Immediately after build/compaction this aggregate is
+    a no-op pass over O(series) rows."""
+    raw = spark.read.parquet(path)
+    return (raw.groupBy("_sk")
+            .agg(F.first("labels").alias("labels"),
+                 F.min("first_ts").alias("first_ts"),
+                 F.max("last_ts").alias("last_ts"),
+                 F.sum("samples").alias("samples"))
+            .select(*PARTKEY_COLS))
+
+
+def compact_partkey_table(spark: SparkSession, path: str,
+                          shard_labels: tuple[str, ...] = SHARD_KEY_LABELS
+                          ) -> None:
+    """Rewrite the table with all delta rows merged — the reference's
+    periodic index commit/refresh. Writes to a sibling temp dir then
+    swaps via the Hadoop FileSystem API (filesystem-agnostic, like
+    expire_partitions), so a concurrent reader never sees a
+    half-written table."""
+    from filodb_spark.sources.table import hadoop_fs
+    merged = _with_shard_cols(read_partkey_table(spark, path), shard_labels)
+    merged = merged.withColumn("_metric", F.col("labels")["__name__"])
+    tmp = path.rstrip("/") + "__compacting"
+    fs, Path = hadoop_fs(spark, path)
+    try:
+        (merged.repartition(*[F.col(c) for c in shard_labels])
+               .sortWithinPartitions("_metric", "_sk")
+               .write.mode("overwrite").partitionBy(*shard_labels)
+               .parquet(tmp))
+        swap = path.rstrip("/") + "__compact_old"
+        fs.rename(Path(path), Path(swap))
+        fs.rename(Path(tmp), Path(path))
+        fs.delete(Path(swap), True)
+    except BaseException:
+        fs.delete(Path(tmp), True)
+        raise
+
+
+def streaming_partkey(stream_df: DataFrame, path: str,
+                      checkpoint: str,
+                      shard_labels: tuple[str, ...] = SHARD_KEY_LABELS):
+    """Streaming maintenance twin: per micro-batch, upsert the batch's
+    series spans as delta rows (foreachBatch — the sink is a batch
+    append, exactly `append_partkey_updates`). Run
+    `compact_partkey_table` on whatever cadence bounds the delta-row
+    count; readers are correct either way."""
+
+    def _upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_partkey_updates(batch_df, path, shard_labels)
+
+    return (stream_df.writeStream
+            .foreachBatch(_upsert)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append"))

@@ -97,6 +97,28 @@ PARAM_RANGE_FNS = {"quantile_over_time": "quantile_over_time",
                    "holt_winters": "holt_winters"}
 
 
+def _apply_label_matchers(df: DataFrame, matchers) -> DataFrame:
+    """Apply PromQL label matchers to any frame with a `labels` map
+    column — shared by the sample scan (TsStore.select) and the
+    part-key table scan (TsStore.select_partkeys), mirroring the
+    reference's single ColumnFilter path feeding both data and
+    metadata queries (PartKeyIndex.scala:652-674 anchors regexes)."""
+    labels = F.col("labels")
+    for m in matchers:
+        lv = labels[m.name]
+        if m.op == "=":
+            df = df.where(lv == m.value) if m.value != "" else \
+                df.where(lv.isNull() | (lv == ""))
+        elif m.op == "!=":
+            df = df.where(lv.isNull() | (lv != m.value)) if m.value != "" \
+                else df.where(lv.isNotNull() & (lv != ""))
+        elif m.op == "=~":
+            df = df.where(F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+        elif m.op == "!~":
+            df = df.where(~F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+    return df
+
+
 @dataclass
 class TsStore:
     """Metric table provider — the multi-schema registry
@@ -119,10 +141,16 @@ class TsStore:
     hist_metrics: tuple[str, ...] = ()
 
     @classmethod
-    def from_table(cls, spark: SparkSession, path: str, **kw) -> "TsStore":
+    def from_table(cls, spark: SparkSession, path: str,
+                   partkey_path: str | None = None, **kw) -> "TsStore":
         """Open a partitioned series table written by
-        sources.table.write_series_table."""
+        sources.table.write_series_table; partkey_path optionally
+        attaches the materialized part-key table
+        (filodb_spark.partkey.write_partkey_table)."""
         df = spark.read.parquet(path).select("labels", "ts", "value")
+        if partkey_path is not None:
+            from filodb_spark.partkey import read_partkey_table
+            kw = dict(kw, partkey_df=read_partkey_table(spark, partkey_path))
         return cls(df, table_path=path, **kw)
     # metrics whose samples are per-interval deltas rather than cumulative
     # counters (delta-counter schema): rate/increase toggle kernels
@@ -146,6 +174,13 @@ class TsStore:
     # (LongTimeRangePlanner.scala)
     ds_df: DataFrame | None = None
     raw_retention_start_ms: int | None = None
+    # materialized part-key (series-dimension) table — one row per
+    # canonical series (labels, _sk, first_ts, last_ts, samples); when
+    # attached, metadata endpoints, TsCardinality, and the plan-time
+    # limit estimator answer from it in O(series) instead of scanning
+    # samples (PartKeyLuceneIndex.scala:329-465 /
+    # MetadataExecPlan.scala:334-640 analog; filodb_spark.partkey)
+    partkey_df: DataFrame | None = None
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -210,23 +245,31 @@ class TsStore:
             else:
                 extra = [c for c in ("min", "max") if c in self.hist_df.columns]
                 df = df.select("labels", "ts", "sum", "count", "hist", *extra)
-        labels = F.col("labels")
         if sel.metric and schema == "gauge":
-            df = df.where(labels[METRIC] == sel.metric)
-        for m in sel.matchers:
-            lv = labels[m.name]
-            if m.op == "=":
-                df = df.where(lv == m.value) if m.value != "" else \
-                    df.where(lv.isNull() | (lv == ""))
-            elif m.op == "!=":
-                df = df.where(lv.isNull() | (lv != m.value)) if m.value != "" \
-                    else df.where(lv.isNotNull() & (lv != ""))
-            elif m.op == "=~":
-                # reference fully anchors regexes (PartKeyIndex.scala:652-674)
-                df = df.where(F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
-            elif m.op == "!~":
-                df = df.where(~F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
-        return df
+            df = df.where(F.col("labels")[METRIC] == sel.metric)
+        return _apply_label_matchers(df, sel.matchers)
+
+    def select_partkeys(self, sel: A.VectorSelector) -> DataFrame | None:
+        """Matcher-filtered part-key rows (one per series), or None when
+        no part-key table is attached or the selector resolves to a
+        histogram schema rewrite (_sum/_count/_bucket virtual series are
+        not materialized in the part-key table — callers fall back to
+        the sample scan). The O(series) analog of the reference's
+        part-key index search (PartKeyLuceneIndex.scala:570-640)."""
+        if self.partkey_df is None or self.schema_of(sel.metric) != "gauge":
+            return None
+        df = self.partkey_df
+        type_matchers = [m for m in sel.matchers if m.name == "_type_"]
+        if type_matchers:
+            if any(m.op != "=" for m in type_matchers):
+                raise ValueError("_type_ supports only the = matcher")
+            if any(m.value != self.type_name(sel.metric)
+                   for m in type_matchers):
+                return df.where(F.lit(False))
+        matchers = tuple(m for m in sel.matchers if m.name != "_type_")
+        if sel.metric:
+            df = df.where(F.col("labels")[METRIC] == sel.metric)
+        return _apply_label_matchers(df, matchers)
 
 
 class QueryLimitException(ValueError):
@@ -362,6 +405,14 @@ class PromQLEngine:
             at = sel.at_ms if sel.at_ms is not None else end_ms
             lo = min(start_ms, at) - window - sel.offset_ms
             hi = max(end_ms, at)
+            pk = self.store.select_partkeys(sel)
+            if pk is not None:
+                # O(series) exact count from the part-key table —
+                # span-overlap range semantics like the reference index
+                # (PartKeyLuceneIndex startTime/endTime postings)
+                total += pk.where((F.col("last_ts") >= lo)
+                                  & (F.col("first_ts") <= hi)).count()
+                continue
             df = self.store.select(sel).where(
                 (F.col("ts") >= lo) & (F.col("ts") <= hi))
             row = df.agg(F.approx_count_distinct(

@@ -37,6 +37,16 @@ def _prepped(df: DataFrame, shard_labels: tuple[str, ...]) -> DataFrame:
                .withColumn("_sk", canonical_labels(F.col("labels"))))
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for `path` via Hadoop's FileSystem API —
+    directory-level maintenance (expire/compact/bust swaps) stays
+    filesystem-agnostic (HDFS/S3A/local), never os/shutil."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    return Path(path).getFileSystem(conf), Path
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True when the Delta Lake runtime is on the session classpath.
     SURVEY §7 names Parquet/Delta as the storage formats; parquet is the

@@ -1,0 +1,102 @@
+"""Scale probe: metadata latency vs sample density — part-key table
+vs raw-sample scan.
+
+The reference answers /api/v1/labels, label values, series, and
+cardinality from the per-shard part-key index in O(series)
+(PartKeyLuceneIndex.scala:329-465; MetadataExecPlan.scala:334-640) —
+the cost never grows with sample density. A sample-table scan pays
+O(samples): at 100 TB a bare `label_values("instance")` (Grafana
+autocomplete) reads every row-group's labels column across retention.
+
+This probe holds the series count FIXED and sweeps sample density
+(the 100-TB axis for metadata), measuring wall time of
+label_values + ts_cardinality on
+  - the sample-scan fallback (no part-key table attached)
+  - the part-key table path (prebuilt parquet index)
+Expected: fallback grows ~linearly with density; part-key path is flat
+(it never opens the sample table — plan-asserted in
+tests/test_partkey.py::test_metadata_plan_never_reads_sample_table).
+
+Usage: python scripts/scale_check_metadata.py [densities...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from filodb_spark import metadata
+from filodb_spark.partkey import write_partkey_table
+from filodb_spark.promql.compiler import TsStore
+from filodb_spark.session import get_spark
+from filodb_spark.sources.table import write_series_table
+
+N_SERIES = 2_000
+BASE_SAMPLES_PER_SERIES = 50
+RANGE_MS = 24 * 3_600_000
+
+
+def corpus(spark, density: int):
+    """N_SERIES gauge series with density * BASE samples each, spread
+    over 24h; labels carry workspace, metric and instance dims."""
+    n = BASE_SAMPLES_PER_SERIES * density
+    return (spark.range(N_SERIES * n)
+            .select(
+                F.create_map(
+                    F.lit("__name__"),
+                    F.concat(F.lit("metric_"),
+                             ((F.col("id") % N_SERIES) % 20).cast("string")),
+                    F.lit("_ws_"),
+                    F.concat(F.lit("ws_"),
+                             ((F.col("id") % N_SERIES) % 4).cast("string")),
+                    F.lit("_ns_"), F.lit("app"),
+                    F.lit("instance"),
+                    (F.col("id") % N_SERIES).cast("string")).alias("labels"),
+                ((F.col("id") / N_SERIES).cast("long")
+                 * (RANGE_MS // n)).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("value")))
+
+
+def run_metadata(store: TsStore) -> float:
+    t0 = time.time()
+    metadata.label_values(store, "instance").count()
+    metadata.ts_cardinality(store, ("__name__",),
+                            active_after_ms=RANGE_MS // 2).count()
+    return time.time() - t0
+
+
+def main() -> None:
+    densities = [int(x) for x in sys.argv[1:]] or [1, 10, 100]
+    spark = get_spark("scale-check-metadata", shuffle_partitions=32)
+    import tempfile
+    root = tempfile.mkdtemp(prefix="scale_meta_")
+    print(f"{'density':>8} {'samples':>12} {'scan_s':>8} {'pk_s':>8}")
+    for d in densities:
+        data_path = os.path.join(root, f"series_{d}")
+        pk_path = os.path.join(root, f"pk_{d}")
+        df = corpus(spark, d)
+        write_series_table(df, data_path)
+        t_build = time.time()
+        write_partkey_table(
+            spark.read.parquet(data_path).select("labels", "ts"), pk_path)
+        t_build = time.time() - t_build
+        plain = TsStore.from_table(spark, data_path)
+        # warm both paths once (JIT/file listing), then measure
+        run_metadata(plain)
+        scan_s = run_metadata(plain)
+        indexed = TsStore.from_table(spark, data_path, partkey_path=pk_path)
+        run_metadata(indexed)
+        pk_s = run_metadata(indexed)
+        n = N_SERIES * BASE_SAMPLES_PER_SERIES * d
+        print(f"{d:>8} {n:>12} {scan_s:>8.2f} {pk_s:>8.2f}"
+              f"   (index build {t_build:.1f}s)")
+    print("expected: scan_s grows with density; pk_s flat")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Cardinality buster (PerShardCardinalityBuster.scala analog): filter
+semantics (OR-of-AND fully-anchored regexes), the start/end time band,
+simulation mode, the part-key rewrite, the data-side partition-scoped
+antijoin rewrite, and interplay with expire_partitions.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+import pytest
+
+from filodb_spark.operators.cardbuster import (bust, bust_part_keys,
+                                               bust_series_rows,
+                                               delete_filter_predicate,
+                                               split_part_keys)
+from filodb_spark.partkey import (partkey_from_samples, read_partkey_table,
+                                  write_partkey_table)
+from filodb_spark.sources.table import expire_partitions, write_series_table
+
+
+def _samples(spark):
+    rows = []
+    base = 1_700_000_000_000  # 2023-11-14T22:13:20Z
+    day = 86_400_000
+    for metric in ("m_good", "m_bulk"):
+        for ws in ("demo", "bulk_ws"):
+            for inst in ("a", "b"):
+                for k in range(8):
+                    rows.append((metric, ws, inst, base + k * (day // 4),
+                                 float(k)))
+    df = spark.createDataFrame(
+        rows, "metric string, ws string, inst string, ts long, value double")
+    return df.select(
+        F.create_map(F.lit("__name__"), F.col("metric"),
+                     F.lit("_ws_"), F.col("ws"),
+                     F.lit("_ns_"), F.lit("app"),
+                     F.lit("instance"), F.col("inst")).alias("labels"),
+        "ts", "value")
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    return _samples(spark).cache()
+
+
+def test_filter_predicate_or_of_and(spark, samples):
+    pk = partkey_from_samples(samples)
+    # one map: ALL entries must match (anchored regex)
+    one = pk.where(delete_filter_predicate(
+        [{"_ws_": "bulk.*", "__name__": "m_bulk"}]))
+    assert one.count() == 2  # 2 instances
+    # anchoring: "ulk" must NOT match "bulk_ws"
+    assert pk.where(delete_filter_predicate([{"_ws_": "ulk"}])).count() == 0
+    # two maps: at least one must match (OR)
+    two = pk.where(delete_filter_predicate(
+        [{"_ws_": "bulk_ws"}, {"instance": "a"}]))
+    assert two.count() == 6  # 4 bulk_ws series + 2 demo instance-a
+    # a filter on a label the series lacks matches nothing
+    assert pk.where(delete_filter_predicate([{"nope": ".*x"}])).count() == 0
+    with pytest.raises(ValueError):
+        delete_filter_predicate([])
+
+
+def test_time_band_bounds_candidates(spark, samples):
+    pk = partkey_from_samples(samples)
+    first = 1_700_000_000_000
+    # band excludes every series (all first_ts == first)
+    _, doomed = split_part_keys(pk, [{"_ws_": ".*"}], start_gte=first + 1)
+    assert doomed.count() == 0
+    # open band dooms all
+    _, doomed = split_part_keys(pk, [{"_ws_": ".*"}])
+    assert doomed.count() == 8
+    # end-time band
+    _, doomed = split_part_keys(pk, [{"_ws_": ".*"}],
+                                end_lte=first - 1)
+    assert doomed.count() == 0
+
+
+def test_bust_part_keys_simulation_and_rewrite(spark, samples, tmp_path):
+    pk_path = str(tmp_path / "pk")
+    write_partkey_table(samples, pk_path)
+    stats = bust_part_keys(spark, pk_path, [{"_ws_": "bulk_ws"}],
+                           simulate=True)
+    assert stats == {"candidates": 8, "deleted": 4}
+    # simulation didn't touch the table
+    assert read_partkey_table(spark, pk_path).count() == 8
+    stats = bust_part_keys(spark, pk_path, [{"_ws_": "bulk_ws"}],
+                           simulate=False)
+    assert stats["deleted"] == 4
+    left = read_partkey_table(spark, pk_path)
+    assert left.count() == 4
+    assert left.where(F.col("labels")["_ws_"] == "bulk_ws").count() == 0
+
+
+def test_bust_series_rows_scoped_rewrite(spark, samples, tmp_path):
+    data_path = str(tmp_path / "series")
+    write_series_table(samples, data_path)
+    demo_files_before = set(glob.glob(data_path + "/_ws_=demo/**/*.parquet",
+                                      recursive=True))
+    stats = bust_series_rows(
+        spark, data_path,
+        [{"_ws_": "bulk_ws", "__name__": "m_bulk"}], simulate=False)
+    assert stats["series_deleted"] == 2
+    assert stats["rows_deleted"] == 16
+    assert stats["partitions_rewritten"] == 1
+    out = spark.read.parquet(data_path)
+    assert out.count() == 64 - 16
+    assert out.where((F.col("_ws_") == "bulk_ws")
+                     & (F.col("_metric") == "m_bulk")).count() == 0
+    # untouched shard partition: same physical files (never rewritten)
+    demo_files_after = set(glob.glob(data_path + "/_ws_=demo/**/*.parquet",
+                                     recursive=True))
+    assert demo_files_after == demo_files_before
+
+
+def test_bust_series_rows_whole_partition_doomed(spark, samples, tmp_path):
+    data_path = str(tmp_path / "series")
+    write_series_table(samples, data_path)
+    stats = bust_series_rows(spark, data_path, [{"_ws_": "bulk_ws"}],
+                             simulate=False)
+    assert stats["series_deleted"] == 4
+    out = spark.read.parquet(data_path)
+    assert out.where(F.col("_ws_") == "bulk_ws").count() == 0
+    assert out.count() == 32
+    # directory is gone, not just empty
+    assert not glob.glob(data_path + "/_ws_=bulk_ws*")
+
+
+def test_full_bust_and_expire_interplay(spark, samples, tmp_path):
+    data_path = str(tmp_path / "series")
+    pk_path = str(tmp_path / "pk")
+    write_series_table(samples, data_path)
+    write_partkey_table(samples, pk_path)
+    stats = bust(spark, data_path, pk_path, [{"instance": "a"}],
+                 simulate=False)
+    assert stats["series_deleted"] == 4
+    assert stats["partkeys_deleted"] == 4
+    assert spark.read.parquet(data_path) \
+        .where(F.col("labels")["instance"] == "a").count() == 0
+    assert read_partkey_table(spark, pk_path) \
+        .where(F.col("labels")["instance"] == "a").count() == 0
+    # time-based retention still composes on the busted table
+    deleted = expire_partitions(spark, data_path, "2023-11-16")
+    assert deleted
+    left = spark.read.parquet(data_path)
+    assert left.where(F.col("date") < "2023-11-16").count() == 0
+    assert left.count() > 0

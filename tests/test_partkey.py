@@ -1,0 +1,236 @@
+"""Part-key (series-dimension) table: build/merge/compact lifecycle,
+metadata routing equivalence vs the sample-scan fallback, plan
+assertions that metadata never reads the sample table when the index
+is attached, and the plan-time limit estimator's exact O(series) path.
+
+Reference semantics: PartKeyLuceneIndex.scala:329-465 (labelNames /
+labelValuesEfficient, startTime/endTime postings),
+MetadataExecPlan.scala:334-640.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from filodb_spark import metadata
+from filodb_spark.partkey import (append_partkey_updates,
+                                  compact_partkey_table,
+                                  partkey_from_samples,
+                                  read_partkey_table, streaming_partkey,
+                                  write_partkey_table)
+from filodb_spark.promql.compiler import PromQLEngine, TsStore
+
+
+def _samples(spark, rows):
+    """rows: (metric, ws, instance, ts, value)."""
+    df = spark.createDataFrame(
+        rows, "metric string, ws string, inst string, ts long, value double")
+    return df.select(
+        F.create_map(
+            F.lit("__name__"), F.col("metric"),
+            F.lit("_ws_"), F.col("ws"),
+            F.lit("_ns_"), F.lit("app"),
+            F.lit("instance"), F.col("inst")).alias("labels"),
+        "ts", "value")
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = []
+    for metric in ("http_requests", "cpu_seconds"):
+        for ws in ("demo", "prod"):
+            for inst in ("a", "b", "c"):
+                for k in range(10):
+                    rows.append((metric, ws, inst,
+                                 1_000_000 + k * 10_000,
+                                 float(k) + (hash(inst) % 5)))
+    return _samples(spark, rows).cache()
+
+
+def test_partkey_from_samples_one_row_per_series(spark, samples):
+    pk = partkey_from_samples(samples)
+    got = pk.collect()
+    assert len(got) == 12  # 2 metrics x 2 ws x 3 instances
+    for r in got:
+        assert r.first_ts == 1_000_000
+        assert r.last_ts == 1_090_000
+        assert r.samples == 10
+
+
+def test_write_read_roundtrip_and_partitioning(spark, samples, tmp_path):
+    path = str(tmp_path / "pk")
+    write_partkey_table(samples, path)
+    import glob
+    # physically partitioned by shard-key labels like the data table
+    assert glob.glob(path + "/_ws_=demo/_ns_=app/*.parquet")
+    pk = read_partkey_table(spark, path)
+    assert pk.count() == 12
+    assert set(pk.columns) == {"labels", "_sk", "first_ts", "last_ts",
+                               "samples"}
+
+
+def test_append_merge_and_compact(spark, samples, tmp_path):
+    path = str(tmp_path / "pk")
+    write_partkey_table(samples, path)
+    later = samples.withColumn("ts", F.col("ts") + 1_000_000)
+    append_partkey_updates(later, path)
+    pk = read_partkey_table(spark, path)
+    got = {r["_sk"]: r for r in pk.collect()}
+    assert len(got) == 12  # merged on read, not 24
+    for r in got.values():
+        assert r.first_ts == 1_000_000
+        assert r.last_ts == 2_090_000
+        assert r.samples == 20
+    # compaction rewrites to one physical row per series
+    compact_partkey_table(spark, path)
+    raw = spark.read.parquet(path)
+    assert raw.count() == 12
+    merged = read_partkey_table(spark, path)
+    assert {r["_sk"]: (r.first_ts, r.last_ts, r.samples)
+            for r in merged.collect()} == \
+        {k: (r.first_ts, r.last_ts, r.samples) for k, r in got.items()}
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_metadata_equivalence_with_and_without_partkey(spark, samples):
+    plain = TsStore(samples)
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    for fn in (lambda s: metadata.label_names(s),
+               lambda s: metadata.label_values(s, "instance"),
+               lambda s: metadata.label_values(s, "instance",
+                                               match='http_requests{_ws_="demo"}'),
+               lambda s: metadata.label_values(
+                   s, "inst_missing"),
+               lambda s: metadata.label_value_freqs(s, "_ws_"),
+               lambda s: metadata.label_cardinality(s),
+               lambda s: metadata.ts_cardinality(s),
+               lambda s: metadata.ts_cardinality(
+                   s, ("__name__", "_ws_"), active_after_ms=1_050_000),
+               lambda s: metadata.topk_cardinality(s, ("_ws_",), k=1)):
+        assert _rows(fn(plain)) == _rows(fn(indexed))
+
+
+def test_series_endpoint_matches_and_carries_type(spark, samples):
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    out = metadata.series(indexed, 'http_requests{_ws_="prod"}').collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["labels"]["_type_"] == "gauge"
+        assert r["labels"]["_ws_"] == "prod"
+
+
+def test_time_range_span_overlap(spark, samples):
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    # range fully before any data -> empty; overlapping -> all series
+    assert metadata.label_values(indexed, "instance",
+                                 end_ms=999_999).count() == 0
+    assert metadata.label_values(indexed, "instance",
+                                 start_ms=1_090_000).count() == 3
+    assert metadata.label_values(indexed, "instance",
+                                 start_ms=1_090_001).count() == 0
+
+
+def test_matchers_on_partkey_path(spark, samples):
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    neq = metadata.series(indexed, 'http_requests{instance!="a"}')
+    assert neq.count() == 4
+    rex = metadata.series(indexed, '{__name__=~"cpu.*", instance=~"a|b"}')
+    assert rex.count() == 4
+
+
+def test_type_matcher_gates_partkey_scan(spark, samples):
+    st = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    from filodb_spark.promql.parser import parse
+    ok = st.select_partkeys(parse('http_requests{_type_="gauge"}'))
+    assert ok.count() == 6
+    miss = st.select_partkeys(parse('http_requests{_type_="prom-histogram"}'))
+    assert miss.count() == 0
+
+
+def test_hist_schema_selector_falls_back(spark, samples):
+    st = TsStore(samples, hist_metrics=("lat",),
+                 partkey_df=partkey_from_samples(samples))
+    from filodb_spark.promql.parser import parse
+    assert st.select_partkeys(parse("lat_bucket")) is None
+    assert st.select_partkeys(parse("lat")) is None
+
+
+def test_metadata_plan_never_reads_sample_table(spark, samples, tmp_path):
+    """With the index attached, metadata endpoint plans scan ONLY the
+    part-key table files (the reference never touches chunks for
+    metadata — MetadataExecPlan vs SelectRawPartitionsExec)."""
+    from filodb_spark.sources.table import write_series_table
+    data_path = str(tmp_path / "series")
+    pk_path = str(tmp_path / "pk")
+    write_series_table(samples, data_path)
+    write_partkey_table(samples, pk_path)
+    store = TsStore.from_table(spark, data_path, partkey_path=pk_path)
+    files = metadata.label_values(store, "instance").inputFiles()
+    assert files and all("/pk/" in f for f in files)
+    assert not any("/series/" in f for f in files)
+    # fallback (no index) does read the sample table
+    store2 = TsStore.from_table(spark, data_path)
+    files2 = metadata.label_values(store2, "instance").inputFiles()
+    assert files2 and all("/series/" in f for f in files2)
+
+
+def test_limit_estimator_exact_on_partkey(spark, samples):
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    eng = PromQLEngine(spark, indexed)
+    est = eng.estimate_time_series_scanned(
+        "sum(rate(http_requests[1m]))", 1_000_000, 1_090_000, 10_000)
+    assert est == 6  # exact, not approx: 2 ws x 3 instances
+    # span-disjoint range estimates zero series
+    assert eng.estimate_time_series_scanned(
+        "http_requests", 5_000_000, 5_010_000, 10_000) == 0
+
+
+def test_limit_enforcement_routes_via_partkey(spark, samples):
+    from filodb_spark.promql.compiler import QueryLimitException
+
+    class Limits:
+        enforce_time_series_scanned = 5
+
+    indexed = TsStore(samples, partkey_df=partkey_from_samples(samples))
+    eng = PromQLEngine(spark, indexed)
+    with pytest.raises(QueryLimitException):
+        eng.enforce_plan_limits("http_requests", 1_000_000, 1_090_000,
+                                10_000, Limits())
+    eng.enforce_plan_limits('http_requests{_ws_="demo"}', 1_000_000,
+                            1_090_000, 10_000, Limits())
+
+
+def test_streaming_partkey_twin(spark, samples, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    pk_path = str(tmp_path / "pk")
+    ckpt = str(tmp_path / "ckpt")
+    flat = samples.select(
+        F.col("labels")["__name__"].alias("metric"),
+        F.col("labels")["_ws_"].alias("ws"),
+        F.col("labels")["instance"].alias("inst"), "ts", "value")
+    flat.write.parquet(str(src), mode="overwrite")
+    stream = (spark.readStream
+              .schema("metric string, ws string, inst string, "
+                      "ts long, value double")
+              .parquet(str(src))
+              .select(F.create_map(
+                          F.lit("__name__"), F.col("metric"),
+                          F.lit("_ws_"), F.col("ws"),
+                          F.lit("_ns_"), F.lit("app"),
+                          F.lit("instance"), F.col("inst")).alias("labels"),
+                      "ts", "value"))
+    q = (streaming_partkey(stream, pk_path, ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    pk = read_partkey_table(spark, pk_path)
+    batch = {r["_sk"]: r for r in partkey_from_samples(samples).collect()}
+    got = {r["_sk"]: r for r in pk.collect()}
+    assert got.keys() == batch.keys()
+    for k in batch:
+        assert (got[k].first_ts, got[k].last_ts, got[k].samples) == \
+            (batch[k].first_ts, batch[k].last_ts, batch[k].samples)

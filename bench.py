@@ -3,16 +3,42 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Self-diagnosing fields (r7 verdict item 5 — BENCH_r07's box-load
+contamination cost a round of ambiguity): every artifact carries the
+1/5/15-min loadavg before and after the timed pass, each query's time
+is the MEDIAN OF 3 runs with the max-min spread recorded per query, and
+the discarded warm-up sweep's wall time is included. Interpretation
+band (PERF.md): loadavg_before[0] should be < ~1.5 on the 32-cpu box
+and per-query spread < ~30% of the median; outside that, re-run on an
+idle box before reading anything into the total.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = 3
+
+
+def timed_median(thunk, timings, spreads, name):
+    """Median-of-RUNS wall time for thunk() (an action returning rows)."""
+    times = []
+    n = 0
+    for _ in range(RUNS):
+        t0 = time.time()
+        n = thunk()
+        times.append(time.time() - t0)
+    timings[name] = round(statistics.median(times), 3)
+    spreads[name] = round(max(times) - min(times), 3)
+    print(f"# {name}: {timings[name]:.2f}s (spread {spreads[name]:.2f}s) "
+          f"rows={n}", file=sys.stderr)
 
 HEADLINE = [
     "ts_instant_last",      # raw selector + staleness lookback
@@ -30,7 +56,7 @@ HEADLINE = [
 ]
 
 
-def prom_shape_bench(spark, timings):
+def prom_shape_bench(spark, timings, spreads):
     """BASELINE.md protocol: mirror QueryInMemoryBenchmark
     (jmh/.../QueryInMemoryBenchmark.scala:29-135): 100 series x 720
     samples @10s (2h), 4-query PromQL mix over a 55min range @150s step,
@@ -66,10 +92,8 @@ def prom_shape_bench(spark, timings):
         # reference benchmark times steady-state queries against an
         # already-ingested in-memory store; the cached df is that store
         eng.query_range(q, start, end, 150_000).count()
-        t0 = time.time()
-        n = eng.query_range(q, start, end, 150_000).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+        timed_median(lambda: eng.query_range(q, start, end, 150_000).count(),
+                     timings, spreads, name)
     df.unpersist()
 
     # QueryHiCardInMemoryBenchmark shape (jmh/...:40-47): 8000 series
@@ -86,12 +110,10 @@ def prom_shape_bench(spark, timings):
     eng2 = PromQLEngine(spark, TsStore(hc))
     eng2.query_range('hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
                      t0_ms + 90 * 10_000, 60_000).count()  # warm-up
-    t0 = time.time()
-    n = eng2.query_range('hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
-                         t0_ms + 90 * 10_000, 60_000).count()
-    timings["prom_hicard_scan"] = round(time.time() - t0, 3)
-    print(f"# prom_hicard_scan: {timings['prom_hicard_scan']:.2f}s rows={n}",
-          file=sys.stderr)
+    timed_median(lambda: eng2.query_range(
+        'hicard{_ns_="App-2"}', t0_ms + 5 * 60_000,
+        t0_ms + 90 * 10_000, 60_000).count(),
+        timings, spreads, "prom_hicard_scan")
     hc.unpersist()
 
 
@@ -141,22 +163,20 @@ def main():
             queries[name](spark, sf_dir).count()
         except Exception as exc:       # warm-up must never fail bench
             print(f"# warm-up@sf {name}: {exc}", file=sys.stderr)
-    print(f"# warm-up sweep at {sf_dir}: {time.time() - t_warm:.1f}s "
-          "(discarded)", file=sys.stderr)
+    warmup_sweep = round(time.time() - t_warm, 1)
+    print(f"# warm-up sweep at {sf_dir}: {warmup_sweep:.1f}s (discarded)",
+          file=sys.stderr)
 
+    load_before = os.getloadavg()
     timings = {}
-    total = 0.0
+    spreads = {}
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+        timed_median(lambda fn=queries[name]: fn(spark, sf_dir).count(),
+                     timings, spreads, name)
 
-    prom_shape_bench(spark, timings)
+    prom_shape_bench(spark, timings, spreads)
     total = sum(timings.values())
+    load_after = os.getloadavg()
 
     print(json.dumps({
         "metric": "headline_query_wall_sec",
@@ -164,6 +184,13 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # self-diagnosing fields: per-query median-of-3 spread, box load
+        # around the timed pass, and the discarded warm-up sweep time
+        "runs_per_query": RUNS,
+        "spread": spreads,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "warmup_sweep_sec": warmup_sweep,
     }))
 
 

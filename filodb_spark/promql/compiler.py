@@ -561,10 +561,24 @@ class PromQLEngine:
     HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
                       "last_over_time"}
 
-    def _tiling_arg(self, fn: str):
+    def _tiling_arg(self, fn: str, sel: A.VectorSelector | None = None,
+                    grid: StepGrid | None = None,
+                    window: int | None = None):
         """Map the engine's window_mode to range_function's tiling param,
-        falling back to auto where the mode doesn't support the fn."""
-        from filodb_spark.kernels.range_fns import ASOF_SUPPORTED, TILEABLE
+        falling back to auto where the mode doesn't support the fn.
+
+        window_mode="auto" is additionally DENSITY-AWARE when the
+        part-key table is attached: the tiled plan's win is collapsing
+        many in-window samples per (series, k_min, k_max) group, but in
+        the sparse regime (scrape interval >= step) groups are ~1 sample
+        each, so tiling only pays its documented ~2x pair-stream group
+        overhead — estimate the scrape interval from the index's
+        per-series (samples, span) stats and stay on explode there.
+        The asof plan is NEVER auto-selected: its per-series sort
+        serializes monster series (skew note in _asof_range_function) —
+        it stays behind the explicit window_mode/tiling opt-in."""
+        from filodb_spark.kernels.range_fns import (ASOF_SUPPORTED,
+                                                    TILE_RATIO, TILEABLE)
         m = self.window_mode
         if m == "explode":
             return False
@@ -572,7 +586,29 @@ class PromQLEngine:
             return True
         if m == "asof" and fn in ASOF_SUPPORTED:
             return "asof"
+        if (m == "auto" and sel is not None and grid is not None
+                and fn in TILEABLE and window // grid.step >= TILE_RATIO):
+            scrape = self._estimate_scrape_ms(sel)
+            if scrape is not None and scrape >= grid.step:
+                return False
         return None
+
+    def _estimate_scrape_ms(self, sel: A.VectorSelector) -> float | None:
+        """Plan-time scrape-interval estimate from the part-key table:
+        sum(span) / sum(samples - 1) over the selector's series — one
+        O(series) aggregate against the index, never the sample table
+        (the reference plans against index cardinalities the same way,
+        QueryContext.scala:385-470). None when no index is attached or
+        the selector has no multi-sample series."""
+        pk = self.store.select_partkeys(sel)
+        if pk is None:
+            return None
+        row = pk.where(F.col("samples") > 1).agg(
+            F.sum(F.col("last_ts") - F.col("first_ts")).alias("span"),
+            F.sum(F.col("samples") - 1).alias("gaps")).first()
+        if row is None or not row["gaps"]:
+            return None
+        return row["span"] / row["gaps"]
 
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
@@ -628,7 +664,7 @@ class PromQLEngine:
             ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
             raw_out = range_function(df, fn, ["_sk"], grid, window,
                                      params=params, carry_cols=["labels"],
-                                     tiling=self._tiling_arg(fn),
+                                     tiling=self._tiling_arg(fn, sel, grid, window),
                                      honor_stale_marker=True) \
                 .where(F.col("t") >= boundary) \
                 .select("labels", "t", "value")
@@ -642,7 +678,7 @@ class PromQLEngine:
         # subquery path (_eval_subquery) keeps last-non-NaN semantics
         out = range_function(df, fn, ["_sk"], grid, window, params=params,
                              carry_cols=["labels"],
-                             tiling=self._tiling_arg(fn),
+                             tiling=self._tiling_arg(fn, sel, grid, window),
                              honor_stale_marker=True)
         return out.select("labels", "t", "value")
 

@@ -15,6 +15,10 @@ Usage:
 
 --store accepts a partitioned series table (sources.table layout), a
 plain parquet file of (labels, ts, value), or `events:<fixture_dir>`.
+`partkey-build --store <table> --out <path>` materializes the part-key
+(series-dimension) table; `--partkey <path>` on any command attaches it
+so metadata/cardinality answer in O(series) (CliMain's commands hit the
+reference's part-key index the same way).
 """
 
 from __future__ import annotations
@@ -24,13 +28,17 @@ import json
 import sys
 
 
-def _open_store(spark, store: str):
+def _open_store(spark, store: str, partkey: str | None = None):
     from filodb_spark.promql.compiler import TsStore
+    kw = {}
+    if partkey:
+        from filodb_spark.partkey import read_partkey_table
+        kw["partkey_df"] = read_partkey_table(spark, partkey)
     if store.startswith("events:"):
         from filodb_spark.tsdf import events_labels_ts
-        return TsStore(events_labels_ts(spark, store.split(":", 1)[1]))
+        return TsStore(events_labels_ts(spark, store.split(":", 1)[1]), **kw)
     df = spark.read.parquet(store)
-    return TsStore(df.select("labels", "ts", "value"))
+    return TsStore(df.select("labels", "ts", "value"), **kw)
 
 
 def main(argv=None) -> int:
@@ -40,6 +48,10 @@ def main(argv=None) -> int:
     q = sub.add_parser("query", help="range query")
     q.add_argument("promql")
     q.add_argument("--store", required=True)
+    q.add_argument("--partkey", default=None,
+                   help="part-key table path (filodb_spark.partkey): "
+                        "O(series) metadata + exact plan-time limit "
+                        "estimates + density-aware window auto-selection")
     q.add_argument("--start", type=float, required=True, help="epoch sec")
     q.add_argument("--end", type=float, required=True)
     q.add_argument("--step", type=float, default=60.0)
@@ -56,6 +68,8 @@ def main(argv=None) -> int:
 
     sv = sub.add_parser("serve", help="start the HTTP API server")
     sv.add_argument("--store", required=True)
+    sv.add_argument("--partkey", default=None,
+                    help="part-key table path to attach to the store")
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=9090)
     sv.add_argument("--lookback", type=float, default=300.0)
@@ -67,10 +81,19 @@ def main(argv=None) -> int:
     sv.add_argument("--tls-key", default=None)
     sv.add_argument("--enable-remote-write", action="store_true")
 
+    pb = sub.add_parser("partkey-build", help="build/refresh the part-key "
+                        "(series-dimension) table from a series table — "
+                        "metadata endpoints then answer in O(series)")
+    pb.add_argument("--store", required=True)
+    pb.add_argument("--out", required=True, help="part-key table path")
+
     for name in ("labels", "label-values", "series",
                  "label-cardinality", "ts-cardinality", "status"):
         p = sub.add_parser(name)
         p.add_argument("--store", required=True)
+        p.add_argument("--partkey", default=None,
+                       help="part-key table path: answer from the "
+                            "O(series) index, never the sample table")
         if name == "label-values":
             p.add_argument("--label", required=True)
             # CliMain `indexvalues` parity: (term, freq) instead of the
@@ -98,7 +121,16 @@ def main(argv=None) -> int:
     from filodb_spark.promql import PromQLEngine
     spark = filodb_spark.get_spark("filodb-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    store = _open_store(spark, args.store)
+
+    if args.cmd == "partkey-build":
+        from filodb_spark.partkey import write_partkey_table
+        df = spark.read.parquet(args.store).select("labels", "ts")
+        write_partkey_table(df, args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"partkey_table": args.out, "series": n}))
+        return 0
+
+    store = _open_store(spark, args.store, getattr(args, "partkey", None))
 
     if args.cmd == "query":
         from filodb_spark.api import to_matrix_response

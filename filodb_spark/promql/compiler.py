@@ -654,9 +654,11 @@ class PromQLEngine:
             labels = F.col("labels")
             if sel.metric:
                 ds = ds.where(labels[METRIC] == sel.metric)
-            for m in sel.matchers:
-                if m.op == "=":
-                    ds = ds.where(labels[m.name] == m.value)
+            # full matcher semantics on the DS side too (a regex/!= that
+            # only the raw side honored would return extra series on
+            # steps before the retention boundary)
+            ds = _apply_label_matchers(
+                ds, [m for m in sel.matchers if m.name != "_type_"])
             ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
             ds_out = range_function_ds(ds, fn, ["_sk"], grid, window) \
                 .where(F.col("t") < boundary)

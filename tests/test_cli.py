@@ -147,3 +147,29 @@ def test_serve_subcommand_dispatch(spark, monkeypatch):
     assert captured["port"] == 12345 and captured["token"] == "tk"
     assert captured["has_buffer"] and captured["cert"] is None
     captured["srv"].shutdown()
+
+
+def test_partkey_build_and_attach(spark, tmp_path):
+    """partkey-build materializes the index; --partkey attaches it and
+    the metadata answer matches the sample-scan path while reading only
+    the index files."""
+    import pyspark.sql.functions as F
+    from filodb_spark.tsdf import events_labels_ts
+    table = str(tmp_path / "series")
+    pk = str(tmp_path / "pk")
+    events_labels_ts(spark, "/root/testdata/sf0.001") \
+        .write.parquet(table)
+    rc, out = run_cli(["partkey-build", "--store", table, "--out", pk])
+    assert rc == 0
+    built = json.loads(out)
+    assert built["series"] > 0
+    rc, plain = run_cli(["label-values", "--store", table,
+                         "--label", "__name__"])
+    rc, indexed = run_cli(["label-values", "--store", table,
+                           "--partkey", pk, "--label", "__name__"])
+    assert json.loads(indexed) == json.loads(plain) == \
+        ["click", "error", "purchase", "signup", "view"]
+    rc, card = run_cli(["ts-cardinality", "--store", table,
+                        "--partkey", pk])
+    assert {r["__name__"]: r["total_series"]
+            for r in json.loads(card)}["purchase"] > 0

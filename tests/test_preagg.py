@@ -146,6 +146,35 @@ class TestLongTimeRangeRouting:
         # a DS step: rollup bucket sums ride in
         assert any(t < boundary for t in ts)
 
+    def test_ds_side_honors_all_matcher_ops(self, spark):
+        """Regex/!= matchers must filter the DS table too: before the
+        r8 fix only `=` was applied on the DS side, so a
+        boundary-spanning query with `job=~"a"` returned job=b's
+        rollups on steps before the retention boundary."""
+        from filodb_spark.streaming.downsample import downsample
+        from pyspark.sql import functions as F
+        rows = []
+        for job, base in (("a", 0.0), ("b", 100.0)):
+            rows += [({"__name__": "g", "job": job}, T0 + i * 60_000,
+                      base + i) for i in range(20)]
+        df_full = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        boundary = T0 + 10 * 60_000
+        raw = df_full.where(F.col("ts") >= boundary)
+        from filodb_spark.kernels.binary import canonical_labels
+        ds = downsample(df_full.withColumn(
+            "_sk", canonical_labels(F.col("labels"))),
+            ["labels"], 5 * 60_000).drop("_sk")
+        store = TsStore(raw, ds_df=ds, raw_retention_start_ms=boundary)
+        eng = PromQLEngine(spark, store)
+        for q in ('sum_over_time(g{job=~"a"}[5m])',
+                  'sum_over_time(g{job!="b"}[5m])',
+                  'sum_over_time(g{job!~"b|c"}[5m])'):
+            out = eng.query_range(q, T0 + 5 * 60_000,
+                                  T0 + 19 * 60_000, 60_000).collect()
+            assert out and all(r["labels"]["job"] == "a" for r in out), q
+            assert any(r["t"] < boundary for r in out), q  # DS side hit
+
 
 def test_preagg_toggle_is_thread_local(spark, preagg_engine=None):
     """The no_optimize/optimize_with_agg hint toggles routing via

@@ -177,6 +177,15 @@ def main(argv=None) -> int:
             out = [{"value": r["value"], "freq": r["freq"]} for r in
                    md.label_value_freqs(store, args.label,
                                         args.match_opt).collect()]
+        elif "," in args.label:
+            # multi-label combinations (LabelValuesExec with multiple
+            # columns, MetadataExecPlan.scala:367-425): distinct partial
+            # maps over the requested labels
+            out = [dict(sorted(r["labels"].items())) for r in
+                   md.label_values_multi(store,
+                                         tuple(args.label.split(",")),
+                                         args.match_opt).collect()]
+            out.sort(key=lambda m: sorted(m.items()))
         else:
             out = [r["value"] for r in
                    md.label_values(store, args.label,

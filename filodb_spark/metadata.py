@@ -76,21 +76,48 @@ def _series_rows(store: TsStore, match: str | None, start_ms: int | None,
 
 def label_names(store: TsStore, match: str | None = None,
                 start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
-    """/api/v1/labels (LabelNamesExec; index labelNamesEfficient)."""
-    return (_series_rows(store, match, start_ms, end_ms)
-            .select(F.explode(F.map_keys("labels")).alias("label"))
-            .distinct().orderBy("label"))
+    """/api/v1/labels (LabelNamesExec; index labelNamesEfficient).
+    Part keys physically carry the virtual `_type_` schema label, so
+    the labels list includes it whenever any series matched
+    (MetadataExecSpec.scala:329-353 expectedLabels)."""
+    rows = _series_rows(store, match, start_ms, end_ms)
+    names = rows.select(F.explode(F.map_keys("labels")).alias("label"))
+    typ = rows.limit(1).select(F.lit("_type_").alias("label"))
+    return names.unionByName(typ).distinct().orderBy("label")
 
 
 def label_values(store: TsStore, label: str, match: str | None = None,
                  start_ms: int | None = None, end_ms: int | None = None) -> DataFrame:
     """/api/v1/label/{l}/values (LabelValuesExec; index
     labelValuesEfficient — the Grafana-autocomplete hot path, O(series)
-    on the part-key table instead of O(samples))."""
-    return (_series_rows(store, match, start_ms, end_ms)
-            .select(F.col("labels")[label].alias("value"))
+    on the part-key table instead of O(samples)). `_type_` is queryable
+    like any stored label (it lives in the reference's part keys)."""
+    rows = _series_rows(store, match, start_ms, end_ms)
+    value = (_type_expr(store, F.col("labels")["__name__"])
+             if label == "_type_" else F.col("labels")[label])
+    return (rows.select(value.alias("value"))
             .where(F.col("value").isNotNull())
             .distinct().orderBy("value"))
+
+
+def label_values_multi(store: TsStore, labels: tuple[str, ...],
+                       match: str | None = None,
+                       start_ms: int | None = None,
+                       end_ms: int | None = None) -> DataFrame:
+    """Multi-label LabelValuesExec (MetadataExecPlan.scala:367-425,
+    TimeSeriesShard.LabelValueResultIterator:693-725): one row per
+    DISTINCT combination of the requested labels over the matched
+    series — labels a series lacks are omitted from its map (partial
+    maps allowed); series carrying none of them are skipped."""
+    rows = _series_rows(store, match, start_ms, end_ms)
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(lab) for lab in labels]),
+            F.array(*[F.col("labels")[lab] for lab in labels])),
+        lambda k, v: v.isNotNull())
+    out = rows.select(m.alias("labels")).where(F.size("labels") > 0)
+    return (out.withColumn("_ck", canonical_labels(F.col("labels")))
+            .dropDuplicates(["_ck"]).select("labels"))
 
 
 def label_value_freqs(store: TsStore, label: str,
@@ -123,24 +150,40 @@ def _type_expr(store: TsStore, metric):
 
 
 def series(store: TsStore, match: str, start_ms: int | None = None,
-           end_ms: int | None = None) -> DataFrame:
+           end_ms: int | None = None, with_times: bool = False) -> DataFrame:
     """/api/v1/series (PartKeysExec): distinct label sets with data in
     range, each carrying the virtual `_type_` schema label like the
-    reference's part-key maps (MetadataExecSpec.scala:167-190)."""
+    reference's part-key maps (MetadataExecSpec.scala:167-190).
+    with_times adds `_firstSampleTime_`/`_lastSampleTime_` entries from
+    the per-series span (partKeysWithFilters
+    fetchFirstLastSampleTimes=true, TimeSeriesShard.scala:1993-2005)."""
     rows = _series_rows(store, match, start_ms, end_ms)
     labels = F.col("labels")
     with_type = F.map_concat(
         labels, F.create_map(F.lit("_type_"),
                              _type_expr(store, labels["__name__"])))
+    if with_times:
+        with_type = F.map_concat(
+            with_type,
+            F.create_map(F.lit("_firstSampleTime_"),
+                         F.col("first_ts").cast("string"),
+                         F.lit("_lastSampleTime_"),
+                         F.col("last_ts").cast("string")))
     return rows.select(with_type.alias("labels"))
 
 
 def label_cardinality(store: TsStore, match: str | None = None) -> DataFrame:
     """LabelCardinalityExec — HLL sketches in the reference; Spark's
     approx_count_distinct is the same sketch class, here over
-    O(series) part-key rows rather than O(samples)."""
+    O(series) part-key rows rather than O(samples). `_type_` is counted
+    like any stored label (MetadataExecSpec label-cardinality golden
+    includes `_type_ -> 1`)."""
     rows = _series_rows(store, match, None, None)
-    kv = rows.select(F.explode("labels").alias("label", "value"))
+    with_type = F.map_concat(
+        F.col("labels"),
+        F.create_map(F.lit("_type_"),
+                     _type_expr(store, F.col("labels")["__name__"])))
+    kv = rows.select(F.explode(with_type).alias("label", "value"))
     return (kv.groupBy("label")
             .agg(F.approx_count_distinct("value").alias("cardinality"))
             .orderBy("label"))
@@ -196,12 +239,55 @@ def topk_cardinality(store: TsStore,
                      group_labels: tuple[str, ...] = ("__name__",),
                      k: int = 10,
                      active_after_ms: int | None = None,
-                     match: str | None = None) -> DataFrame:
+                     match: str | None = None,
+                     overflow: bool = False) -> DataFrame:
     """CliMain `topkcardlocal` parity (CliMain.scala:188-207 /
     getTopkCardinality): the k highest-cardinality shard-key groups,
     sorted by total (or active, when an active split is requested)
-    series count descending."""
+    series count descending.
+
+    overflow=True folds the groups beyond k into one row whose group
+    labels are the reference's `_overflow_` sentinel and whose counts
+    SUM the dropped groups (TsCardReduceExec topk capacity +
+    CardinalityStore.OVERFLOW_PREFIX, MetadataExecSpec.scala:491-549) —
+    the tail is never silently dropped."""
     card = ts_cardinality(store, group_labels, active_after_ms, match)
     order_col = ("active_series" if active_after_ms is not None
                  else "total_series")
-    return card.orderBy(F.col(order_col).desc(), *group_labels).limit(k)
+    if not overflow:
+        return card.orderBy(F.col(order_col).desc(), *group_labels).limit(k)
+    # rank over the aggregated (already small: one row per group) frame
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col(order_col).desc(), *group_labels)
+    ranked = card.withColumn("_rank", F.row_number().over(w))
+    top = ranked.where(F.col("_rank") <= k).drop("_rank")
+    count_cols = [c for c in card.columns if c not in group_labels]
+    tail = (ranked.where(F.col("_rank") > k)
+            .agg(*[F.sum(c).alias(c) for c in count_cols],
+                 F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > 0).drop("_n")
+            .select(*[F.lit("_overflow_").alias(g) for g in group_labels],
+                    *count_cols))
+    return top.unionByName(tail)
+
+
+def ts_cardinality_prefix(store: TsStore,
+                          shard_key_prefix: tuple[str, ...] = (),
+                          num_group_by_fields: int = 1,
+                          active_after_ms: int | None = None) -> DataFrame:
+    """TsCardExec v2 surface (MetadataExecPlan.scala:579-640;
+    MetadataExecSpec.scala:414-491): filter series by a shard-key
+    PREFIX (values for _ws_, _ns_, __name__ in that order) and group
+    counts by the first `num_group_by_fields` of the same trio."""
+    fields = ("_ws_", "_ns_", "__name__")
+    if not 1 <= num_group_by_fields <= len(fields):
+        raise ValueError("num_group_by_fields must be 1..3")
+    if len(shard_key_prefix) > len(fields):
+        raise ValueError("shard key prefix has at most 3 values")
+    if len(shard_key_prefix) > num_group_by_fields:
+        num_group_by_fields = len(shard_key_prefix)
+    matchers = ",".join(f'{lab}="{val}"'
+                        for lab, val in zip(fields, shard_key_prefix))
+    match = "{%s}" % matchers if matchers else None
+    return ts_cardinality(store, fields[:num_group_by_fields],
+                          active_after_ms, match)

@@ -44,7 +44,7 @@ class TestCli:
 
     def test_labels_and_values(self, spark):
         rc, out = run_cli(["labels", "--store", STORE])
-        assert json.loads(out) == ["__name__", "user"]
+        assert json.loads(out) == ["__name__", "_type_", "user"]
         rc, out = run_cli(["label-values", "--store", STORE,
                            "--label", "__name__"])
         assert json.loads(out) == ["click", "error", "purchase",
@@ -173,3 +173,14 @@ def test_partkey_build_and_attach(spark, tmp_path):
                         "--partkey", pk])
     assert {r["__name__"]: r["total_series"]
             for r in json.loads(card)}["purchase"] > 0
+
+
+def test_label_values_multi(spark):
+    """Comma-separated --label: multi-label LabelValuesExec combos."""
+    rc, out = run_cli(["label-values", "--store", STORE,
+                       "--label", "__name__,user",
+                       "--match", '{user="3"}'])
+    assert rc == 0
+    maps = json.loads(out)
+    assert all(m["user"] == "3" for m in maps)
+    assert {m["__name__"] for m in maps} >= {"purchase", "view"}

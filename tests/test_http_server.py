@@ -45,7 +45,7 @@ class TestHttpApi:
 
     def test_labels_values_series(self, server):
         _, resp = get(server, "/api/v1/labels")
-        assert resp["data"] == ["__name__", "user"]
+        assert resp["data"] == ["__name__", "_type_", "user"]
         _, resp = get(server, "/api/v1/label/__name__/values")
         assert "purchase" in resp["data"]
         _, resp = get(server, "/api/v1/series",
@@ -62,7 +62,7 @@ class TestHttpApi:
         metadata.label_cardinality / ts_cardinality."""
         _, resp = get(server, "/api/v1/status/label_cardinality")
         by_label = {d["label"]: d["cardinality"] for d in resp["data"]}
-        assert set(by_label) == {"__name__", "user"}
+        assert set(by_label) == {"__name__", "_type_", "user"}
         assert by_label["__name__"] >= 3     # event types as metrics
         _, resp = get(server, "/api/v1/status/ts_cardinality")
         totals = {d["__name__"]: d["total_series"] for d in resp["data"]}

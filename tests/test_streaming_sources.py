@@ -221,7 +221,7 @@ class TestMetadata:
 
     def test_label_names_values(self, store):
         assert [r["label"] for r in label_names(store).collect()] == \
-            ["__name__", "inst", "job"]
+            ["__name__", "_type_", "inst", "job"]
         assert [r["value"] for r in label_values(store, "job").collect()] == \
             ["db", "web"]
         assert [r["value"] for r in

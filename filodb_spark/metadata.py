@@ -39,8 +39,15 @@ def _selector(match: str | None) -> VectorSelector:
 
 def _scan(store: TsStore, match: str | None, start_ms: int | None,
           end_ms: int | None) -> DataFrame:
-    """Raw-sample scan fallback (exact sample-presence semantics)."""
-    df = store.select(_selector(match)) if match else store.df
+    """Raw-sample scan fallback (exact sample-presence semantics).
+    Unmatched scans cover EVERY schema table the store mounts — the
+    reference's one-index-per-shard sees histogram part keys too."""
+    if match:
+        df = store.select(_selector(match)).select("labels", "ts")
+    else:
+        df = store.df.select("labels", "ts")
+        if store.hist_df is not None:
+            df = df.unionByName(store.hist_df.select("labels", "ts"))
     if start_ms is not None:
         df = df.where(F.col("ts") >= start_ms)
     if end_ms is not None:

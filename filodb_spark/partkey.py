@@ -46,6 +46,18 @@ from filodb_spark.sources.table import SHARD_KEY_LABELS
 PARTKEY_COLS = ("labels", "_sk", "first_ts", "last_ts", "samples")
 
 
+def partkey_from_store(store) -> DataFrame:
+    """Part-key rows over EVERY schema table a TsStore mounts (gauge +
+    histogram) — the reference's index covers all schemas' part keys
+    (one Lucene index per shard regardless of schema). Use this instead
+    of partkey_from_samples(store.df) when the store carries hist_df so
+    metadata endpoints see histogram series too."""
+    df = store.df.select("labels", "ts")
+    if store.hist_df is not None:
+        df = df.unionByName(store.hist_df.select("labels", "ts"))
+    return partkey_from_samples(df)
+
+
 def partkey_from_samples(df: DataFrame) -> DataFrame:
     """Aggregate a samples frame (labels, ts, ...) to one row per
     canonical series: (labels, _sk, first_ts, last_ts, samples).

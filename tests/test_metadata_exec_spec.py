@@ -180,3 +180,46 @@ def test_series_with_times(store):
     assert labels["_firstSampleTime_"] == str(NOW - 100_000)
     assert labels["_lastSampleTime_"] == str(NOW - 10_000)
     assert labels["_type_"] == "gauge"
+
+
+class TestHistSeriesInMetadata:
+    """The reference's per-shard index covers EVERY schema's part keys —
+    histogram series must be visible to unmatched metadata queries on
+    both paths (one index per shard, not per schema)."""
+
+    @pytest.fixture(scope="class")
+    def hist_store(self, spark, samples):
+        hist = spark.createDataFrame(
+            [({"__name__": "lat", "job": "histsvc", "_ws_": "demo",
+               "_ns_": "App-H"}, NOW - 50_000, 1.0, 2.0,
+              ([1.0, 2.0], [1.0, 2.0]))],
+            "labels map<string,string>, ts long, sum double, count double, "
+            "hist struct<les: array<double>, values: array<double>>")
+        return hist
+
+    def _stores(self, samples, hist):
+        from filodb_spark.partkey import partkey_from_store
+        plain = TsStore(samples, hist_df=hist, hist_metrics=("lat",))
+        indexed = TsStore(samples, hist_df=hist, hist_metrics=("lat",))
+        return plain, TsStore(samples, hist_df=hist, hist_metrics=("lat",),
+                              partkey_df=partkey_from_store(indexed))
+
+    def test_unmatched_metadata_sees_hist_series(self, samples, hist_store):
+        for st in self._stores(samples, hist_store):
+            names = {r["label"] for r in metadata.label_names(st).collect()}
+            assert "job" in names
+            vals = [r["value"] for r in
+                    metadata.label_values(st, "job").collect()]
+            assert "histsvc" in vals
+            card = {tuple(r[g] for g in ("__name__",)): r["total_series"]
+                    for r in metadata.ts_cardinality(st).collect()}
+            assert card[("lat",)] == 1
+
+    def test_hist_type_label(self, samples, hist_store):
+        for st in self._stores(samples, hist_store):
+            out = metadata.series(st, 'lat{job="histsvc"}').collect()
+            assert len(out) == 1
+            assert out[0]["labels"]["_type_"] == "prom-histogram"
+            types = [r["value"] for r in
+                     metadata.label_values(st, "_type_").collect()]
+            assert types == ["gauge", "prom-histogram"]

@@ -44,9 +44,10 @@ def all_queries():
         "pq_set_and", "pq_set_or", "ev_label_churn",
         "pq_prefix_compare", "pq_label_replace_groups",
         "pq_hist_scale_quantile",
-        # round-8 additions (r7 verdict items 1, 4)
+        # round-8 additions (r7 verdict items 1, 4 + the raw/DS split
+        # fix found by porting LongTimeRangePlannerSpec)
         "ts_label_values_pk", "ts_series_cardinality_pk",
-        "ts_cardbuster",
+        "ts_cardbuster", "ts_raw_ds_split",
         # canary backlog: once-gated, oldest gate round first
         "pl_dedup_incremental", "pl_length_quantiles",
         "pl_source_divergence", "pl_token_budget", "pl_url_filter",
@@ -65,8 +66,8 @@ def all_queries():
         # canaries: twice-gated [r2, r4]
         "ann_ivf_portable", "doc_dedup_exact", "doc_minhash_portable",
         "ds_cascade", "emb_near_dup", "ev_gap_fill",
-        # canaries: [r3, r4] + alphabetically-first [r2, r5]
-        "emb_quantize", "doc_fingerprint",
+        # canaries: [r3, r4]
+        "emb_quantize",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -143,3 +143,75 @@ SELECT ds.event_type, grid.t,
 FROM grid JOIN ds ON ds.ttime BETWEEN grid.t - {DAY} AND grid.t
 GROUP BY 1, 2""",
 }
+
+
+def q_raw_ds_split(spark, sf_dir):
+    """End-to-end raw/DS split through the engine
+    (LongTimeRangePlanner.scala:110-171): raw table holds only samples
+    past a mid-range retention boundary, the ds table holds 6h rollups
+    of ALL history; sum_over_time(...[24h]) instants whose lookback
+    window crosses the boundary evaluate on rollups, instants with a
+    fully raw-resident window on raw samples — the oracle replicates
+    the firstInstantInRaw step math exactly."""
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.promql.compiler import PromQLEngine, TsStore
+    ev = events_ts(spark, sf_dir)
+    df = ev.select(F.create_map(F.lit("__name__"),
+                                F.col("event_type")).alias("labels"),
+                   "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, STEP)
+    boundary = grid.start + ((grid.end - grid.start) // (2 * STEP)) * STEP
+    raw = df.where(F.col("ts") >= boundary)
+    ds = downsample(df.withColumn("_sk", canonical_labels(F.col("labels"))),
+                    ["labels"], RES).drop("_sk")
+    store = TsStore(raw, ds_df=ds, raw_retention_start_ms=boundary)
+    eng = PromQLEngine(spark, store)
+    out = eng.query_range('sum_over_time({__name__=~".+"}[24h])',
+                          grid.start, grid.end, STEP)
+    return out.select(F.col("labels")["__name__"].alias("event_type"),
+                      "t", F.round("value", 2).alias("value"))
+
+
+QUERIES["ts_raw_ds_split"] = q_raw_ds_split
+
+ORACLES["ts_raw_ds_split"] = f"""
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT CAST(ceil(MIN(ts) / {STEP}.0) AS BIGINT) * {STEP} AS gstart,
+         CAST(floor(MAX(ts) / {STEP}.0) AS BIGINT) * {STEP} AS gend
+  FROM raw
+),
+p2 AS (
+  SELECT gstart, gend,
+         gstart + ((gend - gstart) // (2 * {STEP})) * {STEP} AS boundary
+  FROM p
+),
+p3 AS (
+  SELECT gstart, gend, boundary,
+         gstart + (((boundary - gstart + {DAY}) // {STEP}) + 1) * {STEP}
+           AS first_raw
+  FROM p2
+),
+ds AS (
+  SELECT event_type, ts - (ts % {RES}) AS bucket,
+         max(ts) AS ttime, sum(value) AS s
+  FROM raw GROUP BY 1, 2
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT gstart FROM p3),
+                                (SELECT gend FROM p3), {STEP})) AS t
+)
+SELECT ds.event_type, grid.t, round(sum(ds.s), 2) AS value
+FROM grid JOIN ds ON ds.ttime BETWEEN grid.t - {DAY} AND grid.t
+WHERE grid.t < (SELECT first_raw FROM p3)
+GROUP BY 1, 2
+UNION ALL
+SELECT raw.event_type, grid.t, round(sum(raw.value), 2) AS value
+FROM grid JOIN raw ON raw.ts BETWEEN grid.t - {DAY} AND grid.t
+                   AND raw.ts >= (SELECT boundary FROM p3)
+WHERE grid.t >= (SELECT first_raw FROM p3)
+GROUP BY 1, 2"""

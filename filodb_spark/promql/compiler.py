@@ -642,13 +642,21 @@ class PromQLEngine:
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:
             fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)
-        # raw/downsample split (LongTimeRangePlanner): instants before the
-        # raw-retention start evaluate on the ds-gauge table with the
-        # downsample function rewrites, then stitch (disjoint step sets)
+        # raw/downsample split (LongTimeRangePlanner.scala:110-171): an
+        # instant may evaluate on the raw table ONLY if its whole
+        # lookback window lies inside raw retention — instants whose
+        # window crosses the boundary go to the DS table (the old
+        # `t >= boundary` split silently under-read truncated raw
+        # windows for instants in [boundary, boundary+window)).
         from filodb_spark.streaming.downsample import _DS_REWRITE
         boundary = self.store.raw_retention_start_ms
+        # the caller already shifted the grid by the selector offset
+        # (_eval_range_fn: StepGrid(start - offset, ...)), so this grid
+        # IS the reference's startWithOffsetMs/endWithOffsetMs space —
+        # "offset compensates for the retention boundary" falls out
         if (boundary is not None and self.store.ds_df is not None
-                and grid.start < boundary and fn in _DS_REWRITE):
+                and grid.start - window < boundary
+                and fn in _DS_REWRITE):
             from filodb_spark.streaming.downsample import range_function_ds
             ds = self.store.ds_df
             labels = F.col("labels")
@@ -660,15 +668,24 @@ class PromQLEngine:
             ds = _apply_label_matchers(
                 ds, [m for m in sel.matchers if m.name != "_type_"])
             ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
-            ds_out = range_function_ds(ds, fn, ["_sk"], grid, window) \
-                .where(F.col("t") < boundary)
             ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
+            # first instant whose full window is raw-resident
+            # (numStepsInDownsample / firstInstantInRaw, :156-158)
+            num_ds_steps = (boundary - grid.start + window) // grid.step
+            first_raw_t = grid.start + (num_ds_steps + 1) * grid.step
+            if grid.end - window < boundary or first_raw_t > grid.end:
+                # long lookback: whole grid on the DS cluster (:123-151)
+                ds_out = range_function_ds(ds, fn, ["_sk"], grid, window)
+                return (ds_out.join(ds_lab, "_sk")
+                        .select("labels", "t", "value"))
+            ds_out = range_function_ds(ds, fn, ["_sk"], grid, window) \
+                .where(F.col("t") < first_raw_t)
             ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
             raw_out = range_function(df, fn, ["_sk"], grid, window,
                                      params=params, carry_cols=["labels"],
                                      tiling=self._tiling_arg(fn, sel, grid, window),
                                      honor_stale_marker=True) \
-                .where(F.col("t") >= boundary) \
+                .where(F.col("t") >= first_raw_t) \
                 .select("labels", "t", "value")
             return raw_out.unionByName(ds_out)
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):

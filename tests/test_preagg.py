@@ -134,17 +134,22 @@ class TestLongTimeRangeRouting:
         eng = PromQLEngine(spark, store)
         out = eng.query_range("sum_over_time(g[5m])", T0 + 5 * 60_000,
                               T0 + 19 * 60_000, 60_000).collect()
-        ts = sorted(r["t"] for r in out)
-        # DS side: steps < boundary where a rollup row falls in window;
-        # raw side: every step >= boundary
-        assert all(t >= boundary for t in ts if t >= boundary)
         got = {r["t"]: r["value"] for r in out}
-        # raw step at boundary+4m: only samples >= boundary are retained
-        # in the raw table -> 10..14
-        t_raw = boundary + 4 * 60_000
-        assert got[t_raw] == float(sum(range(10, 15)))
-        # a DS step: rollup bucket sums ride in
-        assert any(t < boundary for t in ts)
+        # LongTimeRangePlanner split (r8): the first RAW instant is the
+        # first whose whole window is raw-resident (boundary + window,
+        # stepped) — NOT the boundary itself; instants in
+        # [boundary, boundary+window) would under-read the truncated
+        # raw table and go to DS instead
+        first_raw = boundary + 6 * 60_000  # (10m-5m+5m)//1m + 1 steps
+        for t in range(T0 + 16 * 60_000, T0 + 20 * 60_000, 60_000):
+            i = (t - T0) // 60_000
+            assert got[t] == float(sum(range(i - 5, i + 1))), t  # raw exact
+        # DS instants: rollup buckets (tTime in window) ride in,
+        # including the boundary-crossing ones the raw table can't
+        # serve (T0 is not 5m-aligned here: buckets end at 1m, 6m,
+        # 11m, 16m, 19m; window [9m,14m] holds only ttime 11m = 7+..+11)
+        assert got[boundary + 4 * 60_000] == 45.0
+        assert min(got) == T0 + 5 * 60_000
 
     def test_ds_side_honors_all_matcher_ops(self, spark):
         """Regex/!= matchers must filter the DS table too: before the

@@ -40,17 +40,60 @@ class AggRule:
     """Pre-aggregation rule (query/util/HierarchicalQueryExperience.scala:
     IncludeAggRule / ExcludeAggRule): the preagg metric
     ``<metric>:::<suffix>`` holds sums over all labels except the
-    retained set. A query may route to it only if every label it touches
-    (filters + grouping) is retained."""
+    retained set.
+
+    Routability (AggLpOptimization.ruleRetainsNeededLabels:253-279):
+
+    | RuleType |   group by                      | group without          |
+    |----------|---------------------------------|------------------------|
+    | Include  | byTags subset of includeTags    | never                  |
+    | Exclude  | byTags disjoint from excludeTags| withoutTags subset of  |
+    |          |                                 | excludeTags            |
+
+    Filter tags: include rules need them inside includeTags (shard keys
+    exempt — always retained); exclude rules need them disjoint from
+    excludeTags.
+
+    Rules may ship as VERSIONS sharing a suffix (active flag +
+    effective-from instant): a suffix is routable only if every version
+    retains the needed labels, every version is active, and the oldest
+    version predates the query start
+    (AggLpOptimization.optimizeWithPreaggregatedDataset:54-72)."""
 
     suffix: str
     include: frozenset | None = None
     exclude: frozenset = frozenset()
+    active: bool = True
+    effective_from_ms: int = 0
 
     def retains(self, labels: set) -> bool:
         if self.include is not None:
             return labels <= self.include
         return not (labels & self.exclude)
+
+    def routable(self, filter_tags: set, by, without) -> bool:
+        from filodb_spark.sources.table import SHARD_KEY_LABELS
+        if self.include is not None:
+            if without is not None:
+                return False  # dropped-label set unknowable for include
+            return (filter_tags - set(SHARD_KEY_LABELS)) <= self.include \
+                and (by is None or set(by) <= self.include)
+        if filter_tags & self.exclude:
+            return False
+        if by is not None:
+            return not (set(by) & self.exclude)
+        if without is not None:
+            return set(without) <= self.exclude
+        return True
+
+    def better_than(self, other: "AggRule") -> bool:
+        """More excluded labels, or fewer included labels
+        (firstRuleIsBetterThanSecond:284-303)."""
+        if self.exclude and other.exclude:
+            return len(self.exclude) > len(other.exclude)
+        if self.include and other.include:
+            return len(self.include) < len(other.include)
+        return False
 
 
 def preagg_metric_name(metric: str, suffix: str) -> str:
@@ -1151,32 +1194,69 @@ class PromQLEngine:
         if not (isinstance(f, A.FunctionCall)
                 and len(f.args) == 1 and isinstance(f.args[0], A.MatrixSelector)):
             return e
-        if e.op == "sum":
-            if f.name not in self.PREAGG_FNS:
-                return e
-            col_suffix = ":count" if f.name == "count_over_time" else ""
-            fn_name = "sum_over_time" if f.name == "count_over_time" else f.name
-        else:
-            col_suffix = self.PREAGG_MINMAX.get((e.op, f.name))
-            if col_suffix is None:
-                return e
-            fn_name = f.name
         sel = f.args[0].base
-        if sel.metric not in rules or e.without is not None:
+        if sel.metric is None or any(m.op != "=" for m in sel.matchers):
             return e
-        if any(m.op != "=" for m in sel.matchers):
+        # re-optimization: a query already on a preagg metric
+        # (base:::suffix[:col]) may move to a better (higher-level) rule
+        # (metricNameWithoutSuffix, AggLpOptimization.scala:238)
+        base, cur_col = sel.metric, None
+        if ":::" in sel.metric:
+            base, rest = sel.metric.split(":::", 1)
+            cur_col = ""
+            for ext in (":count", ":min", ":max"):
+                if rest.endswith(ext):
+                    cur_col = ext
+        if cur_col is None:  # raw metric: fn decides target column
+            if e.op == "sum":
+                if f.name not in self.PREAGG_FNS:
+                    return e
+                col_suffix = ":count" if f.name == "count_over_time" else ""
+                fn_name = ("sum_over_time" if f.name == "count_over_time"
+                           else f.name)
+            else:
+                col_suffix = self.PREAGG_MINMAX.get((e.op, f.name))
+                if col_suffix is None:
+                    return e
+                fn_name = f.name
+        else:  # already aggregated: keep fn and column, only move levels
+            if f.name not in self.PREAGG_FNS and \
+                    (e.op, f.name) not in self.PREAGG_MINMAX:
+                return e
+            col_suffix, fn_name = cur_col, f.name
+        if base not in rules:
             return e
-        touched = {m.name for m in sel.matchers} | set(e.by or ())
-        for rule in rules[sel.metric]:
-            if rule.retains(touched):
-                import dataclasses
-                metric = preagg_metric_name(sel.metric,
-                                            rule.suffix + col_suffix)
-                new_sel = dataclasses.replace(sel, metric=metric)
-                new_fn = A.FunctionCall(
-                    fn_name, (dataclasses.replace(f.args[0], base=new_sel),))
-                return dataclasses.replace(e, expr=new_fn)
-        return e
+        filter_tags = {m.name for m in sel.matchers}
+        # group rule versions by suffix; a suffix is routable only when
+        # EVERY version retains, every version is active, and the oldest
+        # predates the query start; among routable suffixes pick the
+        # best (most excluded / fewest included labels)
+        by_suffix: dict[str, list] = {}
+        for rule in rules[base]:
+            by_suffix.setdefault(rule.suffix, []).append(rule)
+        chosen = None
+        for versions in by_suffix.values():
+            if not all(r.routable(filter_tags, e.by, e.without)
+                       for r in versions):
+                continue
+            if not all(r.active for r in versions):
+                continue
+            if grid is not None and \
+                    min(r.effective_from_ms for r in versions) > grid.start:
+                continue
+            cand = versions[-1]
+            if chosen is None or cand.better_than(chosen):
+                chosen = cand
+        if chosen is None:
+            return e
+        import dataclasses
+        metric = preagg_metric_name(base, chosen.suffix + col_suffix)
+        if metric == sel.metric:
+            return e
+        new_sel = dataclasses.replace(sel, metric=metric)
+        new_fn = A.FunctionCall(
+            fn_name, (dataclasses.replace(f.args[0], base=new_sel),))
+        return dataclasses.replace(e, expr=new_fn)
 
     def _exp_merge_target(self, e: A.Expr) -> list[float] | None:
         """If the aggregated expression reads base-2 exponential histogram

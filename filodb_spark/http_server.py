@@ -57,6 +57,13 @@ def run_with_timeout(spark, fn, timeout_s: float | None):
     return result[0]
 
 
+def _sec_ms(v: str | None) -> int | None:
+    """Prom API epoch-seconds param (float accepted) -> ms, None if
+    absent (unbounded — the fixtures are historical, so no now-24h
+    default like the reference route)."""
+    return None if v is None else int(float(v) * 1000)
+
+
 def _parse_timeout(q: dict) -> float | None:
     """Prometheus `timeout=` request parameter: seconds, or a duration
     like 30s/1m."""
@@ -304,21 +311,33 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                                                  in ("true", "1")),
                         timeout_s)
                 elif path.endswith("/api/v1/labels"):
+                    # start/end (epoch sec) bound the series span like the
+                    # reference route (PrometheusApiRoute.scala:85-98);
+                    # absent means unbounded (full retention)
                     resp = {"status": "success",
                             "data": [r["label"] for r in
-                                     md.label_names(engine.store,
-                                                    q.get("match[]")).collect()]}
+                                     md.label_names(
+                                         engine.store, q.get("match[]"),
+                                         _sec_ms(q.get("start")),
+                                         _sec_ms(q.get("end"))).collect()]}
                 elif "/api/v1/label/" in path and path.endswith("/values"):
                     label = path.split("/api/v1/label/")[1].rsplit("/", 1)[0]
                     resp = {"status": "success",
                             "data": [r["value"] for r in
-                                     md.label_values(engine.store, label,
-                                                     q.get("match[]")).collect()]}
+                                     md.label_values(
+                                         engine.store, label,
+                                         q.get("match[]"),
+                                         _sec_ms(q.get("start")),
+                                         _sec_ms(q.get("end"))).collect()]}
                 elif path.endswith("/api/v1/series"):
                     resp = {"status": "success",
                             "data": [dict(r["labels"]) for r in
-                                     md.series(engine.store,
-                                               q["match[]"]).collect()]}
+                                     md.series(
+                                         engine.store, q["match[]"],
+                                         _sec_ms(q.get("start")),
+                                         _sec_ms(q.get("end")),
+                                         with_times=q.get("withTimes", "")
+                                         in ("true", "1")).collect()]}
                 elif path.endswith("/api/v1/status/label_cardinality"):
                     # reference exposes cardinality via its HTTP surface
                     # (MetadataExecPlan LabelCardinalityExec); same HLL
@@ -330,12 +349,30 @@ def make_handler(engine, write_buffer=None, bearer_token=None,
                                          engine.store,
                                          q.get("match[]")).collect()]}
                 elif path.endswith("/api/v1/status/ts_cardinality"):
-                    group = tuple((q.get("group_by") or "__name__")
-                                  .split(","))
                     active = q.get("active_after")
-                    rows = md.ts_cardinality(
-                        engine.store, group,
-                        int(active) if active else None).collect()
+                    active = int(active) if active else None
+                    if q.get("num_group_by") or q.get("shard_key_prefix"):
+                        # TsCardinalities v2 surface (LogicalPlan.scala:343
+                        # shardKeyPrefix + numGroupByFields)
+                        prefix = tuple(p for p in
+                                       (q.get("shard_key_prefix") or "")
+                                       .split(",") if p)
+                        rows = md.ts_cardinality_prefix(
+                            engine.store, prefix,
+                            int(q.get("num_group_by") or len(prefix) or 1),
+                            active).collect()
+                    else:
+                        group = tuple((q.get("group_by") or "__name__")
+                                      .split(","))
+                        k = q.get("top_k")
+                        if k is not None:
+                            rows = md.topk_cardinality(
+                                engine.store, group, int(k), active,
+                                overflow=q.get("overflow", "")
+                                in ("true", "1")).collect()
+                        else:
+                            rows = md.ts_cardinality(
+                                engine.store, group, active).collect()
                     resp = {"status": "success",
                             "data": [r.asDict() for r in rows]}
                 elif path.endswith("/api/v1/status/buildinfo"):

@@ -288,11 +288,11 @@ def ts_cardinality_prefix(store: TsStore,
     counts by the first `num_group_by_fields` of the same trio."""
     fields = ("_ws_", "_ns_", "__name__")
     if not 1 <= num_group_by_fields <= len(fields):
-        raise ValueError("num_group_by_fields must be 1..3")
-    if len(shard_key_prefix) > len(fields):
-        raise ValueError("shard key prefix has at most 3 values")
+        raise ValueError("numGroupByFields must lie on [1, 3]")
     if len(shard_key_prefix) > num_group_by_fields:
-        num_group_by_fields = len(shard_key_prefix)
+        # TsCardinalities require (LogicalPlan.scala:349-351)
+        raise ValueError("numGroupByFields indicate a depth at least as "
+                         "deep as shardKeyPrefix")
     matchers = ",".join(f'{lab}="{val}"'
                         for lab, val in zip(fields, shard_key_prefix))
     match = "{%s}" % matchers if matchers else None

@@ -153,3 +153,41 @@ def test_buildinfo(spark):
         assert "version" in data["data"]
     finally:
         srv.shutdown()
+
+
+class TestMetadataHttpParams:
+    """Round-8 HTTP params: start/end on labels/values/series
+    (PrometheusApiRoute.scala:85-120 takes them), withTimes on series,
+    and the TsCardinalities v2 shape (shard_key_prefix/num_group_by) +
+    overflow topk on the cardinality status route."""
+
+    def test_label_values_time_bounded(self, server):
+        _, all_vals = get(server, "/api/v1/label/__name__/values")
+        assert len(all_vals["data"]) == 5
+        # a range entirely before the fixture matches nothing
+        _, none = get(server, "/api/v1/label/__name__/values",
+                      start=0, end=1)
+        assert none["data"] == []
+
+    def test_series_with_times(self, server):
+        _, resp = get(server, "/api/v1/series", **{"match[]": "purchase",
+                                                   "withTimes": "true"})
+        assert resp["data"]
+        for s in resp["data"]:
+            assert int(s["_firstSampleTime_"]) <= int(s["_lastSampleTime_"])
+            assert s["_type_"] == "gauge"
+
+    def test_ts_cardinality_prefix_shape(self, server):
+        # depth-3 grouping: (_ws_, _ns_, __name__); the fixture carries
+        # no shard labels, so those keys are null and the metric splits
+        _, resp = get(server, "/api/v1/status/ts_cardinality",
+                      num_group_by=3)
+        rows = {r["__name__"]: r["total_series"] for r in resp["data"]}
+        assert rows["purchase"] > 0 and len(rows) == 5
+
+    def test_topk_overflow_param(self, server):
+        _, resp = get(server, "/api/v1/status/ts_cardinality",
+                      top_k=1, overflow="true")
+        rows = {r["__name__"]: r["total_series"] for r in resp["data"]}
+        assert len(rows) == 2 and "_overflow_" in rows
+        assert rows["_overflow_"] > 0

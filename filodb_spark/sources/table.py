@@ -222,7 +222,8 @@ def read_series_table(spark: SparkSession, path: str,
 def compact_series_table(spark: SparkSession, ingest_path: str,
                          table_path: str,
                          shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
-                         files_per_partition: int | None = None) -> int:
+                         files_per_partition: int | None = None,
+                         partkey_path: str | None = None) -> int:
     """Housekeeping: fold a streaming-ingest append directory (many
     small unsorted files from start_ingest) into the canonical sorted
     partitioned layout — the analog of the reference's chunk flush +
@@ -241,6 +242,14 @@ def compact_series_table(spark: SparkSession, ingest_path: str,
              .dropDuplicates(["_sk0", "ts"]).drop("_sk0"))
     write_series_table(dedup, table_path, shard_labels,
                        files_per_partition=files_per_partition)
+    if partkey_path is not None:
+        # rebuild the part-key table from the compacted result — the
+        # reference's index commit riding its compaction cycle
+        # (filodb_spark.partkey; one O(series) row per canonical series)
+        from filodb_spark.partkey import write_partkey_table
+        write_partkey_table(spark.read.parquet(table_path)
+                            .select("labels", "ts"),
+                            partkey_path, shard_labels)
     return spark.read.parquet(table_path).count()
 
 

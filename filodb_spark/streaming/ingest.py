@@ -130,12 +130,20 @@ def start_doc_dedup_stream(stream: DataFrame, out_path: str,
 
 def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
                  watermark_delay: str = "10 minutes",
-                 trigger_once: bool = False):
+                 trigger_once: bool = False,
+                 partkey_path: str | None = None):
     """Run the ingestion pipeline: watermark -> dedupe -> append parquet.
 
     At scale the sink is a Delta table partitioned by (_ws_, _ns_, date);
     parquet-append here (no Delta in the test container) — the plan is
     identical. Labels maps aren't valid state keys -> canonicalized.
+
+    partkey_path: co-maintain the part-key (series-dimension) table —
+    each micro-batch also upserts its per-series spans as delta rows
+    (the reference's ingest-time part-key index add/update,
+    TimeSeriesShard ingest path); run
+    partkey.compact_partkey_table on whatever cadence bounds the
+    delta-row count.
     """
     from filodb_spark.kernels.binary import canonical_labels
     out = (stream
@@ -144,11 +152,29 @@ def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
            .withWatermark("_event_time", watermark_delay)
            .dropDuplicates(["_sk", "ts"])
            .drop("_sk", "_event_time"))
-    writer = (out.writeStream
-              .format("parquet")
-              .option("path", out_path)
-              .option("checkpointLocation", checkpoint)
-              .outputMode("append"))
+    if partkey_path is not None:
+        from filodb_spark.partkey import append_partkey_updates
+
+        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch_df.persist()
+            try:
+                batch_df.write.mode("append").parquet(out_path)
+                append_partkey_updates(batch_df, partkey_path)
+            finally:
+                batch_df.unpersist()
+
+        writer = (out.writeStream
+                  .foreachBatch(_sink)
+                  .option("checkpointLocation", checkpoint)
+                  .outputMode("append"))
+    else:
+        writer = (out.writeStream
+                  .format("parquet")
+                  .option("path", out_path)
+                  .option("checkpointLocation", checkpoint)
+                  .outputMode("append"))
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()

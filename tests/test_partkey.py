@@ -234,3 +234,53 @@ def test_streaming_partkey_twin(spark, samples, tmp_path):
     for k in batch:
         assert (got[k].first_ts, got[k].last_ts, got[k].samples) == \
             (batch[k].first_ts, batch[k].last_ts, batch[k].samples)
+
+
+def test_ingest_comaintains_partkey_and_compaction_refreshes(spark, samples,
+                                                             tmp_path):
+    """Full lifecycle: streaming ingest appends sample files AND
+    part-key delta rows per micro-batch; compaction rebuilds both to
+    canonical form; metadata then answers from the index."""
+    from filodb_spark import metadata
+    from filodb_spark.sources.table import compact_series_table
+    from filodb_spark.streaming.ingest import start_ingest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ingest_out = str(tmp_path / "ingest")
+    pk_live = str(tmp_path / "pk_live")
+    table = str(tmp_path / "table")
+    pk_final = str(tmp_path / "pk")
+    flat = samples.select(
+        F.col("labels")["__name__"].alias("metric"),
+        F.col("labels")["_ws_"].alias("ws"),
+        F.col("labels")["instance"].alias("inst"), "ts", "value")
+    flat.write.parquet(str(src), mode="overwrite")
+    stream = (spark.readStream
+              .schema("metric string, ws string, inst string, "
+                      "ts long, value double")
+              .parquet(str(src))
+              .select(F.create_map(
+                          F.lit("__name__"), F.col("metric"),
+                          F.lit("_ws_"), F.col("ws"),
+                          F.lit("_ns_"), F.lit("app"),
+                          F.lit("instance"), F.col("inst")).alias("labels"),
+                      "ts", "value"))
+    q = start_ingest(stream, ingest_out, str(tmp_path / "ckpt"),
+                     trigger_once=True, partkey_path=pk_live)
+    q.awaitTermination(120)
+    # live index rows cover every ingested series with true spans
+    live = read_partkey_table(spark, pk_live)
+    assert live.count() == 12
+    assert spark.read.parquet(ingest_out).count() == samples.count()
+    # compaction rebuilds table + index in canonical form
+    n = compact_series_table(spark, ingest_out, table,
+                             partkey_path=pk_final)
+    assert n == samples.count()
+    assert spark.read.parquet(pk_final).count() == 12
+    store = TsStore.from_table(spark, table, partkey_path=pk_final)
+    files = metadata.label_values(store, "instance").inputFiles()
+    assert files and all("/pk/" in f for f in files)
+    vals = [r["value"] for r in
+            metadata.label_values(store, "instance").collect()]
+    assert vals == ["a", "b", "c"]

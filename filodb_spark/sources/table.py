@@ -237,7 +237,9 @@ def compact_series_table(spark: SparkSession, ingest_path: str,
     closed date partition in production; the 'overwrite' is atomic at
     the directory level under the usual _temporary-rename protocol.
     """
-    raw = spark.read.parquet(ingest_path)
+    # explicit projection: the per-batch-id ingest layout adds a `_b`
+    # partition column that must not leak into the canonical table
+    raw = spark.read.parquet(ingest_path).select("labels", "ts", "value")
     dedup = (raw.withColumn("_sk0", canonical_labels(F.col("labels")))
              .dropDuplicates(["_sk0", "ts"]).drop("_sk0"))
     write_series_table(dedup, table_path, shard_labels,

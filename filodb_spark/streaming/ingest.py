@@ -141,9 +141,14 @@ def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
     partkey_path: co-maintain the part-key (series-dimension) table —
     each micro-batch also upserts its per-series spans as delta rows
     (the reference's ingest-time part-key index add/update,
-    TimeSeriesShard ingest path); run
-    partkey.compact_partkey_table on whatever cadence bounds the
-    delta-row count.
+    TimeSeriesShard ingest path). Delivery semantics on this path:
+    sample data lands in per-batch-id directories with overwrite, so a
+    recovery retry is idempotent; the index delta append is
+    at-least-once — first/last spans are idempotent under merge-on-read,
+    only the `samples` statistic can overcount on a rare retry, and the
+    next compact_series_table(partkey_path=) / compact_partkey_table
+    recomputes it exactly. The default path (no partkey_path) keeps the
+    file sink's _spark_metadata exactly-once log.
     """
     from filodb_spark.kernels.binary import canonical_labels
     out = (stream
@@ -155,12 +160,15 @@ def start_ingest(stream: DataFrame, out_path: str, checkpoint: str,
     if partkey_path is not None:
         from filodb_spark.partkey import append_partkey_updates
 
-        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             batch_df.persist()
             try:
-                batch_df.write.mode("append").parquet(out_path)
+                # per-batch-id dir + overwrite -> retries rewrite the
+                # same directory instead of appending duplicates
+                batch_df.write.mode("overwrite").parquet(
+                    f"{out_path}/_b={batch_id}")
                 append_partkey_updates(batch_df, partkey_path)
             finally:
                 batch_df.unpersist()

@@ -1,15 +1,29 @@
 """Influx line protocol parser -> time-series rows.
 
 Reference: gateway/src/main/scala/filodb/gateway/conversion/
-InfluxProtocolParser.scala (~400 LoC imperative parser). Line format:
+InfluxProtocolParser.scala (~400 LoC imperative parser) and
+InfluxRecord.scala. Line format:
 
     measurement[,tag1=v1,tag2=v2] field1=1.0[,field2=2.0] [timestamp-ns]
 
 Spark-first: pure column expressions (regexp/split/transform) — no
 Python UDF; one JVM-side projection per line. Escaped commas/spaces
 (\\,  \\ ) are handled via placeholder substitution before splitting.
-One output row per field: labels = tags + __name__ = measurement_field
-(matching the gateway's metric-per-field record emission).
+
+Record mapping (InfluxProtocolParser.parse:126-168):
+- naming="suffix" (engine default): one output row per field with
+  __name__ = measurement_field — a deliberate SUPERSET of the gateway,
+  which keeps arbitrary multi-field Telegraf lines instead of dropping
+  them.
+- naming="measurement" (reference parity, InfluxPromSingleRecord):
+  single-field lines only, __name__ = measurement (the field key only
+  selects counter-vs-gauge schema in the reference — both live in the
+  gauge table here); multi-field lines belong to the histogram parser.
+- parse_influx_hist_lines (InfluxHistogramRecord): multi-field lines
+  whose fields are bucket tops + sum + count and include "+Inf" become
+  one promHistogram row (labels, ts, sum, count,
+  hist struct<les, values>); lines without +Inf are dropped
+  (InfluxRecord.scala "Only create histogram record ... gotInf").
 """
 
 from __future__ import annotations
@@ -22,8 +36,10 @@ _S = "\x02"   # escaped space placeholder
 _E = "\x03"   # escaped equals placeholder
 
 
-def parse_influx_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
-    """Parse influx protocol lines into (labels map, ts long ms, value)."""
+def _sections(df: DataFrame, line_col: str) -> DataFrame:
+    """Shared line split: (_m measurement, _tags map, _fields
+    array<struct<fname,fval>>, ts ms). Hostile lines are dropped or
+    leniently parsed — one bad line never kills the batch."""
     line = (F.regexp_replace(F.col(line_col), r"\\,", _C))
     line = F.regexp_replace(line, r"\\ ", _S)
     line = F.regexp_replace(line, r"\\=", _E)
@@ -81,18 +97,75 @@ def parse_influx_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
     # section gets the line-protocol now() default)
     ts_valid = (F.size(parts) < 3) | ts_ns.isNotNull()
 
-    out = (df.where(ts_valid)
-             .select(measurement.alias("_m"), tags.alias("_tags"),
-                     fields.alias("_fields"), ts_ms.alias("ts"))
-             .select("_m", "_tags", "ts",
-                     F.explode("_fields").alias("_f"))
-             .where(F.col("_f.fval").isNotNull()))
+    return (df.where(ts_valid)
+              .select(measurement.alias("_m"), tags.alias("_tags"),
+                      fields.alias("_fields"), ts_ms.alias("ts")))
+
+
+def parse_influx_lines(df: DataFrame, line_col: str = "value",
+                       naming: str = "suffix") -> DataFrame:
+    """Parse influx protocol lines into (labels map, ts long ms, value).
+    naming: "suffix" = __name__ is measurement_field, one row per field
+    (engine superset); "measurement" = reference
+    InfluxPromSingleRecord parity — single-field lines only, __name__
+    is the bare measurement."""
+    if naming not in ("suffix", "measurement"):
+        raise ValueError(f"unknown naming {naming!r}")
+    base = _sections(df, line_col)
+    if naming == "measurement":
+        base = base.where(F.size("_fields") == 1)
+    out = (base.select("_m", "_tags", "ts",
+                       F.explode("_fields").alias("_f"))
+               .where(F.col("_f.fval").isNotNull()))
+    metric = F.col("_m") if naming == "measurement" else \
+        F.concat(F.col("_m"), F.lit("_"), F.col("_f.fname"))
     labels = F.map_concat(
-        F.col("_tags"),
-        F.create_map(F.lit("__name__"),
-                     F.concat(F.col("_m"), F.lit("_"), F.col("_f.fname"))))
+        F.col("_tags"), F.create_map(F.lit("__name__"), metric))
     return out.select(labels.alias("labels"), "ts",
                       F.col("_f.fval").alias("value"))
+
+
+def parse_influx_hist_lines(df: DataFrame,
+                            line_col: str = "value") -> DataFrame:
+    """InfluxHistogramRecord parity (InfluxRecord.scala:172-230): lines
+    with >= 3 fields whose keys are bucket tops plus `sum` and `count`
+    and which include a `+Inf` bucket become one histogram row
+    (labels, ts, sum, count, hist struct<les, values>) — buckets sorted
+    ascending by top, values as published (cumulative). Lines without
+    +Inf, with non-numeric bucket keys, or with unparsable counts are
+    dropped, mirroring the gateway's gotInf/parse gate."""
+    base = _sections(df, line_col).where(F.size("_fields") >= 3)
+    # first-occurrence-wins field dedup: a hostile duplicate field key
+    # would make map_from_entries raise and kill the batch
+    fields = F.aggregate(
+        F.col("_fields"),
+        F.array().cast("array<struct<fname:string,fval:double>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a["fname"] == e["fname"]), acc)
+        .otherwise(F.array_append(acc, e)))
+    hsum = F.element_at(F.map_from_entries(fields), "sum")
+    hcount = F.element_at(F.map_from_entries(fields), "count")
+    buckets = F.filter(fields, lambda f: ~f["fname"].isin("sum", "count"))
+    tops = F.transform(
+        buckets,
+        lambda f: F.struct(
+            F.when(f["fname"] == "+Inf", F.lit(float("inf")))
+             .otherwise(f["fname"].cast("double")).alias("le"),
+            f["fval"].alias("v")))
+    got_inf = F.exists(tops, lambda t: t["le"] == float("inf"))
+    parseable = ~F.exists(tops, lambda t: t["le"].isNull()
+                          | t["v"].isNull())
+    sorted_tops = F.array_sort(tops)
+    hist = F.struct(
+        F.transform(sorted_tops, lambda t: t["le"]).alias("les"),
+        F.transform(sorted_tops, lambda t: t["v"]).alias("values"))
+    out = (base.where(got_inf & parseable
+                      & hsum.isNotNull() & hcount.isNotNull()))
+    labels = F.map_concat(
+        F.col("_tags"), F.create_map(F.lit("__name__"), F.col("_m")))
+    return out.select(labels.alias("labels"), "ts",
+                      hsum.alias("sum"), hcount.alias("count"),
+                      hist.alias("hist"))
 
 
 def read_influx_files(spark, path: str) -> DataFrame:

@@ -11,7 +11,8 @@ from filodb_spark.kernels.grid import StepGrid
 from filodb_spark.metadata import (label_cardinality, label_names,
                                    label_values, series, ts_cardinality)
 from filodb_spark.promql.compiler import TsStore
-from filodb_spark.sources.influx import parse_influx_lines
+from filodb_spark.sources.influx import (parse_influx_hist_lines,
+                                         parse_influx_lines)
 from filodb_spark.streaming.downsample import (downsample, range_function_ds,
                                                stitch_raw_ds)
 from filodb_spark.streaming.ingest import (dedupe_batch, parse_json_records,
@@ -759,3 +760,97 @@ class TestStreamingRolling:
         assert got == want
         # spot-check the cross-batch carry: u1@1600 sees {1000, 1600}
         assert got[(1, 1600, 8.0)] == (2, 12.0)
+
+
+class TestInfluxRecordSpecParity:
+    """InfluxRecordSpec goldens ported (reference:
+    gateway/src/test/scala/.../InfluxRecordSpec.scala) against the
+    naming="measurement" reference-parity mode and the histogram-line
+    parser; the engine-default naming="suffix" superset keeps its own
+    battery above."""
+
+    LINES = [
+        "recovery_row_skipped_total,dataset=timeseries,host=MacBook-Pro"
+        "-229.local,_ws_=demo,_ns_=filodb counter=0 1536790212000000000",
+        "num_partitions,dataset=timeseries,host=MacBook-Pro-229.local,"
+        "shard=1 counter=0 1536790212000000000",
+        "memstore_flushes_success_total,dataset=timeseries,host=MacBook"
+        "-Pro-229.local,shard=1,url=http://localhost:9095 gauge=5 "
+        "1536628260000000000",
+        "span_processing_time_seconds,error=false,host=MacBook-Pro-229."
+        "local,operation=memstore-recover-index-latency 0.075=37,2.5=47,"
+        "5=47,sum=6.287654912,0.025=8,0.05=25,0.75=47,+Inf=47,count=5,"
+        "0.5=42,0.25=40,0.1=40 1536790212000000000",
+    ]
+
+    def _df(self, spark, lines):
+        return spark.createDataFrame([(l,) for l in lines], "value string")
+
+    def test_single_field_metric_is_measurement(self, spark):
+        # "can getMetric": counter/gauge single-field lines keep the
+        # bare measurement as the metric (InfluxPromSingleRecord)
+        out = parse_influx_lines(self._df(spark, self.LINES[:3]),
+                                 naming="measurement").collect()
+        got = {r["labels"]["__name__"]: r for r in out}
+        assert set(got) == {"recovery_row_skipped_total", "num_partitions",
+                            "memstore_flushes_success_total"}
+        r = got["recovery_row_skipped_total"]
+        assert r["ts"] == 1536790212000 and r["value"] == 0.0
+        assert dict(r["labels"]) == {
+            "__name__": "recovery_row_skipped_total",
+            "dataset": "timeseries", "host": "MacBook-Pro-229.local",
+            "_ws_": "demo", "_ns_": "filodb"}
+        g = got["memstore_flushes_success_total"]
+        assert g["ts"] == 1536628260000 and g["value"] == 5.0
+        assert g["labels"]["url"] == "http://localhost:9095"
+
+    def test_multi_field_lines_excluded_from_single_parser(self, spark):
+        out = parse_influx_lines(self._df(spark, [self.LINES[3]]),
+                                 naming="measurement")
+        assert out.count() == 0
+
+    def test_histogram_record(self, spark):
+        # "should create single BinaryRecordV2s ... FiloDB histogram"
+        out = parse_influx_hist_lines(self._df(spark, self.LINES)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["labels"]["__name__"] == "span_processing_time_seconds"
+        assert set(r["labels"]) == {"__name__", "error", "host",
+                                    "operation"}
+        assert r["labels"]["operation"] == "memstore-recover-index-latency"
+        assert r["ts"] == 1536790212000
+        assert r["sum"] == pytest.approx(6.287654912)
+        assert r["count"] == 5.0
+        assert r["hist"]["les"] == [0.025, 0.05, 0.075, 0.1, 0.25, 0.5,
+                                    0.75, 2.5, 5.0, float("inf")]
+        assert r["hist"]["values"][2] == 37.0   # bucketValue(2)
+        assert r["hist"]["values"][4] == 40.0   # bucketValue(4)
+
+    def test_histogram_requires_inf_bucket(self, spark):
+        # gotInf gate: a multi-field line without +Inf is dropped
+        no_inf = ("m,host=h 0.1=1,0.5=2,sum=3,count=2 "
+                  "1536790212000000000")
+        bad_key = ("m,host=h 0.1=1,wat=2,+Inf=2,sum=3,count=2 "
+                   "1536790212000000000")
+        out = parse_influx_hist_lines(self._df(spark, [no_inf, bad_key]))
+        assert out.count() == 0
+
+    def test_hist_rows_queryable_through_engine(self, spark):
+        """The parsed histogram row is a first-class hist-schema series:
+        histogram_quantile over it goes through the engine."""
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        from filodb_spark.sources.influx import parse_influx_hist_lines
+        hist = parse_influx_hist_lines(self._df(spark, self.LINES))
+        gauge = spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        store = TsStore(gauge, hist_df=hist,
+                        hist_metrics=("span_processing_time_seconds",))
+        eng = PromQLEngine(spark, store)
+        t = 1536790212000
+        out = eng.query_range(
+            "histogram_quantile(0.5, span_processing_time_seconds)",
+            t, t, 60_000).collect()
+        assert len(out) == 1
+        # rank 0.5*47 = 23.5 lands in (0.025, 0.05] (cum 8 -> 25):
+        # 0.025 + (23.5-8)/(25-8) * 0.025
+        assert out[0]["value"] == pytest.approx(0.047794117647)

@@ -393,6 +393,9 @@ class PromQLEngine:
         # and one request's no_optimize(...) must not disable routing for
         # a query compiling on another thread (ADVICE r6 class)
         self._preagg_tls = threading.local()
+        # memoized plan-time scrape-interval estimates per selector
+        # (_estimate_scrape_ms) — insertion-ordered dict as bounded FIFO
+        self._scrape_cache: dict = {}
         # per-query QueryStats hook (stats.QueryStatsCollector): when
         # set, every leaf scan is wrapped in a DataFrame.observe node
         # (QueryStats analog, QueryContext.scala:385-470). Thread-local:
@@ -642,16 +645,32 @@ class PromQLEngine:
         O(series) aggregate against the index, never the sample table
         (the reference plans against index cardinalities the same way,
         QueryContext.scala:385-470). None when no index is attached or
-        the selector has no multi-sample series."""
+        the selector has no multi-sample series.
+
+        Memoized per (metric, matchers): a dashboard re-issuing the
+        same selectors must not pay the index aggregate on every query
+        (scrape intervals are deployment constants; the cache lives as
+        long as the engine — rebuild the engine after reattaching a
+        materially different index). Bounded FIFO, GIL-safe."""
+        if self.store.partkey_df is None:
+            return None
+        key = (sel.metric, tuple((m.name, m.op, m.value)
+                                 for m in sel.matchers))
+        cache = self._scrape_cache
+        if key in cache:
+            return cache[key]
         pk = self.store.select_partkeys(sel)
-        if pk is None:
-            return None
-        row = pk.where(F.col("samples") > 1).agg(
-            F.sum(F.col("last_ts") - F.col("first_ts")).alias("span"),
-            F.sum(F.col("samples") - 1).alias("gaps")).first()
-        if row is None or not row["gaps"]:
-            return None
-        return row["span"] / row["gaps"]
+        est = None
+        if pk is not None:
+            row = pk.where(F.col("samples") > 1).agg(
+                F.sum(F.col("last_ts") - F.col("first_ts")).alias("span"),
+                F.sum(F.col("samples") - 1).alias("gaps")).first()
+            if row is not None and row["gaps"]:
+                est = row["span"] / row["gaps"]
+        if len(cache) >= 256:
+            cache.pop(next(iter(cache)))
+        cache[key] = est
+        return est
 
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:

@@ -135,3 +135,24 @@ def test_estimate_scrape_ms(spark):
     # no index -> no estimate
     assert PromQLEngine(spark, TsStore(df))._estimate_scrape_ms(
         parse("m")) is None
+
+
+def test_scrape_estimate_memoized(spark, monkeypatch):
+    df = _corpus(spark, scrape_ms=30_000)
+    store = TsStore(df, partkey_df=partkey_from_samples(df))
+    eng = PromQLEngine(spark, store)
+    from filodb_spark.promql.parser import parse
+    sel = parse("m")
+    first = eng._estimate_scrape_ms(sel)
+    assert first == pytest.approx(30_000, rel=0.01)
+    # second call must be served from the cache — no index scan
+    calls = []
+    monkeypatch.setattr(store.__class__, "select_partkeys",
+                        lambda self, s: calls.append(s))
+    again = eng._estimate_scrape_ms(parse("m"))
+    assert again == first and calls == []
+    # distinct selectors get distinct entries
+    monkeypatch.undo()
+    other = eng._estimate_scrape_ms(parse('m{inst="1"}'))
+    assert other == pytest.approx(30_000, rel=0.01)
+    assert len(eng._scrape_cache) == 2

@@ -1239,8 +1239,14 @@ class PromQLEngine:
                     return e
                 fn_name = f.name
         else:  # already aggregated: keep fn and column, only move levels
-            if f.name not in self.PREAGG_FNS and \
-                    (e.op, f.name) not in self.PREAGG_MINMAX:
+            # op/fn/column must agree (the spec's "weird cases": a query
+            # already on the WRONG aggregation column — min(rate(::sum)),
+            # sum(rate(::min)) — must not be optimized,
+            # AggLpOptimizationSpec.scala:197-210)
+            sum_ok = (e.op == "sum" and f.name in self.PREAGG_FNS
+                      and cur_col in ("", ":count"))
+            minmax_ok = self.PREAGG_MINMAX.get((e.op, f.name)) == cur_col
+            if not (sum_ok or minmax_ok):
                 return e
             col_suffix, fn_name = cur_col, f.name
         if base not in rules:

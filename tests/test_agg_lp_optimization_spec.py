@@ -239,3 +239,14 @@ def test_rewritten_routing_still_answers(spark):
         t, t, 10_000).collect()
     assert {r["labels"]["job"]: r["value"] for r in raw_ans} == \
         {"w": 10.0, "d": 5.0}
+
+
+def test_weird_wrong_column_cases_not_optimized(spark):
+    # "should not optimize wierd cases where query already has a column
+    # that is not the right aggregation column" (:197-210) — expressible
+    # subset (raw-metric ::col selectors don't exist here)
+    for q in (f'sum(rate(foo:::agg1_1:min{F}[300s])) by (container)',
+              f'min(rate(foo:::agg1_1:sum{F}[300s])) by (container)',
+              f'min(rate(foo:::agg1_1{F}[300s]))',
+              f'max(sum_over_time(foo:::agg1_1:count{F}[300s]))'):
+        assert _rewrite(spark, EXCLUDE_RULES_1, q) == parse(q), q

@@ -32,8 +32,9 @@ def _open_store(spark, store: str, partkey: str | None = None):
     from filodb_spark.promql.compiler import TsStore
     kw = {}
     if partkey:
-        from filodb_spark.partkey import read_partkey_table
-        kw["partkey_df"] = read_partkey_table(spark, partkey)
+        # raw shape: select_partkeys pushes matchers below the merge
+        from filodb_spark.partkey import open_partkey_table
+        kw["partkey_df"] = open_partkey_table(spark, partkey)
     if store.startswith("events:"):
         from filodb_spark.tsdf import events_labels_ts
         return TsStore(events_labels_ts(spark, store.split(":", 1)[1]), **kw)

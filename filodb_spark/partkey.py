@@ -110,18 +110,38 @@ def append_partkey_updates(samples_df: DataFrame, path: str,
     write_partkey_table(samples_df, path, shard_labels, mode="append")
 
 
-def read_partkey_table(spark: SparkSession, path: str) -> DataFrame:
-    """Open the part-key table, merging any appended delta rows to one
-    row per canonical series (min first_ts / max last_ts / summed
-    sample count). Immediately after build/compaction this aggregate is
-    a no-op pass over O(series) rows."""
-    raw = spark.read.parquet(path)
+def open_partkey_table(spark: SparkSession, path: str) -> DataFrame:
+    """Open the part-key table in its RAW on-disk shape: delta rows
+    with the physical pruning columns (`_metric` data column,
+    `_ws_`/`_ns_` partition columns) still attached. This is what
+    TsStore mounts: `select_partkeys` pushes metric/shard-key equality
+    matchers onto these columns BEFORE the merge aggregate, so a
+    metric-scoped metadata lookup prunes directories and row groups
+    instead of aggregating the whole index first (the plan-audit
+    finding of r8: filters on a post-aggregate labels map cannot push
+    below the merge)."""
+    return spark.read.parquet(path)
+
+
+def merge_partkey_rows(raw: DataFrame) -> DataFrame:
+    """Merge delta rows to one row per canonical series (min first_ts /
+    max last_ts / summed sample count). Label matchers may be applied
+    BEFORE this merge — every delta row of a series carries identical
+    labels — while span filters must come after."""
     return (raw.groupBy("_sk")
             .agg(F.first("labels").alias("labels"),
                  F.min("first_ts").alias("first_ts"),
                  F.max("last_ts").alias("last_ts"),
                  F.sum("samples").alias("samples"))
             .select(*PARTKEY_COLS))
+
+
+def read_partkey_table(spark: SparkSession, path: str) -> DataFrame:
+    """Open the part-key table MERGED to one row per canonical series.
+    Immediately after build/compaction the merge is a no-op pass over
+    O(series) rows. Query-path consumers should mount
+    open_partkey_table instead (pushdown-friendly raw shape)."""
+    return merge_partkey_rows(open_partkey_table(spark, path))
 
 
 def compact_partkey_table(spark: SparkSession, path: str,

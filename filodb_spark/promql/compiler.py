@@ -192,8 +192,10 @@ class TsStore:
         (filodb_spark.partkey.write_partkey_table)."""
         df = spark.read.parquet(path).select("labels", "ts", "value")
         if partkey_path is not None:
-            from filodb_spark.partkey import read_partkey_table
-            kw = dict(kw, partkey_df=read_partkey_table(spark, partkey_path))
+            # mount the RAW shape: select_partkeys pushes matchers below
+            # the merge (directory pruning + row-group skipping)
+            from filodb_spark.partkey import open_partkey_table
+            kw = dict(kw, partkey_df=open_partkey_table(spark, partkey_path))
         return cls(df, table_path=path, **kw)
     # metrics whose samples are per-interval deltas rather than cumulative
     # counters (delta-counter schema): rate/increase toggle kernels
@@ -298,21 +300,48 @@ class TsStore:
         histogram schema rewrite (_sum/_count/_bucket virtual series are
         not materialized in the part-key table — callers fall back to
         the sample scan). The O(series) analog of the reference's
-        part-key index search (PartKeyLuceneIndex.scala:570-640)."""
+        part-key index search (PartKeyLuceneIndex.scala:570-640).
+
+        When the mounted frame is the RAW on-disk table
+        (partkey.open_partkey_table — has the `_metric` and shard-key
+        physical columns), matchers are applied to the delta rows FIRST
+        (labels are identical per series, so this is merge-safe) with
+        metric/shard-key equality additionally pushed onto the physical
+        columns — directory pruning + row-group skipping — and the
+        merge aggregate runs over the pruned remainder only."""
         if self.partkey_df is None or self.schema_of(sel.metric) != "gauge":
             return None
         df = self.partkey_df
+        raw_shape = "_metric" in df.columns
         type_matchers = [m for m in sel.matchers if m.name == "_type_"]
         if type_matchers:
             if any(m.op != "=" for m in type_matchers):
                 raise ValueError("_type_ supports only the = matcher")
             if any(m.value != self.type_name(sel.metric)
                    for m in type_matchers):
-                return df.where(F.lit(False))
+                return df.where(F.lit(False)).select(
+                    "labels", "_sk", "first_ts", "last_ts", "samples")
         matchers = tuple(m for m in sel.matchers if m.name != "_type_")
         if sel.metric:
             df = df.where(F.col("labels")[METRIC] == sel.metric)
-        return _apply_label_matchers(df, matchers)
+            if raw_shape:
+                # pushable twin of the map filter: the writer sorts
+                # files by _metric, so this prunes row groups at scan
+                df = df.where(F.col("_metric") == sel.metric)
+        if raw_shape:
+            from filodb_spark.sources.table import SHARD_KEY_LABELS
+            for m in matchers:
+                # partition-directory pruning twin for shard-key
+                # equality (redundant with the map filter, never
+                # weaker: __none__/"" sentinel values stay map-only)
+                if m.op == "=" and m.name in SHARD_KEY_LABELS and \
+                        m.value not in ("", "__none__"):
+                    df = df.where(F.col(m.name) == m.value)
+        df = _apply_label_matchers(df, matchers)
+        if raw_shape:
+            from filodb_spark.partkey import merge_partkey_rows
+            df = merge_partkey_rows(df)
+        return df
 
 
 class QueryLimitException(ValueError):

@@ -70,12 +70,24 @@ def run_metadata(store: TsStore) -> float:
     return time.time() - t0
 
 
+def run_scoped_lookup(store: TsStore) -> float:
+    """Grafana's hottest shape: metric+workspace-scoped autocomplete.
+    On the raw-mounted index this prunes directories (_ws_ partition
+    filter) and row groups (sorted _metric pushed filter) BEFORE the
+    merge aggregate — the r8 plan-audit fix."""
+    t0 = time.time()
+    metadata.label_values(store, "instance",
+                          match='metric_3{_ws_="ws_1"}').count()
+    return time.time() - t0
+
+
 def main() -> None:
     densities = [int(x) for x in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("scale-check-metadata", shuffle_partitions=32)
     import tempfile
     root = tempfile.mkdtemp(prefix="scale_meta_")
-    print(f"{'density':>8} {'samples':>12} {'scan_s':>8} {'pk_s':>8}")
+    print(f"{'density':>8} {'samples':>12} {'scan_s':>8} {'pk_s':>8} "
+          f"{'scoped_scan':>12} {'scoped_pk':>10}")
     for d in densities:
         data_path = os.path.join(root, f"series_{d}")
         pk_path = os.path.join(root, f"pk_{d}")
@@ -92,10 +104,16 @@ def main() -> None:
         indexed = TsStore.from_table(spark, data_path, partkey_path=pk_path)
         run_metadata(indexed)
         pk_s = run_metadata(indexed)
+        run_scoped_lookup(plain)
+        scoped_scan = run_scoped_lookup(plain)
+        run_scoped_lookup(indexed)
+        scoped_pk = run_scoped_lookup(indexed)
         n = N_SERIES * BASE_SAMPLES_PER_SERIES * d
-        print(f"{d:>8} {n:>12} {scan_s:>8.2f} {pk_s:>8.2f}"
+        print(f"{d:>8} {n:>12} {scan_s:>8.2f} {pk_s:>8.2f} "
+              f"{scoped_scan:>12.2f} {scoped_pk:>10.2f}"
               f"   (index build {t_build:.1f}s)")
-    print("expected: scan_s grows with density; pk_s flat")
+    print("expected: scan_s/scoped_scan grow with density; pk columns flat"
+          " (scoped_pk additionally prunes dirs/row-groups at scan)")
 
 
 if __name__ == "__main__":

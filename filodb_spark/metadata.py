@@ -278,23 +278,38 @@ def topk_cardinality(store: TsStore,
     return top.unionByName(tail)
 
 
-def ts_cardinality_prefix(store: TsStore,
-                          shard_key_prefix: tuple[str, ...] = (),
-                          num_group_by_fields: int = 1,
-                          active_after_ms: int | None = None) -> DataFrame:
-    """TsCardExec v2 surface (MetadataExecPlan.scala:579-640;
+def ts_card_exec(store: TsStore,
+                 shard_key_prefix: tuple[str, ...] = (),
+                 num_group_by_fields: int = 1,
+                 active_after_ms: int | None = None) -> DataFrame:
+    """TsCardExec analog (MetadataExecPlan.scala:579-640;
     MetadataExecSpec.scala:414-491): filter series by a shard-key
     PREFIX (values for _ws_, _ns_, __name__ in that order) and group
-    counts by the first `num_group_by_fields` of the same trio."""
+    counts by the first `num_group_by_fields` of the same trio. Exec
+    level — no logical-plan requires (the reference's exec spec drives
+    shapes the logical plan would reject)."""
     fields = ("_ws_", "_ns_", "__name__")
-    if not 1 <= num_group_by_fields <= len(fields):
-        raise ValueError("numGroupByFields must lie on [1, 3]")
-    if len(shard_key_prefix) > num_group_by_fields:
-        # TsCardinalities require (LogicalPlan.scala:349-351)
-        raise ValueError("numGroupByFields indicate a depth at least as "
-                         "deep as shardKeyPrefix")
     matchers = ",".join(f'{lab}="{val}"'
                         for lab, val in zip(fields, shard_key_prefix))
     match = "{%s}" % matchers if matchers else None
     return ts_cardinality(store, fields[:num_group_by_fields],
                           active_after_ms, match)
+
+
+def ts_cardinality_prefix(store: TsStore,
+                          shard_key_prefix: tuple[str, ...] = (),
+                          num_group_by_fields: int = 1,
+                          active_after_ms: int | None = None) -> DataFrame:
+    """TsCardinalities v2 surface: the user-facing plan, enforcing all
+    three logical-plan requires (LogicalPlan.scala:350-355) before
+    delegating to the exec."""
+    if not 1 <= num_group_by_fields <= 3:
+        raise ValueError("numGroupByFields must lie on [1, 3]")
+    if len(shard_key_prefix) > num_group_by_fields:
+        raise ValueError("numGroupByFields indicate a depth at least as "
+                         "deep as shardKeyPrefix")
+    if num_group_by_fields == 3 and len(shard_key_prefix) < 2:
+        raise ValueError("cannot group at the metric level when prefix "
+                         "does not contain ws and ns")
+    return ts_card_exec(store, shard_key_prefix, num_group_by_fields,
+                        active_after_ms)

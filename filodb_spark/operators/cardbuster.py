@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from filodb_spark.partkey import (partkey_from_samples, read_partkey_table,
                                   write_partkey_table)
-from filodb_spark.sources.table import SHARD_KEY_LABELS, hadoop_fs
+from filodb_spark.sources.table import (SHARD_KEY_LABELS, escape_path_name,
+                                        hadoop_fs)
 
 
 def delete_filter_predicate(delete_filters: list[dict[str, str]]) -> Column:
@@ -112,13 +113,21 @@ def _swap_rewrite_partkeys(spark: SparkSession, path: str,
     out = out.withColumn("_metric", F.col("labels")["__name__"])
     fs, Path = hadoop_fs(spark, path)
     tmp = path.rstrip("/") + "__busting"
-    (out.repartition(*[F.col(c) for c in shard_labels])
-        .sortWithinPartitions("_metric", "_sk")
-        .write.mode("overwrite").partitionBy(*shard_labels).parquet(tmp))
     old = path.rstrip("/") + "__busted_old"
-    fs.rename(Path(path), Path(old))
-    fs.rename(Path(tmp), Path(path))
-    fs.delete(Path(old), True)
+    try:
+        (out.repartition(*[F.col(c) for c in shard_labels])
+            .sortWithinPartitions("_metric", "_sk")
+            .write.mode("overwrite").partitionBy(*shard_labels).parquet(tmp))
+        fs.rename(Path(path), Path(old))
+        fs.rename(Path(tmp), Path(path))
+        fs.delete(Path(old), True)
+    except BaseException:
+        # same restore discipline as compact_partkey_table: never leave
+        # nothing at `path` after a mid-swap failure
+        if not fs.exists(Path(path)) and fs.exists(Path(old)):
+            fs.rename(Path(old), Path(path))
+        fs.delete(Path(tmp), True)
+        raise
 
 
 def bust_series_rows(spark: SparkSession, table_path: str,
@@ -181,7 +190,12 @@ def bust_series_rows(spark: SparkSession, table_path: str,
      .parquet(tmp))
     root = table_path.rstrip("/")
     for vals in shard_vals:
-        parts = [f"{lab}={v}" for lab, v in zip(shard_labels, vals)]
+        # escape values exactly as Spark's partitionBy writer does, so a
+        # _ws_/_ns_ containing '/', '=', '%', ':' still targets the dir
+        # Spark actually wrote (the unescaped path would not exist, and
+        # the swap would silently leave the real partition untouched)
+        parts = [f"{lab}={escape_path_name(v)}"
+                 for lab, v in zip(shard_labels, vals)]
         rel = "/".join(parts)
         src = Path(tmp.rstrip("/") + "/" + rel)
         dst = Path(root + "/" + rel)

@@ -150,23 +150,31 @@ def compact_partkey_table(spark: SparkSession, path: str,
     """Rewrite the table with all delta rows merged — the reference's
     periodic index commit/refresh. Writes to a sibling temp dir then
     swaps via the Hadoop FileSystem API (filesystem-agnostic, like
-    expire_partitions), so a concurrent reader never sees a
-    half-written table."""
+    expire_partitions). NOTE: the two-rename swap is not atomic — a
+    reader racing the swap can momentarily see no table (run compaction
+    in the same maintenance window as the reference's index refresh);
+    on failure the old table is restored before the temp is cleaned, so
+    a crash never strands the path empty."""
     from filodb_spark.sources.table import hadoop_fs
     merged = _with_shard_cols(read_partkey_table(spark, path), shard_labels)
     merged = merged.withColumn("_metric", F.col("labels")["__name__"])
     tmp = path.rstrip("/") + "__compacting"
     fs, Path = hadoop_fs(spark, path)
+    old = path.rstrip("/") + "__compact_old"
     try:
         (merged.repartition(*[F.col(c) for c in shard_labels])
                .sortWithinPartitions("_metric", "_sk")
                .write.mode("overwrite").partitionBy(*shard_labels)
                .parquet(tmp))
-        swap = path.rstrip("/") + "__compact_old"
-        fs.rename(Path(path), Path(swap))
+        fs.rename(Path(path), Path(old))
         fs.rename(Path(tmp), Path(path))
-        fs.delete(Path(swap), True)
+        fs.delete(Path(old), True)
     except BaseException:
+        # restore: if the first rename happened but the second did not,
+        # put the original table back BEFORE deleting the merged temp —
+        # never leave nothing at `path`
+        if not fs.exists(Path(path)) and fs.exists(Path(old)):
+            fs.rename(Path(old), Path(path))
         fs.delete(Path(tmp), True)
         raise
 

@@ -1271,8 +1271,15 @@ class PromQLEngine:
             # op/fn/column must agree (the spec's "weird cases": a query
             # already on the WRONG aggregation column — min(rate(::sum)),
             # sum(rate(::min)) — must not be optimized,
-            # AggLpOptimizationSpec.scala:197-210)
-            sum_ok = (e.op == "sum" and f.name in self.PREAGG_FNS
+            # AggLpOptimizationSpec.scala:197-210). count_over_time over a
+            # preagg selector counts THAT level's samples — series count
+            # differs per level, so moving levels changes the value; the
+            # reference only optimizes CountOverTime on a raw metric
+            # (rewritten to SumOverTime on ::count, which is
+            # level-invariant) and refuses it on ::count selectors
+            # (AggLpOptimization.scala getAggOpForRangeFunction).
+            sum_ok = (e.op == "sum"
+                      and f.name in self.PREAGG_FNS - {"count_over_time"}
                       and cur_col in ("", ":count"))
             minmax_ok = self.PREAGG_MINMAX.get((e.op, f.name)) == cur_col
             if not (sum_ok or minmax_ok):

@@ -47,6 +47,29 @@ def hadoop_fs(spark: SparkSession, path: str):
     return Path(path).getFileSystem(conf), Path
 
 
+# Characters Spark escapes when writing Hive-style partition directories
+# (ExternalCatalogUtils.escapePathName, itself from Hive's FileUtils):
+# ASCII control chars, and the shell/URI-special set below. Values are
+# percent-encoded as %XX (uppercase hex); null/empty becomes the Hive
+# default-partition sentinel.
+_PATH_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + ['"', '#', '%', "'", '*', '/', ':', '=', '?', '\\', '\x7f',
+       '{', '[', ']', '^'])
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def escape_path_name(value: str | None) -> str:
+    """Escape a partition VALUE exactly the way Spark does when writing
+    `partitionBy` directories, so directory paths composed by maintenance
+    jobs (cardbuster swaps) target the dirs Spark actually wrote even
+    when a label value contains '/', '=', '%', ':', etc."""
+    if value is None or value == "":
+        return HIVE_DEFAULT_PARTITION
+    return "".join(f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c
+                   for c in value)
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True when the Delta Lake runtime is on the session classpath.
     SURVEY §7 names Parquet/Delta as the storage formats; parquet is the

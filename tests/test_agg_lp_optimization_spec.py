@@ -133,6 +133,18 @@ def test_exclude_reoptimize_to_higher_level(spark):
     ])
 
 
+def test_reoptimize_refuses_count_over_time(spark):
+    # count_over_time over a preagg selector counts that LEVEL's samples
+    # (series count differs per level), so moving levels would silently
+    # change the value. The reference only optimizes CountOverTime on a
+    # raw metric — rewritten to SumOverTime on ::count (level-invariant) —
+    # and refuses it on already-aggregated selectors
+    # (AggLpOptimization.scala getAggOpForRangeFunction).
+    for q in (f'sum(count_over_time(foo:::agg1_1{F}[300s]))',
+              f'sum(count_over_time(foo:::agg1_1:count{F}[300s]))'):
+        assert _rewrite(spark, EXCLUDE_RULES_1, q) == parse(q)
+
+
 def test_exclude_group_without(spark):
     # without(container): container excluded by agg1_2 in EVERY version
     assert_opt(spark, EXCLUDE_RULES_1, [

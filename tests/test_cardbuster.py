@@ -128,6 +128,36 @@ def test_bust_series_rows_whole_partition_doomed(spark, samples, tmp_path):
     assert not glob.glob(data_path + "/_ws_=bulk_ws*")
 
 
+def test_bust_escaped_partition_values(spark, tmp_path):
+    # Shard-key values containing Hive-escaped chars ('/', ':', '=', '%'):
+    # Spark writes `_ws_=svc%2Fteam%3Aa` — the swap must compose the SAME
+    # escaped path or it silently leaves the real partition untouched
+    # and deletes the rewritten survivors with the temp dir.
+    base = 1_700_000_000_000
+    rows = [("m", ws, base + k * 1000, float(k))
+            for ws in ("svc/team:a", "plain=x", "pct%ws")
+            for k in range(4)]
+    df = spark.createDataFrame(
+        rows, "metric string, ws string, ts long, value double").select(
+        F.create_map(F.lit("__name__"), F.col("metric"),
+                     F.lit("_ws_"), F.col("ws"),
+                     F.lit("_ns_"), F.lit("app")).alias("labels"),
+        "ts", "value")
+    data_path = str(tmp_path / "series")
+    write_series_table(df, data_path)
+    # sanity: Spark escaped the dir names
+    assert glob.glob(data_path + "/_ws_=svc%2Fteam%3Aa")
+    stats = bust_series_rows(spark, data_path, [{"_ws_": "svc/team:a"}],
+                             simulate=False)
+    assert stats["series_deleted"] == 1 and stats["rows_deleted"] == 4
+    out = spark.read.parquet(data_path)
+    assert out.count() == 8
+    assert out.where(F.col("_ws_") == "svc/team:a").count() == 0
+    # the doomed partition dir is gone; survivors intact
+    assert not glob.glob(data_path + "/_ws_=svc%2Fteam%3Aa")
+    assert out.where(F.col("_ws_") == "plain=x").count() == 4
+
+
 def test_full_bust_and_expire_interplay(spark, samples, tmp_path):
     data_path = str(tmp_path / "series")
     pk_path = str(tmp_path / "pk")

@@ -150,13 +150,32 @@ TSCARD_SPECS = [
 def test_ts_card_exec_goldens(store):
     # "should correctly execute TsCardExec" (:414-491) — all nine
     # (shardKeyPrefix, numGroupByFields) specs; CardCounts collapse to
-    # total_series in a single-store engine
+    # total_series in a single-store engine. Drives the EXEC analog
+    # directly, like the reference spec constructing TsCardExec — two
+    # specs ((), 3 and ("demo",), 3) are rejected by the logical plan's
+    # third require but remain valid exec shapes.
     for prefix, n, expected in TSCARD_SPECS:
-        out = metadata.ts_cardinality_prefix(store, prefix, n)
+        out = metadata.ts_card_exec(store, prefix, n)
         fields = ("_ws_", "_ns_", "__name__")[:max(n, len(prefix))]
         got = {tuple(r[f] for f in fields): r["total_series"]
                for r in out.collect()}
         assert got == expected, (prefix, n)
+
+
+def test_ts_cardinalities_requires(store):
+    # the three TsCardinalities requires (LogicalPlan.scala:350-355)
+    import pytest
+    with pytest.raises(ValueError, match=r"lie on \[1, 3\]"):
+        metadata.ts_cardinality_prefix(store, (), 0)
+    with pytest.raises(ValueError, match="at least as deep"):
+        metadata.ts_cardinality_prefix(store, ("demo", "App-0"), 1)
+    # cannot group at the metric level when the prefix lacks ws and ns
+    for prefix in ((), ("demo",)):
+        with pytest.raises(ValueError, match="metric level"):
+            metadata.ts_cardinality_prefix(store, prefix, 3)
+    # size-2 prefix with n=3 is legal
+    assert metadata.ts_cardinality_prefix(
+        store, ("demo", "App-0"), 3).count() > 0
 
 
 def test_topk_overflow_group(store):

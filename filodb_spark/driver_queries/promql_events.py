@@ -446,6 +446,40 @@ def q_series_cardinality_pk(spark, sf_dir):
                       "total_series", "active_series")
 
 
+def q_hist_metadata_pk(spark, sf_dir):
+    """Histogram-metric-scoped metadata on the part-key path (round 9):
+    the store mounts a histogram table (one series per (event_type,
+    user), metric `evlat`) and the index built over EVERY schema
+    (partkey_from_store — one index per shard regardless of schema,
+    PartKeyLuceneIndex.scala). The `evlat_sum` selector resolves on the
+    index via the _sum->base-metric rewrite; matchers + span-overlap
+    range semantics apply as on the gauge path. Closes the r8 sliver
+    where hist-scoped lookups fell back to the O(samples) scan."""
+    from filodb_spark import metadata
+    from filodb_spark.partkey import partkey_from_store
+    from filodb_spark.promql.compiler import TsStore
+    from filodb_spark.tsdf import events_labels_ts, events_ts
+    gauge = events_labels_ts(spark, sf_dir, dedupe=False)
+    ev = events_ts(spark, sf_dir, series_cols=("event_type", "user_id"),
+                   dedupe=False)
+    hist = ev.select(
+        F.create_map(F.lit("__name__"), F.lit("evlat"),
+                     F.lit("etype"), F.col("event_type"),
+                     F.lit("user"), F.col("user_id").cast("string"))
+        .alias("labels"),
+        "ts", F.col("value").alias("sum"), F.lit(1.0).alias("count"),
+        F.struct(F.array(F.lit(1.0), F.lit(float("inf"))).alias("les"),
+                 F.array(F.lit(0.0), F.lit(1.0)).alias("values"))
+        .alias("hist"))
+    st = TsStore(gauge, hist_df=hist, hist_metrics=("evlat",))
+    store = TsStore(gauge, hist_df=hist, hist_metrics=("evlat",),
+                    partkey_df=partkey_from_store(st))
+    _, hi = _bounds(spark, sf_dir)
+    return metadata.label_values(store, "user",
+                                 match='evlat_sum{etype=~"p.*"}',
+                                 start_ms=hi - ACTIVE_WINDOW_MS)
+
+
 def q_cardbuster(spark, sf_dir):
     """Cardbuster survivors (PerShardCardinalityBuster.scala:84-102
     semantics): OR-of-AND anchored label-regex filters + a start-time
@@ -511,6 +545,7 @@ QUERIES = {
     "ts_series_cardinality": q_series_cardinality,
     "ts_label_values_pk": q_label_values_pk,
     "ts_series_cardinality_pk": q_series_cardinality_pk,
+    "ts_hist_metadata_pk": q_hist_metadata_pk,
     "ts_cardbuster": q_cardbuster,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
@@ -866,6 +901,19 @@ SELECT event_type, ts, round(value, 2) AS value FROM raw""",
     # part-key-path metadata: per-series spans from one aggregate, then
     # span-overlap / endTime-active semantics (matches the index path)
     "ts_label_values_pk": """
+WITH per_series AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS user,
+         MAX(epoch_ms(ts)) AS last_ts
+  FROM events GROUP BY 1, 2
+)
+SELECT DISTINCT user AS value FROM per_series
+WHERE regexp_matches(event_type, '^(?:p.*)$')
+  AND last_ts >= (SELECT MAX(epoch_ms(ts)) - 43200000 FROM events)""",
+    # hist-scoped twin: the evlat hist series are one per (event_type,
+    # user) built from the same events rows, so spans match the gauge
+    # per-series aggregate exactly; the _sum rewrite resolves to the
+    # base metric's series set
+    "ts_hist_metadata_pk": """
 WITH per_series AS (
   SELECT event_type, CAST(user_id AS VARCHAR) AS user,
          MAX(epoch_ms(ts)) AS last_ts

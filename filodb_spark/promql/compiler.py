@@ -185,12 +185,24 @@ class TsStore:
 
     @classmethod
     def from_table(cls, spark: SparkSession, path: str,
-                   partkey_path: str | None = None, **kw) -> "TsStore":
+                   partkey_path: str | None = "auto", **kw) -> "TsStore":
         """Open a partitioned series table written by
-        sources.table.write_series_table; partkey_path optionally
-        attaches the materialized part-key table
-        (filodb_spark.partkey.write_partkey_table)."""
+        sources.table.write_series_table.
+
+        partkey_path attaches the materialized part-key table
+        (filodb_spark.partkey.write_partkey_table). The default "auto"
+        probes the `<path>_partkey` sibling convention (where
+        cli.py `partkey-build` writes it), so production mounts default
+        to the O(series) index path — metadata endpoints, the plan-time
+        limit estimator, and density-aware window selection all light
+        up with no flag. Pass an explicit path to attach a
+        non-conventional location, or None to opt out."""
         df = spark.read.parquet(path).select("labels", "ts", "value")
+        if partkey_path == "auto":
+            from filodb_spark.sources.table import hadoop_fs
+            probe = path.rstrip("/") + "_partkey"
+            fs, Path = hadoop_fs(spark, probe)
+            partkey_path = probe if fs.exists(Path(probe)) else None
         if partkey_path is not None:
             # mount the RAW shape: select_partkeys pushes matchers below
             # the merge (directory pruning + row-group skipping)
@@ -296,11 +308,16 @@ class TsStore:
 
     def select_partkeys(self, sel: A.VectorSelector) -> DataFrame | None:
         """Matcher-filtered part-key rows (one per series), or None when
-        no part-key table is attached or the selector resolves to a
-        histogram schema rewrite (_sum/_count/_bucket virtual series are
-        not materialized in the part-key table — callers fall back to
-        the sample scan). The O(series) analog of the reference's
-        part-key index search (PartKeyLuceneIndex.scala:570-640).
+        no part-key table is attached or the selector is a `_bucket`
+        histogram rewrite (per-`le` bucket series are virtual — exploded
+        at query time, never materialized in the part-key table — so
+        callers fall back to the sample scan for them). Histogram
+        metrics themselves, and their `_sum`/`_count` rewrites, resolve
+        on the index: the reference keeps ONE part-key index per shard
+        regardless of schema (PartKeyLuceneIndex.scala), and a
+        `<m>_sum`/`<m>_count` selector names exactly the base metric's
+        series set. The O(series) analog of the reference's part-key
+        index search (PartKeyLuceneIndex.scala:570-640).
 
         When the mounted frame is the RAW on-disk table
         (partkey.open_partkey_table — has the `_metric` and shard-key
@@ -309,8 +326,14 @@ class TsStore:
         metric/shard-key equality additionally pushed onto the physical
         columns — directory pruning + row-group skipping — and the
         merge aggregate runs over the pruned remainder only."""
-        if self.partkey_df is None or self.schema_of(sel.metric) != "gauge":
+        schema = self.schema_of(sel.metric)
+        if self.partkey_df is None or schema == "hist_bucket":
             return None
+        # _sum/_count rewrites: the stored part key carries the BASE
+        # histogram metric name (same series, same spans, same counts)
+        metric = sel.metric
+        if schema in ("hist_sum", "hist_count"):
+            metric = sel.metric[: -(len(schema) - 4)]
         df = self.partkey_df
         raw_shape = "_metric" in df.columns
         type_matchers = [m for m in sel.matchers if m.name == "_type_"]
@@ -322,12 +345,12 @@ class TsStore:
                 return df.where(F.lit(False)).select(
                     "labels", "_sk", "first_ts", "last_ts", "samples")
         matchers = tuple(m for m in sel.matchers if m.name != "_type_")
-        if sel.metric:
-            df = df.where(F.col("labels")[METRIC] == sel.metric)
+        if metric:
+            df = df.where(F.col("labels")[METRIC] == metric)
             if raw_shape:
                 # pushable twin of the map filter: the writer sorts
                 # files by _metric, so this prunes row groups at scan
-                df = df.where(F.col("_metric") == sel.metric)
+                df = df.where(F.col("_metric") == metric)
         if raw_shape:
             from filodb_spark.sources.table import SHARD_KEY_LABELS
             for m in matchers:

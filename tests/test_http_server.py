@@ -178,12 +178,21 @@ class TestMetadataHttpParams:
             assert s["_type_"] == "gauge"
 
     def test_ts_cardinality_prefix_shape(self, server):
-        # depth-3 grouping: (_ws_, _ns_, __name__); the fixture carries
-        # no shard labels, so those keys are null and the metric splits
+        # depth-2 grouping: (_ws_, _ns_); the fixture carries no shard
+        # labels, so both keys are null and everything lands in one group
         _, resp = get(server, "/api/v1/status/ts_cardinality",
-                      num_group_by=3)
-        rows = {r["__name__"]: r["total_series"] for r in resp["data"]}
-        assert rows["purchase"] > 0 and len(rows) == 5
+                      num_group_by=2)
+        assert len(resp["data"]) == 1
+        assert resp["data"][0]["total_series"] > 0
+
+    def test_ts_cardinality_prefix_requires(self, server):
+        # metric-level grouping without a ws+ns prefix is rejected by
+        # the logical plan (TsCardinalities third require,
+        # LogicalPlan.scala:354-355) -> 400
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            get(server, "/api/v1/status/ts_cardinality", num_group_by=3)
+        assert exc.value.code == 400
 
     def test_topk_overflow_param(self, server):
         _, resp = get(server, "/api/v1/status/ts_cardinality",

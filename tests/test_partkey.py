@@ -151,12 +151,41 @@ def test_type_matcher_gates_partkey_scan(spark, samples):
     assert miss.count() == 0
 
 
-def test_hist_schema_selector_falls_back(spark, samples):
-    st = TsStore(samples, hist_metrics=("lat",),
-                 partkey_df=partkey_from_samples(samples))
+def _hist_df(spark):
+    return spark.createDataFrame(
+        [({"__name__": "lat", "job": "histsvc", "_ws_": "demo",
+           "_ns_": "app"}, 1_000_000 + k * 10_000, 1.0, 2.0,
+          ([1.0, 2.0], [1.0, 2.0])) for k in range(10)],
+        "labels map<string,string>, ts long, sum double, count double, "
+        "hist struct<les: array<double>, values: array<double>>")
+
+
+def test_hist_schema_selectors_on_index(spark, samples):
+    """select_partkeys resolves histogram metrics and their _sum/_count
+    rewrites on the index (one part-key index per shard regardless of
+    schema, PartKeyLuceneIndex.scala); only per-le _bucket virtual
+    series fall back to the sample scan."""
+    from filodb_spark.partkey import partkey_from_store
     from filodb_spark.promql.parser import parse
+    hist = _hist_df(spark)
+    st = TsStore(samples, hist_df=hist, hist_metrics=("lat",))
+    st = TsStore(samples, hist_df=hist, hist_metrics=("lat",),
+                 partkey_df=partkey_from_store(st))
     assert st.select_partkeys(parse("lat_bucket")) is None
-    assert st.select_partkeys(parse("lat")) is None
+    for m in ("lat", "lat_sum", "lat_count",
+              'lat{job="histsvc"}', 'lat_sum{job="histsvc"}'):
+        rows = st.select_partkeys(parse(m)).collect()
+        assert len(rows) == 1, m
+        assert rows[0]["labels"]["__name__"] == "lat"
+        assert rows[0]["samples"] == 10
+    assert st.select_partkeys(parse('lat{job="other"}')).count() == 0
+    # hist metadata equivalence: index path == sample-scan fallback
+    plain = TsStore(samples, hist_df=hist, hist_metrics=("lat",))
+    for match in ("lat", "lat_sum", "lat_count"):
+        assert _rows(metadata.series(st, match)) == \
+            _rows(metadata.series(plain, match))
+        assert _rows(metadata.label_values(st, "job", match=match)) == \
+            _rows(metadata.label_values(plain, "job", match=match))
 
 
 def test_metadata_plan_never_reads_sample_table(spark, samples, tmp_path):
@@ -176,6 +205,53 @@ def test_metadata_plan_never_reads_sample_table(spark, samples, tmp_path):
     store2 = TsStore.from_table(spark, data_path)
     files2 = metadata.label_values(store2, "instance").inputFiles()
     assert files2 and all("/series/" in f for f in files2)
+
+
+def test_hist_metadata_plan_never_reads_sample_tables(spark, samples,
+                                                      tmp_path):
+    """With the index attached, a HIST-metric-scoped metadata lookup
+    scans only part-key files — closing the r8 sliver where hist-scoped
+    lookups re-opened the O(samples) path."""
+    from filodb_spark.sources.table import write_series_table
+    data_path = str(tmp_path / "series")
+    hist_path = str(tmp_path / "hist")
+    pk_path = str(tmp_path / "pk")
+    write_series_table(samples, data_path)
+    hist = _hist_df(spark)
+    hist.write.parquet(hist_path)
+    hist_disk = spark.read.parquet(hist_path)
+    write_partkey_table(
+        samples.select("labels", "ts")
+               .unionByName(hist_disk.select("labels", "ts")), pk_path)
+    store = TsStore.from_table(spark, data_path, partkey_path=pk_path,
+                               hist_df=hist_disk, hist_metrics=("lat",))
+    for match in ("lat", 'lat_sum{job="histsvc"}', "lat_count"):
+        files = metadata.label_values(store, "job", match=match).inputFiles()
+        assert files and all("/pk/" in f for f in files), match
+    # _bucket virtual series: documented fallback to the hist table
+    files = metadata.label_values(store, "le", match="lat_bucket").inputFiles()
+    assert files and all("/hist/" in f for f in files)
+
+
+def test_from_table_auto_attaches_partkey(spark, samples, tmp_path):
+    """from_table probes the `<path>_partkey` sibling convention by
+    default, so production mounts get the O(series) metadata path with
+    no flag; partkey_path=None opts out."""
+    from filodb_spark.sources.table import write_series_table
+    data_path = str(tmp_path / "series")
+    write_series_table(samples, data_path)
+    write_partkey_table(samples, data_path + "_partkey")
+    auto = TsStore.from_table(spark, data_path)
+    assert auto.partkey_df is not None
+    files = metadata.label_values(auto, "instance").inputFiles()
+    assert files and all("series_partkey" in f for f in files)
+    # explicit opt-out
+    off = TsStore.from_table(spark, data_path, partkey_path=None)
+    assert off.partkey_df is None
+    # no sibling -> silently unattached
+    solo_path = str(tmp_path / "solo")
+    write_series_table(samples, solo_path)
+    assert TsStore.from_table(spark, solo_path).partkey_df is None
 
 
 def test_limit_estimator_exact_on_partkey(spark, samples):

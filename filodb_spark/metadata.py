@@ -40,14 +40,24 @@ def _selector(match: str | None) -> VectorSelector:
 def _scan(store: TsStore, match: str | None, start_ms: int | None,
           end_ms: int | None) -> DataFrame:
     """Raw-sample scan fallback (exact sample-presence semantics).
-    Unmatched scans cover EVERY schema table the store mounts — the
-    reference's one-index-per-shard sees histogram part keys too."""
-    if match:
-        df = store.select(_selector(match)).select("labels", "ts")
+    Scans cover EVERY schema table the store mounts — the reference's
+    one-index-per-shard sees histogram part keys too, so a metric-less
+    match applies its matchers across all schemas (data queries instead
+    resolve to a single schema or raise SchemaMismatch — metadata never
+    does)."""
+    sel = _selector(match) if match else None
+    if sel is not None and not (sel.metric is None
+                                and store.hist_df is not None
+                                and not any(m.name == "_type_"
+                                            for m in sel.matchers)):
+        df = store.select(sel).select("labels", "ts")
     else:
+        from filodb_spark.promql.compiler import _apply_label_matchers
         df = store.df.select("labels", "ts")
         if store.hist_df is not None:
             df = df.unionByName(store.hist_df.select("labels", "ts"))
+        if sel is not None:
+            df = _apply_label_matchers(df, sel.matchers)
     if start_ms is not None:
         df = df.where(F.col("ts") >= start_ms)
     if end_ms is not None:
@@ -143,17 +153,7 @@ def label_value_freqs(store: TsStore, label: str,
 def _type_expr(store: TsStore, metric):
     """Schema name for the virtual `_type_` label, as a column expression
     (mirrors TsStore.type_name; MetadataExecSpec `_type_` in part keys)."""
-    expr = F.lit("gauge")
-    if store.delta_metrics:
-        expr = F.when(metric.isin(*store.delta_metrics),
-                      F.lit("delta-counter")).otherwise(expr)
-    if store.hist_metrics:
-        expr = F.when(metric.isin(*store.hist_metrics),
-                      F.lit("prom-histogram")).otherwise(expr)
-    if store.exp_hist_metrics:
-        expr = F.when(metric.isin(*store.exp_hist_metrics),
-                      F.lit("otel-exp-delta-histogram")).otherwise(expr)
-    return expr
+    return store.type_expr(metric)
 
 
 def series(store: TsStore, match: str, start_ms: int | None = None,

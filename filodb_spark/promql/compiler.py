@@ -243,11 +243,35 @@ class TsStore:
         if metric and metric in self.hist_metrics:
             return "hist"
         if metric:
-            for suffix in ("_sum", "_count", "_bucket"):
-                if metric.endswith(suffix) and \
-                        metric[: -len(suffix)] in self.hist_metrics:
-                    return "hist" + suffix
+            base = self.hist_base_of(metric)
+            if base is not None:
+                for suffix in ("_sum", "_count", "_bucket"):
+                    if self._strip_agg(metric)[0].endswith(suffix):
+                        return "hist" + suffix
         return "gauge"
+
+    @staticmethod
+    def _strip_agg(metric: str) -> tuple[str, str]:
+        """Split `name[:::agg]` -> (name, ':::agg' or '')."""
+        name, sep, agg = metric.partition(":::")
+        return name, sep + agg
+
+    def hist_base_of(self, metric: str | None) -> str | None:
+        """The histogram metric a `_sum`/`_count`/`_bucket` selector
+        resolves to, composing with a preagg `:::agg` suffix the way
+        MultiSchemaPartitionsExec strips the column suffix before the
+        agg part (MultiSchemaPartitionsExecSpec.scala:604-616:
+        request-latency_sum:::agg -> request-latency:::agg). None when
+        the metric is not a histogram rewrite."""
+        if not metric:
+            return None
+        name, agg = self._strip_agg(metric)
+        for suffix in ("_sum", "_count", "_bucket"):
+            if name.endswith(suffix):
+                base = name[: -len(suffix)] + agg
+                if base in self.hist_metrics:
+                    return base
+        return None
 
     def type_name(self, metric: str | None) -> str:
         """Schema name exposed through the virtual `_type_` label
@@ -267,24 +291,29 @@ class TsStore:
         # (known-mismatch -> empty result, MultiSchemaPartitionsExec
         # _type_ filter handling)
         type_matchers = [m for m in sel.matchers if m.name == "_type_"]
+        type_value = None
         if type_matchers:
             for m in type_matchers:
                 if m.op != "=":
                     raise ValueError(
                         "_type_ supports only the = matcher")
-            own = self.type_name(sel.metric)
-            if any(m.value != own for m in type_matchers):
+            type_value = type_matchers[0].value
+            if sel.metric is not None and \
+                    any(m.value != self.type_name(sel.metric)
+                        for m in type_matchers):
                 base = self.df if schema == "gauge" else self.hist_df
                 return base.where(F.lit(False))
             sel = A.VectorSelector(
                 sel.metric,
                 tuple(m for m in sel.matchers if m.name != "_type_"),
                 offset_ms=sel.offset_ms, at_ms=sel.at_ms, limit=sel.limit)
+        if sel.metric is None and self.hist_df is not None:
+            return self._select_multischema(sel.matchers, type_value)
         if schema == "gauge":
             df = self.df
         else:
             base = sel.metric if schema == "hist" else \
-                sel.metric[: -(len(schema) - 4)]
+                self.hist_base_of(sel.metric)
             df = self.hist_df.where(F.col("labels")[METRIC] == base)
             if schema == "hist_sum":
                 df = df.select("labels", "ts", F.col("sum").alias("value"))
@@ -305,6 +334,67 @@ class TsStore:
         if sel.metric and schema == "gauge":
             df = df.where(F.col("labels")[METRIC] == sel.metric)
         return _apply_label_matchers(df, sel.matchers)
+
+    def type_expr(self, metric_col: Column) -> Column:
+        """Schema name for the virtual `_type_` label as a column
+        expression over a metric-name column (row-wise type_name)."""
+        expr = F.lit("gauge")
+        if self.delta_metrics:
+            expr = F.when(metric_col.isin(*self.delta_metrics),
+                          F.lit("delta-counter")).otherwise(expr)
+        if self.hist_metrics:
+            expr = F.when(metric_col.isin(*self.hist_metrics),
+                          F.lit("prom-histogram")).otherwise(expr)
+        if self.exp_hist_metrics:
+            expr = F.when(metric_col.isin(*self.exp_hist_metrics),
+                          F.lit("otel-exp-delta-histogram")).otherwise(expr)
+        return expr
+
+    def _hist_full(self) -> DataFrame:
+        extra = [c for c in ("min", "max") if c in self.hist_df.columns]
+        return self.hist_df.select("labels", "ts", "sum", "count",
+                                   "hist", *extra)
+
+    def _select_multischema(self, matchers, type_value: str | None
+                            ) -> DataFrame:
+        """Schema resolution for a metric-less data selector on a
+        multi-schema store (MultiSchemaPartitionsExec lookupPartitions):
+        the selector binds to the SINGLE schema whose series match the
+        filters; matching more than one raises SchemaMismatch
+        (MultiSchemaPartitionsExecSpec.scala:341-348,
+        TimeSeriesShard.scala:237-238). A `_type_` Equals matcher names
+        the schema directly and skips discovery (spec :631-652)."""
+        matchers = tuple(m for m in matchers if m.name != "_type_")
+        gauge = _apply_label_matchers(self.df, matchers)
+        if type_value is not None:
+            if type_value in ("prom-histogram", "otel-exp-delta-histogram"):
+                hist = _apply_label_matchers(self._hist_full(), matchers)
+                exp = list(self.exp_hist_metrics)
+                if not exp:
+                    return hist if type_value == "prom-histogram" \
+                        else hist.where(F.lit(False))
+                name = F.col("labels")[METRIC]
+                return hist.where(name.isin(exp)
+                                  if type_value != "prom-histogram"
+                                  else ~name.isin(exp))
+            if type_value in ("gauge", "delta-counter"):
+                delta = list(self.delta_metrics)
+                if not delta:
+                    return gauge if type_value == "gauge" \
+                        else gauge.where(F.lit(False))
+                name = F.col("labels")[METRIC]
+                return gauge.where(name.isin(delta)
+                                   if type_value == "delta-counter"
+                                   else ~name.isin(delta))
+            return gauge.where(F.lit(False))
+        hist = _apply_label_matchers(self._hist_full(), matchers)
+        gauge_hit = not gauge.isEmpty()
+        hist_hit = not hist.isEmpty()
+        if gauge_hit and hist_hit:
+            raise SchemaMismatch(
+                "Multiple schemas found, please filter. Expected schema "
+                "gauge, found schema prom-histogram")
+        return hist if hist_hit else gauge
 
     def select_partkeys(self, sel: A.VectorSelector) -> DataFrame | None:
         """Matcher-filtered part-key rows (one per series), or None when
@@ -333,15 +423,21 @@ class TsStore:
         # histogram metric name (same series, same spans, same counts)
         metric = sel.metric
         if schema in ("hist_sum", "hist_count"):
-            metric = sel.metric[: -(len(schema) - 4)]
+            metric = self.hist_base_of(sel.metric)
         df = self.partkey_df
         raw_shape = "_metric" in df.columns
         type_matchers = [m for m in sel.matchers if m.name == "_type_"]
         if type_matchers:
             if any(m.op != "=" for m in type_matchers):
                 raise ValueError("_type_ supports only the = matcher")
-            if any(m.value != self.type_name(sel.metric)
-                   for m in type_matchers):
+            if sel.metric is None:
+                # metric-less: filter index rows by each row's own
+                # schema (the index covers every schema's part keys)
+                te = self.type_expr(F.col("labels")[METRIC])
+                for m in type_matchers:
+                    df = df.where(te == m.value)
+            elif any(m.value != self.type_name(sel.metric)
+                     for m in type_matchers):
                 return df.where(F.lit(False)).select(
                     "labels", "_sk", "first_ts", "last_ts", "samples")
         matchers = tuple(m for m in sel.matchers if m.name != "_type_")
@@ -365,6 +461,12 @@ class TsStore:
             from filodb_spark.partkey import merge_partkey_rows
             df = merge_partkey_rows(df)
         return df
+
+
+class SchemaMismatch(ValueError):
+    """A metric-less selector matched series of more than one schema
+    (TimeSeriesShard.scala:237-238: "Multiple schemas found, please
+    filter") — the user must narrow with a metric or `_type_` filter."""
 
 
 class QueryLimitException(ValueError):

@@ -393,6 +393,15 @@ class Parser:
         if metric is not None and any(m.name == "__name__" for m in matchers):
             # ParserSpec:59 — metric name and __name__ matcher conflict
             raise SyntaxError("metric name must not be set twice")
+        name_eq = [m for m in matchers if m.name == "__name__"]
+        if metric is None and len(name_eq) == 1 and name_eq[0].op == "=":
+            # {__name__="m", ...} IS a metric selector: the reference
+            # turns the _metric_ Equals filter into the metric, which
+            # drives schema resolution (MultiSchemaPartitionsExec) —
+            # also the only way to select metric names that are not
+            # PromQL identifiers (e.g. "request-latency")
+            metric = name_eq[0].value
+            matchers = [m for m in matchers if m.name != "__name__"]
         return VectorSelector(metric, tuple(matchers))
 
     def _label_list(self) -> tuple[str, ...]:

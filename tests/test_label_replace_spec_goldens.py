@@ -143,6 +143,89 @@ class TestLabelReplaceSpec:
                 T0, T0, 10_000)
 
 
+@pytest.fixture(scope="module")
+def lj_engine(spark):
+    """LableJoinSpec's testSample: two series with src/src1/src2 (+ dst
+    on the first pair), values untouched by label_join."""
+    rows = [
+        ({"__name__": "m", "src": "source-value", "src1": "source-value-1",
+          "src2": "source-value-2", "dst": "dst-value"}, T0, 3.3),
+        ({"__name__": "m", "src": "src-value", "src1": "src1-value",
+          "src2": "src2-value", "dst": "original-dst-value"}, T0, 100.0),
+        ({"__name__": "nodst", "src": "source-value",
+          "src1": "source-value-1", "src2": "source-value-2"}, T0, 3.3),
+    ]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    return PromQLEngine(spark, TsStore(df))
+
+
+class TestLableJoinSpec:
+    """LableJoinSpec.scala goldens (behavior only)."""
+
+    def test_joins_all_src_values_in_order(self, lj_engine):
+        # :100-131 — three sources joined by "-", dst overwritten
+        got = _labels(
+            lj_engine, 'label_join(m, "dst", "-", "src", "src1", "src2")')
+        assert got == _expect(
+            {"src": "source-value", "src1": "source-value-1",
+             "src2": "source-value-2",
+             "dst": "source-value-source-value-1-source-value-2"},
+            {"src": "src-value", "src1": "src1-value", "src2": "src2-value",
+             "dst": "src-value-src1-value-src2-value"})
+
+    def test_missing_label_treated_as_empty(self, lj_engine):
+        # :132-162 — src3 absent -> empty string in its slot
+        got = _labels(
+            lj_engine, 'label_join(m, "dst", "-", "src", "src3", "src1")')
+        assert got == _expect(
+            {"src": "source-value", "src1": "source-value-1",
+             "src2": "source-value-2",
+             "dst": "source-value--source-value-1"},
+            {"src": "src-value", "src1": "src1-value", "src2": "src2-value",
+             "dst": "src-value--src1-value"})
+
+    def test_empty_result_removes_dst(self, lj_engine):
+        # :164-190 — all sources absent, sep "" -> dst dropped entirely
+        got = _labels(
+            lj_engine,
+            'label_join(m, "dst", "", "emptysrc", "emptysrc1", "emptysrc2")')
+        assert got == _expect(
+            {"src": "source-value", "src1": "source-value-1",
+             "src2": "source-value-2"},
+            {"src": "src-value", "src1": "src1-value", "src2": "src2-value"})
+
+    def test_creates_dst_when_absent(self, lj_engine):
+        # :192-222 — series without dst gets one
+        got = _labels(
+            lj_engine,
+            'label_join(nodst, "dst", "-", "src", "src1", "src2")')
+        assert got == _expect(
+            {"src": "source-value", "src1": "source-value-1",
+             "src2": "source-value-2",
+             "dst": "source-value-source-value-1-source-value-2"})
+
+    def test_no_sources_removes_dst(self, lj_engine):
+        # :224-252 — label_join(v, dst, sep) with zero sources -> dst gone
+        got = _labels(lj_engine, 'label_join(m, "dst", "-")')
+        assert got == _expect(
+            {"src": "source-value", "src1": "source-value-1",
+             "src2": "source-value-2"},
+            {"src": "src-value", "src1": "src1-value", "src2": "src2-value"})
+
+    def test_values_unchanged(self, lj_engine):
+        # every spec case re-asserts rows pass through untouched
+        res = lj_engine.query_range(
+            'label_join(m, "dst", "-", "src", "src1", "src2")',
+            T0, T0, 10_000).collect()
+        assert sorted(r["value"] for r in res) == [3.3, 100.0]
+
+    def test_too_few_args_raises(self, lj_engine):
+        # :254-275 — "expected at least 3 argument(s)" for (v, dst) only
+        with pytest.raises(Exception, match="at least 3|argument"):
+            lj_engine.query_range('label_join(m, "dst")', T0, T0, 10_000)
+
+
 class TestLabelJoinValidation:
     def test_invalid_dst_raises(self, lr_engine):
         with pytest.raises(Exception,

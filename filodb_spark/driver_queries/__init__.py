@@ -24,50 +24,52 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 8's window
-    # (scripts/gate_hygiene.py computes the never-gated list; the r7
-    # verdict fixed the head order):
-    #   1-6   the six never-driver-gated queries (late-r7 additions +
-    #         pq_set_and/pq_set_or) — all pre-verified exact at
-    #         sf0.001/0.01/0.1 via scripts/check_oracle.py,
-    #   next  any round-8 additions (inserted here as they land,
-    #         displacing tail fills),
-    #   then  the 15 once-gated canary backlog (r4 -> r5 -> r6),
-    #   then  ts_label_values + ts_series_cardinality — re-gated
-    #         explicitly because round 8 reroutes them through the
-    #         materialized part-key table (r7 verdict item 1),
-    #   tail  oldest twice-gated canaries: the rest of the [r1,r5]
-    #         group, the [r2,r4] group, emb_quantize [r3,r4], then the
-    #         alphabetically-first [r2,r5] queries to fill 50.
+    # covers the first 50 registered queries per round. Round 9's window
+    # (r8 verdict item 2; rotation rule: head = once-gated + new
+    # queries, then the canary backlog strictly OLDEST-LAST-GATED first
+    # — scripts/gate_hygiene.py + the CORRECTNESS_r* history compute
+    # the groups):
+    #   1-2   once-gated at r7: ts_rate_fine (post de-flake: round_to
+    #         9 -> 6 on both sides) and ts_export_remote_write,
+    #   3     ts_hist_metadata_pk — NEW r9 (hist-scoped metadata on the
+    #         part-key index; pre-verified exact at sf0.001/0.01/0.1),
+    #   4-7   the four r8 additions (once-gated; ts_raw_ds_split and
+    #         the _pk pair re-gated after the r9 partkey/select changes),
+    #   8-20  last gated in r4: the [r3,r4] pair, the [r1,r3,r4] trio
+    #         (ts_rate re-gated after the rate-rounding change) and the
+    #         [r2,r3,r4] eight,
+    #   21-46 last gated in r5: the [r2,r5] sixteen + [r3,r5] ten
+    #         (pq_preagg_route re-gates the count_over_time
+    #         level-move fix),
+    #   47-50 fills from the [r1,r6] group, alphabetical.
     window = [
-        # never driver-gated (r7 verdict item 2 — window head)
-        "pq_set_and", "pq_set_or", "ev_label_churn",
-        "pq_prefix_compare", "pq_label_replace_groups",
-        "pq_hist_scale_quantile",
-        # round-8 additions (r7 verdict items 1, 4 + the raw/DS split
-        # fix found by porting LongTimeRangePlannerSpec)
+        # once-gated head
+        "ts_rate_fine", "ts_export_remote_write",
+        # new in round 9
+        "ts_hist_metadata_pk",
+        # r8 additions, once-gated
         "ts_label_values_pk", "ts_series_cardinality_pk",
         "ts_cardbuster", "ts_raw_ds_split",
-        # canary backlog: once-gated, oldest gate round first
-        "pl_dedup_incremental", "pl_length_quantiles",
-        "pl_source_divergence", "pl_token_budget", "pl_url_filter",
-        "pq_trig", "ts_remote_write_roundtrip",
-        "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall",
-        "ann_ivfpq_recall", "ann_ivfpq_stored", "ann_ivfpq_topk",
-        "mm_y4m_frames", "ts_export_columns", "ts_export_rules",
-        # re-gated on the new part-key-table metadata path
-        "ts_label_values", "ts_series_cardinality",
-        # canaries: twice-gated [r1, r5]
-        "ts_absent", "ts_agg_topk", "ts_changes", "ts_deriv",
-        "ts_holt_winters", "ts_increase", "ts_irate",
-        "ts_join_group_left", "ts_join_ratio", "ts_mad_over_time",
-        "ts_predict_linear", "ts_quantile_over_time", "ts_resets",
-        "ts_salted_sum", "ts_set_and", "ts_zscore",
-        # canaries: twice-gated [r2, r4]
-        "ann_ivf_portable", "doc_dedup_exact", "doc_minhash_portable",
-        "ds_cascade", "emb_near_dup", "ev_gap_fill",
-        # canaries: [r3, r4]
-        "emb_quantize",
+        # canaries last gated r4
+        "ev_sessions", "tpch_q12",
+        "ts_agg_sum_rate", "ts_hist_quantile", "ts_rate",
+        "ann_bruteforce", "doc_dedup_clusters", "doc_tfidf_topk",
+        "ds_rollup", "ev_asof_join", "mm_image_features",
+        "tpch_q1", "tpch_q5",
+        # canaries last gated r5: [r2,r5]
+        "doc_fingerprint", "doc_langid", "doc_ngram_jaccard",
+        "doc_simhash_portable", "doc_token_count", "ds_avg_rewrite",
+        "emb_norm_stats", "mm_frame_sample", "tpch_q13", "tpch_q17",
+        "tpch_q18", "tpch_q2", "tpch_q21", "tpch_q3", "tpch_q6",
+        "tpch_q9",
+        # canaries last gated r5: [r3,r5]
+        "doc_segment_dedup", "emb_semantic_dedup", "pl_contamination",
+        "pl_pack_sequences", "pl_pii_scrub", "pl_quality_filter",
+        "pq_hist_fraction", "pq_preagg_route", "pq_subquery",
+        "pq_sum_rate",
+        # fills: [r1,r6], alphabetical
+        "pq_bool_compare", "pq_raw_matrix", "ts_agg_avg_by",
+        "ts_agg_bottomk",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

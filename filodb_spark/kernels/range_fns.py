@@ -828,6 +828,25 @@ def limit_series(df: DataFrame, k: int, series_cols: Sequence[str]) -> DataFrame
     return df.join(keys, [*series_cols], "left_semi")
 
 
+def counter_correct(df: DataFrame, series_cols: Sequence[str],
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
+    """Monotone counter reconstruction
+    (BufferableCounterCorrectionIterator,
+    PeriodicSamplesMapper.scala:547-566): every dip adds the previous
+    value to a per-series running correction, so the output never
+    decreases; a NaN sample reads as 0 (the explicit end-of-series
+    counter-reset marker). One window spec per series — the same
+    Exchange+Sort the as-of kernels ride, no per-row Python."""
+    from pyspark.sql import Window
+    v0 = F.col(value_col)
+    v = F.when(F.isnan(v0) | v0.isNull(), F.lit(0.0)).otherwise(v0)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    prev = F.lag(v).over(w)
+    dip = F.when(prev.isNotNull() & (v < prev), prev).otherwise(F.lit(0.0))
+    return df.withColumn(value_col, v + F.sum(dip).over(w))
+
+
 def instant_default(df: DataFrame, series_cols: Sequence[str], grid: StepGrid,
                     lookback_ms: int = 5 * 60 * 1000,
                     ts_col: str = "ts", value_col: str = "value") -> DataFrame:

@@ -118,6 +118,11 @@ def prom_shape_bench(spark, timings, spreads):
 
 
 def main():
+    # external-load sample BEFORE any Spark work: loadavg_before (taken
+    # post-warm-up) includes the bench's own 32-thread sweeps on the
+    # 1-min horizon; loadavg_start is the one that tells you whether
+    # the BOX was busy (accept band: loadavg_start[0] < ~1.5)
+    load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -188,6 +193,7 @@ def main():
         # around the timed pass, and the discarded warm-up sweep time
         "runs_per_query": RUNS,
         "spread": spreads,
+        "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "warmup_sweep_sec": warmup_sweep,

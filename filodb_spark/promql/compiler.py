@@ -297,7 +297,9 @@ class TsStore:
                 if m.op != "=":
                     raise ValueError(
                         "_type_ supports only the = matcher")
-            type_value = type_matchers[0].value
+            values = {m.value for m in type_matchers}
+            # conflicting _type_ values can match no series
+            type_value = values.pop() if len(values) == 1 else "__none__"
             if sel.metric is not None and \
                     any(m.value != self.type_name(sel.metric)
                         for m in type_matchers):
@@ -307,7 +309,8 @@ class TsStore:
                 sel.metric,
                 tuple(m for m in sel.matchers if m.name != "_type_"),
                 offset_ms=sel.offset_ms, at_ms=sel.at_ms, limit=sel.limit)
-        if sel.metric is None and self.hist_df is not None:
+        if sel.metric is None and (self.hist_df is not None
+                                   or type_value is not None):
             return self._select_multischema(sel.matchers, type_value)
         if schema == "gauge":
             df = self.df
@@ -368,6 +371,8 @@ class TsStore:
         gauge = _apply_label_matchers(self.df, matchers)
         if type_value is not None:
             if type_value in ("prom-histogram", "otel-exp-delta-histogram"):
+                if self.hist_df is None:
+                    return gauge.where(F.lit(False))
                 hist = _apply_label_matchers(self._hist_full(), matchers)
                 exp = list(self.exp_hist_metrics)
                 if not exp:

@@ -81,39 +81,87 @@ def run_scoped_lookup(store: TsStore) -> float:
     return time.time() - t0
 
 
+def hist_corpus(spark, density: int):
+    """N_SERIES/4 histogram series (metric hlat) with density-scaled
+    rows — the r9 axis: hist-METRIC-scoped metadata lookups must ride
+    the index too (the r8 sliver re-opened O(samples) for them)."""
+    n_series = N_SERIES // 4
+    n = BASE_SAMPLES_PER_SERIES * density
+    return (spark.range(n_series * n)
+            .select(
+                F.create_map(
+                    F.lit("__name__"), F.lit("hlat"),
+                    F.lit("_ws_"),
+                    F.concat(F.lit("ws_"),
+                             ((F.col("id") % n_series) % 4).cast("string")),
+                    F.lit("_ns_"), F.lit("app"),
+                    F.lit("instance"),
+                    (F.col("id") % n_series).cast("string")).alias("labels"),
+                ((F.col("id") / n_series).cast("long")
+                 * (RANGE_MS // n)).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("sum"),
+                F.lit(2.0).alias("count"),
+                F.struct(F.array(F.lit(1.0), F.lit(2.0)).alias("les"),
+                         F.array(F.lit(1.0), F.lit(2.0)).alias("values"))
+                .alias("hist")))
+
+
+def run_hist_scoped(store: TsStore) -> float:
+    """Hist-metric-scoped lookup through the `_sum` rewrite (r9:
+    resolves on the index via hist_base_of; fallback pays the hist
+    sample scan)."""
+    t0 = time.time()
+    metadata.label_values(store, "instance",
+                          match='hlat_sum{_ws_="ws_1"}').count()
+    return time.time() - t0
+
+
 def main() -> None:
     densities = [int(x) for x in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("scale-check-metadata", shuffle_partitions=32)
     import tempfile
     root = tempfile.mkdtemp(prefix="scale_meta_")
     print(f"{'density':>8} {'samples':>12} {'scan_s':>8} {'pk_s':>8} "
-          f"{'scoped_scan':>12} {'scoped_pk':>10}")
+          f"{'scoped_scan':>12} {'scoped_pk':>10} "
+          f"{'hist_scan':>10} {'hist_pk':>8}")
     for d in densities:
         data_path = os.path.join(root, f"series_{d}")
+        hist_path = os.path.join(root, f"hist_{d}")
         pk_path = os.path.join(root, f"pk_{d}")
         df = corpus(spark, d)
         write_series_table(df, data_path)
+        hist_corpus(spark, d).write.parquet(hist_path)
+        hist_df = spark.read.parquet(hist_path)
         t_build = time.time()
         write_partkey_table(
-            spark.read.parquet(data_path).select("labels", "ts"), pk_path)
+            spark.read.parquet(data_path).select("labels", "ts")
+            .unionByName(hist_df.select("labels", "ts")), pk_path)
         t_build = time.time() - t_build
-        plain = TsStore.from_table(spark, data_path)
+        plain = TsStore.from_table(spark, data_path, hist_df=hist_df,
+                                   hist_metrics=("hlat",))
         # warm both paths once (JIT/file listing), then measure
         run_metadata(plain)
         scan_s = run_metadata(plain)
-        indexed = TsStore.from_table(spark, data_path, partkey_path=pk_path)
+        indexed = TsStore.from_table(spark, data_path, partkey_path=pk_path,
+                                     hist_df=hist_df, hist_metrics=("hlat",))
         run_metadata(indexed)
         pk_s = run_metadata(indexed)
         run_scoped_lookup(plain)
         scoped_scan = run_scoped_lookup(plain)
         run_scoped_lookup(indexed)
         scoped_pk = run_scoped_lookup(indexed)
+        run_hist_scoped(plain)
+        hist_scan = run_hist_scoped(plain)
+        run_hist_scoped(indexed)
+        hist_pk = run_hist_scoped(indexed)
         n = N_SERIES * BASE_SAMPLES_PER_SERIES * d
         print(f"{d:>8} {n:>12} {scan_s:>8.2f} {pk_s:>8.2f} "
-              f"{scoped_scan:>12.2f} {scoped_pk:>10.2f}"
+              f"{scoped_scan:>12.2f} {scoped_pk:>10.2f} "
+              f"{hist_scan:>10.2f} {hist_pk:>8.2f}"
               f"   (index build {t_build:.1f}s)")
-    print("expected: scan_s/scoped_scan grow with density; pk columns flat"
-          " (scoped_pk additionally prunes dirs/row-groups at scan)")
+    print("expected: scan_s/scoped_scan/hist_scan grow with density; pk"
+          " columns flat (scoped_pk/hist_pk additionally prune dirs/"
+          "row-groups at scan)")
 
 
 if __name__ == "__main__":

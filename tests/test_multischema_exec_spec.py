@@ -110,6 +110,26 @@ def test_type_filter_names_schema_directly(ms_engine):
     assert got == [(150_000, 5.0)]  # http_req_total at ts 150000
 
 
+def test_conflicting_type_matchers_match_nothing(ms_engine):
+    # two different _type_ Equals values can match no series
+    assert _vals(ms_engine,
+                 '{_type_="gauge", _type_="prom-histogram", __name__=~".+"}',
+                 150_000, 150_000, 10_000) == []
+
+
+def test_metricless_type_on_gauge_only_store(spark):
+    # a store without a histogram table: metric-less `_type_` still
+    # gates correctly (hist type -> empty, gauge type -> rows)
+    df = spark.createDataFrame(
+        [({"__name__": "m", "a": "1"}, 150_000, 1.0)],
+        "labels map<string,string>, ts long, value double")
+    eng = PromQLEngine(spark, TsStore(df))
+    assert _vals(eng, '{_type_="prom-histogram", a="1"}',
+                 150_000, 150_000, 10_000) == []
+    assert _vals(eng, '{_type_="gauge", a="1"}',
+                 150_000, 150_000, 10_000) == [(150_000, 1.0)]
+
+
 def test_empty_match_returns_empty_not_error(ms_engine):
     # :161-173 — a metric that matches nothing yields an empty result
     assert _vals(ms_engine, 'not_a_metric{job="myCoolService"}',

@@ -119,3 +119,38 @@ class TestMaxMinNaNDiscipline:
         # live series = max(-4.0, -1.5) = -1.5
         assert self._step(neg_engine, "max(n)", 2) == [-1.5]
         assert self._step(neg_engine, "min(n)", 2) == [-4.0]
+
+
+class TestTopKNaNPresentation:
+    """:601-634 "should add NaN in topK" — per-step top-k membership
+    over series that go NaN/stale at different steps. The reference
+    presents every emitted series over the FULL grid with NaN where it
+    is not in the top-k; in this engine's sparse representation those
+    NaN rows are simply absent — the per-step membership and values
+    are the ported semantics."""
+
+    @pytest.fixture(scope="class")
+    def topk_engine(self, spark):
+        nan = float("nan")
+        s1 = [(1000, nan), (2000, 5.1), (3000, nan), (4000, 5.6),
+              (5000, 4.0), (6000, nan)]
+        s2 = [(1000, nan), (2000, 5.0), (3000, nan), (4000, 5.7),
+              (5000, 4.4), (6000, nan)]
+        rows = [({"__name__": "m", "s": name}, t, v)
+                for name, pts in (("one", s1), ("two", s2)) for t, v in pts]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        # lookback 1ms so each step sees exactly its own sample (the
+        # spec feeds the mapper pre-gridded rows)
+        return PromQLEngine(spark, TsStore(df), lookback_ms=1)
+
+    def test_per_step_membership(self, topk_engine):
+        eng = topk_engine
+        eng_res = eng.query_range("topk(1, m)", 1000, 6000, 1000).collect()
+        got = {(r["t"], r["labels"]["s"]): r["value"] for r in eng_res
+               if not math.isnan(r["value"])}
+        # spec expecteds: series "one" wins at 2000 (5.1 > 5.0);
+        # series "two" wins at 4000 (5.7) and 5000 (4.4); NaN steps
+        # (1000/3000/6000) emit nothing
+        assert got == {(2000, "one"): 5.1,
+                       (4000, "two"): 5.7, (5000, "two"): 4.4}

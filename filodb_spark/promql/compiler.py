@@ -1153,7 +1153,21 @@ class PromQLEngine:
                 v = self._vector(e.args[0], grid)
                 # params may be dynamic scalars (scalar(expr)) — the
                 # reference feeds them per-step via ExecPlanFuncArgs;
-                # here a non-const Scalar plan joins in on t
+                # here a non-const Scalar plan joins in on t.
+                # Arity requires (InstantFunction.scala ClampMaxImpl/
+                # ClampMinImpl/ClampImpl/Round; InstantFunctionSpec
+                # :180-214): missing or extra params are plan errors,
+                # never a silent default or an index crash
+                n_params = len(e.args) - 1
+                arity = {"clamp": (2, 2), "clamp_max": (1, 1),
+                         "clamp_min": (1, 1), "round": (0, 1),
+                         "or_vector": (1, 1)}[name]
+                if not arity[0] <= n_params <= arity[1]:
+                    want = (f"exactly {arity[0]}" if arity[0] == arity[1]
+                            else f"{arity[0]} to {arity[1]}")
+                    raise ValueError(
+                        f"wrong number of parameters for function {name}: "
+                        f"expected {want}, got {n_params}")
                 params = []
                 for i, a in enumerate(e.args[1:]):
                     p = self._eval(a, grid)

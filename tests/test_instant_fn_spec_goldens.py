@@ -251,3 +251,29 @@ class TestHistogramSpecGoldens:
         got_missing = _series_vals(hist_spec_engine,
                                    "histogram_bucket(9.0, hli)", 10)
         assert all(math.isnan(v) for v in got_missing)
+
+
+class TestParamValidation:
+    """InstantFunctionSpec.scala:180-234 "should validate invalid
+    function params" — missing/extra scalar params are plan-time
+    requirement failures, never a silent default."""
+
+    CASES = [
+        "clamp_max(m)",       # Cannot use ClampMax without an upper limit
+        "clamp_min(m)",       # Cannot use ClampMin without a lower limit
+        "clamp(m, 1)",        # Clamp requires both limits
+        "sgn(m, 1)",          # no additional parameters allowed
+        "sqrt(m, 1)",
+        "round(m, 1, 2)",     # only ONE optional parameter for Round
+        "abs(m, 3)",
+    ]
+
+    @pytest.mark.parametrize("q", CASES)
+    def test_rejects(self, small_engine, q):
+        with pytest.raises(Exception, match="parameter|argument"):
+            small_engine.query_range(q, T0, T0, 10_000).collect()
+
+    def test_legal_arities_pass(self, small_engine):
+        for q in ("round(m)", "round(m, 1)", "clamp(m, 1, 2)",
+                  "clamp_max(m, 1)", "clamp_min(m, 1)"):
+            small_engine.query_range(q, T0, T0, 10_000).collect()

@@ -502,6 +502,14 @@ RANGE_FUNCTIONS = (
     "holt_winters rate increase delta rate_delta increase_delta mad_over_time"
 ).split()
 
+# Cumulative-counter functions: the only ones the reference runs through
+# the counter-correction iterator (needsCounterCorrection=true on
+# RateFunction/IncreaseFunction/IRateFunction and their H variants) —
+# NaN samples are explicit reset markers, not staleness, for these.
+# delta / rate_delta / increase_delta are gauge/delta-temporality
+# (no correction); resets has its own spec'd NaN rule.
+CUMULATIVE_COUNTER_FNS = frozenset({"rate", "increase", "irate"})
+
 
 # ---------------------------------------------------------------------------
 # As-of (prefix-sum) window evaluation: zero amplification
@@ -743,6 +751,18 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     stale_last = honor_stale_marker and fn == "last_over_time"
     if stale_last:
         df = df.where(F.col(value_col).isNotNull())  # keep NaN markers
+    elif fn in CUMULATIVE_COUNTER_FNS:
+        # NaN on a cumulative counter is the EXPLICIT end-of-series
+        # counter-reset marker: it stays a sample and reads as 0, so
+        # the pair correction folds the prior value in
+        # (BufferableCounterCorrectionIterator,
+        # PeriodicSamplesMapper.scala:560; golden
+        # WindowIteratorSpec.scala:257-284 — dropping the marker
+        # instead loses the pre-reset increase entirely)
+        v = F.col(value_col)
+        df = (df.where(v.isNotNull())
+                .withColumn(value_col,
+                            F.when(F.isnan(v), F.lit(0.0)).otherwise(v)))
     else:
         df = drop_nan(df, value_col)
     if value_col != "value":

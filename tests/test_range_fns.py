@@ -97,7 +97,13 @@ class TestRateGoldens:
         got = run_fn(spark, "rate", samples, t, window)
         assert got == pytest.approx(expected, abs=1e-7)
 
-    def test_rate_nan_skipped(self, spark):
+    def test_rate_nan_reset_marker(self, spark):
+        # NaN on a cumulative counter is an explicit reset marker (reads
+        # as 0, stays a sample): the pair correction folds 5201 in at
+        # the NaN row instead of at 511, so delta is unchanged here —
+        # the reset-marker golden where the values DO differ is
+        # test_window_iterator_goldens.py::test_rate_nan_reset_marker
+        # (WindowIteratorSpec.scala:257-284)
         samples = COUNTER_SAMPLES + [(8173000, float("nan"))] + RESET_CONT[1:]
         t, window = 8213070, 8213070 - 8071950
         expected = (909.0 + 5201.0 - 4419.0) / (8213000 - 8072000) * 1000

@@ -125,3 +125,48 @@ def test_staleness_boundary_golden(spark, name, mode):
     got = _run(spark, BOUNDARY_SAMPLES, "last_over_time",
                StepGrid(100000, 600000, 100000), 300000, mode)
     assert got == BOUNDARY_EXPECTED, name
+
+
+# WindowIteratorSpec.scala:257-284 — "should deal with NaN end of time
+# series marker during counter correction": NaN on a cumulative counter
+# is an EXPLICIT reset marker (reads as 0, prior value folds into the
+# correction) and stays a sample in the window — both the sliding and
+# chunked iterators pin 0.5870753512132821. Dropping the markers
+# instead (the pre-r9 behavior) loses the pre-reset increase and gives
+# 0.0356.
+NAN_RESET_SAMPLES = [
+    (1614821996000, float("nan")), (1614821996100, 489.0),
+    (1614821997000, float("nan")), (1614822566000, 19.0),
+    (1614822596000, 26.0), (1614822626000, 26.0), (1614822656000, 26.0),
+    (1614822686000, 26.0), (1614822716000, 26.0),
+    (1614822717000, float("nan")), (1614822866000, 5.0),
+]
+
+
+@pytest.mark.parametrize("name,mode", MODES)
+def test_rate_nan_reset_marker_golden(spark, name, mode):
+    got = _run(spark, NAN_RESET_SAMPLES, "rate",
+               StepGrid(1614822880000, 1614822880000, 15000), 900000, mode)
+    assert got == {1614822880000:
+                   pytest.approx(0.5870753512132821, rel=1e-12)}, name
+
+
+# WindowIteratorSpec.scala:286-325 — rate for instant queries (start ==
+# end): spec-pinned values at several window ends over the same stream
+RATE_INSTANT_SAMPLES = [
+    (1548191486000, 84.0), (1548191496000, 152.0), (1548191506000, 195.0),
+    (1548191516000, 222.0), (1548191526000, 245.0), (1548191536000, 251.0),
+    (1548191546000, 329.0), (1548191556000, 374.0), (1548191566000, 431.0),
+]
+RATE_INSTANT_EXPECTED = {
+    1548191496000: 0.34, 1548191511000: 0.555, 1548191526000: 0.60375,
+    1548191541000: 0.668, 1548191556000: 1.0357142857142858,
+}
+
+
+@pytest.mark.parametrize("name,mode", MODES)
+@pytest.mark.parametrize("t,want", sorted(RATE_INSTANT_EXPECTED.items()))
+def test_rate_instant_golden(spark, name, mode, t, want):
+    got = _run(spark, RATE_INSTANT_SAMPLES, "rate",
+               StepGrid(t, t, 15000), 300000, mode)
+    assert got == {t: pytest.approx(want, abs=1e-10)}, name

@@ -170,3 +170,31 @@ def test_rate_instant_golden(spark, name, mode, t, want):
     got = _run(spark, RATE_INSTANT_SAMPLES, "rate",
                StepGrid(t, t, 15000), 300000, mode)
     assert got == {t: pytest.approx(want, abs=1e-10)}, name
+
+
+# WindowIteratorSpec.scala:466-651 — Avg/Count/Min/MaxOverTime over the
+# same sparse stream (grid 50000..700000 step 100000): empty windows
+# emit NaN in the reference (filtered there, absent here); the 250000
+# boundary sample counts in BOTH the 250000 and 350000 windows
+# (inclusive-range=true)
+SPARSE_SAMPLES = [
+    (100000, 1), (153000, 2), (250000, 3), (270000, 4), (280000, 5),
+    (360000, 6), (430000, 7), (690000, 8), (700000, 9),
+    (710000, float("nan")),
+]
+SPARSE_EXPECTED = {
+    "avg_over_time": {150000: 1.0, 250000: 2.5, 350000: 4.0, 450000: 6.5},
+    "count_over_time": {150000: 1.0, 250000: 2.0, 350000: 3.0, 450000: 2.0},
+    "min_over_time": {150000: 1.0, 250000: 2.0, 350000: 3.0, 450000: 6.0},
+    "max_over_time": {150000: 1.0, 250000: 3.0, 350000: 5.0, 450000: 7.0},
+}
+
+
+@pytest.mark.parametrize("name,mode", MODES)
+@pytest.mark.parametrize("fn", sorted(SPARSE_EXPECTED))
+def test_sparse_window_goldens(spark, fn, name, mode):
+    if mode == "asof" and fn in ("min_over_time", "max_over_time"):
+        pytest.skip("min/max are not prefix-subtractable (documented)")
+    got = _run(spark, SPARSE_SAMPLES, fn,
+               StepGrid(50000, 700000, 100000), 100000, mode)
+    assert got == SPARSE_EXPECTED[fn], (fn, name)

@@ -198,3 +198,38 @@ def test_sparse_window_goldens(spark, fn, name, mode):
     got = _run(spark, SPARSE_SAMPLES, fn,
                StepGrid(50000, 700000, 100000), 100000, mode)
     assert got == SPARSE_EXPECTED[fn], (fn, name)
+
+
+# WindowIteratorSpec.scala:540-592 — "query results from downsampled
+# data": avg_over_time over a ds-gauge rollup is sum(sums)/sum(counts)
+# (AvgWithSumAndCountOverTime), count_over_time is sum(counts); grid
+# 50000..750000 step 100000, window 100000, inclusive boundary
+DS_ROWS = [  # (ts, min, max, sum, count, avg)
+    (100000, 2.0, 5.0, 20.0, 5.0, 2.8), (153000, 1.0, 6.0, 18.0, 3.0, 1.4),
+    (250000, 3.0, 7.0, 21.0, 5.0, 5.0), (270000, 2.0, 10.0, 22.0, 4.0, 6.0),
+    (280000, 1.5, 2.0, 10.0, 6.0, 1.75), (360000, 0.6, 7.0, 23.0, 7.0, 2.0),
+    (430000, 7.0, 10.0, 60.0, 5.0, 8.0), (690000, 1.8, 5.0, 25.0, 7.0, 3.0),
+    (700000, 4.9, 12.0, 80.0, 10.0, 10.0), (710000, 0.1, 3.0, 10.0, 10.0, 1.0),
+]
+DS_EXPECTED = {
+    "avg_over_time": {150000: 4.0, 250000: 4.875,
+                      350000: 3.533333333333333, 450000: 6.916666666666667,
+                      750000: 4.2592592592592595},
+    "count_over_time": {150000: 5.0, 250000: 8.0, 350000: 15.0,
+                        450000: 12.0, 750000: 27.0},
+}
+
+
+@pytest.mark.parametrize("fn", sorted(DS_EXPECTED))
+def test_downsampled_data_goldens(spark, fn):
+    from filodb_spark.streaming.downsample import range_function_ds
+    ds = spark.createDataFrame(
+        [("s", *row) for row in DS_ROWS],
+        "series string, ts long, min double, max double, sum double, "
+        "count double, avg double")
+    out = range_function_ds(ds, fn, ["series"],
+                            StepGrid(50000, 750000, 100000), 100000)
+    got = {r["t"]: r["value"] for r in out.collect()
+           if not (r["value"] is None or math.isnan(r["value"]))}
+    want = {t: pytest.approx(v) for t, v in DS_EXPECTED[fn].items()}
+    assert got == want, fn

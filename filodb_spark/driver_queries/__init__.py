@@ -31,22 +31,24 @@ def all_queries():
     # the groups):
     #   1-2   once-gated at r7: ts_rate_fine (post de-flake: round_to
     #         9 -> 6 on both sides) and ts_export_remote_write,
-    #   3     ts_hist_metadata_pk — NEW r9 (hist-scoped metadata on the
-    #         part-key index; pre-verified exact at sf0.001/0.01/0.1),
-    #   4-7   the four r8 additions (once-gated; ts_raw_ds_split and
+    #   3-4   NEW r9: ts_hist_metadata_pk (hist-scoped metadata on the
+    #         part-key index) and ts_rate_reset_marker (NaN
+    #         end-of-series reset-marker semantics in counter windows)
+    #         — both pre-verified exact at sf0.001/0.01/0.1,
+    #   5-8   the four r8 additions (once-gated; ts_raw_ds_split and
     #         the _pk pair re-gated after the r9 partkey/select changes),
-    #   8-20  last gated in r4: the [r3,r4] pair, the [r1,r3,r4] trio
-    #         (ts_rate re-gated after the rate-rounding change) and the
-    #         [r2,r3,r4] eight,
-    #   21-46 last gated in r5: the [r2,r5] sixteen + [r3,r5] ten
+    #   9-21  last gated in r4: the [r3,r4] pair, the [r1,r3,r4] trio
+    #         (ts_rate re-gated after the rate-kernel NaN change) and
+    #         the [r2,r3,r4] eight,
+    #   22-47 last gated in r5: the [r2,r5] sixteen + [r3,r5] ten
     #         (pq_preagg_route re-gates the count_over_time
     #         level-move fix),
-    #   47-50 fills from the [r1,r6] group, alphabetical.
+    #   48-50 fills from the [r1,r6] group, alphabetical.
     window = [
         # once-gated head
         "ts_rate_fine", "ts_export_remote_write",
         # new in round 9
-        "ts_hist_metadata_pk",
+        "ts_hist_metadata_pk", "ts_rate_reset_marker",
         # r8 additions, once-gated
         "ts_label_values_pk", "ts_series_cardinality_pk",
         "ts_cardbuster", "ts_raw_ds_split",
@@ -69,7 +71,6 @@ def all_queries():
         "pq_sum_rate",
         # fills: [r1,r6], alphabetical
         "pq_bool_compare", "pq_raw_matrix", "ts_agg_avg_by",
-        "ts_agg_bottomk",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -446,6 +446,29 @@ def q_series_cardinality_pk(spark, sf_dir):
                       "total_series", "active_series")
 
 
+def q_rate_reset_marker(spark, sf_dir):
+    """increase() over series carrying an injected NaN end-of-series
+    reset marker (round 9): a NaN on a cumulative counter reads as 0
+    and STAYS a sample, folding the prior value into the window's
+    correction (BufferableCounterCorrectionIterator,
+    PeriodicSamplesMapper.scala:560; WindowIteratorSpec.scala:257-284
+    golden). One marker per event_type at the series' midpoint instant
+    (collisions with real samples dropped deterministically on both
+    sides); the oracle injects the same rows as value-0 samples, which
+    is exactly what the kernel's NaN→0 mapping sees."""
+    ev = _events_cached(spark, sf_dir)
+    mids = (ev.groupBy("event_type")
+              .agg(((F.min("ts") + F.max("ts")) / 2).cast("long")
+                   .alias("ts")))
+    markers = (mids.join(ev.select("event_type", "ts"),
+                         ["event_type", "ts"], "anti")
+                   .withColumn("value", F.lit(float("nan"))))
+    src = ev.select("event_type", "ts", "value").unionByName(markers)
+    _, grid = _series(spark, sf_dir)
+    out = range_function(src, "increase", ["event_type"], grid, WINDOW)
+    return _rounded(_no_nan(out), 6, ["event_type", "t"])
+
+
 def q_hist_metadata_pk(spark, sf_dir):
     """Histogram-metric-scoped metadata on the part-key path (round 9):
     the store mounts a histogram table (one series per (event_type,
@@ -546,6 +569,7 @@ QUERIES = {
     "ts_label_values_pk": q_label_values_pk,
     "ts_series_cardinality_pk": q_series_cardinality_pk,
     "ts_hist_metadata_pk": q_hist_metadata_pk,
+    "ts_rate_reset_marker": q_rate_reset_marker,
     "ts_cardbuster": q_cardbuster,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
@@ -562,17 +586,22 @@ QUERIES = {
 
 
 def _base(step: int, window: int, series: str = "event_type",
-          where: str = "TRUE", span_ms: int | None = None) -> str:
+          where: str = "TRUE", span_ms: int | None = None,
+          raw_tail: str = "") -> str:
     # span_ms: limit the grid to the trailing span of the data range
     # (mirrors StepGrid(hi - span, hi, step).aligned() on the Spark side)
+    # raw_tail: extra CTEs spliced after raw0; the LAST one must be
+    # named `raw` (default: raw is raw0 unchanged)
     lo_expr = (f"(SELECT MAX(epoch_ms(ts)) FROM events) - {span_ms}"
                if span_ms is not None
                else "(SELECT MIN(epoch_ms(ts)) FROM events)")
+    raw_tail = raw_tail or "raw AS (SELECT * FROM raw0),"
     return f"""
-WITH raw AS (
+WITH raw0 AS (
   SELECT {series} AS sk, epoch_ms(ts) AS ts, max(value) AS value
   FROM events WHERE {where} GROUP BY 1, 2
 ),
+{raw_tail}
 bounds AS (
   SELECT CAST(ceil(({lo_expr}) / {step}.0) AS BIGINT) * {step} AS gstart,
          CAST(floor((SELECT MAX(epoch_ms(ts)) FROM events) / {step}.0) AS BIGINT) * {step} AS gend
@@ -604,7 +633,7 @@ def _simple_oracle(agg: str, round_to: int | None, step=STEP, window=WINDOW) -> 
 # (RateFunctions.scala:72-111); {delta_expr} picks counter vs gauge
 def _rate_oracle(is_counter: bool, is_rate: bool, round_to: int,
                  step=STEP, window=WINDOW, span_ms: int | None = None,
-                 floor_round: bool = False) -> str:
+                 floor_round: bool = False, raw_tail: str = "") -> str:
     corr = " + corr" if is_counter else ""
     zero_clamp = """
          CASE WHEN delta > 0 AND first_val >= 0 AND si * (first_val / delta) < dts0
@@ -614,7 +643,7 @@ def _rate_oracle(is_counter: bool, is_rate: bool, round_to: int,
     # Spark and DuckDB) — avoids Spark round()'s shortest-decimal detour
     rounded = (f"floor(({final}) * {10.0 ** round_to} + 0.5) / {10.0 ** round_to}"
                if floor_round else f"round({final}, {round_to})")
-    return (_base(step, window, span_ms=span_ms) + f""",
+    return (_base(step, window, span_ms=span_ms, raw_tail=raw_tail) + f""",
 a AS (
   SELECT sk, t, count(*) AS cnt,
          min(ts) AS first_ts, max(ts) AS last_ts,
@@ -726,6 +755,19 @@ FROM w JOIN m ON w.sk = m.sk AND w.t = m.t GROUP BY w.sk, w.t""",
                                  window=FINE_WINDOW, span_ms=FINE_SPAN,
                                  floor_round=True),
     "ts_increase": _rate_oracle(True, False, 6),
+    # reset markers injected as value-0 samples — exactly what the
+    # kernel's NaN→0 reset-marker mapping evaluates; same mid-instant
+    # computation ((min+max)/2, truncating) and collision drop
+    "ts_rate_reset_marker": _rate_oracle(True, False, 6, raw_tail="""
+mids AS (
+  SELECT sk, (min(ts) + max(ts)) // 2 AS ts, 0.0 AS value
+  FROM raw0 GROUP BY sk
+),
+markers AS (
+  SELECT m.sk, m.ts, m.value FROM mids m
+  WHERE NOT EXISTS (SELECT 1 FROM raw0 r WHERE r.sk = m.sk AND r.ts = m.ts)
+),
+raw AS (SELECT * FROM raw0 UNION ALL SELECT * FROM markers),"""),
     "ts_delta": _rate_oracle(False, False, 6),
     "ts_idelta": _base(STEP, WINDOW) + _IDELTA_A + f"""
 SELECT sk AS event_type, t, last_val - prev_val AS value

@@ -53,9 +53,21 @@ def random_series(spark):
             if not math.isnan(v):
                 by_ts[t] = max(by_ts.get(t, float("-inf")), v)
         clean[k] = sorted(by_ts.items())
+    # cumulative-counter view (rate/increase/irate): Spark's max() ranks
+    # NaN above every number, so a NaN wins the dedupe; the kernel then
+    # reads the NaN reset marker as 0 (CUMULATIVE_COUNTER_FNS)
+    clean_reset = {}
+    for k, ss in data.items():
+        by_ts = {}
+        for t, v in ss:
+            cur = by_ts.get(t, float("-inf"))
+            by_ts[t] = float("nan") if (math.isnan(v) or math.isnan(cur)) \
+                else max(cur, v)
+        clean_reset[k] = sorted(
+            (t, 0.0 if math.isnan(v) else v) for t, v in by_ts.items())
     from pyspark.sql import functions as F
     df = df.groupBy("series", "ts").agg(F.max("value").alias("value"))
-    return df, clean
+    return df, clean, clean_reset
 
 
 def windows(clean):
@@ -94,28 +106,28 @@ def check(got, clean, model, name):
 
 class TestRandomizedKernels:
     def test_rate(self, spark, random_series):
-        df, clean = random_series
+        df, _, clean_reset = random_series
         got = run_all(spark, df, "rate")
-        check(got, clean,
+        check(got, clean_reset,
               lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, True, True),
               "rate")
 
     def test_increase(self, spark, random_series):
-        df, clean = random_series
+        df, _, clean_reset = random_series
         got = run_all(spark, df, "increase")
-        check(got, clean,
+        check(got, clean_reset,
               lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, True, False),
               "increase")
 
     def test_delta(self, spark, random_series):
-        df, clean = random_series
+        df, clean, _ = random_series
         got = run_all(spark, df, "delta")
         check(got, clean,
               lambda t, w: py_extrapolated_rate(t - WINDOW, t, w, False, False),
               "delta")
 
     def test_sum_count_min_max(self, spark, random_series):
-        df, clean = random_series
+        df, clean, _ = random_series
         for fn, red in [("sum_over_time", sum),
                         ("count_over_time", len),
                         ("min_over_time", min),
@@ -126,7 +138,7 @@ class TestRandomizedKernels:
                   fn)
 
     def test_stddev(self, spark, random_series):
-        df, clean = random_series
+        df, clean, _ = random_series
 
         def model(t, w):
             vs = [v for _, v in w]
@@ -138,14 +150,14 @@ class TestRandomizedKernels:
 
     def test_quantile(self, spark, random_series):
         import numpy as np
-        df, clean = random_series
+        df, clean, _ = random_series
         got = run_all(spark, df, "quantile_over_time", params=(0.75,))
         check(got, clean,
               lambda t, w: float(np.quantile([v for _, v in w], 0.75)),
               "quantile_over_time")
 
     def test_resets_changes(self, spark, random_series):
-        df, clean = random_series
+        df, clean, _ = random_series
 
         def resets(t, w):
             vs = [v for _, v in w]
@@ -159,9 +171,10 @@ class TestRandomizedKernels:
         check(run_all(spark, df, "changes"), clean, changes, "changes")
 
     def test_idelta_irate(self, spark, random_series):
-        # last two in-window samples; irate is reset-aware
-        # (RangeInstantFunctions.scala:168-303)
-        df, clean = random_series
+        # last two in-window samples; irate is reset-aware AND
+        # counter-corrected (NaN reads as a 0 reset marker), idelta is
+        # gauge (NaN dropped) — RangeInstantFunctions.scala:168-303
+        df, clean, clean_reset = random_series
 
         def idelta(t, w):
             if len(w) < 2:
@@ -176,11 +189,11 @@ class TestRandomizedKernels:
             return num / ((t2 - t1) / 1000.0)
 
         check(run_all(spark, df, "idelta"), clean, idelta, "idelta")
-        check(run_all(spark, df, "irate"), clean, irate, "irate")
+        check(run_all(spark, df, "irate"), clean_reset, irate, "irate")
 
     def test_deriv(self, spark, random_series):
         # least-squares slope, x anchored at the step instant (seconds)
-        df, clean = random_series
+        df, clean, _ = random_series
 
         def model(t, w):
             if len(w) < 2:
@@ -199,7 +212,7 @@ class TestRandomizedKernels:
 
     def test_z_score_and_mad(self, spark, random_series):
         import statistics
-        df, clean = random_series
+        df, clean, _ = random_series
 
         def z(t, w):
             vs = [v for _, v in w]

@@ -526,6 +526,7 @@ class PromQLEngine:
                  lookback_ms: int = STALE_SAMPLE_AFTER_MS,
                  retention_floor_ms: int | None = None,
                  groupby_cardinality_limit: int | None = None,
+                 join_query_cardinality: int | None = None,
                  window_mode: str = "auto"):
         self.spark = spark
         self.store = store
@@ -546,6 +547,10 @@ class PromQLEngine:
         # enforcedLimits.groupByCardinality
         # (AggrOverRangeVectors.scala:236-253); None = unenforced
         self.groupby_cardinality_limit = groupby_cardinality_limit
+        # enforcedLimits.joinQueryCardinality
+        # (BinaryJoinExec.scala:94-103): a one-to-one join whose input
+        # side carries more series than this raises QueryLimitException
+        self.join_query_cardinality = join_query_cardinality
         # per-query preagg-routing toggle (no_optimize/optimize_with_agg
         # hints set it around a subtree eval) — thread-local for the same
         # reason as _stats_tls: concurrent HTTP requests share the engine,
@@ -1600,6 +1605,38 @@ class PromQLEngine:
 
     # ---- binary ---------------------------------------------------------
 
+    def _enforce_join_limit(self, out: DataFrame, *sides: DataFrame
+                            ) -> DataFrame:
+        """joinQueryCardinality (BinaryJoinExec.scala:94-103): a
+        one-to-one join whose input side carries more series than the
+        limit fails during execution — same lazy assert_true pattern as
+        _enforce_groupby_limit. The violation rows ride the join OUTPUT
+        (a poisoned input row would be pruned by the equi-join before
+        its assert ever evaluated)."""
+        lim = self.join_query_cardinality
+        if lim is None or set(out.columns) != {"labels", "t", "value"}:
+            return out
+        for side in sides:
+            if set(side.columns) != {"labels", "t", "value"}:
+                continue
+            viol = (side.agg(F.count_distinct(
+                        bin_k.canonical_labels(F.col("labels")))
+                        .alias("_n"))
+                    .where(F.col("_n") > lim))
+            err = F.assert_true(
+                F.lit(False),
+                F.concat(F.lit("The join in this query has input "
+                               "cardinality of "),
+                         F.col("_n").cast("string"),
+                         F.lit(f" which is more than limit of {lim}. Try "
+                               "applying more filters or reduce time "
+                               "range.")))
+            out = out.unionByName(viol.select(
+                F.lit(None).cast("map<string,string>").alias("labels"),
+                F.lit(0).cast("long").alias("t"),
+                err.cast(out.schema["value"].dataType).alias("value")))
+        return out
+
     def _eval_binary(self, e: A.BinaryOp, grid: StepGrid):
         l = self._eval(e.lhs, grid)
         r = self._eval(e.rhs, grid)
@@ -1608,10 +1645,13 @@ class PromQLEngine:
             if lv and rv:
                 card = "many-to-one" if e.group_left else \
                     "one-to-many" if e.group_right else "one-to-one"
-                return bin_k.vector_binary_op(
+                out = bin_k.vector_binary_op(
                     l, r, e.op, on=list(e.on) if e.on is not None else None,
                     ignoring=e.ignoring, cardinality=card, include=e.include,
                     bool_modifier=e.bool_modifier)
+                if card == "one-to-one":
+                    out = self._enforce_join_limit(out, l, r)
+                return out
             if lv or rv:
                 vec, s, s_on_lhs = (l, r, False) if lv else (r, l, True)
                 # math (and bool-comparison) with a scalar drops the metric

@@ -166,3 +166,44 @@ class TestGroupRight:
             assert lab["role"] == "prometheus"
             assert "__name__" not in lab
             assert v in (3.0, 1.0)
+
+
+T0 = 1_700_000_000_000
+
+
+class TestJoinCardinalityLimit:
+    """BinaryJoinExecSpec.scala:535-591 — joinQueryCardinality: a
+    one-to-one join whose input side carries more series than the
+    enforced limit fails with the reference's message; within the
+    limit it runs; group_left/right joins are exempt (the reference
+    only checks Cardinality.OneToOne)."""
+
+    @pytest.fixture(scope="class")
+    def lim_engine(self, spark):
+        rows = []
+        for tag in ("tag1-1", "tag1-2"):
+            rows.append(({"__name__": "lhs_m", "tag2": tag}, T0, 1.0))
+            rows.append(({"__name__": "rhs_m", "tag2": tag}, T0, 2.0))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        return PromQLEngine(spark, TsStore(df), join_query_cardinality=1)
+
+    def test_over_limit_raises(self, lim_engine):
+        with pytest.raises(Exception,
+                           match="input cardinality of 2 which is more "
+                                 "than limit of 1"):
+            lim_engine.query_range("lhs_m + on(tag2) rhs_m",
+                                   T0, T0, 10_000).collect()
+
+    def test_within_limit_passes(self, lim_engine):
+        res = lim_engine.query_range(
+            'lhs_m{tag2="tag1-1"} + on(tag2) rhs_m{tag2="tag1-1"}',
+            T0, T0, 10_000).collect()
+        assert [r["value"] for r in res] == [3.0]
+
+    def test_group_left_exempt(self, lim_engine):
+        # only OneToOne joins are checked (BinaryJoinExec.scala:95)
+        res = lim_engine.query_range(
+            "lhs_m + on(tag2) group_left rhs_m", T0, T0, 10_000).collect()
+        assert len(res) == 2

@@ -91,7 +91,7 @@ WITH raw AS (
   FROM events GROUP BY 1, 2
 ),
 ds AS (
-  SELECT event_type, ts - (ts % {RES}) AS bucket,
+  SELECT event_type, (ts - 1) // {RES} AS bucket,
          max(ts) AS ttime, min(value) AS "min", max(value) AS "max",
          sum(value) AS "sum", CAST(count(*) AS DOUBLE) AS "count",
          avg(value) AS "avg"
@@ -118,7 +118,7 @@ WITH raw AS (
   FROM events GROUP BY 1, 2
 ),
 ds AS (
-  SELECT event_type, ts - (ts % {DAY}) AS bucket,
+  SELECT event_type, (ts - 1) // {DAY} AS bucket,
          max(ts) AS ttime, min(value) AS "min", max(value) AS "max",
          sum(value) AS "sum", CAST(count(*) AS DOUBLE) AS "count"
   FROM raw GROUP BY 1, 2
@@ -197,7 +197,7 @@ p3 AS (
   FROM p2
 ),
 ds AS (
-  SELECT event_type, ts - (ts % {RES}) AS bucket,
+  SELECT event_type, (ts - 1) // {RES} AS bucket,
          max(ts) AS ttime, sum(value) AS s
   FROM raw GROUP BY 1, 2
 ),

@@ -2,9 +2,30 @@
 
 Reference: the Spark batch downsampler
 (spark-jobs/src/main/scala/filodb/downsampler/chunk/BatchDownsampler.scala,
-DownsamplerMain.scala:26-80) rolls raw gauge chunks into 5m/1h `ds-gauge`
-chunks with aggregates {tTime, dMin, dMax, dSum, dCount, dAvg}
-(ChunkDownsampler.scala:20-32; schema filodb-defaults.conf:453-457).
+DownsamplerMain.scala:26-80) rolls raw chunks into 5m/1h downsample
+chunks. Every schema downsamples, not just gauges
+(filodb-defaults.conf:212-342):
+
+    gauge            tTime/dMin/dMax/dSum/dCount/dAvg, time marker
+    prom-counter     tTime/dLast, COUNTER marker (dip-preserving rows)
+    delta-counter    tTime/dSum, time marker
+    prom-histogram   tTime/dLast(sum)/dLast(count)/hLast(h), counter
+                     marker on the count column
+    delta-histogram  tTime/dSum/dSum/hSum [+dMin/dMax], time marker
+    otel-cumulative  prom-histogram + dMin/dMax period aggregates
+
+Downsamplers: ChunkDownsampler.scala:125-237 (dSum/dCount/dMin/dMax
+aggregate over the period's rows; dLast/hLast/tTime read the period's
+last row). Period markers: DownsamplePeriodMarker.scala:60-141 — the
+time marker emits the last row of each resolution period, where a
+period is END-inclusive ("a sample exactly at 5pm downsampled
+5-minutely falls in the period 4:55:00.001–5:00:00.000", :82-88); the
+counter marker additionally emits the first row of the chunk, every
+row where the counter dips, and the row immediately before each dip,
+so rate/increase on downsampled data still sees every reset
+(DownsamplePeriodMarker.scala:100-141). Driver loop: periods are
+sorted and period i aggregates rows (mark[i-1], mark[i]]
+(BatchDownsampler.scala:292-330).
 
 Query-time function rewrites on ds-gauge (RangeFunction.scala:249-278):
     min_over_time  -> min(min)
@@ -13,6 +34,9 @@ Query-time function rewrites on ds-gauge (RangeFunction.scala:249-278):
     count_over_time-> sum(count)
     avg_over_time  -> sum(sum) / sum(count)   (AvgWithSumAndCountOverTime)
     last_over_time -> last(avg)
+Counter and histogram downsample tables keep the RAW schema (they are
+dip-preserving row subsets / re-bucketed delta rows), so the raw range
+kernels run on them unchanged — no rewrite table needed.
 
 Raw/downsample split (LongTimeRangePlanner.scala): queries spanning the
 raw-retention boundary read the DS table for the old range and the raw
@@ -23,12 +47,20 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from filodb_spark.kernels.grid import StepGrid, drop_nan, explode_to_steps
 
 DS_COLS = ("min", "max", "sum", "count", "avg")
+
+
+def ds_bucket(ts_col, resolution_ms: int):
+    """END-inclusive downsample period id: a sample exactly on a
+    resolution boundary belongs to the period that ENDS there
+    (TimeDownsamplePeriodMarker, DownsamplePeriodMarker.scala:82-88:
+    periods run k*res+1 .. (k+1)*res inclusive)."""
+    return F.floor((F.col(ts_col) - 1) / F.lit(resolution_ms))
 
 
 def downsample(df: DataFrame, series_cols: Sequence[str], resolution_ms: int,
@@ -37,9 +69,11 @@ def downsample(df: DataFrame, series_cols: Sequence[str], resolution_ms: int,
 
     Output ts = last sample timestamp in the bucket (the reference's
     tTime downsampler, ChunkDownsampler.scala:20-32) — partial buckets
-    stay inside query windows that cover their samples."""
+    stay inside query windows that cover their samples. Buckets are
+    END-inclusive (ds_bucket): DownsamplerMainSpec.scala:1524-1530
+    goldens."""
     df = drop_nan(df, value_col)
-    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(resolution_ms)))
+    bucket = ds_bucket(ts_col, resolution_ms)
     v = F.col(value_col)
     return (df.withColumn("_bucket", bucket)
             .groupBy(*series_cols, "_bucket")
@@ -66,7 +100,10 @@ def streaming_downsample(stream: DataFrame, series_cols: Sequence[str],
     v = F.col(value_col)
     ev = (drop_nan(stream, value_col)
           .withColumn("_event_time", F.timestamp_millis(F.col(ts_col))))
-    win = F.window("_event_time", f"{resolution_ms} milliseconds")
+    # startTime offset 1ms makes the window (k*res, (k+1)*res] on
+    # integer-ms data — the batch job's END-inclusive period (ds_bucket)
+    win = F.window("_event_time", f"{resolution_ms} milliseconds",
+                   f"{resolution_ms} milliseconds", "1 millisecond")
     agg = (ev.withWatermark("_event_time", watermark_delay)
            .groupBy(*series_cols, win.alias("_w"))
            .agg(F.max(ts_col).alias("ttime"),
@@ -96,9 +133,10 @@ def downsample_cascade(ds: DataFrame, series_cols: Sequence[str],
     runs a 5m AND a 1h downsampler; the 1h rollup is derivable from the
     5m one because every ds-gauge aggregate re-aggregates exactly:
     min(min), max(max), sum(sum), sum(count), avg = sum/count).
-    Bucketing keys on the bucket START of the source rows' tTime, so a
-    coarse bucket owns exactly the fine buckets that start inside it."""
-    bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(resolution_ms)))
+    Bucketing keys on the END-inclusive period of the source rows'
+    tTime (ds_bucket); when the fine resolution divides the coarse one,
+    each fine period nests entirely inside one coarse period."""
+    bucket = ds_bucket(ts_col, resolution_ms)
     return (ds.withColumn("_bucket", bucket)
             .groupBy(*series_cols, "_bucket")
             .agg(F.max(ts_col).alias("ttime"),
@@ -127,6 +165,139 @@ def range_function_ds(ds: DataFrame, fn: str, series_cols: Sequence[str],
         col, agg = _DS_REWRITE[fn]
         out = ex.groupBy(*keys).agg(agg(F.col(col)).alias("value"))
     return out.select(*keys, "value")
+
+
+def _counter_marks(df: DataFrame, series_cols: Sequence[str],
+                   resolution_ms: int, ts_col: str,
+                   drop_col: str) -> DataFrame:
+    """Tag every row with the CounterDownsamplePeriodMarker keep flag
+    (DownsamplePeriodMarker.scala:100-141): the union of
+      (a) the last row of each END-inclusive resolution period,
+      (b) the first row of the series (chunk start in the reference —
+          chunkless here, so the series' first sample),
+      (c) rows where the drop-detection column dips (NaN reads 0,
+          CorrectingDoubleVectorReader semantics), and
+      (d) the row immediately before each dip.
+    Adds `_keep` (boolean) and `_seg` (0-based count of marked rows
+    strictly before this row per series — BatchDownsampler.scala:307-330's
+    period segmentation: mark i aggregates rows with _seg == i)."""
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    v = F.col(drop_col)
+    read = F.when(F.isnan(v), F.lit(0.0)).otherwise(v)
+    bucket = ds_bucket(ts_col, resolution_ms)
+    df = (df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_prev", F.lag(read).over(w))
+            .withColumn("_read", read)
+            .withColumn("_bucket", bucket))
+    is_drop = F.col("_prev").isNotNull() & (F.col("_read") < F.col("_prev"))
+    df = df.withColumn("_drop", is_drop)
+    wb = Window.partitionBy(*series_cols, "_bucket")
+    keep = ((F.col("_rn") == 1) | F.col("_drop")
+            | F.coalesce(F.lead("_drop").over(w), F.lit(False))
+            | (F.col(ts_col) == F.max(ts_col).over(wb)))
+    df = df.withColumn("_keep", keep)
+    seg = F.sum(F.col("_keep").cast("long")) \
+           .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (df.withColumn("_seg", F.coalesce(seg, F.lit(0)))
+              .drop("_rn", "_prev", "_read", "_bucket", "_drop"))
+
+
+def downsample_counter(df: DataFrame, series_cols: Sequence[str],
+                       resolution_ms: int, ts_col: str = "ts",
+                       value_col: str = "value") -> DataFrame:
+    """prom-counter downsampling: tTime(0) + dLast(1) with the counter
+    period marker (filodb-defaults.conf:247-254). Because every emitted
+    column reads the marked row itself, the output is a dip-preserving
+    ROW SUBSET of the raw table with the raw schema — rate/increase run
+    on it with the ordinary counter kernels, and the reset corrections
+    they compute equal the raw ones (rows around every dip survive).
+    Goldens: DownsamplerMainSpec.scala:1569-1610 (1-min), :2002-2040
+    (5-min)."""
+    marked = _counter_marks(df, series_cols, resolution_ms, ts_col,
+                            value_col)
+    return marked.where("_keep").drop("_keep", "_seg")
+
+
+def downsample_delta_counter(df: DataFrame, series_cols: Sequence[str],
+                             resolution_ms: int, ts_col: str = "ts",
+                             value_col: str = "value") -> DataFrame:
+    """delta-counter downsampling: tTime(0) + dSum(1) with the time
+    period marker (filodb-defaults.conf:256-262) — each END-inclusive
+    period emits (last ts, sum of deltas). Period sums preserve total
+    increase, so increase/rate-of-delta kernels (sum(window)/window)
+    read the same totals on bucket-aligned windows. Golden:
+    DownsamplerMainSpec.scala:1612-1666."""
+    df = drop_nan(df, value_col)
+    return (df.withColumn("_bucket", ds_bucket(ts_col, resolution_ms))
+            .groupBy(*series_cols, "_bucket")
+            .agg(F.max(ts_col).alias(ts_col),
+                 F.sum(value_col).alias(value_col))
+            .drop("_bucket"))
+
+
+def downsample_hist(df: DataFrame, series_cols: Sequence[str],
+                    resolution_ms: int, ts_col: str = "ts",
+                    count_col: str = "count",
+                    minmax_cols: Sequence[str] = ()) -> DataFrame:
+    """prom-histogram / otel-cumulative-histogram downsampling:
+    tTime(0) + dLast(sum) + dLast(count) + hLast(h) [+ dMin/dMax] with
+    the counter period marker on the COUNT column
+    (filodb-defaults.conf:265-273, :288-301). dLast/hLast read the
+    marked row, so sum/count/h form a dip-preserving row subset of the
+    raw histogram table (raw schema — the raw hist kernels run on it);
+    dMin/dMax aggregate over each period's rows
+    (BatchDownsampler.scala:307-330 segments, NaN skipped per
+    MinDownsampler/MaxDownsampler ChunkDownsampler.scala:176-258).
+    Goldens: DownsamplerMainSpec.scala:1687-1771 (prom, 1-min),
+    :1771-1820 (otel-cumulative), :1918-1972 (NaN), :2043-2140 (5-min).
+    """
+    marked = _counter_marks(df, series_cols, resolution_ms, ts_col,
+                            count_col)
+    for c in minmax_cols:
+        # NaN -> null so min/max skip it, like the reference downsampler
+        marked = marked.withColumn(
+            c, F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)))
+    if minmax_cols:
+        ws = Window.partitionBy(*series_cols, "_seg")
+        mm_min, mm_max = minmax_cols
+        marked = (marked
+                  .withColumn(mm_min, F.min(mm_min).over(ws))
+                  .withColumn(mm_max, F.max(mm_max).over(ws)))
+    out = marked.where("_keep").drop("_keep", "_seg")
+    for c in minmax_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.lit(float("nan"))))
+    return out
+
+
+def downsample_delta_hist(df: DataFrame, series_cols: Sequence[str],
+                          resolution_ms: int, ts_col: str = "ts",
+                          sum_col: str = "sum", count_col: str = "count",
+                          hist_col: str = "hist",
+                          minmax_cols: Sequence[str] = ()) -> DataFrame:
+    """delta-histogram / otel-delta-histogram downsampling:
+    tTime(0) + dSum(sum) + dSum(count) + hSum(h) [+ dMin(min)/dMax(max)]
+    with the time period marker (filodb-defaults.conf:275-286,
+    :303-315). hSum is the bucket-wise histogram sum
+    (HistSumDownsampler, ChunkDownsampler.scala:139-155) — delegated to
+    kernels.histogram.hist_sum, whose same-scheme groups sum exactly
+    (mixed schemes within one period follow its documented NaN rule).
+    Goldens: DownsamplerMainSpec.scala:1761-1769 (delta),
+    :1822-1878 (otel-delta), :1880-1916 (exp-delta)."""
+    from filodb_spark.kernels.histogram import hist_sum
+    df = df.withColumn("_bucket", ds_bucket(ts_col, resolution_ms))
+    aggs = [F.max(ts_col).alias(ts_col),
+            F.sum(sum_col).alias(sum_col),
+            F.sum(count_col).alias(count_col)]
+    for c, fn in zip(minmax_cols, (F.min, F.max)):
+        nn = F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+        aggs.append(F.coalesce(fn(nn), F.lit(float("nan"))).alias(c))
+    keys = [*series_cols, "_bucket"]
+    scalar = df.groupBy(*keys).agg(*aggs)
+    hists = hist_sum(df.select(*keys, hist_col), keys, hist_col=hist_col)
+    order = [*series_cols, ts_col, sum_col, count_col, hist_col,
+             *minmax_cols]
+    return scalar.join(hists, keys).select(*order)
 
 
 def stitch_raw_ds(raw: DataFrame, ds: DataFrame, boundary_ms: int,

@@ -9,8 +9,10 @@ rollups of ALL history — each instant's value identifies the side that
 produced it.
 
 Fixture: g = i at T0 + i min (i in 0..19); raw retention starts at
-T0+10m; ds rollups at 5m (tTime = last sample in bucket):
-  ttime 4m: sum 10, 9m: 35, 14m: 60, 19m: 85.
+T0+10m; ds rollups at 5m with END-inclusive periods (T0 is a 5m
+multiple, so the i=0 sample falls in the period ENDING at T0 —
+DownsamplePeriodMarker.scala:82-88):
+  ttime 0m: sum 0, 5m: 15, 10m: 40, 15m: 65, 19m: 70.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def raw_sum(i, w=5):
     return float(sum(range(i - w, i + 1)))
 
 
-DS_TTIMES = {4: 10.0, 9: 35.0, 14: 60.0, 19: 85.0}
+DS_TTIMES = {0: 0.0, 5: 15.0, 10: 40.0, 15: 65.0, 19: 70.0}
 
 
 def ds_sum(i, w=5):
@@ -119,4 +121,5 @@ def test_avg_and_count_rewrites_across_split(engine):
     avg = _run(engine, "avg_over_time(g[5m])", 5, 19)
     cnt = _run(engine, "count_over_time(g[5m])", 5, 19)
     assert avg[19] == raw_sum(19) / 6 and cnt[19] == 6.0
-    assert avg[9] == 45.0 / 10 and cnt[9] == 10.0  # two rollups: 10 pts
+    # one rollup in [4m, 9m] (ttime 5m: sum 15, count 5)
+    assert avg[9] == 15.0 / 5 and cnt[9] == 5.0

@@ -96,11 +96,13 @@ class TestDownsample:
     def test_downsample_aggregates(self, spark):
         ds = downsample(self._raw(spark), ["series"], 300_000)
         got = {r["ts"]: r for r in ds.collect()}
-        # bucket [0, 5m): samples 0..4, stamped at the last sample ts
-        r0 = got[4 * 60_000]
+        # END-inclusive period (0, 5m]: samples 1..5 (the boundary
+        # sample at exactly 5m belongs to the period that ends there,
+        # DownsamplePeriodMarker.scala:82-88), stamped at the last ts
+        r0 = got[5 * 60_000]
         assert (r0["min"], r0["max"], r0["sum"], r0["count"], r0["avg"]) == \
-            (0.0, 4.0, 10.0, 5.0, 2.0)
-        assert r0["ttime"] == 4 * 60_000
+            (1.0, 5.0, 15.0, 5.0, 3.0)
+        assert r0["ttime"] == 5 * 60_000
 
     def test_ds_rewrites_match_raw(self, spark):
         raw = self._raw(spark)
@@ -122,10 +124,11 @@ class TestDownsample:
         raw = spark.createDataFrame(
             rows, "series string, ts long, value double")
         ds5 = downsample(raw, ["series"], 300_000)
-        via5 = {r["ts"] - r["ts"] % 3_600_000: r
+        hour = lambda ts: (ts - 1) // 3_600_000  # end-inclusive period id
+        via5 = {hour(r["ts"]): r
                 for r in downsample_cascade(ds5, ["series"], 3_600_000)
                 .collect()}
-        direct = {r["ts"] - r["ts"] % 3_600_000: r
+        direct = {hour(r["ts"]): r
                   for r in downsample(raw, ["series"], 3_600_000).collect()}
         assert via5.keys() == direct.keys() and via5
         for k in direct:

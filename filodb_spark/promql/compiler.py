@@ -231,6 +231,20 @@ class TsStore:
     # (LongTimeRangePlanner.scala)
     ds_df: DataFrame | None = None
     raw_retention_start_ms: int | None = None
+    # downsampled COUNTER samples (streaming.downsample.
+    # downsample_counter / downsample_delta_counter): the raw schema —
+    # a dip-preserving row subset (prom-counter) or period delta sums
+    # (delta-counter), so the raw counter kernels run on it unchanged.
+    # The reference keeps counters in their own downsample dataset the
+    # same way (filodb-defaults.conf:247-262)
+    ds_counter_df: DataFrame | None = None
+    # downsampled HISTOGRAM samples (downsample_hist /
+    # downsample_delta_hist): raw hist schema, dip-preserving subset
+    ds_hist_df: DataFrame | None = None
+    # resolution of the downsample tables — rate/increase lookbacks
+    # shorter than 2x this are rejected when they route to DS data
+    # (PeriodicSamplesMapper.scala:90-126)
+    ds_resolution_ms: int | None = None
     # materialized part-key (series-dimension) table — one row per
     # canonical series (labels, _sk, first_ts, last_ts, samples); when
     # attached, metadata endpoints, TsCardinality, and the plan-time
@@ -771,6 +785,90 @@ class PromQLEngine:
     HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
                       "last_over_time"}
 
+    # counter-family range functions evaluable directly on the
+    # downsampled counter table (a dip-preserving row subset / period
+    # delta sums with the raw schema — downsample_counter /
+    # downsample_delta_counter); gauge *_over_time fns instead use the
+    # ds-gauge rewrite table (_DS_REWRITE)
+    COUNTER_DS_FNS = frozenset({
+        "rate", "increase", "irate", "idelta", "resets", "changes",
+        "delta", "rate_delta", "increase_delta"})
+
+    def _ds_split(self, grid: StepGrid, window: int):
+        """Raw/DS split point (LongTimeRangePlanner.scala:110-171):
+        None when every instant's lookback window is raw-resident;
+        "all_ds" when no instant's is (long lookback, :123-151);
+        otherwise the first instant whose full window lies inside raw
+        retention (numStepsInDownsample / firstInstantInRaw, :156-158).
+        """
+        boundary = self.store.raw_retention_start_ms
+        if boundary is None or grid.start - window >= boundary:
+            return None
+        num_ds_steps = (boundary - grid.start + window) // grid.step
+        first_raw_t = grid.start + (num_ds_steps + 1) * grid.step
+        if grid.end - window < boundary or first_raw_t > grid.end:
+            return "all_ds"
+        return first_raw_t
+
+    def _check_ds_lookback(self, fn: str, window: int) -> None:
+        """Reject rate/increase lookbacks that cannot hold two samples
+        of downsampled data — message verbatim from
+        PeriodicSamplesMapper.scala:98-101,123-126 (the toggler-fn
+        guard the reference applies on its downsample datasets;
+        error golden DownsamplerMainSpec.scala:2278-2302)."""
+        res = self.store.ds_resolution_ms
+        if res and window < 2 * res and fn in (
+                "rate", "increase", "rate_delta", "increase_delta"):
+            raise ValueError(
+                f"Minimum resolution of data for this time range is "
+                f"{res}ms. However, a lookback of {window}ms was chosen. "
+                f"This will not yield intended results for rate/increase "
+                f"functions since each lookback window can contain lesser "
+                f"than 2 samples. Increase lookback to more than "
+                f"{2 * res}ms")
+
+    def _ds_select(self, sel: A.VectorSelector) -> DataFrame:
+        """Scope the downsampled counter/hist tables with the SAME
+        selector semantics as the raw scan: a shallow TsStore view
+        whose sample tables are the downsample ones reuses
+        TsStore.select (metric binding, _sum/_count/_bucket rewrites,
+        matcher pushdown) verbatim. Missing DS tables present as empty
+        raw-schema frames so absent schemas contribute no DS rows."""
+        import dataclasses
+        st = self.store
+        ds_store = dataclasses.replace(
+            st,
+            df=st.ds_counter_df if st.ds_counter_df is not None
+            else st.df.where(F.lit(False)),
+            hist_df=st.ds_hist_df if st.ds_hist_df is not None
+            else (st.hist_df.where(F.lit(False))
+                  if st.hist_df is not None else None),
+            ds_df=None, ds_counter_df=None, ds_hist_df=None,
+            partkey_df=None)
+        out = ds_store.select(sel)
+        return out.withColumn("_sk",
+                              bin_k.canonical_labels(F.col("labels")))
+
+    def _hist_window(self, df: DataFrame, fn: str, grid: StepGrid,
+                     window: int) -> DataFrame:
+        """Histogram range function + min/max companion columns
+        (SumAndMaxOverTime / RateAndMinMaxOverTime,
+        InternalRangeFunction.scala:57-60): window-min of min /
+        window-max of max ride along. Input needs _sk/ts/hist
+        [+min/max]; output _sk/t/hist [+hmin/hmax]."""
+        from filodb_spark.kernels.histogram import hist_range_function
+        out = hist_range_function(df.select("_sk", "ts", "hist"), fn,
+                                  ["_sk"], grid, window)
+        for comp, cfn, alias in (("min", "min_over_time", "hmin"),
+                                 ("max", "max_over_time", "hmax")):
+            if comp in df.columns:
+                cw = range_function(
+                    df.select("_sk", "ts", F.col(comp).alias("value")),
+                    cfn, ["_sk"], grid, window) \
+                    .withColumnRenamed("value", alias)
+                out = out.join(cw, ["_sk", "t"], "left")
+        return out
+
     def _tiling_arg(self, fn: str, sel: A.VectorSelector | None = None,
                     grid: StepGrid | None = None,
                     window: int | None = None):
@@ -845,20 +943,32 @@ class PromQLEngine:
             # histogram schema: per-bucket kernels (extrapolatedRateH)
             if fn not in self.HIST_RANGE_FNS:
                 raise ValueError(f"{fn} is not defined over histograms")
-            from filodb_spark.kernels.histogram import hist_range_function
-            out = hist_range_function(df.select("_sk", "ts", "hist"), fn,
-                                      ["_sk"], grid, window)
-            # min/max companion columns (SumAndMaxOverTime /
-            # RateAndMinMaxOverTime, InternalRangeFunction.scala:57-60):
-            # window-min of min / window-max of max ride along
-            for comp, cfn, alias in (("min", "min_over_time", "hmin"),
-                                     ("max", "max_over_time", "hmax")):
-                if comp in df.columns:
-                    cw = range_function(
-                        df.select("_sk", "ts", F.col(comp).alias("value")),
-                        cfn, ["_sk"], grid, window) \
-                        .withColumnRenamed("value", alias)
-                    out = out.join(cw, ["_sk", "t"], "left")
+            # raw/DS split for histogram schemas: the downsampled hist
+            # table is a dip-preserving row subset with the raw schema
+            # (downsample_hist), so the same per-bucket kernels run on
+            # both sides (DownsampledTimeSeriesShard serves
+            # prom-histogram queries from its own downsample dataset
+            # the same way)
+            split = self._ds_split(grid, window) \
+                if self.store.ds_hist_df is not None else None
+            if split is not None:
+                self._check_ds_lookback(fn, window)
+                dsf = self._ds_select(sel)
+                ds_lab = dsf.select("_sk", "labels") \
+                            .dropDuplicates(["_sk"])
+                ds_out = self._hist_window(dsf, fn, grid, window)
+                keep = [c for c in ("hmin", "hmax")
+                        if c in ds_out.columns]
+                ds_out = (ds_out.join(ds_lab, "_sk")
+                          .select("labels", "t", "hist", *keep))
+                if split == "all_ds":
+                    return ds_out
+                raw_out = (self._hist_window(df, fn, grid, window)
+                           .join(lab, "_sk")
+                           .select("labels", "t", "hist", *keep))
+                return raw_out.where(F.col("t") >= split).unionByName(
+                    ds_out.where(F.col("t") < split))
+            out = self._hist_window(df, fn, grid, window)
             keep = [c for c in ("hmin", "hmax") if c in out.columns]
             return out.join(lab, "_sk").select("labels", "t", "hist", *keep)
         if fn == "absent_over_time":
@@ -875,45 +985,67 @@ class PromQLEngine:
         # `t >= boundary` split silently under-read truncated raw
         # windows for instants in [boundary, boundary+window)).
         from filodb_spark.streaming.downsample import _DS_REWRITE
-        boundary = self.store.raw_retention_start_ms
         # the caller already shifted the grid by the selector offset
         # (_eval_range_fn: StepGrid(start - offset, ...)), so this grid
         # IS the reference's startWithOffsetMs/endWithOffsetMs space —
         # "offset compensates for the retention boundary" falls out
-        if (boundary is not None and self.store.ds_df is not None
-                and grid.start - window < boundary
-                and fn in _DS_REWRITE):
-            from filodb_spark.streaming.downsample import range_function_ds
-            ds = self.store.ds_df
-            labels = F.col("labels")
-            if sel.metric:
-                ds = ds.where(labels[METRIC] == sel.metric)
-            # full matcher semantics on the DS side too (a regex/!= that
-            # only the raw side honored would return extra series on
-            # steps before the retention boundary)
-            ds = _apply_label_matchers(
-                ds, [m for m in sel.matchers if m.name != "_type_"])
-            ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
-            ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
-            # first instant whose full window is raw-resident
-            # (numStepsInDownsample / firstInstantInRaw, :156-158)
-            num_ds_steps = (boundary - grid.start + window) // grid.step
-            first_raw_t = grid.start + (num_ds_steps + 1) * grid.step
-            if grid.end - window < boundary or first_raw_t > grid.end:
-                # long lookback: whole grid on the DS cluster (:123-151)
+        if self.store.ds_df is not None and fn in _DS_REWRITE:
+            split = self._ds_split(grid, window)
+            if split is not None:
+                from filodb_spark.streaming.downsample import \
+                    range_function_ds
+                ds = self.store.ds_df
+                labels = F.col("labels")
+                if sel.metric:
+                    ds = ds.where(labels[METRIC] == sel.metric)
+                # full matcher semantics on the DS side too (a regex/!=
+                # that only the raw side honored would return extra
+                # series on steps before the retention boundary)
+                ds = _apply_label_matchers(
+                    ds, [m for m in sel.matchers if m.name != "_type_"])
+                ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
+                ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
                 ds_out = range_function_ds(ds, fn, ["_sk"], grid, window)
-                return (ds_out.join(ds_lab, "_sk")
-                        .select("labels", "t", "value"))
-            ds_out = range_function_ds(ds, fn, ["_sk"], grid, window) \
-                .where(F.col("t") < first_raw_t)
-            ds_out = ds_out.join(ds_lab, "_sk").select("labels", "t", "value")
-            raw_out = range_function(df, fn, ["_sk"], grid, window,
-                                     params=params, carry_cols=["labels"],
-                                     tiling=self._tiling_arg(fn, sel, grid, window),
-                                     honor_stale_marker=True) \
-                .where(F.col("t") >= first_raw_t) \
-                .select("labels", "t", "value")
-            return raw_out.unionByName(ds_out)
+                ds_out = (ds_out.join(ds_lab, "_sk")
+                          .select("labels", "t", "value"))
+                if split == "all_ds":
+                    # long lookback: whole grid on the DS cluster
+                    # (LongTimeRangePlanner.scala:123-151)
+                    return ds_out
+                raw_out = range_function(
+                    df, fn, ["_sk"], grid, window, params=params,
+                    carry_cols=["labels"],
+                    tiling=self._tiling_arg(fn, sel, grid, window),
+                    honor_stale_marker=True) \
+                    .where(F.col("t") >= split) \
+                    .select("labels", "t", "value")
+                return raw_out.unionByName(ds_out.where(F.col("t") < split))
+        # counter-schema raw/DS split: the downsampled counter table is
+        # a dip-preserving row subset (prom-counter) / period-sum rows
+        # (delta-counter) with the RAW schema, so the ordinary counter
+        # kernels evaluate the pre-boundary steps on it directly — no
+        # rewrite table (the reference's DS cluster likewise runs the
+        # same RangeFunctions on its prom-counter downsample dataset)
+        if self.store.ds_counter_df is not None and fn in self.COUNTER_DS_FNS:
+            split = self._ds_split(grid, window)
+            if split is not None:
+                self._check_ds_lookback(fn, window)
+                dsf = self._ds_select(sel)
+                ds_lab = dsf.select("_sk", "labels").dropDuplicates(["_sk"])
+                ds_out = range_function(dsf, fn, ["_sk"], grid, window,
+                                        params=params)
+                ds_out = (ds_out.join(ds_lab, "_sk")
+                          .select("labels", "t", "value"))
+                if split == "all_ds":
+                    return ds_out
+                raw_out = range_function(
+                    df, fn, ["_sk"], grid, window, params=params,
+                    carry_cols=["labels"],
+                    tiling=self._tiling_arg(fn, sel, grid, window),
+                    honor_stale_marker=True) \
+                    .where(F.col("t") >= split) \
+                    .select("labels", "t", "value")
+                return raw_out.unionByName(ds_out.where(F.col("t") < split))
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
             return (out.join(lab, "_sk").select("labels", "t", "value"))

@@ -123,3 +123,129 @@ def test_avg_and_count_rewrites_across_split(engine):
     assert avg[19] == raw_sum(19) / 6 and cnt[19] == 6.0
     # one rollup in [4m, 9m] (ttime 5m: sum 15, count 5)
     assert avg[9] == 15.0 / 5 and cnt[9] == 5.0
+
+
+# ---- counter / histogram schemas across the boundary -----------------
+#
+# DownsampledTimeSeriesShard serves prom-counter / prom-histogram
+# queries from their own downsample datasets (dip-preserving row
+# subsets, filodb-defaults.conf:247-273); the planner split is the same
+# LongTimeRangePlanner math. Fixture: counter c climbs 2/min and RESETS
+# to 0 at i=8 (pre-boundary, so only the DS side ever sees it).
+
+CTR = [0.0, 2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 0.0, 2.0,
+       4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0, 18.0, 20.0, 22.0]
+
+
+@pytest.fixture(scope="module")
+def counter_engine(spark):
+    from filodb_spark.streaming.downsample import downsample_counter
+    full = spark.createDataFrame(
+        [({"__name__": "c", "job": "a"}, T0 + i * MIN, CTR[i])
+         for i in range(20)],
+        "labels map<string,string>, ts long, value double")
+    raw = full.where(F.col("ts") >= BOUNDARY)
+    dsc = downsample_counter(
+        full.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], 5 * MIN).drop("_sk")
+    store = TsStore(raw, ds_counter_df=dsc,
+                    raw_retention_start_ms=BOUNDARY,
+                    ds_resolution_ms=5 * MIN)
+    return PromQLEngine(spark, store), full, dsc
+
+
+def test_counter_split_stitches_rate(spark, counter_engine):
+    """Boundary-crossing increase(): pre-split instants evaluate on the
+    downsampled counter rows with the ordinary counter kernel, post-split
+    instants on raw — and the reset at i=8 survives downsampling."""
+    from filodb_spark.kernels.range_fns import range_function
+    engine, full, dsc = counter_engine
+    got = _run(engine, "increase(c[10m])", 10, 19)
+    # reference evaluation: the same kernel applied per side
+    grid_ms = (T0 + 10 * MIN, T0 + 19 * MIN)
+    from filodb_spark.kernels.grid import StepGrid
+    grid = StepGrid(grid_ms[0], grid_ms[1], MIN)
+    window = 10 * MIN
+    # firstInstantInRaw: first t with t - window >= boundary -> 20m,
+    # beyond the grid end -> whole grid on DS
+    sk = full.withColumn("_sk", canonical_labels(F.col("labels")))
+    ds_side = range_function(
+        dsc.withColumn("_sk", canonical_labels(F.col("labels"))),
+        "increase", ["_sk"], grid, window)
+    expected = {(r["t"] - T0) // MIN: r["value"] for r in ds_side.collect()}
+    assert got == pytest.approx(expected)
+    # non-vacuous: the reset contributes (i=8 dip inside every window
+    # here), and a raw-only evaluation (truncated table) differs
+    raw_only = range_function(
+        sk.where(F.col("ts") >= BOUNDARY), "increase", ["_sk"], grid,
+        window)
+    raw_vals = {(r["t"] - T0) // MIN: r["value"] for r in raw_only.collect()}
+    assert raw_vals != expected
+
+
+def test_counter_split_post_boundary_instants_use_raw(counter_engine):
+    engine, full, dsc = counter_engine
+    # window 5m: firstInstantInRaw = 16m (15m - 5m window still reaches
+    # back to 10m exactly; boundary sample is raw-resident, but the
+    # split math mirrors the reference's numStepsInDownsample formula)
+    got = _run(engine, "rate(c[10m])", 16, 19)
+    assert set(got) == {16, 17, 18, 19}
+    # steady 2/min climb post-reset: rate = 2/60 per second
+    for i in (18, 19):
+        assert got[i] == pytest.approx(2.0 / 60.0)
+
+
+def test_ds_lookback_guard(counter_engine):
+    """rate/increase lookback < 2x the DS resolution is rejected with
+    the reference's message when (and only when) the query routes to
+    downsampled data (PeriodicSamplesMapper.scala:90-126)."""
+    engine, _, _ = counter_engine
+    with pytest.raises(Exception, match="Minimum resolution of data"):
+        _run(engine, "rate(c[6m])", 5, 9)     # 6m < 2*5m, crosses
+    # same short lookback fully raw-resident: no error
+    got = _run(engine, "rate(c[6m])", 17, 19)
+    assert set(got) == {17, 18, 19}
+    # resets/changes on DS data have no 2-sample restriction
+    got2 = _run(engine, "resets(c[6m])", 5, 9)
+    assert set(got2) == {5, 6, 7, 8, 9}
+
+
+def test_hist_split_and_sum_rewrite(spark):
+    """prom-histogram across the boundary: the hist struct kernels and
+    the _sum/_count rewrites both evaluate pre-split instants on the
+    downsampled hist table (counter marker on the count column)."""
+    from filodb_spark.streaming.downsample import downsample_hist
+    les = [1.0, float("inf")]
+    rows = []
+    for i in range(20):
+        c = float(2 * i + 1)
+        rows.append(({"__name__": "h", "job": "a"}, T0 + i * MIN,
+                     float(i), c, (les, [float(i), c])))
+    full = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, sum double, "
+              "count double, hist struct<les: array<double>, "
+              "values: array<double>>")
+    raw = full.where(F.col("ts") >= BOUNDARY)
+    dsh = downsample_hist(
+        full.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], 5 * MIN).drop("_sk")
+    store = TsStore(raw.where(F.lit(False)).select("labels", "ts",
+                                                   F.col("sum").alias("value")),
+                    hist_df=raw, hist_metrics=("h",),
+                    ds_hist_df=dsh, raw_retention_start_ms=BOUNDARY,
+                    ds_resolution_ms=5 * MIN)
+    engine = PromQLEngine(spark, store)
+    # histogram-valued query across the boundary -> stitched, and the
+    # pre-boundary steps carry DS-subset bucket values
+    out = engine.query_range("sum_over_time(h[5m])", T0 + 8 * MIN,
+                             T0 + 19 * MIN, MIN).collect()
+    by_t = {(r["t"] - T0) // MIN: list(r["hist"]["values"]) for r in out}
+    assert set(by_t) == set(range(8, 20))
+    # raw-side instant 19: sums raw i=14..19 buckets exactly
+    assert by_t[19][0] == float(sum(range(14, 20)))
+    # _sum rewrite across the boundary: scalar path on the DS hist table
+    s = _run(engine, "increase(h_sum[10m])", 10, 19)
+    assert set(s) == set(range(10, 20))
+    # h_sum climbs 1/min with no resets: increase([10m]) -> 10 wherever
+    # both window endpoints hold retained samples
+    assert s[19] == pytest.approx(10.0)

@@ -383,3 +383,23 @@ def hist_fraction(lo: float, hi: float, hist: Column) -> Column:
 
     frac = (cum_at(hi) - cum_at(lo)) / total
     return F.when(total == 0, F.lit(float("nan"))).otherwise(frac)
+
+
+def counter_correct_hist(df: DataFrame, series_cols: Sequence[str],
+                         hist_col: str = "hist",
+                         ts_col: str = "ts") -> DataFrame:
+    """Per-bucket monotone counter reconstruction
+    (BufferableCounterCorrectionIteratorH,
+    PeriodicSamplesMapper.scala:568-590): each bucket of a cumulative
+    histogram counter corrects independently — a dip in bucket i adds
+    bucket i's previous value to ITS running correction; NaN buckets
+    read 0 (explicit reset marker). Composition of the scalar
+    counter_correct over the exploded buckets, re-assembled — the same
+    shape the hist rate path uses (hist_range_function). Like the
+    scalar form, a standalone spec-parity kernel: the production hist
+    rate path corrects in-window per bucket."""
+    from filodb_spark.kernels.range_fns import counter_correct
+    exploded = explode_hist(df, hist_col)
+    fixed = counter_correct(exploded, [*series_cols, "bucket_le"],
+                            ts_col=ts_col)
+    return assemble_hist(fixed, [*series_cols, ts_col])

@@ -857,7 +857,15 @@ def counter_correct(df: DataFrame, series_cols: Sequence[str],
     value to a per-series running correction, so the output never
     decreases; a NaN sample reads as 0 (the explicit end-of-series
     counter-reset marker). One window spec per series — the same
-    Exchange+Sort the as-of kernels ride, no per-row Python."""
+    Exchange+Sort the as-of kernels ride, no per-row Python.
+
+    Standalone spec-parity kernel: the production rate/increase path
+    corrects in-window instead (sum-of-dips there equals corrected
+    last-minus-first, so the results agree); this form exists for
+    callers that want the reconstructed monotone series itself and to
+    pin the iterator's semantics (tests/test_counter_correction_spec).
+    The histogram (per-bucket) variant is
+    kernels.histogram.counter_correct_hist."""
     from pyspark.sql import Window
     v0 = F.col(value_col)
     v = F.when(F.isnan(v0) | v0.isNull(), F.lit(0.0)).otherwise(v0)

@@ -203,6 +203,17 @@ class TsStore:
             probe = path.rstrip("/") + "_partkey"
             fs, Path = hadoop_fs(spark, probe)
             partkey_path = probe if fs.exists(Path(probe)) else None
+            if partkey_path is not None:
+                # surfaced because the sibling convention makes no
+                # freshness promise: an index built before the series
+                # table was rewritten serves stale metadata/spans.
+                # Rebuild (cli partkey-build / append_partkey_updates)
+                # after table rewrites, or pass partkey_path=None
+                import logging
+                logging.getLogger("filodb_spark").info(
+                    "auto-attached sibling part-key index %s for %s "
+                    "(pass partkey_path=None to opt out; rebuild the "
+                    "index after series-table rewrites)", probe, path)
         if partkey_path is not None:
             # mount the RAW shape: select_partkeys pushes matchers below
             # the merge (directory pruning + row-group skipping)
@@ -298,7 +309,13 @@ class TsStore:
             return "delta-counter"
         return "gauge"
 
-    def select(self, sel: A.VectorSelector) -> DataFrame:
+    def select(self, sel: A.VectorSelector, ts_lo: int | None = None,
+               ts_hi: int | None = None) -> DataFrame:
+        """Resolve a selector to its schema table. ts_lo/ts_hi (when
+        the caller knows them — _scan passes the window-extended query
+        range) scope metric-less schema DISCOVERY only; the returned
+        frame is never time-filtered here (the caller's filter sits
+        above the stats observation point, _scan's docstring)."""
         schema = self.schema_of(sel.metric)
         # `_type_` is a VIRTUAL label naming the schema, not a stored
         # label: an Equals matcher gates the scan on the metric's schema
@@ -325,7 +342,8 @@ class TsStore:
                 offset_ms=sel.offset_ms, at_ms=sel.at_ms, limit=sel.limit)
         if sel.metric is None and (self.hist_df is not None
                                    or type_value is not None):
-            return self._select_multischema(sel.matchers, type_value)
+            return self._select_multischema(sel.matchers, type_value,
+                                            ts_lo, ts_hi)
         if schema == "gauge":
             df = self.df
         else:
@@ -372,15 +390,26 @@ class TsStore:
         return self.hist_df.select("labels", "ts", "sum", "count",
                                    "hist", *extra)
 
-    def _select_multischema(self, matchers, type_value: str | None
-                            ) -> DataFrame:
+    def _select_multischema(self, matchers, type_value: str | None,
+                            ts_lo: int | None = None,
+                            ts_hi: int | None = None) -> DataFrame:
         """Schema resolution for a metric-less data selector on a
         multi-schema store (MultiSchemaPartitionsExec lookupPartitions):
         the selector binds to the SINGLE schema whose series match the
         filters; matching more than one raises SchemaMismatch
         (MultiSchemaPartitionsExecSpec.scala:341-348,
         TimeSeriesShard.scala:237-238). A `_type_` Equals matcher names
-        the schema directly and skips discovery (spec :631-652)."""
+        the schema directly and skips discovery (spec :631-652).
+
+        The discovery probes are scoped to [ts_lo, ts_hi] when given
+        (the reference's partition lookup is range-scoped — a series
+        existing only outside the queried window must not bind the
+        schema or raise SchemaMismatch) and the RESOLUTION is memoized
+        per (matchers, range): a dashboard re-issuing the same selector
+        pays the two limit-1 sample probes once, not per query (ADVICE
+        r9). Resolving membership on the part-key index instead was
+        considered and rejected: an attached index makes no coverage
+        promise for non-gauge schemas (see _index_covers)."""
         matchers = tuple(m for m in matchers if m.name != "_type_")
         gauge = _apply_label_matchers(self.df, matchers)
         if type_value is not None:
@@ -407,13 +436,42 @@ class TsStore:
                                    else ~name.isin(delta))
             return gauge.where(F.lit(False))
         hist = _apply_label_matchers(self._hist_full(), matchers)
-        gauge_hit = not gauge.isEmpty()
-        hist_hit = not hist.isEmpty()
+        memo = self.__dict__.setdefault("_multischema_memo", {})
+        key = (tuple((m.name, m.op, m.value) for m in matchers),
+               ts_lo, ts_hi)
+        if key in memo:
+            gauge_hit, hist_hit = memo[key]
+        else:
+            def scoped(df):
+                if ts_lo is None:
+                    return df
+                return df.where((F.col("ts") >= ts_lo)
+                                & (F.col("ts") <= ts_hi))
+            gauge_hit = not scoped(gauge).isEmpty()
+            hist_hit = not scoped(hist).isEmpty()
+            if len(memo) >= 256:
+                memo.pop(next(iter(memo)))
+            memo[key] = (gauge_hit, hist_hit)
         if gauge_hit and hist_hit:
             raise SchemaMismatch(
                 "Multiple schemas found, please filter. Expected schema "
                 "gauge, found schema prom-histogram")
         return hist if hist_hit else gauge
+
+    def _index_covers(self, metric: str) -> bool:
+        """Does the attached part-key index hold rows for `metric`?
+        One bounded existence probe per metric, memoized for the
+        store's lifetime (a series table rewrite warrants a fresh
+        mount, which resets the memo)."""
+        cache = self.__dict__.setdefault("_index_cover_memo", {})
+        if metric not in cache:
+            df = self.partkey_df.where(F.col("labels")[METRIC] == metric)
+            if "_metric" in self.partkey_df.columns:
+                # pushable twin: row-group min/max skipping on the
+                # sorted physical column
+                df = df.where(F.col("_metric") == metric)
+            cache[metric] = not df.isEmpty()
+        return cache[metric]
 
     def select_partkeys(self, sel: A.VectorSelector) -> DataFrame | None:
         """Matcher-filtered part-key rows (one per series), or None when
@@ -443,6 +501,16 @@ class TsStore:
         metric = sel.metric
         if schema in ("hist_sum", "hist_count"):
             metric = self.hist_base_of(sel.metric)
+        if schema.startswith("hist") and metric and \
+                not self._index_covers(metric):
+            # an attached index may have been built from the gauge
+            # series table only (cli partkey-build reads one table; the
+            # auto-attached sibling makes no coverage promise) — a
+            # hist-scoped lookup on such an index would return
+            # silently-EMPTY metadata. Verify coverage once per base
+            # metric (memoized limit-probe) and fall back to the sample
+            # scan when the index has no rows for it (ADVICE r9).
+            return None
         df = self.partkey_df
         raw_shape = "_metric" in df.columns
         type_matchers = [m for m in sel.matchers if m.name == "_type_"]
@@ -602,7 +670,7 @@ class PromQLEngine:
         filter would lose parquet ts min/max pruning and count the
         selector's full history (the reference counts post-chunk-pruning
         samples — ExecPlan.scala:214-226 semantics)."""
-        df = self.store.select(sel)
+        df = self.store.select(sel, ts_lo, ts_hi)
         if ts_lo is not None:
             # time-range pruning: pushed to parquet min/max skipping
             df = df.where((F.col("ts") >= ts_lo) & (F.col("ts") <= ts_hi))
@@ -1744,7 +1812,18 @@ class PromQLEngine:
         limit fails during execution — same lazy assert_true pattern as
         _enforce_groupby_limit. The violation rows ride the join OUTPUT
         (a poisoned input row would be pruned by the equi-join before
-        its assert ever evaluated)."""
+        its assert ever evaluated).
+
+        Composability gap (same class as the group-by limit's,
+        documented there): the unioned violation row has null labels
+        and t=0, so a DOWNSTREAM label-keyed filter or further equi-join
+        can prune it before its value column is evaluated — the limit
+        is enforced where the join result is consumed as a vector
+        (aggregation, presentation, scalar math), not through every
+        composed re-keying. Each enforcement also costs one
+        count_distinct aggregate per input side; it is opt-in via
+        PromQLEngine(join_query_cardinality=...), matching the
+        reference's default-off PerQueryLimits."""
         lim = self.join_query_cardinality
         if lim is None or set(out.columns) != {"labels", "t", "value"}:
             return out

@@ -175,3 +175,62 @@ def test_bucket_extract_then_rate_goldens(ms_engine):
     for (gt, gv), (wt, wv) in zip(got, want):
         assert gt == wt
         assert gv == pytest.approx(wv, abs=1e-5)
+
+
+def test_discovery_is_range_scoped(spark):
+    """ADVICE r9: schema discovery is scoped to the queried window — a
+    series existing only OUTSIDE it must neither bind the schema nor
+    raise SchemaMismatch (the reference's partition lookup is
+    range-scoped). Gauge series `a` lives at t<=50s; hist series at
+    t>=100s: a metric-less instant at 390s (5m-lookback window
+    [90s, 390s]) binds hist cleanly, one at 50s binds gauge. The
+    discovery window includes the lookback — an instant whose lookback
+    reaches both schemas still mismatches."""
+    gauge = spark.createDataFrame(
+        [({"__name__": "g", "dc": "0"}, k * 10_000, float(k))
+         for k in range(6)],
+        "labels map<string,string>, ts long, value double")
+    hist_rows = [({"__name__": "h", "dc": "0"}, ts, float(sum(vals)),
+                  vals[-1], (les, vals))
+                 for ts, dc, les, vals in linear_hist_rows()]
+    hist = spark.createDataFrame(
+        hist_rows, "labels map<string,string>, ts long, sum double, "
+                   "count double, "
+                   "hist struct<les: array<double>, values: array<double>>")
+    store = TsStore(gauge, hist_df=hist, hist_metrics=("h",))
+    engine = PromQLEngine(spark, store)
+    # both schemas' series share dc="0", but only hist exists in the
+    # lookback-extended window [90s, 390s]
+    res = engine.query_range('histogram_quantile(0.9, {dc="0"})',
+                             390_000, 390_000, 10_000).collect()
+    assert len(res) == 1
+    # gauge-only window: binds gauge (the value column)
+    res2 = engine.query_range('{dc="0"}', 50_000, 50_000, 10_000).collect()
+    assert len(res2) == 1 and res2[0]["value"] == 5.0
+    # a window reaching both schemas still detects the mismatch
+    with pytest.raises(SchemaMismatch, match="Multiple schemas found"):
+        engine.query_range('{dc="0"}', 0, 200_000, 10_000).collect()
+
+
+def test_discovery_probes_are_memoized(spark):
+    """ADVICE r9 / verdict item 4: a repeated metric-less selector must
+    not pay the two eager sample-table probes per query — the
+    resolution is memoized per (matchers, range)."""
+    gauge = spark.createDataFrame(
+        [({"__name__": "g", "dc": "0"}, 10_000, 1.0)],
+        "labels map<string,string>, ts long, value double")
+    hist_rows = [({"__name__": "h", "dc": "1"}, ts, float(sum(vals)),
+                  vals[-1], (les, vals))
+                 for ts, dc, les, vals in linear_hist_rows(take=8)]
+    hist = spark.createDataFrame(
+        hist_rows, "labels map<string,string>, ts long, sum double, "
+                   "count double, "
+                   "hist struct<les: array<double>, values: array<double>>")
+    store = TsStore(gauge, hist_df=hist, hist_metrics=("h",))
+    engine = PromQLEngine(spark, store)
+    engine.query_range('{dc="0"}', 10_000, 10_000, 10_000).collect()
+    assert len(store._multischema_memo) == 1
+    (key, hits), = store._multischema_memo.items()
+    engine.query_range('{dc="0"}', 10_000, 10_000, 10_000).collect()
+    # same selector+range -> same single memo entry, no second probe
+    assert store._multischema_memo == {key: hits}

@@ -387,3 +387,37 @@ def test_raw_mount_pushes_filters_below_merge(spark, samples, tmp_path):
         TsStore(samples), "instance",
         match='http_requests{_ws_="demo"}').collect()]
     assert got == want == ["a", "b", "c"]
+
+
+def test_gauge_only_index_falls_back_for_hist_lookups(spark, samples,
+                                                      tmp_path):
+    """ADVICE r9: an index built from the gauge series table only
+    (cli partkey-build, or an auto-attached sibling) must NOT answer a
+    hist-scoped metadata lookup with a silently empty result — the
+    store falls back to the sample scan when the index has no rows for
+    the hist base metric."""
+    from filodb_spark.promql.ast import VectorSelector
+    from filodb_spark.sources.table import write_series_table
+    data_path = str(tmp_path / "series")
+    hist_path = str(tmp_path / "hist")
+    pk_path = str(tmp_path / "pk")
+    write_series_table(samples, data_path)
+    hist = _hist_df(spark)
+    hist.write.parquet(hist_path)
+    hist_disk = spark.read.parquet(hist_path)
+    # gauge-only index: hist series are NOT in it
+    write_partkey_table(samples.select("labels", "ts"), pk_path)
+    store = TsStore.from_table(spark, data_path, partkey_path=pk_path,
+                               hist_df=hist_disk, hist_metrics=("lat",))
+    # hist-scoped: falls back to the scan (non-empty, from /hist/)
+    for match in ("lat", "lat_sum", "lat_count"):
+        assert store.select_partkeys(
+            VectorSelector(match, ())) is None, match
+        out = metadata.label_values(store, "job", match=match)
+        assert out.count() > 0, match
+        assert all("/hist/" in f for f in out.inputFiles()), match
+    # gauge-scoped lookups still answer from the index
+    files = metadata.label_values(store, "instance").inputFiles()
+    assert files and all("/pk/" in f for f in files)
+    # coverage probe is memoized: one entry per probed metric
+    assert set(store._index_cover_memo) == {"lat"}

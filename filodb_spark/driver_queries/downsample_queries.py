@@ -215,3 +215,236 @@ FROM grid JOIN raw ON raw.ts BETWEEN grid.t - {DAY} AND grid.t
                    AND raw.ts >= (SELECT boundary FROM p3)
 WHERE grid.t >= (SELECT first_raw FROM p3)
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# counter / histogram downsampling (filodb-defaults.conf:247-301,
+# ChunkDownsampler.scala:125-237, DownsamplePeriodMarker.scala:100-141)
+# ---------------------------------------------------------------------------
+
+CTR_MOD = 1_000_000   # cents counter wraps here -> real dips for the marker
+HIST_LES = (10.0, 100.0, float("inf"))
+HIST_SEG = 500        # hist count/sum reset every 500 samples (dips)
+
+
+def _counter_df(spark, sf_dir):
+    """Integer-cents cumulative counter with periodic resets per
+    event_type: running sum of round(|value|*100) mod CTR_MOD. Exact
+    BIGINT arithmetic ordered by ts in both engines, so values (and
+    therefore dip positions) are bit-identical."""
+    from pyspark.sql import Window
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts")
+    cents = F.round(F.abs(F.col("value")) * 100, 0).cast("long")
+    ctr = (F.sum(cents).over(w) % CTR_MOD).cast("double")
+    return ev.select("event_type", "ts", ctr.alias("value"))
+
+
+def q_ds_counter(spark, sf_dir):
+    """prom-counter downsample output: the dip-preserving row subset
+    (chunk start + last-in-period + dip rows + pre-dip rows)."""
+    from filodb_spark.streaming.downsample import downsample_counter
+    ds = downsample_counter(_counter_df(spark, sf_dir),
+                            ["event_type"], RES)
+    return ds.select("event_type", "ts", "value")
+
+
+def q_raw_ds_split_rate(spark, sf_dir):
+    """Boundary-crossing rate() over a counter schema end-to-end: the
+    raw table holds only post-boundary counter samples, the DS table is
+    the dip-preserving counter subset of ALL history; instants whose
+    24h lookback crosses the retention boundary evaluate on the DS rows
+    with the ordinary extrapolated-rate kernel (the r9 verdict's #1
+    gap: these silently stayed raw-only and under-read)."""
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.promql.compiler import PromQLEngine, TsStore
+    from filodb_spark.streaming.downsample import downsample_counter
+    c = _counter_df(spark, sf_dir)
+    df = c.select(F.create_map(F.lit("__name__"),
+                               F.col("event_type")).alias("labels"),
+                  "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, STEP)
+    boundary = grid.start + ((grid.end - grid.start) // (2 * STEP)) * STEP
+    raw = df.where(F.col("ts") >= boundary)
+    dsc = downsample_counter(
+        df.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], RES).drop("_sk")
+    store = TsStore(raw, ds_counter_df=dsc,
+                    raw_retention_start_ms=boundary,
+                    ds_resolution_ms=RES)
+    eng = PromQLEngine(spark, store)
+    out = eng.query_range('rate({__name__=~".+"}[24h])',
+                          grid.start, grid.end, STEP)
+    # floor-based half-up rounding: identical IEEE ops in both engines
+    # (see q_rate_fine); counter values are integer-valued doubles so
+    # the in-window sums are exact, 1e-6 keeps margins anyway
+    val = (F.floor(F.col("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value")
+    return out.where(~F.isnan("value")).select(
+        F.col("labels")["__name__"].alias("event_type"), "t", val)
+
+
+def q_ds_hist(spark, sf_dir):
+    """prom-histogram downsample output, exploded per bucket: builds a
+    cumulative histogram counter per event_type (running conditional
+    counts per le, running cents sum; count/sum reset every HIST_SEG
+    samples so the counter marker sees dips), downsamples with the
+    counter marker on the count column, and explodes les for the
+    value-hash compare."""
+    from pyspark.sql import Window
+    from filodb_spark.kernels.histogram import explode_hist, hist_struct
+    from filodb_spark.streaming.downsample import downsample_hist
+    ev = events_ts(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts")
+    seg = ((F.row_number().over(w) - F.lit(1)) / HIST_SEG).cast("long")
+    base = ev.withColumn("_seg", seg)
+    ws = Window.partitionBy("event_type", "_seg").orderBy("ts")
+    cents = F.round(F.abs(F.col("value")) * 100, 0).cast("long")
+    cum_sum = F.sum(cents).over(ws).cast("double")
+    cum_count = F.count(F.lit(1)).over(ws).cast("double")
+    vals = F.array(*[
+        F.sum(F.when(F.col("value") <= le, 1).otherwise(0)).over(ws)
+         .cast("double") for le in HIST_LES])
+    les = F.array(*[F.lit(le) for le in HIST_LES])
+    h = base.select("event_type", "ts", cum_sum.alias("sum"),
+                    cum_count.alias("count"),
+                    hist_struct(les, vals).alias("hist"))
+    ds = downsample_hist(h, ["event_type"], RES)
+    ex = explode_hist(ds)
+    # string bucket labels: the driver comparator normalizes numeric
+    # cells through int() and cannot represent +Inf
+    le_str = (F.when(F.col("bucket_le") == 10.0, "10")
+              .when(F.col("bucket_le") == 100.0, "100")
+              .otherwise("+Inf"))
+    return ex.select("event_type", "ts", "sum", "count",
+                     le_str.alias("le"),
+                     F.col("value").alias("bucket_value"))
+
+
+QUERIES["ts_ds_counter"] = q_ds_counter
+QUERIES["ts_raw_ds_split_rate"] = q_raw_ds_split_rate
+QUERIES["ts_ds_hist"] = q_ds_hist
+
+
+# counter construction + CounterDownsamplePeriodMarker row selection in
+# SQL (sk-named columns for splicing into promql_events._base raw_tail)
+def _ctr_sql(src="raw0"):
+    return f"""
+  SELECT sk, ts,
+         CAST(sum(CAST(round(abs(value) * 100) AS BIGINT))
+              OVER (PARTITION BY sk ORDER BY ts) % {CTR_MOD}
+              AS DOUBLE) AS value
+  FROM {src}"""
+
+
+_MARKER_SQL = f"""
+m1 AS (
+  SELECT sk, ts, value,
+         row_number() OVER w AS rn,
+         coalesce(value < lag(value) OVER w, FALSE) AS dip,
+         ts = max(ts) OVER (PARTITION BY sk, (ts - 1) // {RES})
+           AS last_in_p
+  FROM ctr WINDOW w AS (PARTITION BY sk ORDER BY ts)
+),
+m2 AS (
+  SELECT sk, ts, value, rn, dip, last_in_p,
+         coalesce(lead(dip) OVER (PARTITION BY sk ORDER BY ts), FALSE)
+           AS pre_dip
+  FROM m1
+)"""
+
+ORACLES["ts_ds_counter"] = f"""
+WITH raw0 AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+ctr AS ({_ctr_sql()}),
+{_MARKER_SQL.lstrip()}
+SELECT sk AS event_type, ts, value FROM m2
+WHERE rn = 1 OR dip OR pre_dip OR last_in_p"""
+
+# grid/boundary scalars (inlined: raw_tail CTEs precede the bounds CTE)
+_GS = f"(SELECT CAST(ceil(MIN(epoch_ms(ts)) / {STEP}.0) AS BIGINT) * {STEP} FROM events)"
+_GE = f"(SELECT CAST(floor(MAX(epoch_ms(ts)) / {STEP}.0) AS BIGINT) * {STEP} FROM events)"
+_BOUNDARY_SQL = f"({_GS} + (({_GE} - {_GS}) // (2 * {STEP})) * {STEP})"
+_FIRST_RAW_SQL = (f"({_GS} + ((({_BOUNDARY_SQL} - {_GS} + {DAY}) "
+                  f"// {STEP}) + 1) * {STEP})")
+
+_DS_SIDE_TAIL = f"""ctr AS ({_ctr_sql()}),
+{_MARKER_SQL.lstrip()},
+raw AS (
+  SELECT sk, ts, value FROM m2
+  WHERE rn = 1 OR dip OR pre_dip OR last_in_p
+),"""
+
+_RAW_SIDE_TAIL = f"""ctr AS ({_ctr_sql()}),
+raw AS (
+  SELECT sk, ts, value FROM ctr WHERE ts >= {_BOUNDARY_SQL}
+),"""
+
+
+def _split_rate_oracle():
+    from filodb_spark.driver_queries.promql_events import _rate_oracle
+    ds_part = _rate_oracle(True, True, 6, floor_round=True,
+                           raw_tail=_DS_SIDE_TAIL)
+    raw_part = _rate_oracle(True, True, 6, floor_round=True,
+                            raw_tail=_RAW_SIDE_TAIL)
+    return f"""
+SELECT * FROM (
+{ds_part}
+) ds_part WHERE t < {_FIRST_RAW_SQL}
+UNION ALL
+SELECT * FROM (
+{raw_part}
+) raw_part WHERE t >= {_FIRST_RAW_SQL}"""
+
+
+ORACLES["ts_raw_ds_split_rate"] = _split_rate_oracle()
+
+ORACLES["ts_ds_hist"] = f"""
+WITH raw0 AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+seg AS (
+  SELECT sk, ts, value,
+         (row_number() OVER (PARTITION BY sk ORDER BY ts) - 1)
+           // {HIST_SEG} AS s
+  FROM raw0
+),
+h AS (
+  SELECT sk, ts,
+         CAST(sum(CAST(round(abs(value) * 100) AS BIGINT)) OVER ws
+              AS DOUBLE) AS "sum",
+         CAST(count(*) OVER ws AS DOUBLE) AS cnt,
+         CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) OVER ws
+              AS DOUBLE) AS b1,
+         CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) OVER ws
+              AS DOUBLE) AS b2,
+         CAST(count(*) OVER ws AS DOUBLE) AS b3
+  FROM seg
+  WINDOW ws AS (PARTITION BY sk, s ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m1 AS (
+  SELECT *, row_number() OVER w AS rn,
+         coalesce(cnt < lag(cnt) OVER w, FALSE) AS dip,
+         ts = max(ts) OVER (PARTITION BY sk, (ts - 1) // {RES})
+           AS last_in_p
+  FROM h WINDOW w AS (PARTITION BY sk ORDER BY ts)
+),
+m2 AS (
+  SELECT *, coalesce(lead(dip) OVER (PARTITION BY sk ORDER BY ts),
+                     FALSE) AS pre_dip
+  FROM m1
+),
+kept AS (
+  SELECT * FROM m2 WHERE rn = 1 OR dip OR pre_dip OR last_in_p
+)
+SELECT sk AS event_type, ts, "sum", cnt AS "count", u.le,
+       u.v AS bucket_value
+FROM kept,
+     unnest([struct_pack(le := '10', v := b1),
+             struct_pack(le := '100', v := b2),
+             struct_pack(le := '+Inf', v := b3)])
+       AS t(u)"""

@@ -24,53 +24,45 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 9's window
-    # (r8 verdict item 2; rotation rule: head = once-gated + new
-    # queries, then the canary backlog strictly OLDEST-LAST-GATED first
-    # — scripts/gate_hygiene.py + the CORRECTNESS_r* history compute
-    # the groups):
-    #   1-2   once-gated at r7: ts_rate_fine (post de-flake: round_to
-    #         9 -> 6 on both sides) and ts_export_remote_write,
-    #   3-4   NEW r9: ts_hist_metadata_pk (hist-scoped metadata on the
-    #         part-key index) and ts_rate_reset_marker (NaN
-    #         end-of-series reset-marker semantics in counter windows)
-    #         — both pre-verified exact at sf0.001/0.01/0.1,
-    #   5-8   the four r8 additions (once-gated; ts_raw_ds_split and
-    #         the _pk pair re-gated after the r9 partkey/select changes),
-    #   9-21  last gated in r4: the [r3,r4] pair, the [r1,r3,r4] trio
-    #         (ts_rate re-gated after the rate-kernel NaN change) and
-    #         the [r2,r3,r4] eight,
-    #   22-47 last gated in r5: the [r2,r5] sixteen + [r3,r5] ten
-    #         (pq_preagg_route re-gates the count_over_time
-    #         level-move fix),
-    #   48-50 fills from the [r1,r6] group, alphabetical.
+    # covers the first 50 registered queries per round. Round 10's
+    # window (rotation rule: head = new queries + forced re-gates +
+    # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
+    # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
+    # compute the groups):
+    #   1-3   NEW r10: ts_ds_counter / ts_ds_hist (counter/histogram
+    #         downsamplers, dip-preserving marker) and
+    #         ts_raw_ds_split_rate (boundary-crossing rate on the DS
+    #         counter table) — pre-verified exact at sf0.001/0.01/0.1,
+    #   4-7   re-gates forced by the end-inclusive downsample-period
+    #         flip (outputs changed on both engine and oracle sides):
+    #         ds_rollup, ds_avg_rewrite, ds_cascade, ts_raw_ds_split,
+    #   8-9   once-gated at r9: ts_hist_metadata_pk,
+    #         ts_rate_reset_marker,
+    #   10-50 the last-gated-r6 backlog (45 queries), alphabetical —
+    #         41 fit; the final four (ts_stddev_over_time,
+    #         ts_stdvar_over_time, ts_sum_over_time, ts_timestamp)
+    #         lead the r11 backlog.
     window = [
+        # new in round 10
+        "ts_ds_counter", "ts_ds_hist", "ts_raw_ds_split_rate",
+        # re-gates: end-inclusive downsample periods
+        "ds_rollup", "ds_avg_rewrite", "ds_cascade", "ts_raw_ds_split",
         # once-gated head
-        "ts_rate_fine", "ts_export_remote_write",
-        # new in round 9
         "ts_hist_metadata_pk", "ts_rate_reset_marker",
-        # r8 additions, once-gated
-        "ts_label_values_pk", "ts_series_cardinality_pk",
-        "ts_cardbuster", "ts_raw_ds_split",
-        # canaries last gated r4
-        "ev_sessions", "tpch_q12",
-        "ts_agg_sum_rate", "ts_hist_quantile", "ts_rate",
-        "ann_bruteforce", "doc_dedup_clusters", "doc_tfidf_topk",
-        "ds_rollup", "ev_asof_join", "mm_image_features",
-        "tpch_q1", "tpch_q5",
-        # canaries last gated r5: [r2,r5]
-        "doc_fingerprint", "doc_langid", "doc_ngram_jaccard",
-        "doc_simhash_portable", "doc_token_count", "ds_avg_rewrite",
-        "emb_norm_stats", "mm_frame_sample", "tpch_q13", "tpch_q17",
-        "tpch_q18", "tpch_q2", "tpch_q21", "tpch_q3", "tpch_q6",
-        "tpch_q9",
-        # canaries last gated r5: [r3,r5]
-        "doc_segment_dedup", "emb_semantic_dedup", "pl_contamination",
-        "pl_pack_sequences", "pl_pii_scrub", "pl_quality_filter",
-        "pq_hist_fraction", "pq_preagg_route", "pq_subquery",
-        "pq_sum_rate",
-        # fills: [r1,r6], alphabetical
-        "pq_bool_compare", "pq_raw_matrix", "ts_agg_avg_by",
+        # canaries last gated r6, alphabetical (41 of 45)
+        "doc_dedup_summary", "doc_rolling_fp", "doc_split",
+        "doc_stats", "doc_subword_count", "pq_at_modifier",
+        "pq_hist_bucket_quantile", "pq_scalar_vector", "tpch_q10",
+        "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
+        "tpch_q20", "tpch_q22", "tpch_q4", "tpch_q7", "tpch_q8",
+        "ts_agg_bottomk", "ts_agg_count_values", "ts_agg_quantile",
+        "ts_avg_over_time", "ts_count_over_time", "ts_csv_roundtrip",
+        "ts_day_of_week", "ts_delta", "ts_hist_bucket",
+        "ts_hist_fraction", "ts_hist_sum_quantile", "ts_idelta",
+        "ts_influx_roundtrip", "ts_instant_last", "ts_instant_math",
+        "ts_join_group_right", "ts_mad_outlier", "ts_max_over_time",
+        "ts_min_over_time", "ts_present_over_time", "ts_set_or",
+        "ts_set_unless",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

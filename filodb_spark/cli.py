@@ -87,6 +87,11 @@ def main(argv=None) -> int:
                         "metadata endpoints then answer in O(series)")
     pb.add_argument("--store", required=True)
     pb.add_argument("--out", required=True, help="part-key table path")
+    pb.add_argument("--hist", default=None,
+                    help="histogram series table to include — the "
+                    "reference keeps ONE index per shard covering every "
+                    "schema; without this, hist-scoped metadata lookups "
+                    "fall back to the sample scan (TsStore._index_covers)")
 
     for name in ("labels", "label-values", "series",
                  "label-cardinality", "ts-cardinality", "status"):
@@ -126,6 +131,9 @@ def main(argv=None) -> int:
     if args.cmd == "partkey-build":
         from filodb_spark.partkey import write_partkey_table
         df = spark.read.parquet(args.store).select("labels", "ts")
+        if args.hist:
+            df = df.unionByName(
+                spark.read.parquet(args.hist).select("labels", "ts"))
         write_partkey_table(df, args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"partkey_table": args.out, "series": n}))

@@ -184,3 +184,26 @@ def test_label_values_multi(spark):
     maps = json.loads(out)
     assert all(m["user"] == "3" for m in maps)
     assert {m["__name__"] for m in maps} >= {"purchase", "view"}
+
+
+def test_partkey_build_with_hist_table(spark, tmp_path):
+    """--hist includes the histogram series table so the index covers
+    every schema (one index per shard in the reference); without it a
+    hist-scoped lookup falls back to the sample scan."""
+    from filodb_spark.tsdf import events_labels_ts
+    table = str(tmp_path / "series")
+    hist = str(tmp_path / "hist")
+    pk = str(tmp_path / "pk")
+    events_labels_ts(spark, "/root/testdata/sf0.001") \
+        .write.parquet(table)
+    spark.createDataFrame(
+        [({"__name__": "lat", "job": "h"}, 1_000, 1.0, 1.0,
+          ([1.0, float("inf")], [1.0, 1.0]))],
+        "labels map<string,string>, ts long, sum double, count double, "
+        "hist struct<les: array<double>, values: array<double>>") \
+        .write.parquet(hist)
+    rc, out = run_cli(["partkey-build", "--store", table, "--out", pk,
+                       "--hist", hist])
+    assert rc == 0
+    pk_df = spark.read.parquet(pk)
+    assert pk_df.where("labels['__name__'] = 'lat'").count() == 1

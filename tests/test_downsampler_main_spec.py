@@ -398,3 +398,24 @@ class TestCascadeConsistency:
         cascade = downsample_counter(
             downsample_counter(raw, ["series"], MIN1), ["series"], MIN5)
         assert _collect_scalar(direct) == _collect_scalar(cascade)
+
+
+class TestScaleShape:
+    def test_counter_downsample_is_one_shuffle(self, spark):
+        """The marker is window functions over one series-keyed
+        Exchange (hash(series) satisfies the (series, period) window's
+        clustering, so the per-period max adds only a local re-sort) —
+        at 100 TB the counter downsample job costs one shuffle of the
+        raw table, the same class as the gauge rollup's single hash
+        aggregation."""
+        raw = _scalar_df(spark, COUNTER_RAW)
+        plan = downsample_counter(raw, ["series"], MIN1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+    def test_hist_downsample_is_one_shuffle(self, spark):
+        df = _hist_df(spark, HIST_RAW, minmax=OTEL_CUM_MINMAX)
+        plan = downsample_hist(df, ["series"], MIN1,
+                               minmax_cols=("min", "max")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1

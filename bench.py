@@ -40,6 +40,34 @@ def timed_median(thunk, timings, spreads, name):
     print(f"# {name}: {timings[name]:.2f}s (spread {spreads[name]:.2f}s) "
           f"rows={n}", file=sys.stderr)
 
+def calibration_probe():
+    """~1-2s single-thread CPU + memory-bandwidth probe (no Spark) —
+    r9 verdict item 6: the box intermittently runs 20-100% slower with
+    steal ~0 and a clean loadavg (memory-bandwidth/SMT co-tenancy that
+    loadavg cannot see), so each artifact carries its own normalization
+    anchors. cpu_st_mops: pure-Python integer loop (JIT-free, stable);
+    mem_gbps: 200 MB numpy copies (far beyond LLC). Compare against the
+    healthy-box anchors in PERF.md before reading anything into a
+    cross-day total delta."""
+    import numpy as np
+    n = 2_000_000
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x += i * i
+    cpu_sec = time.perf_counter() - t0
+    a = np.zeros(200 * 1024 * 1024 // 8)
+    a.copy()   # untimed: fault in the source pages + allocator warm-up
+    t0 = time.perf_counter()
+    for _ in range(4):
+        b = a.copy()
+        del b
+    mem_sec = time.perf_counter() - t0
+    gb = 4 * (a.nbytes * 2) / 1e9   # read + write per copy
+    return {"cpu_st_mops": round(n / cpu_sec / 1e6, 1),
+            "mem_gbps": round(gb / mem_sec, 1)}
+
+
 HEADLINE = [
     "ts_instant_last",      # raw selector + staleness lookback
     "ts_sum_over_time",     # windowed agg
@@ -123,6 +151,7 @@ def main():
     # 1-min horizon; loadavg_start is the one that tells you whether
     # the BOX was busy (accept band: loadavg_start[0] < ~1.5)
     load_start = os.getloadavg()
+    calib_start = calibration_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -182,6 +211,7 @@ def main():
     prom_shape_bench(spark, timings, spreads)
     total = sum(timings.values())
     load_after = os.getloadavg()
+    calib_end = calibration_probe()
 
     print(json.dumps({
         "metric": "headline_query_wall_sec",
@@ -197,6 +227,11 @@ def main():
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "warmup_sweep_sec": warmup_sweep,
+        # normalization anchors (calibration_probe): single-thread CPU
+        # and memory bandwidth sampled before any Spark work and after
+        # the timed pass — PERF.md records the healthy-box band
+        "calibration_start": calib_start,
+        "calibration_end": calib_end,
     }))
 
 

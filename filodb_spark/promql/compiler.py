@@ -857,10 +857,14 @@ class PromQLEngine:
     # downsampled counter table (a dip-preserving row subset / period
     # delta sums with the raw schema — downsample_counter /
     # downsample_delta_counter); gauge *_over_time fns instead use the
-    # ds-gauge rewrite table (_DS_REWRITE)
+    # ds-gauge rewrite table (_DS_REWRITE). last_over_time (and the
+    # default instant lookback) is in BOTH sets — routing is by
+    # function, not per-metric schema, so when a ds-gauge table is also
+    # mounted it wins for last_over_time; mounts carrying only counter
+    # DS data still serve pre-boundary instant selectors
     COUNTER_DS_FNS = frozenset({
         "rate", "increase", "irate", "idelta", "resets", "changes",
-        "delta", "rate_delta", "increase_delta"})
+        "delta", "rate_delta", "increase_delta", "last_over_time"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):

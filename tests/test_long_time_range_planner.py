@@ -249,3 +249,17 @@ def test_hist_split_and_sum_rewrite(spark):
     # h_sum climbs 1/min with no resets: increase([10m]) -> 10 wherever
     # both window endpoints hold retained samples
     assert s[19] == pytest.approx(10.0)
+
+
+def test_counter_instant_selector_served_from_ds(counter_engine):
+    """A plain instant selector (default staleness lookback) on a
+    counter-DS-only mount answers pre-boundary instants from the
+    downsampled rows — last retained sample per period."""
+    engine, full, dsc = counter_engine
+    got = _run(engine, "c", 5, 9)
+    # DS subset of CTR (5m periods, dip at i=8): retained rows at/
+    # before 9m are i=0 (head), i=5 (last in (0,5m]), i=7 (pre-dip),
+    # i=8 (dip); i=9 is NOT retained (i=10 closes its period), so the
+    # instant at 9m reads the dip row
+    assert got[5] == 10.0 and got[7] == 14.0
+    assert got[8] == 0.0 and got[9] == 0.0

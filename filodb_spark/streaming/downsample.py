@@ -312,3 +312,73 @@ def stitch_raw_ds(raw: DataFrame, ds: DataFrame, boundary_ms: int,
     ds_out = range_function_ds(ds, fn, series_cols, grid, window) \
         .where(F.col("t") < boundary_ms)
     return raw_out.unionByName(ds_out)
+
+
+DSC_STATE_SCHEMA = ("prev_ts long, prev_value double, prev_read double, "
+                    "prev_emitted boolean")
+
+
+def streaming_downsample_counter(stream: DataFrame, resolution_ms: int,
+                                 series_col: str = "series",
+                                 ts_col: str = "ts",
+                                 value_col: str = "value") -> DataFrame:
+    """Continuous prom-counter downsampling: the incremental twin of
+    downsample_counter, one (prev_ts, prev_value, prev_emitted) state
+    row per series (applyInPandasWithState — the same grouped-state
+    shape as streaming.stateful's operators).
+
+    Marker rules re-expressed incrementally: the series' first row
+    emits immediately; a dip (NaN reads 0) emits the dip row and, if
+    still pending, its predecessor; a row opening a NEW end-inclusive
+    period emits the pending predecessor (it was the last row of the
+    period that just closed). The per-series TAIL row stays pending
+    until a successor proves its period closed — the same contract as
+    the reference's batch job, which downsamples only CLOSED chunks
+    (BatchDownsampler ingests flushed chunksets). Out-of-order rows
+    are dropped (append-only invariant, TimeSeriesPartition).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (f"{series_col} string, {ts_col} long, "
+                  f"{value_col} double")
+
+    def advance(key, pdfs, state):
+        (series,) = key
+        if state.exists:
+            prev_ts, prev_value, prev_read, prev_emitted = state.get
+        else:
+            prev_ts = None
+            prev_value = prev_read = prev_emitted = None
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out = []
+        for ts, v in zip(rows[ts_col], rows[value_col]):
+            ts, v = int(ts), float(v)
+            read = 0.0 if math.isnan(v) else v
+            if prev_ts is None:
+                out.append((series, ts, v))   # series head (chunk start)
+                prev_ts, prev_value, prev_read, prev_emitted = \
+                    ts, v, read, True
+                continue
+            if ts <= prev_ts:
+                continue
+            emitted = False
+            if read < prev_read:              # dip: pre-dip + dip rows
+                if not prev_emitted:
+                    out.append((series, prev_ts, prev_value))
+                out.append((series, ts, v))
+                emitted = True
+            elif ((prev_ts - 1) // resolution_ms
+                  != (ts - 1) // resolution_ms) and not prev_emitted:
+                # the predecessor closed its period as its last row
+                out.append((series, prev_ts, prev_value))
+            prev_ts, prev_value, prev_read, prev_emitted = \
+                ts, v, read, emitted
+        state.update((prev_ts, prev_value, prev_read, prev_emitted))
+        yield pd.DataFrame(out, columns=[series_col, ts_col, value_col])
+
+    return (stream.groupBy(series_col)
+            .applyInPandasWithState(advance, out_schema, DSC_STATE_SCHEMA,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -555,17 +555,22 @@ class TestRetentionLadder:
             spark, raw, str(tmp_path / "tiers"), now_ms=now,
             tiers=((6 * 3600 * 1000, "6h", 20), (day, "24h", 45)),
             raw_keep_days=7)
-        # 24h tier keeps all 40 days x 3 series
-        assert stats["24h"] == 40 * 3
+        # 24h tier keeps all 40 days x 3 series, plus one extra period
+        # per series: with END-inclusive periods (ds_bucket) the h=0
+        # sample of day d closes the period ENDING at t0 + d*day, so
+        # day 0's h=0 forms its own leading period
+        assert stats["24h"] == 41 * 3
         # 6h tier: 20-day horizon (cutoff day has partial coverage by
         # date, so between 19 and 21 days of 4 buckets x 3 series)
         assert 19 * 4 * 3 <= stats["6h"] <= 21 * 4 * 3
         assert len(stats["raw_dropped"]) >= 30   # 40 days - ~7 kept
-        # cascade exactness: 24h sums == raw daily sums for a kept day
+        # cascade exactness: the final period (ending t0 + 40*day)
+        # holds day 39's h=6/12/18 samples (h=0 closed the previous
+        # period under end-inclusive semantics)
         t24 = spark.read.parquet(str(tmp_path / "tiers/24h"))
         d39 = {r["labels"]["inst"]: r["sum"] for r in
-               t24.where((F.col("ts") >= t0 + 39 * day)).collect()}
-        want = {str(s): sum(float(39 * 100 + h + s) for h in (0, 6, 12, 18))
+               t24.where((F.col("ts") > t0 + 39 * day)).collect()}
+        want = {str(s): sum(float(39 * 100 + h + s) for h in (6, 12, 18))
                 for s in range(3)}
         assert d39 == want
         # raw survivors only inside the 7-day horizon

@@ -857,3 +857,58 @@ class TestInfluxRecordSpecParity:
         # rank 0.5*47 = 23.5 lands in (0.025, 0.05] (cum 8 -> 25):
         # 0.025 + (23.5-8)/(25-8) * 0.025
         assert out[0]["value"] == pytest.approx(0.047794117647)
+
+
+class TestStreamingDownsampleCounter:
+    def test_matches_batch_counter_downsample(self, spark, tmp_path):
+        """The incremental counter marker must agree with the batch
+        downsample_counter on everything except the per-series TAIL row
+        (pending until a successor proves its period closed — the batch
+        job's closed-chunks contract); a second micro-batch closes the
+        first batch's tail."""
+        import json as _json
+        from filodb_spark.streaming.downsample import (
+            downsample_counter, streaming_downsample_counter)
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        # counter climbing with a reset per series; 5m periods
+        rows = [("a", i * 60_000, float((i * 3) % 17)) for i in range(25)] \
+             + [("b", i * 60_000, float(i % 11)) for i in range(25)]
+        b1 = [r for r in rows if r[1] < 15 * 60_000]
+        b2 = [r for r in rows if r[1] >= 15 * 60_000]
+        with open(src / "b1.json", "w") as f:
+            for s, t, v in b1:
+                f.write(_json.dumps(
+                    {"series": s, "ts": t, "value": v}) + "\n")
+        stream = spark.readStream.schema(
+            "series string, ts long, value double").json(str(src))
+        ds = streaming_downsample_counter(stream, 300_000)
+        q = (ds.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        with open(src / "b2.json", "w") as f:
+            for s, t, v in b2:
+                f.write(_json.dumps(
+                    {"series": s, "ts": t, "value": v}) + "\n")
+        q = (ds.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        got = {(r["series"], r["ts"], r["value"])
+               for r in spark.read.parquet(str(out)).collect()}
+        batch = downsample_counter(
+            spark.createDataFrame(rows, "series string, ts long, "
+                                        "value double"),
+            ["series"], 300_000)
+        b = {(r["series"], r["ts"], r["value"]) for r in batch.collect()}
+        tails = {max((t, s) for s, t, v in rows if s == k)[::-1]
+                 for k in ("a", "b")}
+        pending = {(s, t, v) for (s, t, v) in b if (s, t) in
+                   {(s2, t2) for (t2, s2) in [(t, s) for s, t in tails]}}
+        # everything batch emits except the per-series tail row
+        assert got == b - {(s, t, v) for (s, t, v) in b
+                           if (s, t) in tails}

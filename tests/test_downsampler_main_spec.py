@@ -22,13 +22,19 @@ chunk per partition, and the chunkless analog here (series' first
 sample) coincides exactly.
 
 Not ported: the exp-delta-histogram golden (:1880-1916) — its periods
-mix Base2 schemes of different scales and the expected values bake in
+mix Base2 schemes of scales 3 and 2 and the expected values bake in
 MutableHistogram's in-place scheme-evolution order (the same
 shared-mutable artifact class adjudicated for
-PeriodicSamplesMapperSpec in round 9); hist_sum's documented
-deterministic mixed-scheme rule stands in. The mixed-schema
-(prom-hist chunk + otel-cum chunk in one partition) cases are
-chunk-level schema migrations with no chunkless analog.
+PeriodicSamplesMapperSpec in round 9). Concretely: period 1 sums rows
+[0,0,0,1]+[0,0,2,2] (scale 3, tops 1/2^(1/8)/2^(1/4)) + [0,2,3,3]
+(scale 2, tops 1/2^(1/4)/2^(1/2)) and expects (0,2,6,6) ON THE SCALE-3
+GRID — but at top 2^(1/8) the scale-2 row can contribute at most 3
+under ANY monotone projection of its cumulative values (floor-carry
+gives 2, ceiling gives 3), so 6 = 0+2+“4” is not a pure function of
+the inputs. hist_sum's documented deterministic mixed-scheme rule
+(union-grid projection / NaN on unprojectable mixes) stands in. The
+mixed-schema (prom-hist chunk + otel-cum chunk in one partition) cases
+are chunk-level schema migrations with no chunkless analog.
 """
 
 import math

@@ -145,3 +145,70 @@ def assemble_prom_hist_records(df: DataFrame,
         cols += [F.coalesce(F.col("_mn"), nan).alias("min"),
                  F.coalesce(F.col("_mx"), nan).alias("max")]
     return agg.select(*cols)
+
+
+def assemble_otel_exp_hist_records(df: DataFrame) -> DataFrame:
+    """OTel base-2 exponential DELTA histogram assembly
+    (InputRecord.writeOtelExponentialHistRecord, InputRecord.scala:
+    179-215 — cumulative exponential histograms are unsupported there
+    too): `<m>_bucket{idx="i"}` series (i = 0 the zero bucket, then
+    positive-bucket indices) plus `<m>_sum/_count/_min/_max` and the
+    scheme-carrying `<m>_scale`/`<m>_posBucketOffset` series assemble
+    into histogram-table rows whose les materialize in-plan with the
+    base2_exp_les formula — downstream exp-quantile and merged-scheme
+    sums read them like any other histogram. (In-plan Java Math.pow can
+    differ from the Python helper by 1 ulp; rows assembled by one plan
+    share bitwise-identical les, which is what hist_sum's scheme
+    grouping depends on.) Bucket counts truncate to long; groups with
+    no buckets write no record."""
+    from filodb_spark.kernels.histogram import hist_struct
+    labels = F.col("labels")
+    metric = labels[METRIC]
+    which = F.when(metric.endswith("_bucket")
+                   & labels["idx"].isNotNull(), F.lit("_bucket"))
+    for s in ("_sum", "_count", "_min", "_max", "_scale",
+              "_posBucketOffset"):
+        which = which.when(metric.endswith(s), F.lit(s))
+    parts = df.withColumn("_part", which).where(F.col("_part").isNotNull())
+    base = F.expr("substring(labels['__name__'], 1, "
+                  "length(labels['__name__']) - length(_part))")
+    group_labels = F.map_concat(
+        F.map_filter(labels, lambda k, _: ~k.isin(METRIC, "idx")),
+        F.create_map(F.lit(METRIC), base))
+    keyed = parts.select(
+        group_labels.alias("labels"), "ts", "_part",
+        labels["idx"].cast("int").alias("_idx"),
+        F.col("value").alias("_v"))
+    keyed = keyed.withColumn("_sk", canonical_labels(F.col("labels")))
+    bucket_pair = F.when(
+        F.col("_part") == "_bucket",
+        F.struct(F.col("_idx").alias("i"),
+                 F.col("_v").cast("long").cast("double").alias("v")))
+    scalar = {s: F.max(F.when(F.col("_part") == s, F.col("_v")))
+              for s in ("_sum", "_count", "_min", "_max", "_scale",
+                        "_posBucketOffset")}
+    agg = (keyed.groupBy("_sk", "ts")
+           .agg(F.first("labels").alias("labels"),
+                F.array_sort(F.collect_list(bucket_pair)).alias("_bs"),
+                *[scalar[s].alias(s) for s in scalar]))
+    agg = agg.where(F.size("_bs") > 0)
+    # les from the scheme: base = 2^(2^-scale), tops at
+    # (posBucketOffset + i) for positive buckets; zero bucket first
+    # (base2_exp_les semantics, computed in-plan)
+    n_pos = F.size("_bs") - 1
+    les = F.concat(
+        F.array(F.lit(0.0)),
+        F.transform(F.sequence(F.lit(1), n_pos),
+                    lambda i: F.pow(
+                        F.lit(2.0),
+                        (F.col("_posBucketOffset") + i.cast("double"))
+                        * F.pow(F.lit(2.0), -F.col("_scale")))))
+    hist = hist_struct(les, F.transform("_bs", lambda b: b["v"]))
+    nan = F.lit(float("nan"))
+    return agg.select(
+        F.col("labels"), F.col("ts"),
+        F.coalesce(F.col("_sum"), nan).alias("sum"),
+        F.coalesce(F.col("_count"), nan).alias("count"),
+        hist.alias("hist"),
+        F.coalesce(F.col("_min"), nan).alias("min"),
+        F.coalesce(F.col("_max"), nan).alias("max"))

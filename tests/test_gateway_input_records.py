@@ -204,3 +204,45 @@ def test_remote_write_hist_end_to_end(spark):
     # median of the builder-spec histogram: 25 of 66 at le<=2.5,
     # 38 at le<=5 -> interpolates inside (2.5, 5]
     assert 2.5 < out[0]["value"] <= 5.0
+
+
+class TestExpHistAssembly:
+    def test_otel_exp_delta_record(self, spark):
+        # InputRecordBuilderSpec:101-125 — Base2ExpHistogramBuckets
+        # (scale 3, posBucketOffset -5, 10 positive buckets), cumulative
+        # counts 1..11 (index 0 = zero bucket)
+        from filodb_spark.kernels.histogram import base2_exp_les
+        from filodb_spark.sources.gateway import \
+            assemble_otel_exp_hist_records
+        counts = list(range(1, 12))
+        rows = [({**BASE, "__name__": "my_hist_bucket", "idx": str(i)},
+                 100_000, float(c)) for i, c in enumerate(counts)]
+        rows += [({**BASE, "__name__": "my_hist_sum"}, 100_000, SUM),
+                 ({**BASE, "__name__": "my_hist_count"}, 100_000, COUNT),
+                 ({**BASE, "__name__": "my_hist_min"}, 100_000, MIN),
+                 ({**BASE, "__name__": "my_hist_max"}, 100_000, MAX),
+                 ({**BASE, "__name__": "my_hist_scale"}, 100_000, 3.0),
+                 ({**BASE, "__name__": "my_hist_posBucketOffset"},
+                  100_000, -5.0)]
+        out = assemble_otel_exp_hist_records(
+            spark.createDataFrame(rows, SCHEMA)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["sum"], r["count"], r["min"], r["max"]) == \
+            (SUM, COUNT, MIN, MAX)
+        assert dict(r["labels"]) == {**BASE, "__name__": "my_hist"}
+        assert list(r["hist"]["values"]) == [float(c) for c in counts]
+        # les computed in-plan (Java Math.pow) can differ from the
+        # Python helper by 1 ulp; every row assembled by the same plan
+        # shares bitwise-identical les, which is what scheme grouping
+        # (hist_sum count_distinct on les) depends on
+        assert list(r["hist"]["les"]) == \
+            pytest.approx(base2_exp_les(3, -5, 10), rel=1e-15)
+
+    def test_exp_skip_empty(self, spark):
+        from filodb_spark.sources.gateway import \
+            assemble_otel_exp_hist_records
+        rows = [({**BASE, "__name__": "m_sum"}, 1, 1.0),
+                ({**BASE, "__name__": "m_scale"}, 1, 3.0)]
+        assert assemble_otel_exp_hist_records(
+            spark.createDataFrame(rows, SCHEMA)).count() == 0

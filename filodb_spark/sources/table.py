@@ -320,18 +320,22 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                      now_ms: int,
                      tiers: tuple = ((5 * 60_000, "5m", 30),
                                      (3_600_000, "1h", 365)),
-                     raw_keep_days: int = 7) -> dict:
+                     raw_keep_days: int = 7,
+                     schema: str = "gauge") -> dict:
     """The full TSDB storage lifecycle as one batch job — the composed
     analog of the reference's downsampler Spark job + Cassandra TTLs
     (DownsamplerMain + per-resolution retention): roll the raw series
-    table into tiered ds-gauge tables (each tier CASCADES from the
-    previous — min(min), max(max), sum(sum), sum(count), so no tier
-    rereads raw) and enforce per-tier retention by dropping whole date
-    partitions past each horizon.
+    table into tiered downsample tables (each tier CASCADES from the
+    previous — exact for ds-gauge reaggregation AND for the counter
+    marker's row subset, whose retained rows are a superset of any
+    coarser resolution's marks) and enforce per-tier retention by
+    dropping whole date partitions past each horizon.
 
     tiers: ordered fine->coarse (resolution_ms, name, keep_days); raw
-    keeps `raw_keep_days`. Queries then mount the tiers via
-    TsStore(ds_df=..., raw_retention_start_ms=...) and stitch.
+    keeps `raw_keep_days`. schema="gauge" rolls ds-gauge aggregates;
+    schema="counter" keeps the dip-preserving prom-counter row subset
+    (raw columns — mount via TsStore(ds_counter_df=...)). Queries then
+    mount the tiers with raw_retention_start_ms and stitch.
 
     Returns {tier_name: surviving_rows, "raw_dropped": [...]}.
     """
@@ -339,7 +343,8 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
 
     from filodb_spark.kernels.binary import canonical_labels
     from filodb_spark.streaming.downsample import (downsample,
-                                                   downsample_cascade)
+                                                   downsample_cascade,
+                                                   downsample_counter)
 
     def _cutoff(days: int) -> str:
         t = _dt.datetime.fromtimestamp(now_ms / 1000, _dt.timezone.utc)
@@ -352,10 +357,19 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     stats: dict = {}
     prev = None
     for res, name, keep_days in tiers:
-        ds = downsample(keyed, ["_sk"], res) if prev is None \
-            else downsample_cascade(prev, ["_sk"], res)
+        if schema == "counter":
+            # the counter subset cascades through downsample_counter
+            # itself (cascade-stability pinned by
+            # test_downsampler_main_spec.TestCascadeConsistency)
+            src = keyed if prev is None else prev
+            ds = downsample_counter(src, ["_sk"], res)
+            out = ds.select("labels", "ts", "value", "_sk").drop("_sk")
+        else:
+            ds = downsample(keyed, ["_sk"], res) if prev is None \
+                else downsample_cascade(prev, ["_sk"], res)
+            out = ds.join(series, "_sk")
         path = f"{out_root}/{name}"
-        (ds.join(series, "_sk")
+        (out
            .withColumn("date",
                        F.date_format(F.timestamp_millis(F.col("ts")),
                                      "yyyy-MM-dd"))

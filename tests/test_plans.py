@@ -673,3 +673,47 @@ class TestRound5PlanShapes:
                                    label_columns=(("ns", "ws"),)))
         assert "Exchange" not in plan
         assert "Join" not in plan
+
+
+class TestCounterRetentionLadder:
+    def test_counter_tiers_mount_and_rate(self, spark, tmp_path):
+        """schema="counter" tiers keep the dip-preserving row subset;
+        a mounted tier serves boundary-crossing rate through the engine
+        split with the reset intact."""
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        from filodb_spark.sources.table import (retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        # hourly counter, resets each day
+        rows = [({"__name__": "c", "_ws_": "w", "_ns_": "n"},
+                 t0 + d * day + h * 3600 * 1000, float(h))
+                for d in range(10) for h in range(24)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        now = t0 + 9 * day + 23 * 3600 * 1000
+        stats = retention_ladder(
+            spark, raw, str(tmp_path / "tiers"), now_ms=now,
+            tiers=((6 * 3600 * 1000, "6h", 30),), raw_keep_days=3,
+            schema="counter")
+        t6 = spark.read.parquet(str(tmp_path / "tiers/6h"))
+        assert stats["6h"] == t6.count() > 0
+        # dips survive: each day's h=0 reset row (0.0 after 23.0)
+        dips = t6.where(F.col("value") == 0.0).count()
+        assert dips >= 9
+        # mount: raw keeps ~3 days, tier covers all history
+        raw_left = spark.read.parquet(raw) \
+            .select("labels", "ts", "value")
+        boundary = raw_left.agg(F.min("ts")).first()[0]
+        store = TsStore(raw_left, ds_counter_df=t6.select(
+                            "labels", "ts", "value"),
+                        raw_retention_start_ms=boundary,
+                        ds_resolution_ms=6 * 3600 * 1000)
+        eng = PromQLEngine(spark, store)
+        out = eng.query_range("increase(c[24h])", t0 + 2 * day, now,
+                              6 * 3600 * 1000).collect()
+        assert out and all(r["value"] >= 0 for r in out)
+        # pre-boundary instants came from the tier (non-empty)
+        assert any(r["t"] < boundary for r in out)

@@ -1029,14 +1029,21 @@ class PromQLEngine:
                 ds_lab = dsf.select("_sk", "labels") \
                             .dropDuplicates(["_sk"])
                 ds_out = self._hist_window(dsf, fn, grid, window)
+                if split == "all_ds":
+                    keep = [c for c in ("hmin", "hmax")
+                            if c in ds_out.columns]
+                    return (ds_out.join(ds_lab, "_sk")
+                            .select("labels", "t", "hist", *keep))
+                raw_full = self._hist_window(df, fn, grid, window)
+                # min/max companions survive the stitch only when BOTH
+                # tables carry them (a min/max-less DS mount cannot
+                # answer the pre-boundary companion values)
                 keep = [c for c in ("hmin", "hmax")
-                        if c in ds_out.columns]
+                        if c in ds_out.columns
+                        and c in raw_full.columns]
                 ds_out = (ds_out.join(ds_lab, "_sk")
                           .select("labels", "t", "hist", *keep))
-                if split == "all_ds":
-                    return ds_out
-                raw_out = (self._hist_window(df, fn, grid, window)
-                           .join(lab, "_sk")
+                raw_out = (raw_full.join(lab, "_sk")
                            .select("labels", "t", "hist", *keep))
                 return raw_out.where(F.col("t") >= split).unionByName(
                     ds_out.where(F.col("t") < split))

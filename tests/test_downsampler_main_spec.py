@@ -425,3 +425,79 @@ class TestScaleShape:
                                minmax_cols=("min", "max")) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestCounterMarkerProperties:
+    """Randomized validation of the counter marker against a pure-Python
+    model (random cadence, dips, NaN markers) — 40 series in one Spark
+    job, deterministic seed."""
+
+    RES = 300_000
+
+    @staticmethod
+    def _model_keep(samples, res):
+        """Pure-Python CounterDownsamplePeriodMarker."""
+        keep = set()
+        if not samples:
+            return keep
+        keep.add(samples[0][0])                       # series head
+        read = [0.0 if math.isnan(v) else v for _, v in samples]
+        last_in_period = {}
+        for t, _ in samples:
+            last_in_period[(t - 1) // res] = t        # last wins (sorted)
+        keep.update(last_in_period.values())
+        for i in range(1, len(samples)):
+            if read[i] < read[i - 1]:                 # dip
+                keep.add(samples[i][0])
+                keep.add(samples[i - 1][0])           # pre-dip
+        return keep
+
+    @pytest.fixture(scope="class")
+    def random_counters(self, spark):
+        import random
+        rng = random.Random(1234)
+        data = {}
+        for i in range(40):
+            n = rng.randint(0, 50)
+            ts = sorted(set(rng.randint(0, 3_000_000) for _ in range(n)))
+            v, out = rng.uniform(0, 100), []
+            for t in ts:
+                r = rng.random()
+                if r < 0.06:
+                    val = float("nan")                # reset marker
+                elif r < 0.18:
+                    v = rng.uniform(0, 5)             # dip
+                    val = v
+                else:
+                    v += rng.uniform(0, 10)
+                    val = v
+                out.append((t, val))
+            data[f"s{i}"] = out
+        return data
+
+    def test_matches_python_model(self, spark, random_counters):
+        rows = [(k, int(t), float(v))
+                for k, ss in random_counters.items() for t, v in ss]
+        df = spark.createDataFrame(
+            rows, "series string, ts long, value double")
+        got = {}
+        for r in downsample_counter(df, ["series"], self.RES).collect():
+            got.setdefault(r["series"], set()).add(r["ts"])
+        for k, ss in random_counters.items():
+            want = self._model_keep(ss, self.RES)
+            assert got.get(k, set()) == want, k
+
+    def test_subset_invariants(self, spark, random_counters):
+        """Every dip row and its predecessor survive, so the sum of
+        corrections over the subset equals the raw sum of dips — the
+        property that makes rate/increase correct on DS data."""
+        for k, ss in random_counters.items():
+            keep = self._model_keep(ss, self.RES)
+            read = [0.0 if math.isnan(v) else v for _, v in ss]
+            raw_corr = sum(read[i - 1] for i in range(1, len(ss))
+                           if read[i] < read[i - 1])
+            kept = [(t, read[i]) for i, (t, v) in enumerate(ss)
+                    if t in keep]
+            sub_corr = sum(kept[i - 1][1] for i in range(1, len(kept))
+                           if kept[i][1] < kept[i - 1][1])
+            assert sub_corr == pytest.approx(raw_corr), k

@@ -448,3 +448,98 @@ FROM kept,
              struct_pack(le := '100', v := b2),
              struct_pack(le := '+Inf', v := b3)])
        AS t(u)"""
+
+
+def q_ds_delta_counter(spark, sf_dir):
+    """delta-counter downsampling (tTime + dSum, filodb-defaults.conf:
+    256-262): per-interval deltas re-bucket into end-inclusive period
+    sums — total increase is preserved exactly."""
+    from filodb_spark.streaming.downsample import downsample_delta_counter
+    ev = events_ts(spark, sf_dir)
+    ds = downsample_delta_counter(ev, ["event_type"], RES)
+    return ds.select("event_type", "ts",
+                     F.round("value", 2).alias("value"))
+
+
+QUERIES["ts_ds_delta_counter"] = q_ds_delta_counter
+
+ORACLES["ts_ds_delta_counter"] = f"""
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, max(ts) AS ts, round(sum(value), 2) AS value
+FROM raw GROUP BY event_type, (ts - 1) // {RES}"""
+
+
+def q_gateway_hist_assembly(spark, sf_dir):
+    """Remote-write bucket-series -> histogram record assembly
+    (sources.gateway.assemble_prom_hist_records) end-to-end on
+    events-derived series: per (event_type, period) synthesize
+    `<m>_bucket{{le=..}}` / `<m>_sum` / `<m>_count` gauge rows, run the
+    gateway assembly, and explode the assembled buckets for the
+    value-hash compare."""
+    from filodb_spark.kernels.histogram import explode_hist
+    from filodb_spark.sources.gateway import assemble_prom_hist_records
+    ev = events_ts(spark, sf_dir)
+    bucket = (F.col("ts") - 1) / F.lit(RES)
+    grp = ev.withColumn("_b", F.floor(bucket)).groupBy("event_type", "_b")
+    agg = grp.agg(
+        F.max("ts").alias("ts"),
+        F.round(F.sum("value"), 2).alias("_sum"),
+        F.count(F.lit(1)).cast("double").alias("_count"),
+        *[F.sum(F.when(F.col("value") <= le, 1).otherwise(0))
+           .cast("double").alias(f"_b{i}")
+          for i, le in enumerate(HIST_LES[:-1])])
+    mk = lambda suffix, le=None: F.map_concat(
+        F.create_map(F.lit("__name__"),
+                     F.concat(F.col("event_type"), F.lit(suffix))),
+        F.create_map(F.lit("le"), F.lit(le))
+        if le is not None else F.create_map().cast("map<string,string>"))
+    series = None
+    for i, le in enumerate(HIST_LES):
+        src = F.col("_count") if le == float("inf") else F.col(f"_b{i}")
+        part = agg.select(mk("_bucket",
+                             "+Inf" if le == float("inf") else
+                             str(int(le))).alias("labels"),
+                          "ts", src.alias("value"))
+        series = part if series is None else series.unionByName(part)
+    series = series.unionByName(
+        agg.select(mk("_sum").alias("labels"), "ts",
+                   F.col("_sum").alias("value")))
+    series = series.unionByName(
+        agg.select(mk("_count").alias("labels"), "ts",
+                   F.col("_count").alias("value")))
+    hist = assemble_prom_hist_records(series)
+    ex = explode_hist(hist)
+    le_str = (F.when(F.col("bucket_le") == 10.0, "10")
+              .when(F.col("bucket_le") == 100.0, "100")
+              .otherwise("+Inf"))
+    return ex.select(
+        F.col("labels")["__name__"].alias("event_type"), "ts",
+        "sum", "count", le_str.alias("le"),
+        F.col("value").alias("bucket_value"))
+
+
+QUERIES["ts_gateway_hist_assembly"] = q_gateway_hist_assembly
+
+ORACLES["ts_gateway_hist_assembly"] = f"""
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, max(ts) AS ts,
+         round(sum(value), 2) AS "sum",
+         CAST(count(*) AS DOUBLE) AS "count",
+         CAST(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS b1,
+         CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS b2
+  FROM raw GROUP BY event_type, (ts - 1) // {RES}
+)
+SELECT event_type, ts, "sum", "count", u.le, u.v AS bucket_value
+FROM g,
+     unnest([struct_pack(le := '10', v := b1),
+             struct_pack(le := '100', v := b2),
+             struct_pack(le := '+Inf', v := "count")]) AS t(u)"""

@@ -382,3 +382,144 @@ def streaming_downsample_counter(stream: DataFrame, resolution_ms: int,
     return (stream.groupBy(series_col)
             .applyInPandasWithState(advance, out_schema, DSC_STATE_SCHEMA,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+DSH_STATE_SCHEMA = ("prev_ts long, prev_sum double, prev_count double, "
+                    "prev_les array<double>, prev_values array<double>, "
+                    "prev_read double, prev_emitted boolean, "
+                    "seg_min double, seg_max double")
+
+
+def streaming_downsample_hist(stream: DataFrame, resolution_ms: int,
+                              series_col: str = "series",
+                              ts_col: str = "ts",
+                              sum_col: str = "sum",
+                              count_col: str = "count",
+                              hist_col: str = "hist",
+                              minmax_cols: Sequence[str] = ()) -> DataFrame:
+    """Continuous prom-histogram / otel-cumulative downsampling: the
+    incremental twin of downsample_hist. The counter period marker
+    rides the COUNT column (NaN reads 0) exactly as in the batch job
+    (filodb-defaults.conf:265-273, DownsamplePeriodMarker.scala:100-141):
+    the series head emits immediately; a dip emits the dip row and, if
+    still pending, its predecessor; a row opening a new END-inclusive
+    period emits the pending predecessor. dLast/hLast read the marked
+    row itself, so emitted rows carry their raw sum/count/hist; the
+    optional dMin/dMax columns aggregate over the marker SEGMENT (rows
+    after the previous marked row through the marked row — the batch
+    job's `_seg` window, BatchDownsampler.scala:307-330), carried
+    incrementally in state with NaN skipped (all-NaN segment -> NaN,
+    MinDownsampler/MaxDownsampler ChunkDownsampler.scala:176-258).
+    As in streaming_downsample_counter, the per-series TAIL row (and
+    its open segment's min/max) pends in state until a successor proves
+    its period closed — the batch job's closed-chunks contract.
+    Out-of-order rows are dropped (append-only invariant)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    mm = bool(minmax_cols)
+    if mm:
+        mm_min, mm_max = minmax_cols
+    out_cols = [series_col, ts_col, sum_col, count_col, "_les", "_values"] \
+        + ([mm_min, mm_max] if mm else [])
+    out_schema = (f"{series_col} string, {ts_col} long, "
+                  f"{sum_col} double, {count_col} double, "
+                  "_les array<double>, _values array<double>"
+                  + (f", {mm_min} double, {mm_max} double" if mm else ""))
+
+    def _hist_parts(h):
+        # struct arrives as a dict (Arrow) or Row-like (driver-local);
+        # plain floats so the state row pickles JVM-side
+        les, vals = (h["les"], h["values"]) if isinstance(h, dict) \
+            else (h[0], h[1])
+        return [float(x) for x in les], [float(x) for x in vals]
+
+    def _mn(cur, x):
+        # running segment min; NaN skipped (None = empty/all-NaN)
+        if x is None or math.isnan(x):
+            return cur
+        return x if cur is None else min(cur, x)
+
+    def _mx(cur, x):
+        if x is None or math.isnan(x):
+            return cur
+        return x if cur is None else max(cur, x)
+
+    def _nan_if_none(x):
+        return float("nan") if x is None else x
+
+    def advance(key, pdfs, state):
+        (series,) = key
+        if state.exists:
+            (prev_ts, prev_sum, prev_count, prev_les, prev_values,
+             prev_read, prev_emitted, seg_min, seg_max) = state.get
+            prev_les = list(prev_les) if prev_les is not None else None
+            prev_values = (list(prev_values)
+                           if prev_values is not None else None)
+        else:
+            prev_ts = None
+            prev_sum = prev_count = prev_les = prev_values = None
+            prev_read = prev_emitted = None
+            seg_min = seg_max = None
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out = []
+
+        def emit(ts, s, c, les, vals, smin, smax):
+            row = [series, ts, s, c, les, vals]
+            if mm:
+                row += [_nan_if_none(smin), _nan_if_none(smax)]
+            out.append(tuple(row))
+
+        for _, r in rows.iterrows():
+            ts, s, c = int(r[ts_col]), float(r[sum_col]), float(r[count_col])
+            les, vals = _hist_parts(r[hist_col])
+            rmin = float(r[mm_min]) if mm else None
+            rmax = float(r[mm_max]) if mm else None
+            read = 0.0 if math.isnan(c) else c
+            if prev_ts is None:
+                # series head (chunk start): its segment is itself
+                emit(ts, s, c, les, vals, _mn(None, rmin), _mx(None, rmax))
+                prev_ts, prev_sum, prev_count = ts, s, c
+                prev_les, prev_values = les, vals
+                prev_read, prev_emitted = read, True
+                seg_min = seg_max = None
+                continue
+            if ts <= prev_ts:
+                continue
+            emitted = False
+            if read < prev_read:              # dip: pre-dip + dip rows
+                if not prev_emitted:
+                    # seg_min/seg_max already include the predecessor
+                    emit(prev_ts, prev_sum, prev_count, prev_les,
+                         prev_values, seg_min, seg_max)
+                seg_min, seg_max = _mn(None, rmin), _mx(None, rmax)
+                emit(ts, s, c, les, vals, seg_min, seg_max)
+                seg_min = seg_max = None
+                emitted = True
+            else:
+                if ((prev_ts - 1) // resolution_ms
+                        != (ts - 1) // resolution_ms):
+                    if not prev_emitted:
+                        # the predecessor closed its period as its last row
+                        emit(prev_ts, prev_sum, prev_count, prev_les,
+                             prev_values, seg_min, seg_max)
+                    seg_min = seg_max = None
+                seg_min, seg_max = _mn(seg_min, rmin), _mx(seg_max, rmax)
+            prev_ts, prev_sum, prev_count = ts, s, c
+            prev_les, prev_values = les, vals
+            prev_read, prev_emitted = read, emitted
+        state.update((prev_ts, prev_sum, prev_count, prev_les, prev_values,
+                      prev_read, prev_emitted, seg_min, seg_max))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    staged = (stream.groupBy(series_col)
+              .applyInPandasWithState(advance, out_schema, DSH_STATE_SCHEMA,
+                                      "append", GroupStateTimeout.NoTimeout))
+    keep = [series_col, ts_col, sum_col, count_col,
+            F.struct(F.col("_les").alias("les"),
+                     F.col("_values").alias("values")).alias(hist_col)]
+    if mm:
+        keep += [mm_min, mm_max]
+    return staged.select(*keep)

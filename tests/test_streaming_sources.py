@@ -912,3 +912,86 @@ class TestStreamingDownsampleCounter:
         # everything batch emits except the per-series tail row
         assert got == b - {(s, t, v) for (s, t, v) in b
                            if (s, t) in tails}
+
+
+class TestStreamingDownsampleHist:
+    """streaming_downsample_hist vs the batch downsample_hist: identical
+    rows except the per-series TAIL (pending until a successor proves its
+    period closed — the batch job's closed-chunks contract)."""
+
+    @staticmethod
+    def _rows(minmax=False):
+        # cumulative hist counts with one dip per series; 5m periods
+        import math
+        les = [1.0, 5.0, 10.0]
+        rows = []
+        for s, seed, dip_at in (("a", 3, 11), ("b", 5, 17)):
+            run = 0.0
+            for i in range(25):
+                if i == dip_at:
+                    run = 1.0      # reset
+                else:
+                    run += (i * seed) % 4
+                vals = [run * 0.2, run * 0.7, run]
+                r = [s, i * 60_000, run * 0.3, run, (les, vals)]
+                if minmax:
+                    mn = float("nan") if i % 7 == 3 else float(i % 5)
+                    r += [mn, float(10 + (i * seed) % 9)]
+                rows.append(tuple(r))
+        return rows
+
+    @staticmethod
+    def _key(r, minmax=False):
+        import math
+
+        def _n(x):
+            return None if x is not None and math.isnan(x) else x
+        k = (r["series"], r["ts"], _n(r["sum"]), _n(r["count"]),
+             tuple(r["hist"]["les"]), tuple(r["hist"]["values"]))
+        if minmax:
+            k += (_n(r["min"]), _n(r["max"]))
+        return k
+
+    def _run(self, spark, tmp_path, minmax):
+        from filodb_spark.streaming.downsample import (
+            downsample_hist, streaming_downsample_hist)
+        schema = ("series string, ts long, sum double, count double, "
+                  "hist struct<les: array<double>, values: array<double>>")
+        mm_cols = ("min", "max") if minmax else ()
+        if minmax:
+            schema += ", min double, max double"
+        rows = self._rows(minmax)
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        b1 = [r for r in rows if r[1] < 15 * 60_000]
+        b2 = [r for r in rows if r[1] >= 15 * 60_000]
+        # parquet file-stream source: NaN and nested structs round-trip
+        spark.createDataFrame(b1, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        ds = streaming_downsample_hist(stream, 300_000,
+                                       minmax_cols=mm_cols)
+        for batch in (b2, None):
+            q = (ds.writeStream.format("parquet")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if batch:
+                spark.createDataFrame(batch, schema).coalesce(1) \
+                    .write.mode("append").parquet(str(src))
+        got = {self._key(r, minmax)
+               for r in spark.read.parquet(str(out)).collect()}
+        batch_ds = downsample_hist(
+            spark.createDataFrame(rows, schema), ["series"], 300_000,
+            minmax_cols=mm_cols)
+        b = {self._key(r, minmax) for r in batch_ds.collect()}
+        tails = {(s, max(r[1] for r in rows if r[0] == s))
+                 for s in ("a", "b")}
+        assert got == {k for k in b if (k[0], k[1]) not in tails}
+        assert len(got) > 10
+
+    def test_matches_batch_hist_downsample(self, spark, tmp_path):
+        self._run(spark, tmp_path, minmax=False)
+
+    def test_matches_batch_otel_minmax(self, spark, tmp_path):
+        self._run(spark, tmp_path, minmax=True)

@@ -37,27 +37,74 @@ def _selector(match: str | None) -> VectorSelector:
     return sel
 
 
-def _scan(store: TsStore, match: str | None, start_ms: int | None,
-          end_ms: int | None) -> DataFrame:
-    """Raw-sample scan fallback (exact sample-presence semantics).
-    Scans cover EVERY schema table the store mounts — the reference's
-    one-index-per-shard sees histogram part keys too, so a metric-less
-    match applies its matchers across all schemas (data queries instead
-    resolve to a single schema or raise SchemaMismatch — metadata never
-    does)."""
-    sel = _selector(match) if match else None
+def _scan_tables(store: TsStore, sel: VectorSelector | None) -> DataFrame:
+    """(labels, ts) rows of every schema table one store view mounts,
+    matcher-filtered. A metric-less match applies its matchers across
+    all schemas (data queries instead resolve to a single schema or
+    raise SchemaMismatch — metadata never does)."""
     if sel is not None and not (sel.metric is None
                                 and store.hist_df is not None
                                 and not any(m.name == "_type_"
                                             for m in sel.matchers)):
-        df = store.select(sel).select("labels", "ts")
-    else:
+        return store.select(sel).select("labels", "ts")
+    from filodb_spark.promql.compiler import _apply_label_matchers
+    df = store.df.select("labels", "ts")
+    if store.hist_df is not None:
+        df = df.unionByName(store.hist_df.select("labels", "ts"))
+    if sel is not None:
+        df = _apply_label_matchers(df, sel.matchers)
+    return df
+
+
+def _ds_scan(store: TsStore, sel: VectorSelector | None) -> DataFrame | None:
+    """(labels, ts) rows from every mounted DOWNSAMPLE table. The
+    reference's downsample cluster answers metadata from its own
+    part-key index (DownsampledTimeSeriesShard.scala:96,132-166); the
+    chunkless fallback scans its sample tables instead. The counter
+    and histogram DS tables keep the raw schemas, so TsStore.select
+    runs verbatim on the ds_view; the ds-GAUGE rewrite table (rollup
+    schema) is matcher-filtered directly, with `_type_` resolved
+    through the same virtual-label expression label_values uses."""
+    frames = []
+    view = store.ds_view()
+    if view is not None:
+        frames.append(_scan_tables(view, sel))
+    if store.ds_df is not None:
         from filodb_spark.promql.compiler import _apply_label_matchers
-        df = store.df.select("labels", "ts")
-        if store.hist_df is not None:
-            df = df.unionByName(store.hist_df.select("labels", "ts"))
+        df = store.ds_df.select("labels", "ts")
         if sel is not None:
-            df = _apply_label_matchers(df, sel.matchers)
+            if sel.metric is not None:
+                df = df.where(F.col("labels")["__name__"] == sel.metric)
+            df = _apply_label_matchers(
+                df, [m for m in sel.matchers if m.name != "_type_"])
+            for m in (m for m in sel.matchers if m.name == "_type_"):
+                df = df.where(_type_expr(store, F.col("labels")["__name__"])
+                              == m.value)
+        frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _scan(store: TsStore, match: str | None, start_ms: int | None,
+          end_ms: int | None) -> DataFrame:
+    """Sample-scan fallback (exact sample-presence semantics) over
+    every table the store mounts. When downsample tables are mounted
+    and the queried range reaches before the raw-retention boundary,
+    their rows are unioned in — the LongTimeRangePlanner routes
+    metadata queries to the downsample cluster for old ranges the same
+    way (a series that stopped emitting before raw retention exists
+    only there)."""
+    sel = _selector(match) if match else None
+    df = _scan_tables(store, sel)
+    boundary = store.raw_retention_start_ms
+    if boundary is None or start_ms is None or start_ms < boundary:
+        ds = _ds_scan(store, sel)
+        if ds is not None:
+            df = df.unionByName(ds)
     if start_ms is not None:
         df = df.where(F.col("ts") >= start_ms)
     if end_ms is not None:

@@ -47,14 +47,21 @@ PARTKEY_COLS = ("labels", "_sk", "first_ts", "last_ts", "samples")
 
 
 def partkey_from_store(store) -> DataFrame:
-    """Part-key rows over EVERY schema table a TsStore mounts (gauge +
-    histogram) — the reference's index covers all schemas' part keys
-    (one Lucene index per shard regardless of schema). Use this instead
-    of partkey_from_samples(store.df) when the store carries hist_df so
-    metadata endpoints see histogram series too."""
+    """Part-key rows over EVERY table a TsStore mounts (gauge +
+    histogram + any downsample tables) — the reference keeps one index
+    per shard regardless of schema, and the downsample cluster keeps
+    its OWN part-key index over the downsample dataset
+    (DownsampledTimeSeriesShard.scala:96) so long-range metadata stays
+    O(series). Folding the DS tables in here gives the single attached
+    index the union of both clusters' spans: a series that stopped
+    emitting before raw retention keeps its full [first_ts, last_ts]
+    posting. Use this instead of partkey_from_samples(store.df)
+    whenever the store carries more than the gauge table."""
     df = store.df.select("labels", "ts")
-    if store.hist_df is not None:
-        df = df.unionByName(store.hist_df.select("labels", "ts"))
+    for t in (store.hist_df, store.ds_df, store.ds_counter_df,
+              store.ds_hist_df):
+        if t is not None:
+            df = df.unionByName(t.select("labels", "ts"))
     return partkey_from_samples(df)
 
 

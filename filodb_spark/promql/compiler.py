@@ -458,6 +458,29 @@ class TsStore:
                 "gauge, found schema prom-histogram")
         return hist if hist_hit else gauge
 
+    def ds_view(self) -> "TsStore | None":
+        """A shallow TsStore whose sample tables are the downsampled
+        counter/histogram ones, so TsStore.select (metric binding,
+        _sum/_count/_bucket rewrites, matcher pushdown) runs verbatim
+        against the DS dataset — the reference's downsample cluster
+        serves the same query surface from its own dataset
+        (DownsampledTimeSeriesShard). Missing DS tables present as
+        empty raw-schema frames; None when neither is mounted.
+        (The ds-GAUGE rewrite table, ds_df, has the rollup schema, not
+        the raw one — callers that need it filter it directly.)"""
+        if self.ds_counter_df is None and self.ds_hist_df is None:
+            return None
+        import dataclasses
+        return dataclasses.replace(
+            self,
+            df=self.ds_counter_df if self.ds_counter_df is not None
+            else self.df.where(F.lit(False)),
+            hist_df=self.ds_hist_df if self.ds_hist_df is not None
+            else (self.hist_df.where(F.lit(False))
+                  if self.hist_df is not None else None),
+            ds_df=None, ds_counter_df=None, ds_hist_df=None,
+            partkey_df=None)
+
     def _index_covers(self, metric: str) -> bool:
         """Does the attached part-key index hold rows for `metric`?
         One bounded existence probe per metric, memoized for the
@@ -906,18 +929,7 @@ class PromQLEngine:
         TsStore.select (metric binding, _sum/_count/_bucket rewrites,
         matcher pushdown) verbatim. Missing DS tables present as empty
         raw-schema frames so absent schemas contribute no DS rows."""
-        import dataclasses
-        st = self.store
-        ds_store = dataclasses.replace(
-            st,
-            df=st.ds_counter_df if st.ds_counter_df is not None
-            else st.df.where(F.lit(False)),
-            hist_df=st.ds_hist_df if st.ds_hist_df is not None
-            else (st.hist_df.where(F.lit(False))
-                  if st.hist_df is not None else None),
-            ds_df=None, ds_counter_df=None, ds_hist_df=None,
-            partkey_df=None)
-        out = ds_store.select(sel)
+        out = self.store.ds_view().select(sel)
         return out.withColumn("_sk",
                               bin_k.canonical_labels(F.col("labels")))
 

@@ -421,3 +421,97 @@ def test_gauge_only_index_falls_back_for_hist_lookups(spark, samples,
     assert files and all("/pk/" in f for f in files)
     # coverage probe is memoized: one entry per probed metric
     assert set(store._index_cover_memo) == {"lat"}
+
+
+class TestDownsampleMetadata:
+    """Metadata over downsample mounts: a series that stopped emitting
+    before raw retention exists only in the DS tables — the reference's
+    downsample cluster answers those lookups from its own part-key
+    index (DownsampledTimeSeriesShard.scala:96,132-166)."""
+
+    BOUNDARY = 2_000_000
+
+    @pytest.fixture()
+    def ds_store(self, spark, samples):
+        from filodb_spark.streaming.downsample import downsample_counter
+        # raw = recent samples only; DS = full history incl. a RETIRED
+        # series (inst=z) that never reaches the raw window
+        retired = _samples(spark, [
+            ("http_requests", "demo", "z", 100_000 + k * 10_000, float(k))
+            for k in range(10)])
+        from filodb_spark.kernels.binary import canonical_labels
+        full = samples.unionByName(retired)
+        raw = samples.where(F.col("ts") >= self.BOUNDARY - 1_500_000)
+        dsc = downsample_counter(
+            full.withColumn("_sk", canonical_labels(F.col("labels"))),
+            ["_sk"], 60_000).drop("_sk")
+        return TsStore(raw, ds_counter_df=dsc,
+                       raw_retention_start_ms=self.BOUNDARY)
+
+    def test_fallback_scan_sees_ds_only_series_pre_boundary(
+            self, spark, ds_store):
+        vals = [r["value"] for r in metadata.label_values(
+            ds_store, "instance", match='{_ws_="demo"}',
+            start_ms=0, end_ms=300_000).collect()]
+        assert "z" in vals
+
+    def test_fallback_scan_excludes_ds_for_recent_ranges(
+            self, spark, ds_store):
+        # start at/after the boundary: the DS union must not fire, so
+        # the retired series stays invisible even though its DS rows
+        # would pass no ts filter... (they would: ts < boundary) — use
+        # a poison series that exists ONLY in DS within the recent range
+        import dataclasses
+        poison = _samples(spark, [
+            ("http_requests", "demo", "ghost",
+             self.BOUNDARY + 10_000, 1.0)])
+        st = dataclasses.replace(
+            ds_store, ds_counter_df=ds_store.ds_counter_df.unionByName(
+                poison))
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=self.BOUNDARY, end_ms=self.BOUNDARY + 10_000_000
+            ).collect()]
+        assert "ghost" not in vals
+        # ...but a pre-boundary start routes to the DS tables and sees it
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=0, end_ms=self.BOUNDARY + 10_000_000).collect()]
+        assert "ghost" in vals
+
+    def test_partkey_from_store_spans_cover_ds(self, spark, ds_store):
+        from filodb_spark.partkey import partkey_from_store
+        pk = partkey_from_store(ds_store)
+        z = pk.where(F.col("labels")["instance"] == "z").collect()
+        assert len(z) == 1
+        assert z[0].first_ts == 100_000       # DS span, pre-retention
+        # the index path then serves the retired series for old ranges
+        import dataclasses
+        st = dataclasses.replace(ds_store, partkey_df=pk)
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=0, end_ms=300_000).collect()]
+        assert "z" in vals
+        # and span-overlap excludes it for recent-only ranges
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=self.BOUNDARY, end_ms=self.BOUNDARY + 1).collect()]
+        assert "z" not in vals
+
+    def test_ds_gauge_rewrite_table_included(self, spark, samples):
+        from filodb_spark.streaming.downsample import downsample
+        retired = _samples(spark, [
+            ("mem_bytes", "demo", "old", 100_000 + k * 10_000, float(k))
+            for k in range(10)])
+        dsg = downsample(samples.unionByName(retired),
+                         ["labels"], 60_000)
+        raw = samples.where(F.col("ts") >= self.BOUNDARY - 1_500_000)
+        st = TsStore(raw, ds_df=dsg, raw_retention_start_ms=self.BOUNDARY)
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{__name__="mem_bytes"}',
+            start_ms=0, end_ms=300_000).collect()]
+        assert vals == ["old"]
+        names = [r["value"] for r in metadata.label_values(
+            st, "_type_", match='{instance="old"}',
+            start_ms=0, end_ms=300_000).collect()]
+        assert names == ["gauge"]

@@ -543,3 +543,55 @@ FROM g,
      unnest([struct_pack(le := '10', v := b1),
              struct_pack(le := '100', v := b2),
              struct_pack(le := '+Inf', v := "count")]) AS t(u)"""
+
+
+def q_ds_metadata(spark, sf_dir):
+    """/api/v1/series over a PRE-RETENTION range on a downsample
+    mount: the raw table holds nothing before the boundary, so the
+    per-series spans come entirely from the DS counter table's marker
+    rows — the reference's downsample cluster answers these from its
+    own part-key index (DownsampledTimeSeriesShard.scala:96,132-166;
+    routing LongTimeRangePlanner)."""
+    from filodb_spark import metadata
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.promql.compiler import TsStore
+    from filodb_spark.streaming.downsample import downsample_counter
+    c = _counter_df(spark, sf_dir)
+    df = c.select(F.create_map(F.lit("__name__"),
+                               F.col("event_type")).alias("labels"),
+                  "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, STEP)
+    boundary = grid.start + ((grid.end - grid.start) // (2 * STEP)) * STEP
+    raw = df.where(F.col("ts") >= boundary)
+    dsc = downsample_counter(
+        df.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], RES).drop("_sk")
+    store = TsStore(raw, ds_counter_df=dsc,
+                    raw_retention_start_ms=boundary,
+                    ds_resolution_ms=RES)
+    s = metadata.series(store, '{__name__=~".+"}',
+                        start_ms=0, end_ms=boundary - 1, with_times=True)
+    lab = F.col("labels")
+    return s.select(
+        lab["__name__"].alias("metric"),
+        lab["_firstSampleTime_"].cast("long").alias("first_ts"),
+        lab["_lastSampleTime_"].cast("long").alias("last_ts"))
+
+
+QUERIES["ts_ds_metadata"] = q_ds_metadata
+
+# sample-presence spans of the DS counter table's marker rows below the
+# retention boundary (the raw side holds ts >= boundary only, so it
+# contributes nothing to this pre-boundary range)
+ORACLES["ts_ds_metadata"] = f"""
+WITH raw0 AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+ctr AS ({_ctr_sql()}),
+{_MARKER_SQL.lstrip()}
+SELECT sk AS metric, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM m2
+WHERE (rn = 1 OR dip OR pre_dip OR last_in_p) AND ts < {_BOUNDARY_SQL}
+GROUP BY 1"""

@@ -314,6 +314,75 @@ def stitch_raw_ds(raw: DataFrame, ds: DataFrame, boundary_ms: int,
     return raw_out.unionByName(ds_out)
 
 
+def _ds_window(resolution_ms: int):
+    """END-inclusive event-time window (k*res, (k+1)*res] on integer-ms
+    data — the batch job's ds_bucket period, as a streaming window
+    (startTime offset 1ms)."""
+    return F.window("_event_time", f"{resolution_ms} milliseconds",
+                    f"{resolution_ms} milliseconds", "1 millisecond")
+
+
+def streaming_downsample_delta_counter(
+        stream: DataFrame, series_cols: Sequence[str], resolution_ms: int,
+        ts_col: str = "ts", value_col: str = "value",
+        watermark_delay: str = "10 minutes") -> DataFrame:
+    """Continuous delta-counter downsampling (tTime/dSum,
+    filodb-defaults.conf:256-262): one event-time window aggregation —
+    period sums are associative, so unlike the cumulative-counter twin
+    no per-series state machine is needed. Output schema matches
+    downsample_delta_counter; append mode emits each window once its
+    watermark passes."""
+    v = F.col(value_col)
+    ev = (drop_nan(stream, value_col)
+          .withColumn("_event_time", F.timestamp_millis(F.col(ts_col))))
+    agg = (ev.withWatermark("_event_time", watermark_delay)
+           .groupBy(*series_cols, _ds_window(resolution_ms).alias("_w"))
+           .agg(F.max(ts_col).alias(ts_col), F.sum(v).alias(value_col)))
+    return agg.select(*series_cols, ts_col, value_col)
+
+
+def streaming_downsample_delta_hist(
+        stream: DataFrame, series_cols: Sequence[str], resolution_ms: int,
+        les: Sequence[float], ts_col: str = "ts",
+        sum_col: str = "sum", count_col: str = "count",
+        hist_col: str = "hist", minmax_cols: Sequence[str] = (),
+        watermark_delay: str = "10 minutes") -> DataFrame:
+    """Continuous delta-histogram downsampling (tTime/dSum/dSum/hSum
+    [+dMin/dMax], filodb-defaults.conf:275-286): ONE event-time window
+    aggregation, entirely JVM-side. The bucket grid `les` is a job
+    parameter (the gateway knows its scheme the same way), so hSum is
+    a fixed-width column-wise sum — no explode, no second stateful
+    operator. Inputs must already carry this grid (project through
+    kernels.histogram.reconcile_hist upstream otherwise); the batch
+    twin's mixed-scheme NaN rule therefore cannot trigger here.
+    dMin/dMax skip NaN (all-NaN window -> NaN), as in
+    downsample_delta_hist."""
+    les = [float(x) for x in les]
+    ev = stream.withColumn("_event_time",
+                           F.timestamp_millis(F.col(ts_col)))
+    vals = F.col(hist_col).getField("values")
+    aggs = [F.max(ts_col).alias(ts_col),
+            F.sum(sum_col).alias(sum_col),
+            F.sum(count_col).alias(count_col)]
+    aggs += [F.sum(vals[i]).alias(f"_b{i}") for i in range(len(les))]
+    for c, fn in zip(minmax_cols, (F.min, F.max)):
+        nn = F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+        aggs.append(F.coalesce(fn(nn), _nan_lit()).alias(c))
+    agg = (ev.withWatermark("_event_time", watermark_delay)
+           .groupBy(*series_cols, _ds_window(resolution_ms).alias("_w"))
+           .agg(*aggs))
+    hist = F.struct(
+        F.array(*[F.lit(x) for x in les]).alias("les"),
+        F.array(*[F.col(f"_b{i}") for i in range(len(les))])
+        .alias("values")).alias(hist_col)
+    return agg.select(*series_cols, ts_col, sum_col, count_col, hist,
+                      *minmax_cols)
+
+
+def _nan_lit():
+    return F.lit(float("nan"))
+
+
 DSC_STATE_SCHEMA = ("prev_ts long, prev_value double, prev_read double, "
                     "prev_emitted boolean")
 

@@ -995,3 +995,82 @@ class TestStreamingDownsampleHist:
 
     def test_matches_batch_otel_minmax(self, spark, tmp_path):
         self._run(spark, tmp_path, minmax=True)
+
+
+class TestStreamingDownsampleDelta:
+    """Delta-schema streaming twins: pure window aggregations, row-equal
+    to the batch downsamplers on watermark-closed windows."""
+
+    def test_delta_counter_matches_batch(self, spark, tmp_path):
+        import json as _json
+        from filodb_spark.streaming.downsample import (
+            downsample_delta_counter, streaming_downsample_delta_counter)
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        src.mkdir()
+        rows = [("a", i * 60_000, float((i * 7) % 13)) for i in range(30)] \
+             + [("b", i * 60_000, float(i % 4)) for i in range(30)]
+        with open(src / "b1.json", "w") as f:
+            for s, t, v in rows:
+                f.write(_json.dumps({"series": s, "ts": t, "value": v})
+                        + "\n")
+        stream = spark.readStream.schema(
+            "series string, ts long, value double").json(str(src))
+        ds = streaming_downsample_delta_counter(
+            stream, ["series"], 300_000, watermark_delay="0 seconds")
+        q = (ds.writeStream.format("parquet").option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(out))
+        batch = downsample_delta_counter(
+            spark.createDataFrame(
+                rows, "series string, ts long, value double"),
+            ["series"], 300_000)
+        g = {(r["series"], r["ts"], r["value"]) for r in got.collect()}
+        b = {(r["series"], r["ts"], r["value"]) for r in batch.collect()}
+        assert g <= b
+        assert len(g) >= len(b) - 2
+
+    def test_delta_hist_matches_batch(self, spark, tmp_path):
+        import math
+        from filodb_spark.streaming.downsample import (
+            downsample_delta_hist, streaming_downsample_delta_hist)
+        les = [1.0, 5.0, 10.0]
+        schema = ("series string, ts long, sum double, count double, "
+                  "hist struct<les: array<double>, values: array<double>>, "
+                  "min double, max double")
+        rows = []
+        for s, seed in (("a", 3), ("b", 5)):
+            for i in range(30):
+                d = float((i * seed) % 4)
+                mn = float("nan") if i % 7 == 3 else float(i % 5)
+                rows.append((s, i * 60_000, d * 0.3, d,
+                             (les, [d * 0.2, d * 0.7, d]),
+                             mn, float(10 + (i * seed) % 9)))
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        ds = streaming_downsample_delta_hist(
+            stream, ["series"], 300_000, les,
+            minmax_cols=("min", "max"), watermark_delay="0 seconds")
+        q = (ds.writeStream.format("parquet").option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        def key(r):
+            def n(x):
+                return None if x is not None and math.isnan(x) else x
+            return (r["series"], r["ts"], n(r["sum"]), n(r["count"]),
+                    tuple(r["hist"]["les"]), tuple(r["hist"]["values"]),
+                    n(r["min"]), n(r["max"]))
+        got = {key(r)
+               for r in spark.read.parquet(str(out)).collect()}
+        batch = downsample_delta_hist(
+            spark.createDataFrame(rows, schema), ["series"], 300_000,
+            minmax_cols=("min", "max"))
+        b = {key(r) for r in batch.collect()}
+        assert got <= b
+        assert len(got) >= len(b) - 2
+        assert len(got) > 5

@@ -238,8 +238,14 @@ def read_series_table(spark: SparkSession, path: str,
     if format == "delta":
         _require_delta(spark)
     df = spark.read.format(format).load(path)
-    return df.select("labels", "ts", "value", "_metric", *SHARD_KEY_LABELS,
-                     "date")
+    # value columns = whatever the schema carries beyond the layout
+    # columns ("value" for gauges/counters; sum/count/hist[/min/max]
+    # for histogram tables) — retention_ladder(schema="hist") and
+    # partkey-build --hist read those tables through here too
+    skip = {"labels", "ts", "_metric", "_sk", "date", *SHARD_KEY_LABELS}
+    value_cols = [c for c in df.columns if c not in skip]
+    return df.select("labels", "ts", *value_cols, "_metric",
+                     *SHARD_KEY_LABELS, "date")
 
 
 def compact_series_table(spark: SparkSession, ingest_path: str,
@@ -334,8 +340,12 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     tiers: ordered fine->coarse (resolution_ms, name, keep_days); raw
     keeps `raw_keep_days`. schema="gauge" rolls ds-gauge aggregates;
     schema="counter" keeps the dip-preserving prom-counter row subset
-    (raw columns — mount via TsStore(ds_counter_df=...)). Queries then
-    mount the tiers with raw_retention_start_ms and stitch.
+    (raw columns — mount via TsStore(ds_counter_df=...));
+    schema="hist" keeps the prom-histogram/otel-cumulative subset
+    (counter marker on the count column, per-period dMin/dMax when the
+    table carries min/max — mount via TsStore(ds_hist_df=...)).
+    Queries then mount the tiers with raw_retention_start_ms and
+    stitch.
 
     Returns {tier_name: surviving_rows, "raw_dropped": [...]}.
     """
@@ -344,14 +354,21 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     from filodb_spark.kernels.binary import canonical_labels
     from filodb_spark.streaming.downsample import (downsample,
                                                    downsample_cascade,
-                                                   downsample_counter)
+                                                   downsample_counter,
+                                                   downsample_hist)
 
     def _cutoff(days: int) -> str:
         t = _dt.datetime.fromtimestamp(now_ms / 1000, _dt.timezone.utc)
         return (t - _dt.timedelta(days=days)).strftime("%Y-%m-%d")
 
-    raw = read_series_table(spark, raw_path).select("labels", "ts",
-                                                    "value")
+    raw = read_series_table(spark, raw_path)
+    hist_mm: tuple = ()
+    if schema == "hist":
+        hist_mm = tuple(c for c in ("min", "max") if c in raw.columns)
+        raw = raw.select("labels", "ts", "sum", "count", "hist",
+                         *hist_mm)
+    else:
+        raw = raw.select("labels", "ts", "value")
     keyed = raw.withColumn("_sk", canonical_labels(F.col("labels")))
     series = keyed.select("_sk", "labels").dropDuplicates(["_sk"])
     stats: dict = {}
@@ -364,6 +381,17 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
             src = keyed if prev is None else prev
             ds = downsample_counter(src, ["_sk"], res)
             out = ds.select("labels", "ts", "value", "_sk").drop("_sk")
+        elif schema == "hist":
+            # the hist subset cascades through downsample_hist too: the
+            # coarser pass keeps the same rows (every 1h-period-end /
+            # dip / pre-dip row of the fine subset is the raw one), and
+            # min-of-min / max-of-max over the fine rows' per-segment
+            # aggregates equals the raw per-segment aggregate because
+            # fine marker segments nest inside coarse ones
+            # (cascade-stability pinned by TestCascadeConsistency)
+            src = keyed if prev is None else prev
+            ds = downsample_hist(src, ["_sk"], res, minmax_cols=hist_mm)
+            out = ds.drop("_sk")
         else:
             ds = downsample(keyed, ["_sk"], res) if prev is None \
                 else downsample_cascade(prev, ["_sk"], res)

@@ -405,6 +405,23 @@ class TestCascadeConsistency:
             downsample_counter(raw, ["series"], MIN1), ["series"], MIN5)
         assert _collect_scalar(direct) == _collect_scalar(cascade)
 
+    def test_hist_5min_is_cascade_stable(self, spark):
+        """Same equivalence for the histogram marker (on the count
+        column), including the per-period dMin/dMax columns: fine
+        marker segments nest inside coarse ones, so min-of-min /
+        max-of-max over the 1-min rows' segment aggregates equals the
+        raw 5-min segment aggregate — this is what lets
+        retention_ladder(schema="hist") cascade tier-from-tier."""
+        raw = _hist_df(spark, HIST_RAW, minmax=OTEL_CUM_MINMAX)
+        direct = downsample_hist(raw, ["series"], MIN5,
+                                 minmax_cols=("min", "max"))
+        cascade = downsample_hist(
+            downsample_hist(raw, ["series"], MIN1,
+                            minmax_cols=("min", "max")),
+            ["series"], MIN5, minmax_cols=("min", "max"))
+        assert _collect_hist(direct, minmax=True) == \
+            _collect_hist(cascade, minmax=True)
+
 
 class TestScaleShape:
     def test_counter_downsample_is_one_shuffle(self, spark):

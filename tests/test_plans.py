@@ -717,3 +717,67 @@ class TestCounterRetentionLadder:
         assert out and all(r["value"] >= 0 for r in out)
         # pre-boundary instants came from the tier (non-empty)
         assert any(r["t"] < boundary for r in out)
+
+
+class TestHistRetentionLadder:
+    def test_hist_tiers_mount_and_query(self, spark, tmp_path):
+        """schema="hist" tiers keep the dip-preserving histogram row
+        subset (marker on count) with per-period dMin/dMax; a mounted
+        tier serves pre-boundary hist instants through the engine
+        split."""
+        from filodb_spark.promql.compiler import PromQLEngine, TsStore
+        from filodb_spark.sources.table import (retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        hour = 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        les = [1.0, float("inf")]
+        # hourly cumulative histogram, count resets each day
+        rows = []
+        for d in range(10):
+            for h in range(24):
+                c = float(2 * h + 1)
+                rows.append((
+                    {"__name__": "h", "_ws_": "w", "_ns_": "n"},
+                    t0 + d * day + h * hour, float(h), c,
+                    (les, [float(h), c]),
+                    float(h % 3), float(10 + h % 5)))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, sum double, "
+                  "count double, hist struct<les: array<double>, "
+                  "values: array<double>>, min double, max double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        now = t0 + 9 * day + 23 * hour
+        stats = retention_ladder(
+            spark, raw, str(tmp_path / "tiers"), now_ms=now,
+            tiers=((6 * hour, "6h", 30),), raw_keep_days=3,
+            schema="hist")
+        t6 = spark.read.parquet(str(tmp_path / "tiers/6h"))
+        assert stats["6h"] == t6.count() > 0
+        # dips survive: each day's h=0 reset row (count 1.0 after 47.0)
+        assert t6.where(F.col("count") == 1.0).count() >= 9
+        # min/max are per-period aggregates, not the row's own values:
+        # the (0h,6h] period closes at h=6 (count 13), its segment
+        # spans h=1..6 -> min(h%3)=0, max(10+h%5)=14 (h=6's own row
+        # values are 0.0/11.0)
+        r = t6.where(F.col("count") == 13.0).first()
+        assert r["min"] == 0.0 and r["max"] == 14.0
+        # mount: raw keeps ~3 days, tier covers all history
+        raw_left = spark.read.parquet(raw).select(
+            "labels", "ts", "sum", "count", "hist", "min", "max")
+        boundary = raw_left.agg(F.min("ts")).first()[0]
+        store = TsStore(
+            raw_left.where(F.lit(False)).select(
+                "labels", "ts", F.col("sum").alias("value")),
+            hist_df=raw_left, hist_metrics=("h",),
+            ds_hist_df=t6.select("labels", "ts", "sum", "count",
+                                 "hist", "min", "max"),
+            raw_retention_start_ms=boundary,
+            ds_resolution_ms=6 * hour)
+        eng = PromQLEngine(spark, store)
+        out = eng.query_range("sum_over_time(h[6h])", t0 + 2 * day,
+                              now, 6 * hour).collect()
+        assert out
+        # pre-boundary instants came from the tier
+        assert any(r["t"] < boundary for r in out)

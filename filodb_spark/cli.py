@@ -92,6 +92,16 @@ def main(argv=None) -> int:
                     "reference keeps ONE index per shard covering every "
                     "schema; without this, hist-scoped metadata lookups "
                     "fall back to the sample scan (TsStore._index_covers)")
+    pb.add_argument("--ds", default=None, action="append",
+                    help="downsample table path(s) to include "
+                    "(repeatable) — extends each series' "
+                    "[first_ts, last_ts] posting to the downsample "
+                    "retention, the analog of the downsample cluster's "
+                    "own part-key index "
+                    "(DownsampledTimeSeriesShard.scala:96); without "
+                    "this, pre-raw-retention metadata lookups on the "
+                    "index miss series that stopped emitting before "
+                    "raw retention")
 
     for name in ("labels", "label-values", "series",
                  "label-cardinality", "ts-cardinality", "status"):
@@ -131,9 +141,10 @@ def main(argv=None) -> int:
     if args.cmd == "partkey-build":
         from filodb_spark.partkey import write_partkey_table
         df = spark.read.parquet(args.store).select("labels", "ts")
-        if args.hist:
-            df = df.unionByName(
-                spark.read.parquet(args.hist).select("labels", "ts"))
+        for extra in [args.hist, *(args.ds or [])]:
+            if extra:
+                df = df.unionByName(
+                    spark.read.parquet(extra).select("labels", "ts"))
         write_partkey_table(df, args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"partkey_table": args.out, "series": n}))

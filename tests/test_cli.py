@@ -207,3 +207,33 @@ def test_partkey_build_with_hist_table(spark, tmp_path):
     assert rc == 0
     pk_df = spark.read.parquet(pk)
     assert pk_df.where("labels['__name__'] = 'lat'").count() == 1
+
+
+def test_partkey_build_with_ds_tables(spark, tmp_path):
+    """--ds (repeatable) folds downsample tables into the index so a
+    series that stopped emitting before raw retention keeps its full
+    span posting (the downsample cluster's own index,
+    DownsampledTimeSeriesShard.scala:96)."""
+    from pyspark.sql import functions as F
+    from filodb_spark.tsdf import events_labels_ts
+    table = str(tmp_path / "series")
+    ds1 = str(tmp_path / "ds_counter")
+    ds2 = str(tmp_path / "ds_hist")
+    pk = str(tmp_path / "pk")
+    full = events_labels_ts(spark, "/root/testdata/sf0.001")
+    lo, hi = full.agg(F.min("ts"), F.max("ts")).first()
+    boundary = (lo + hi) // 2
+    full.where(F.col("ts") >= boundary).write.parquet(table)
+    # retired series lives only in the DS tables
+    spark.createDataFrame(
+        [({"__name__": "retired", "job": "x"}, lo, 1.0)],
+        "labels map<string,string>, ts long, value double") \
+        .write.parquet(ds1)
+    full.where(F.col("ts") < boundary).limit(100).write.parquet(ds2)
+    rc, out = run_cli(["partkey-build", "--store", table, "--out", pk,
+                       "--ds", ds1, "--ds", ds2])
+    assert rc == 0
+    pk_df = spark.read.parquet(pk)
+    assert pk_df.where("labels['__name__'] = 'retired'").count() == 1
+    # spans extend below the raw boundary via the second DS table
+    assert pk_df.agg(F.min("first_ts")).first()[0] < boundary

@@ -116,6 +116,18 @@ def run_hist_scoped(store: TsStore) -> float:
     return time.time() - t0
 
 
+def run_preboundary(store: TsStore, boundary: int) -> float:
+    """Long-range metadata on a downsample mount (r10): the queried
+    range reaches before raw retention, so the fallback unions the DS
+    tables (metadata._ds_scan) and the DS-covering index answers from
+    extended spans — the downsample cluster's own part-key index
+    (DownsampledTimeSeriesShard.scala:96)."""
+    t0 = time.time()
+    metadata.label_values(store, "instance",
+                          start_ms=0, end_ms=boundary - 1).count()
+    return time.time() - t0
+
+
 def main() -> None:
     densities = [int(x) for x in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("scale-check-metadata", shuffle_partitions=32)
@@ -123,7 +135,8 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="scale_meta_")
     print(f"{'density':>8} {'samples':>12} {'scan_s':>8} {'pk_s':>8} "
           f"{'scoped_scan':>12} {'scoped_pk':>10} "
-          f"{'hist_scan':>10} {'hist_pk':>8}")
+          f"{'hist_scan':>10} {'hist_pk':>8} "
+          f"{'ds_scan':>8} {'ds_pk':>8}")
     for d in densities:
         data_path = os.path.join(root, f"series_{d}")
         hist_path = os.path.join(root, f"hist_{d}")
@@ -154,14 +167,46 @@ def main() -> None:
         hist_scan = run_hist_scoped(plain)
         run_hist_scoped(indexed)
         hist_pk = run_hist_scoped(indexed)
+
+        # downsample mount: raw truncated to the recent half; the DS
+        # counter table (1h marker subset) carries the full history
+        import dataclasses
+
+        from filodb_spark.kernels.binary import canonical_labels
+        from filodb_spark.streaming.downsample import downsample_counter
+        boundary = RANGE_MS // 2
+        raw_df = spark.read.parquet(data_path) \
+            .select("labels", "ts", "value")
+        dsc_path = os.path.join(root, f"dsc_{d}")
+        downsample_counter(
+            df.withColumn("_sk", canonical_labels(F.col("labels"))),
+            ["_sk"], 3_600_000).drop("_sk").write.parquet(dsc_path)
+        ds_store = TsStore(raw_df.where(F.col("ts") >= boundary),
+                           ds_counter_df=spark.read.parquet(dsc_path),
+                           raw_retention_start_ms=boundary)
+        run_preboundary(ds_store, boundary)
+        ds_scan = run_preboundary(ds_store, boundary)
+        dspk_path = os.path.join(root, f"dspk_{d}")
+        write_partkey_table(
+            ds_store.df.select("labels", "ts").unionByName(
+                ds_store.ds_counter_df.select("labels", "ts")),
+            dspk_path)
+        from filodb_spark.partkey import open_partkey_table
+        ds_indexed = dataclasses.replace(
+            ds_store, partkey_df=open_partkey_table(spark, dspk_path))
+        run_preboundary(ds_indexed, boundary)
+        ds_pk = run_preboundary(ds_indexed, boundary)
+
         n = N_SERIES * BASE_SAMPLES_PER_SERIES * d
         print(f"{d:>8} {n:>12} {scan_s:>8.2f} {pk_s:>8.2f} "
               f"{scoped_scan:>12.2f} {scoped_pk:>10.2f} "
-              f"{hist_scan:>10.2f} {hist_pk:>8.2f}"
+              f"{hist_scan:>10.2f} {hist_pk:>8.2f} "
+              f"{ds_scan:>8.2f} {ds_pk:>8.2f}"
               f"   (index build {t_build:.1f}s)")
     print("expected: scan_s/scoped_scan/hist_scan grow with density; pk"
           " columns flat (scoped_pk/hist_pk additionally prune dirs/"
-          "row-groups at scan)")
+          "row-groups at scan); ds_scan reads the marker-compressed DS"
+          " rows (sub-linear in density), ds_pk flat")
 
 
 if __name__ == "__main__":

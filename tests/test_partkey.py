@@ -515,3 +515,48 @@ class TestDownsampleMetadata:
             st, "_type_", match='{instance="old"}',
             start_ms=0, end_ms=300_000).collect()]
         assert names == ["gauge"]
+
+    def test_ds_plan_shapes(self, spark, samples, tmp_path):
+        """Plan assertions for the DS-mount metadata paths: a
+        recent-range fallback never opens the DS tables; a pre-boundary
+        fallback reads raw+DS; the DS-covering index path reads ONLY
+        index files for pre-boundary ranges."""
+        import dataclasses
+
+        from filodb_spark.kernels.binary import canonical_labels
+        from filodb_spark.partkey import write_partkey_table
+        from filodb_spark.streaming.downsample import downsample_counter
+        raw_path = str(tmp_path / "series")
+        dsc_path = str(tmp_path / "dsc")
+        pk_path = str(tmp_path / "pk")
+        samples.where(F.col("ts") >= self.BOUNDARY - 1_500_000) \
+            .write.parquet(raw_path)
+        downsample_counter(
+            samples.withColumn("_sk",
+                               canonical_labels(F.col("labels"))),
+            ["_sk"], 60_000).drop("_sk").write.parquet(dsc_path)
+        raw = spark.read.parquet(raw_path)
+        dsc = spark.read.parquet(dsc_path)
+        store = TsStore(raw, ds_counter_df=dsc,
+                        raw_retention_start_ms=self.BOUNDARY)
+        # recent range: DS tables must not appear in the scan set
+        files = metadata.label_values(
+            store, "instance", start_ms=self.BOUNDARY,
+            end_ms=self.BOUNDARY + 10_000_000).inputFiles()
+        assert files and all("/series/" in f for f in files)
+        # pre-boundary range: raw + DS unioned
+        files = metadata.label_values(
+            store, "instance", start_ms=0,
+            end_ms=self.BOUNDARY - 1).inputFiles()
+        assert any("/dsc/" in f for f in files)
+        # DS-covering index: only index files for the same lookup
+        write_partkey_table(
+            raw.select("labels", "ts")
+               .unionByName(dsc.select("labels", "ts")), pk_path)
+        from filodb_spark.partkey import open_partkey_table
+        st = dataclasses.replace(
+            store, partkey_df=open_partkey_table(spark, pk_path))
+        files = metadata.label_values(
+            st, "instance", start_ms=0,
+            end_ms=self.BOUNDARY - 1).inputFiles()
+        assert files and all("/pk/" in f for f in files)

@@ -327,7 +327,8 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                      tiers: tuple = ((5 * 60_000, "5m", 30),
                                      (3_600_000, "1h", 365)),
                      raw_keep_days: int = 7,
-                     schema: str = "gauge") -> dict:
+                     schema: str = "gauge",
+                     partkey_out: str | None = None) -> dict:
     """The full TSDB storage lifecycle as one batch job — the composed
     analog of the reference's downsampler Spark job + Cassandra TTLs
     (DownsamplerMain + per-resolution retention): roll the raw series
@@ -346,6 +347,12 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     table carries min/max — mount via TsStore(ds_hist_df=...)).
     Queries then mount the tiers with raw_retention_start_ms and
     stitch.
+
+    partkey_out: also (re)build the part-key index over the SURVIVING
+    raw rows plus every tier — the index's [first_ts, last_ts] postings
+    then cover the downsample retention (the downsample cluster's own
+    part-key index, DownsampledTimeSeriesShard.scala:96), and the
+    ladder run doubles as the reference's periodic index refresh.
 
     Returns {tier_name: surviving_rows, "raw_dropped": [...]}.
     """
@@ -412,4 +419,22 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
         prev = ds
     stats["raw_dropped"] = expire_partitions(spark, raw_path,
                                              _cutoff(raw_keep_days))
+    if partkey_out is not None:
+        from filodb_spark.partkey import write_partkey_table
+        try:
+            pk_src = spark.read.parquet(raw_path).select("labels", "ts")
+        except AnalysisException:
+            # raw fully expired; seed from the first surviving tier
+            pk_src = None
+        for _, name, _ in tiers:
+            try:
+                tier = spark.read.parquet(f"{out_root}/{name}")
+            except AnalysisException:
+                continue       # tier fully expired, nothing to index
+            t = tier.select("labels", "ts")
+            pk_src = t if pk_src is None else pk_src.unionByName(t)
+        if pk_src is not None:
+            write_partkey_table(pk_src, partkey_out)
+            stats["partkey_series"] = \
+                spark.read.parquet(partkey_out).count()
     return stats

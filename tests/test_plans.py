@@ -781,3 +781,55 @@ class TestHistRetentionLadder:
         assert out
         # pre-boundary instants came from the tier
         assert any(r["t"] < boundary for r in out)
+
+
+class TestRetentionLadderPartkey:
+    def test_ladder_cobuilds_ds_covering_index(self, spark, tmp_path):
+        """partkey_out rebuilds the index over surviving raw + every
+        tier: a series that stopped emitting before raw retention keeps
+        its span posting and stays visible to pre-boundary metadata."""
+        import dataclasses
+
+        from filodb_spark import metadata
+        from filodb_spark.partkey import open_partkey_table
+        from filodb_spark.promql.compiler import TsStore
+        from filodb_spark.sources.table import (retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        hour = 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        rows = [({"__name__": "c", "_ws_": "w", "_ns_": "n"},
+                 t0 + d * day + h * hour, float(h))
+                for d in range(10) for h in range(24)]
+        # retired series: first two days only — gone from raw after
+        # expiry, alive in the tier
+        rows += [({"__name__": "old", "_ws_": "w", "_ns_": "n"},
+                  t0 + d * day + h * hour, float(h))
+                 for d in range(2) for h in range(24)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        now = t0 + 9 * day + 23 * hour
+        pk = str(tmp_path / "pk")
+        stats = retention_ladder(
+            spark, raw, str(tmp_path / "tiers"), now_ms=now,
+            tiers=((6 * hour, "6h", 30),), raw_keep_days=3,
+            schema="counter", partkey_out=pk)
+        assert stats["partkey_series"] == 2
+        pk_df = open_partkey_table(spark, pk)
+        old = pk_df.where("labels['__name__'] = 'old'").collect()
+        assert len(old) == 1 and old[0]["first_ts"] == t0
+        # mounted with the co-built index, pre-boundary metadata sees it
+        raw_left = spark.read.parquet(raw).select("labels", "ts",
+                                                  "value")
+        boundary = raw_left.agg(F.min("ts")).first()[0]
+        t6 = spark.read.parquet(str(tmp_path / "tiers/6h"))
+        store = TsStore(raw_left,
+                        ds_counter_df=t6.select("labels", "ts", "value"),
+                        raw_retention_start_ms=boundary,
+                        partkey_df=pk_df)
+        vals = [r["value"] for r in metadata.label_values(
+            store, "__name__", start_ms=t0,
+            end_ms=t0 + 2 * day).collect()]
+        assert vals == ["c", "old"]

@@ -19,6 +19,14 @@ plain parquet file of (labels, ts, value), or `events:<fixture_dir>`.
 (series-dimension) table; `--partkey <path>` on any command attaches it
 so metadata/cardinality answer in O(series) (CliMain's commands hit the
 reference's part-key index the same way).
+
+`--ds-gauge/--ds-counter <path> --raw-retention-start <epoch_sec>
+[--ds-resolution <sec>]` mount downsample tables next to the raw store:
+queries spanning the boundary split raw/DS and stitch, and metadata
+covers the pre-retention range — the CLI analog of pointing the query
+service at both the raw and downsample clusters. (Histogram downsample
+mounts need hist table + metric registration — library-level,
+TsStore(ds_hist_df=...).)
 """
 
 from __future__ import annotations
@@ -28,18 +36,51 @@ import json
 import sys
 
 
-def _open_store(spark, store: str, partkey: str | None = None):
+def _open_store(spark, store: str, partkey: str | None = None,
+                args=None):
     from filodb_spark.promql.compiler import TsStore
     kw = {}
     if partkey:
         # raw shape: select_partkeys pushes matchers below the merge
         from filodb_spark.partkey import open_partkey_table
         kw["partkey_df"] = open_partkey_table(spark, partkey)
+    if args is not None:
+        # downsample mount: the CLI analog of pointing the query
+        # service at both the raw and downsample clusters
+        # (LongTimeRangePlanner stitches; DownsampledTimeSeriesShard
+        # serves the old range)
+        for flag, key in (("ds_gauge", "ds_df"),
+                          ("ds_counter", "ds_counter_df")):
+            path = getattr(args, flag, None)
+            if path:
+                kw[key] = spark.read.parquet(path)
+        if getattr(args, "raw_retention_start", None) is not None:
+            kw["raw_retention_start_ms"] = \
+                int(args.raw_retention_start * 1000)
+        if getattr(args, "ds_resolution", None) is not None:
+            kw["ds_resolution_ms"] = int(args.ds_resolution * 1000)
     if store.startswith("events:"):
         from filodb_spark.tsdf import events_labels_ts
         return TsStore(events_labels_ts(spark, store.split(":", 1)[1]), **kw)
     df = spark.read.parquet(store)
     return TsStore(df.select("labels", "ts", "value"), **kw)
+
+
+def _add_ds_args(p):
+    p.add_argument("--ds-gauge", default=None,
+                   help="ds-gauge rollup table (streaming.downsample."
+                        "downsample output) for the pre-retention range")
+    p.add_argument("--ds-counter", default=None,
+                   help="downsampled counter table (dip-preserving "
+                        "row subset, downsample_counter output)")
+    p.add_argument("--raw-retention-start", type=float, default=None,
+                   help="epoch sec: raw data before this instant is "
+                        "not retained; queries spanning it split "
+                        "raw/DS and stitch (LongTimeRangePlanner)")
+    p.add_argument("--ds-resolution", type=float, default=None,
+                   help="downsample resolution in seconds — counter "
+                        "rate/increase lookbacks below 2x this are "
+                        "rejected, as in the reference")
 
 
 def main(argv=None) -> int:
@@ -61,6 +102,7 @@ def main(argv=None) -> int:
     q.add_argument("--window-mode", default="auto",
                    choices=["auto", "explode", "tiled", "asof"],
                    help="windowing plan family (kernels/range_fns.py)")
+    _add_ds_args(q)
     q.add_argument("--format", choices=["json", "table"], default="json")
     q.add_argument("--histogram-map", action="store_true",
                    help="render histogram results as native buckets maps "
@@ -81,6 +123,7 @@ def main(argv=None) -> int:
     sv.add_argument("--tls-cert", default=None, help="PEM cert for TLS")
     sv.add_argument("--tls-key", default=None)
     sv.add_argument("--enable-remote-write", action="store_true")
+    _add_ds_args(sv)
 
     pb = sub.add_parser("partkey-build", help="build/refresh the part-key "
                         "(series-dimension) table from a series table — "
@@ -110,6 +153,7 @@ def main(argv=None) -> int:
         p.add_argument("--partkey", default=None,
                        help="part-key table path: answer from the "
                             "O(series) index, never the sample table")
+        _add_ds_args(p)
         if name == "label-values":
             p.add_argument("--label", required=True)
             # CliMain `indexvalues` parity: (term, freq) instead of the
@@ -150,7 +194,8 @@ def main(argv=None) -> int:
         print(json.dumps({"partkey_table": args.out, "series": n}))
         return 0
 
-    store = _open_store(spark, args.store, getattr(args, "partkey", None))
+    store = _open_store(spark, args.store, getattr(args, "partkey", None),
+                        args)
 
     if args.cmd == "query":
         from filodb_spark.api import to_matrix_response

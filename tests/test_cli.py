@@ -237,3 +237,46 @@ def test_partkey_build_with_ds_tables(spark, tmp_path):
     assert pk_df.where("labels['__name__'] = 'retired'").count() == 1
     # spans extend below the raw boundary via the second DS table
     assert pk_df.agg(F.min("first_ts")).first()[0] < boundary
+
+
+def test_query_with_ds_mount(spark, tmp_path):
+    """--ds-counter/--raw-retention-start mount the downsample table:
+    a boundary-crossing increase() serves pre-boundary steps from the
+    DS rows, and metadata commands see pre-retention series."""
+    from pyspark.sql import functions as F
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.streaming.downsample import downsample_counter
+    day, hour = 24 * 3600 * 1000, 3600 * 1000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+    rows = [({"__name__": "c", "job": "x"}, t0 + d * day + h * hour,
+             float(h)) for d in range(4) for h in range(24)]
+    rows += [({"__name__": "gone", "job": "x"}, t0 + h * hour, float(h))
+             for h in range(24)]
+    full = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    boundary = t0 + 2 * day
+    raw = str(tmp_path / "raw")
+    dsc = str(tmp_path / "dsc")
+    full.where(F.col("ts") >= boundary).write.parquet(raw)
+    downsample_counter(
+        full.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], 6 * hour).drop("_sk").write.parquet(dsc)
+    rc, out = run_cli([
+        "query", 'increase(c[24h])', "--store", raw,
+        "--ds-counter", dsc,
+        "--raw-retention-start", str(boundary / 1000),
+        "--ds-resolution", str(6 * 3600),
+        "--start", str(t0 / 1000 + 86400),
+        "--end", str((t0 + 3 * day) / 1000),
+        "--step", str(6 * 3600)])
+    assert rc == 0
+    res = json.loads(out)
+    ts = [t for series in res["data"]["result"]
+          for t, _ in series["values"]]
+    assert min(ts) * 1000 < boundary         # pre-boundary steps served
+    rc, vals = run_cli(["label-values", "--store", raw,
+                        "--label", "__name__",
+                        "--ds-counter", dsc,
+                        "--raw-retention-start", str(boundary / 1000)])
+    assert rc == 0
+    assert json.loads(vals) == ["c", "gone"]

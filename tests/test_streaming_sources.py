@@ -1074,3 +1074,85 @@ class TestStreamingDownsampleDelta:
         assert got <= b
         assert len(got) >= len(b) - 2
         assert len(got) > 5
+
+
+class TestStreamingDownsampleHistRandom:
+    """Randomized streaming-vs-batch battery for the hist twin: random
+    cadence, dips, NaN counts and NaN mins across 8 series, replayed in
+    three micro-batches. Streaming must equal batch minus the per-series
+    PENDING tail (a tail already emitted as a dip row is NOT pending)."""
+
+    RES = 300_000
+
+    def test_random_battery(self, spark, tmp_path):
+        import math
+        import random
+        from filodb_spark.streaming.downsample import (
+            downsample_hist, streaming_downsample_hist)
+        rng = random.Random(4321)
+        les = [1.0, 5.0, 10.0]
+        rows = []
+        tails = {}       # series -> (tail_ts, emitted_at_tail)
+        for i in range(8):
+            n = rng.randint(2, 40)
+            ts = sorted(set(rng.randint(0, 3_000_000) for _ in range(n)))
+            c, prev_read, srows = 0.0, None, []
+            for t in ts:
+                r = rng.random()
+                if r < 0.08:
+                    cv = float("nan")                 # NaN count
+                elif r < 0.2:
+                    c = rng.uniform(0, 3)             # dip
+                    cv = c
+                else:
+                    c += rng.uniform(0, 4)
+                    cv = c
+                mn = float("nan") if rng.random() < 0.15 \
+                    else rng.uniform(0, 5)
+                mx = rng.uniform(5, 10)
+                s = float("nan") if math.isnan(cv) else cv * 0.3
+                srows.append((f"s{i}", t, s, cv,
+                              (les, [cv * 0.2, cv * 0.6, cv]), mn, mx))
+                read = 0.0 if math.isnan(cv) else cv
+                emitted = prev_read is None or read < prev_read
+                prev_read = read
+            tails[f"s{i}"] = (srows[-1][1], emitted)
+            rows += srows
+        schema = ("series string, ts long, sum double, count double, "
+                  "hist struct<les: array<double>, values: array<double>>, "
+                  "min double, max double")
+        src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+        cuts = [1_000_000, 2_000_000, 3_000_001]
+        batches = [[r for r in rows
+                    if (cuts[i - 1] if i else 0) <= r[1] < cuts[i]]
+                   for i in range(3)]
+        spark.createDataFrame(batches[0], schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        ds = streaming_downsample_hist(stream, self.RES,
+                                       minmax_cols=("min", "max"))
+        for nxt in batches[1:] + [None]:
+            q = (ds.writeStream.format("parquet")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if nxt:
+                spark.createDataFrame(nxt, schema).coalesce(1) \
+                    .write.mode("append").parquet(str(src))
+
+        def key(r):
+            def n(x):
+                return None if x is not None and math.isnan(x) else x
+            return (r["series"], r["ts"], n(r["sum"]), n(r["count"]),
+                    tuple(n(v) for v in r["hist"]["values"]),
+                    n(r["min"]), n(r["max"]))
+        got = {key(r) for r in spark.read.parquet(str(out)).collect()}
+        b = {key(r) for r in downsample_hist(
+            spark.createDataFrame(rows, schema), ["series"], self.RES,
+            minmax_cols=("min", "max")).collect()}
+        pending = {(s, t) for s, (t, emitted) in tails.items()
+                   if not emitted}
+        expected = {k for k in b if (k[0], k[1]) not in pending}
+        assert got == expected
+        assert len(got) > 40

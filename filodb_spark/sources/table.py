@@ -328,7 +328,8 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                                      (3_600_000, "1h", 365)),
                      raw_keep_days: int = 7,
                      schema: str = "gauge",
-                     partkey_out: str | None = None) -> dict:
+                     partkey_out: str | None = None,
+                     allow: tuple = (), block: tuple = ()) -> dict:
     """The full TSDB storage lifecycle as one batch job — the composed
     analog of the reference's downsampler Spark job + Cassandra TTLs
     (DownsamplerMain + per-resolution retention): roll the raw series
@@ -347,6 +348,14 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     table carries min/max — mount via TsStore(ds_hist_df=...)).
     Queries then mount the tiers with raw_retention_start_ms and
     stitch.
+
+    allow/block: the downsampler's partition eligibility gate
+    (label->value maps, conjunction per entry —
+    streaming.downsample.is_eligible_for_downsample; the reference
+    applies it per partition in BatchDownsampler.scala:151 and the
+    index migration DSIndexJob.scala:116). Blocked series are never
+    downsampled, so they live only as long as the raw retention —
+    the reference's exact consequence.
 
     partkey_out: also (re)build the part-key index over the SURVIVING
     raw rows plus every tier — the index's [first_ts, last_ts] postings
@@ -376,6 +385,11 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                          *hist_mm)
     else:
         raw = raw.select("labels", "ts", "value")
+    if allow or block:
+        from filodb_spark.streaming.downsample import \
+            is_eligible_for_downsample
+        raw = raw.where(
+            is_eligible_for_downsample(F.col("labels"), allow, block))
     keyed = raw.withColumn("_sk", canonical_labels(F.col("labels")))
     series = keyed.select("_sk", "labels").dropDuplicates(["_sk"])
     stats: dict = {}

@@ -55,6 +55,34 @@ from filodb_spark.kernels.grid import StepGrid, drop_nan, explode_to_steps
 DS_COLS = ("min", "max", "sum", "count", "avg")
 
 
+def is_eligible_for_downsample(labels_col, allow: Sequence[dict] = (),
+                               block: Sequence[dict] = ()):
+    """The downsampler's partition eligibility gate
+    (DownsamplerSettings.scala:174-180, `allow-filters`/`block-filters`
+    in filodb.downsampler config; applied per partition by both the
+    chunk downsampler BatchDownsampler.scala:151 and the index
+    migration DSIndexJob.scala:116): each filter is a label->value map
+    that matches when EVERY pair is present in the series' labels
+    (a missing label never matches). With a non-empty allow list, a
+    series is eligible only if SOME allow entry matches; it is then
+    blocked if ANY block entry matches. Returns a boolean Column."""
+    def entry(m: dict):
+        cond = F.lit(True)
+        for k, v in m.items():
+            cond = cond & (labels_col[k] == F.lit(v))
+        return F.coalesce(cond, F.lit(False))   # missing label -> no match
+
+    allow_ok = F.lit(True)
+    if allow:
+        allow_ok = F.lit(False)
+        for m in allow:
+            allow_ok = allow_ok | entry(m)
+    blocked = F.lit(False)
+    for m in block:
+        blocked = blocked | entry(m)
+    return allow_ok & ~blocked
+
+
 def ds_bucket(ts_col, resolution_ms: int):
     """END-inclusive downsample period id: a sample exactly on a
     resolution boundary belongs to the period that ENDS there

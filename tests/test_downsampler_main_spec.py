@@ -518,3 +518,82 @@ class TestCounterMarkerProperties:
             sub_corr = sum(kept[i - 1][1] for i in range(1, len(kept))
                            if kept[i][1] < kept[i - 1][1])
             assert sub_corr == pytest.approx(raw_corr), k
+
+
+class TestDownsampleEligibility:
+    """isEligibleForDownsample semantics
+    (DownsamplerSettings.scala:174-180; applied per partition by
+    BatchDownsampler.scala:151 and DSIndexJob.scala:116): allow/block
+    entries are label->value maps matching only when EVERY pair is
+    present; empty allow admits all; block wins over allow."""
+
+    def _eligible(self, spark, labels, allow=(), block=()):
+        from filodb_spark.streaming.downsample import \
+            is_eligible_for_downsample
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(labels,)],
+                                   "labels map<string,string>")
+        return df.where(is_eligible_for_downsample(
+            F.col("labels"), allow, block)).count() == 1
+
+    def test_empty_allow_admits_all(self, spark):
+        assert self._eligible(spark, {"_ws_": "w"})
+
+    def test_allow_conjunction(self, spark):
+        allow = ({"_ws_": "w", "_ns_": "n"},)
+        assert self._eligible(spark, {"_ws_": "w", "_ns_": "n"}, allow)
+        assert not self._eligible(spark, {"_ws_": "w"}, allow)
+        assert not self._eligible(
+            spark, {"_ws_": "w", "_ns_": "other"}, allow)
+
+    def test_allow_disjunction_of_entries(self, spark):
+        allow = ({"_ns_": "a"}, {"_ns_": "b"})
+        assert self._eligible(spark, {"_ns_": "b"}, allow)
+        assert not self._eligible(spark, {"_ns_": "c"}, allow)
+
+    def test_missing_label_never_matches(self, spark):
+        # a block entry naming an absent label must NOT block
+        assert self._eligible(spark, {"_ws_": "w"},
+                              block=({"_ns_": "n"},))
+        # and an allow entry naming an absent label must not admit
+        assert not self._eligible(spark, {"_ws_": "w"},
+                                  allow=({"_ns_": "n"},))
+
+    def test_block_wins_over_allow(self, spark):
+        allow = ({"_ws_": "w"},)
+        block = ({"_ns_": "n"},)
+        assert not self._eligible(
+            spark, {"_ws_": "w", "_ns_": "n"}, allow, block)
+        assert self._eligible(
+            spark, {"_ws_": "w", "_ns_": "ok"}, allow, block)
+
+    def test_ladder_blocked_series_keep_raw_retention_only(
+            self, spark, tmp_path):
+        """The reference consequence: a blocked partition is never
+        downsampled, so it lives only as long as raw retention."""
+        from pyspark.sql import functions as F
+        from filodb_spark.sources.table import (retention_ladder,
+                                                write_series_table)
+        day, hour = 24 * 3600 * 1000, 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        rows = []
+        for ns in ("keep", "drop"):
+            rows += [({"__name__": "g", "_ws_": "w", "_ns_": ns},
+                      t0 + d * day + h * hour, float(h))
+                     for d in range(10) for h in range(24)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        retention_ladder(
+            spark, raw, str(tmp_path / "tiers"),
+            now_ms=t0 + 9 * day + 23 * hour,
+            tiers=((6 * hour, "6h", 30),), raw_keep_days=3,
+            block=({"_ns_": "drop"},))
+        t6 = spark.read.parquet(str(tmp_path / "tiers/6h"))
+        ns_vals = {r[0] for r in
+                   t6.select(F.col("labels")["_ns_"]).distinct().collect()}
+        assert ns_vals == {"keep"}
+        # blocked series still present in surviving raw
+        left = spark.read.parquet(raw)
+        assert left.where(F.col("labels")["_ns_"] == "drop").count() > 0

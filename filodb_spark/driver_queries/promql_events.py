@@ -523,6 +523,42 @@ def q_cardbuster(spark, sf_dir):
         "first_ts", "last_ts")
 
 
+
+
+def q_repair_copy(spark, sf_dir):
+    """ChunkCopier + validator e2e (spark-jobs/.../repair/
+    ChunkCopier.scala:127-144, ChunkCopierValidator.scala:229-254):
+    the target table is missing the pre-boundary half; copy_time_slice
+    restores the band through the partitioned-table write path, the
+    validator's symmetric EXCEPT must come back clean, and the result
+    is the restored band read back FROM THE TARGET — any copy defect
+    (lost rows, layout drift, double-append) breaks the value hash."""
+    import tempfile
+
+    from filodb_spark.operators.repair import (copy_time_slice,
+                                               validate_time_slice)
+    from filodb_spark.sources.table import (read_series_table,
+                                            write_series_table)
+    ev = _events_cached(spark, sf_dir)
+    df = ev.select(
+        F.create_map(F.lit("__name__"), F.col("event_type"),
+                     F.lit("_ws_"), F.lit("w"),
+                     F.lit("_ns_"), F.lit("n")).alias("labels"),
+        "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    boundary = (lo + hi) // 2
+    root = tempfile.mkdtemp(prefix="repair_")
+    src, dst = root + "/src", root + "/dst"
+    write_series_table(df, src)
+    write_series_table(df.where(F.col("ts") >= boundary), dst)
+    copy_time_slice(spark, src, dst, 0, boundary)
+    v = validate_time_slice(spark, src, dst, 0, hi + 1)
+    assert v["source_only"] == 0 and v["target_only"] == 0, v
+    out = read_series_table(spark, dst).where(F.col("ts") < boundary)
+    return out.select(F.col("labels")["__name__"].alias("event_type"),
+                      "ts", F.round("value", 2).alias("value"))
+
+
 QUERIES = {
     "ts_instant_last": _range_query("last_over_time", None),
     "ts_sum_over_time": _range_query("sum_over_time", 6),
@@ -571,6 +607,7 @@ QUERIES = {
     "ts_hist_metadata_pk": q_hist_metadata_pk,
     "ts_rate_reset_marker": q_rate_reset_marker,
     "ts_cardbuster": q_cardbuster,
+    "ts_repair_copy": q_repair_copy,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
     "ts_csv_roundtrip": q_csv_roundtrip,
@@ -973,6 +1010,14 @@ SELECT event_type, count(*) AS total_series,
        count(*) FILTER (WHERE last_ts >=
          (SELECT MAX(epoch_ms(ts)) - 43200000 FROM events)) AS active_series
 FROM per_series GROUP BY 1""",
+    "ts_repair_copy": """
+WITH raw AS (
+  SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, ts, round(value, 2) AS value FROM raw
+WHERE ts < (SELECT (MIN(epoch_ms(ts)) + MAX(epoch_ms(ts))) // 2
+            FROM events)""",
     "ts_cardbuster": """
 WITH per_series AS (
   SELECT event_type, user_id, MIN(epoch_ms(ts)) AS first_ts,

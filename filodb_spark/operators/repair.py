@@ -1,0 +1,146 @@
+"""Repair / disaster-recovery copy jobs.
+
+Reference: spark-jobs/src/main/scala/filodb/repair/ —
+  ChunkCopier.scala            copy chunks whose ingestion time falls in
+                               [start, end) from a source Cassandra
+                               cluster to a target one (:101-144)
+  ChunkCopierValidator.scala   diff the copied band: sourceRows except
+                               targetRows and vice versa (:229-254)
+  PartitionKeysCopier.scala    copy part keys overlapping the band;
+                               the copy phase can be disabled for
+                               validation-only runs (:115-128)
+  PartitionKeysCopierValidator.scala  same except-diff over part keys
+
+The chunkless analog operates on series tables (parquet/Delta
+directories in the sources.table layout) and part-key tables: a copy
+is a ts-band-filtered append that keeps the partitioned layout, and a
+validation is a symmetric EXCEPT over the band — both fully
+distributed, no driver-side row handling. The reference copies by
+INGESTION time because that is what Cassandra indexes; chunkless
+tables are keyed by sample time, so the band filter is on `ts` (for
+bit-identical replay of late-arriving data, export/remote-write wire
+replays are the tool — sources/export.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from filodb_spark.sources.table import (SHARD_KEY_LABELS,
+                                        read_series_table,
+                                        write_series_table)
+
+
+def _band(df: DataFrame, start_ms: int, end_ms: int,
+          ts_col: str = "ts") -> DataFrame:
+    """[start, end) — ChunkCopier's ingestionTimeStart/End band."""
+    return df.where((F.col(ts_col) >= start_ms) & (F.col(ts_col) < end_ms))
+
+
+def copy_time_slice(spark: SparkSession, source_path: str,
+                    target_path: str, start_ms: int, end_ms: int,
+                    shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
+                    format: str = "parquet") -> int:
+    """ChunkCopier analog: append the source table's rows with
+    ts in [start_ms, end_ms) to the target table, keeping the
+    partitioned (shard labels + date) layout. Schema-tolerant: copies
+    whatever value columns the source carries (gauge `value` or
+    histogram sum/count/hist[/min/max]). Returns rows copied.
+
+    The reference batches writes driver-free the same way
+    (ChunkCopier.scala:127-144 foreachPartition); here the write IS the
+    Spark job. Re-running the copy appends duplicates, as re-running
+    the reference's copier re-writes the same chunks — run the
+    validator first (validate_time_slice) to see whether a slice is
+    already present."""
+    src = read_series_table(spark, source_path, format=format)
+    layout = {"_metric", "date", *shard_labels}
+    sliced = _band(src.select(*[c for c in src.columns
+                                if c not in layout]),
+                   start_ms, end_ms)
+    write_series_table(sliced, target_path, shard_labels=shard_labels,
+                       mode="append", format=format)
+    return _band(read_series_table(spark, target_path, format=format),
+                 start_ms, end_ms).count()
+
+
+def validate_time_slice(spark: SparkSession, source_path: str,
+                        target_path: str, start_ms: int, end_ms: int,
+                        format: str = "parquet") -> dict:
+    """ChunkCopierValidator analog: symmetric EXCEPT over the band
+    (ChunkCopierValidator.scala:245-254 sourceDiff/targetDiff).
+    Returns {source_rows, target_rows, source_only, target_only};
+    a clean copy has source_only == target_only == 0."""
+    def rows(path):
+        df = read_series_table(spark, path, format=format)
+        layout = {"_metric", "date", "_sk"}
+        cols = [c for c in df.columns if c not in layout]
+        out = _band(df.select(*cols), start_ms, end_ms)
+        # labels maps are not EXCEPT-comparable; canonical JSON is
+        from filodb_spark.kernels.binary import canonical_labels
+        return out.withColumn("labels",
+                              canonical_labels(F.col("labels")))
+    s, t = rows(source_path), rows(target_path)
+    t = t.select(*s.columns)
+    return {
+        "source_rows": s.count(),
+        "target_rows": t.count(),
+        "source_only": s.exceptAll(t).count(),
+        "target_only": t.exceptAll(s).count(),
+    }
+
+
+def copy_partkeys(spark: SparkSession, source_path: str,
+                  target_path: str, start_ms: int, end_ms: int,
+                  copy: bool = True) -> int:
+    """PartitionKeysCopier analog: take the source part-key rows whose
+    [first_ts, last_ts] span OVERLAPS [start_ms, end_ms) — the
+    reference's copyPartitionKeysByTimeRange band
+    (PartitionKeysCopier.scala:122-128) — and append them to the
+    target part-key table as delta rows; read_partkey_table's merge
+    folds them into the target's postings (min first_ts / max last_ts /
+    summed samples), the same upsert the reference's writePartKeys
+    performs. copy=False disables the copy phase
+    (PartitionKeysCopier.scala:115: validation-only / no-op runs) and
+    just returns the would-copy count. Returns rows (to be) copied."""
+    from filodb_spark.partkey import read_partkey_table
+    # merged rows: a series' span must be judged over ALL its delta
+    # rows, not per physical delta
+    src = read_partkey_table(spark, source_path)
+    band = src.where((F.col("last_ts") >= start_ms)
+                     & (F.col("first_ts") < end_ms))
+    n = band.count()
+    if not copy or n == 0:
+        return n
+    from filodb_spark.partkey import PARTKEY_COLS, _with_shard_cols
+    pk = _with_shard_cols(band.select(*PARTKEY_COLS), SHARD_KEY_LABELS)
+    pk = pk.withColumn("_metric", F.col("labels")["__name__"])
+    (pk.write.mode("append").partitionBy(*SHARD_KEY_LABELS)
+       .parquet(target_path))
+    return n
+
+
+def validate_partkeys(spark: SparkSession, source_path: str,
+                      target_path: str, start_ms: int,
+                      end_ms: int) -> dict:
+    """PartitionKeysCopierValidator analog: symmetric EXCEPT over the
+    band's MERGED part-key rows (the validator compares the logical
+    records, not physical deltas). A target whose postings COVER the
+    source band (same series, first_ts <= source's, last_ts >= source's)
+    validates clean on the series axis; span mismatches surface in
+    source_only/target_only."""
+    from filodb_spark.partkey import read_partkey_table
+
+    def rows(path):
+        pk = read_partkey_table(spark, path)
+        return (pk.where((F.col("last_ts") >= start_ms)
+                         & (F.col("first_ts") < end_ms))
+                .select("_sk", "first_ts", "last_ts"))
+    s, t = rows(source_path), rows(target_path)
+    return {
+        "source_keys": s.count(),
+        "target_keys": t.count(),
+        "source_only": s.exceptAll(t).count(),
+        "target_only": t.exceptAll(s).count(),
+    }

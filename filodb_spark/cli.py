@@ -42,8 +42,11 @@ def _open_store(spark, store: str, partkey: str | None = None,
     kw = {}
     if partkey:
         # raw shape: select_partkeys pushes matchers below the merge
-        from filodb_spark.partkey import open_partkey_table
+        from filodb_spark.partkey import (open_partkey_table,
+                                          read_partkey_manifest)
         kw["partkey_df"] = open_partkey_table(spark, partkey)
+        kw["partkey_covers_ds"] = read_partkey_manifest(
+            spark, partkey).get("covers_ds")
     if args is not None:
         # downsample mount: the CLI analog of pointing the query
         # service at both the raw and downsample clusters
@@ -189,7 +192,7 @@ def main(argv=None) -> int:
             if extra:
                 df = df.unionByName(
                     spark.read.parquet(extra).select("labels", "ts"))
-        write_partkey_table(df, args.out)
+        write_partkey_table(df, args.out, covers_ds=bool(args.ds))
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"partkey_table": args.out, "series": n}))
         return 0

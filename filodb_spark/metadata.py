@@ -89,6 +89,19 @@ def _ds_scan(store: TsStore, sel: VectorSelector | None) -> DataFrame | None:
     return out
 
 
+def _range_needs_ds(store: TsStore, start_ms: int | None) -> bool:
+    """Does answering a range starting at start_ms require the
+    downsample tables? True when any is mounted and the range reaches
+    before the raw-retention boundary (or the boundary/start is
+    unknown)."""
+    has_ds = (store.ds_df is not None or store.ds_counter_df is not None
+              or store.ds_hist_df is not None)
+    if not has_ds:
+        return False
+    boundary = store.raw_retention_start_ms
+    return boundary is None or start_ms is None or start_ms < boundary
+
+
 def _scan(store: TsStore, match: str | None, start_ms: int | None,
           end_ms: int | None) -> DataFrame:
     """Sample-scan fallback (exact sample-presence semantics) over
@@ -100,8 +113,7 @@ def _scan(store: TsStore, match: str | None, start_ms: int | None,
     only there)."""
     sel = _selector(match) if match else None
     df = _scan_tables(store, sel)
-    boundary = store.raw_retention_start_ms
-    if boundary is None or start_ms is None or start_ms < boundary:
+    if _range_needs_ds(store, start_ms):
         ds = _ds_scan(store, sel)
         if ds is not None:
             df = df.unionByName(ds)
@@ -123,6 +135,13 @@ def _series_rows(store: TsStore, match: str | None, start_ms: int | None,
     Fallback: aggregate the pruned sample scan per canonical key."""
     sel = _selector(match)
     pk = store.select_partkeys(sel)
+    if pk is not None and _range_needs_ds(store, start_ms) \
+            and store.partkey_covers_ds is not True:
+        # the attached index was not built over the downsample tables
+        # (or its provenance is unknown): for a pre-retention range it
+        # would return silently-empty results for retired series —
+        # fall back to the scan, which unions the DS tables
+        pk = None
     if pk is not None:
         if start_ms is not None:
             pk = pk.where(F.col("last_ts") >= start_ms)

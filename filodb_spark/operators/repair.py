@@ -59,10 +59,10 @@ def copy_time_slice(spark: SparkSession, source_path: str,
     sliced = _band(src.select(*[c for c in src.columns
                                 if c not in layout]),
                    start_ms, end_ms)
+    n = sliced.count()
     write_series_table(sliced, target_path, shard_labels=shard_labels,
                        mode="append", format=format)
-    return _band(read_series_table(spark, target_path, format=format),
-                 start_ms, end_ms).count()
+    return n
 
 
 def validate_time_slice(spark: SparkSession, source_path: str,
@@ -97,11 +97,10 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     """PartitionKeysCopier analog: take the source part-key rows whose
     [first_ts, last_ts] span OVERLAPS [start_ms, end_ms) — the
     reference's copyPartitionKeysByTimeRange band
-    (PartitionKeysCopier.scala:122-128) — and append them to the
-    target part-key table as delta rows; read_partkey_table's merge
-    folds them into the target's postings (min first_ts / max last_ts /
-    summed samples), the same upsert the reference's writePartKeys
-    performs. copy=False disables the copy phase
+    (PartitionKeysCopier.scala:122-128) — and UPSERT them into the
+    target part-key table (per-key span merge + rewrite through a
+    temp-dir swap), the record replacement the reference's
+    writePartKeys performs. copy=False disables the copy phase
     (PartitionKeysCopier.scala:115: validation-only / no-op runs) and
     just returns the would-copy count. Returns rows (to be) copied."""
     from filodb_spark.partkey import read_partkey_table
@@ -113,11 +112,50 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     n = band.count()
     if not copy or n == 0:
         return n
-    from filodb_spark.partkey import PARTKEY_COLS, _with_shard_cols
-    pk = _with_shard_cols(band.select(*PARTKEY_COLS), SHARD_KEY_LABELS)
+    # UPSERT, not append-accumulate: merge_partkey_rows SUMS the
+    # samples column across delta rows, so appending a source row for
+    # a series the target already holds would double-count its
+    # samples. Merge source band + target per key (min first_ts / max
+    # last_ts; samples = greatest of the two — exact when one side's
+    # rows are a superset of the other's, the DR-copy case) and
+    # REWRITE the target through a temp-dir swap, like the
+    # reference's writePartKeys record replacement.
+    from filodb_spark.partkey import (PARTKEY_COLS,
+                                      read_partkey_manifest,
+                                      write_partkey_manifest,
+                                      _with_shard_cols)
+    from filodb_spark.sources.table import hadoop_fs
+    tgt = read_partkey_table(spark, target_path)
+    s = band.select(F.col("_sk").alias("_sk"),
+                    F.col("labels").alias("_s_labels"),
+                    F.col("first_ts").alias("_s_first"),
+                    F.col("last_ts").alias("_s_last"),
+                    F.col("samples").alias("_s_samples"))
+    merged = (tgt.join(s, "_sk", "full_outer")
+              .select(
+                  F.coalesce(F.col("labels"),
+                             F.col("_s_labels")).alias("labels"),
+                  F.col("_sk"),
+                  F.coalesce(F.least("first_ts", "_s_first"),
+                             "first_ts", "_s_first").alias("first_ts"),
+                  F.coalesce(F.greatest("last_ts", "_s_last"),
+                             "last_ts", "_s_last").alias("last_ts"),
+                  F.coalesce(F.greatest("samples", "_s_samples"),
+                             "samples", "_s_samples").alias("samples"))
+              .select(*PARTKEY_COLS))
+    manifest = read_partkey_manifest(spark, target_path)
+    pk = _with_shard_cols(merged, SHARD_KEY_LABELS)
     pk = pk.withColumn("_metric", F.col("labels")["__name__"])
-    (pk.write.mode("append").partitionBy(*SHARD_KEY_LABELS)
-       .parquet(target_path))
+    tmp = target_path.rstrip("/") + "__copy_tmp"
+    (pk.repartition(*[F.col(c) for c in SHARD_KEY_LABELS])
+       .sortWithinPartitions("_metric", "_sk")
+       .write.mode("overwrite").partitionBy(*SHARD_KEY_LABELS)
+       .parquet(tmp))
+    fs, Path = hadoop_fs(spark, target_path)
+    fs.delete(Path(target_path), True)
+    fs.rename(Path(tmp), Path(target_path))
+    if manifest:
+        write_partkey_manifest(spark, target_path, manifest)
     return n
 
 

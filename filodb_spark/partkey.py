@@ -56,13 +56,41 @@ def partkey_from_store(store) -> DataFrame:
     index the union of both clusters' spans: a series that stopped
     emitting before raw retention keeps its full [first_ts, last_ts]
     posting. Use this instead of partkey_from_samples(store.df)
-    whenever the store carries more than the gauge table."""
+    whenever the store carries more than the gauge table.
+
+    The DS tables extend only the SPANS: their rows are derived from
+    (a subset of) the raw rows, so counting them into `samples` would
+    double-count every live series. Spans merge per key; `samples`
+    stays the raw-side count, except for a retired series with no raw
+    rows left, whose DS row count stands in (a lower bound on the
+    samples it once had)."""
     df = store.df.select("labels", "ts")
-    for t in (store.hist_df, store.ds_df, store.ds_counter_df,
-              store.ds_hist_df):
-        if t is not None:
-            df = df.unionByName(t.select("labels", "ts"))
-    return partkey_from_samples(df)
+    if store.hist_df is not None:
+        df = df.unionByName(store.hist_df.select("labels", "ts"))
+    pk = partkey_from_samples(df)
+    ds_frames = [t.select("labels", "ts")
+                 for t in (store.ds_df, store.ds_counter_df,
+                           store.ds_hist_df) if t is not None]
+    if not ds_frames:
+        return pk
+    ds = ds_frames[0]
+    for f in ds_frames[1:]:
+        ds = ds.unionByName(f)
+    ds_pk = partkey_from_samples(ds).select(
+        F.col("_sk"), F.col("labels").alias("_d_labels"),
+        F.col("first_ts").alias("_d_first"),
+        F.col("last_ts").alias("_d_last"),
+        F.col("samples").alias("_d_samples"))
+    return (pk.join(ds_pk, "_sk", "full_outer")
+            .select(
+                F.coalesce("labels", "_d_labels").alias("labels"),
+                F.col("_sk"),
+                F.coalesce(F.least("first_ts", "_d_first"),
+                           "first_ts", "_d_first").alias("first_ts"),
+                F.coalesce(F.greatest("last_ts", "_d_last"),
+                           "last_ts", "_d_last").alias("last_ts"),
+                F.coalesce("samples", "_d_samples").alias("samples"))
+            .select(*PARTKEY_COLS))
 
 
 def partkey_from_samples(df: DataFrame) -> DataFrame:
@@ -92,19 +120,72 @@ def _with_shard_cols(pk: DataFrame,
     return out
 
 
+MANIFEST_FILE = "_filodb_partkey_manifest.json"
+
+
 def write_partkey_table(samples_df: DataFrame, path: str,
                         shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        covers_ds: bool | None = None) -> None:
     """Build the part-key table from a samples frame and write it
     partitioned by the shard-key labels (same physical sharding as
     write_series_table, so a `_ws_`/`_ns_` filter prunes directories
     on both tables). Rows are sorted by (_metric, _sk) within files
-    for row-group min/max skipping on metric-scoped metadata lookups."""
+    for row-group min/max skipping on metric-scoped metadata lookups.
+
+    covers_ds: provenance flag recorded in the table's manifest
+    (`_filodb_partkey_manifest.json`, underscore-prefixed so Spark
+    readers skip it): True when the input samples included the
+    downsample tables' rows, so the index's spans cover the DS
+    retention. Metadata over a DS-mounted store only trusts the index
+    for pre-retention ranges when this is True — a raw-only index
+    would silently miss retired series there (the same silent-empty
+    class as the r9 gauge-only-index/hist fix)."""
     pk = _with_shard_cols(partkey_from_samples(samples_df), shard_labels)
     pk = pk.withColumn("_metric", F.col("labels")["__name__"])
     (pk.repartition(*[F.col(c) for c in shard_labels])
        .sortWithinPartitions("_metric", "_sk")
        .write.mode(mode).partitionBy(*shard_labels).parquet(path))
+    if covers_ds is not None and mode == "overwrite":
+        write_partkey_manifest(samples_df.sparkSession, path,
+                               {"covers_ds": bool(covers_ds)})
+
+
+def write_partkey_manifest(spark: SparkSession, path: str,
+                           manifest: dict) -> None:
+    """Write the manifest through the Hadoop FS API (works on any
+    supported filesystem, not just local)."""
+    import json as _json
+
+    from filodb_spark.sources.table import hadoop_fs
+    fs, Path = hadoop_fs(spark, path)
+    out = fs.create(Path(f"{path.rstrip('/')}/{MANIFEST_FILE}"), True)
+    try:
+        out.write(bytearray(_json.dumps(manifest).encode()))
+    finally:
+        out.close()
+
+
+def read_partkey_manifest(spark: SparkSession, path: str) -> dict:
+    """Read the manifest; {} when absent (pre-manifest tables)."""
+    import json as _json
+
+    from filodb_spark.sources.table import hadoop_fs
+    fs, Path = hadoop_fs(spark, path)
+    p = Path(f"{path.rstrip('/')}/{MANIFEST_FILE}")
+    if not fs.exists(p):
+        return {}
+    stream = fs.open(p)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return _json.loads(bytes(data).decode())
+    finally:
+        stream.close()
 
 
 def append_partkey_updates(samples_df: DataFrame, path: str,
@@ -163,6 +244,7 @@ def compact_partkey_table(spark: SparkSession, path: str,
     on failure the old table is restored before the temp is cleaned, so
     a crash never strands the path empty."""
     from filodb_spark.sources.table import hadoop_fs
+    manifest = read_partkey_manifest(spark, path)   # survives the swap
     merged = _with_shard_cols(read_partkey_table(spark, path), shard_labels)
     merged = merged.withColumn("_metric", F.col("labels")["__name__"])
     tmp = path.rstrip("/") + "__compacting"
@@ -176,6 +258,8 @@ def compact_partkey_table(spark: SparkSession, path: str,
         fs.rename(Path(path), Path(old))
         fs.rename(Path(tmp), Path(path))
         fs.delete(Path(old), True)
+        if manifest:
+            write_partkey_manifest(spark, path, manifest)
     except BaseException:
         # restore: if the first rename happened but the second did not,
         # put the original table back BEFORE deleting the merged temp —

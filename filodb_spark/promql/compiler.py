@@ -217,8 +217,12 @@ class TsStore:
         if partkey_path is not None:
             # mount the RAW shape: select_partkeys pushes matchers below
             # the merge (directory pruning + row-group skipping)
-            from filodb_spark.partkey import open_partkey_table
+            from filodb_spark.partkey import (open_partkey_table,
+                                              read_partkey_manifest)
             kw = dict(kw, partkey_df=open_partkey_table(spark, partkey_path))
+            if "partkey_covers_ds" not in kw:
+                kw["partkey_covers_ds"] = read_partkey_manifest(
+                    spark, partkey_path).get("covers_ds")
         return cls(df, table_path=path, **kw)
     # metrics whose samples are per-interval deltas rather than cumulative
     # counters (delta-counter schema): rate/increase toggle kernels
@@ -263,6 +267,14 @@ class TsStore:
     # samples (PartKeyLuceneIndex.scala:329-465 /
     # MetadataExecPlan.scala:334-640 analog; filodb_spark.partkey)
     partkey_df: DataFrame | None = None
+    # provenance of the attached index: True when it was built over the
+    # downsample tables too (partkey_from_store / partkey-build --ds /
+    # retention_ladder partkey_out), recorded in the table's manifest.
+    # Metadata only trusts the index for PRE-RETENTION ranges when this
+    # is True — a raw-only index there would return silently-empty
+    # results for retired series (metadata._series_rows falls back to
+    # the scan otherwise; None = unknown, treated as not covering)
+    partkey_covers_ds: bool | None = None
 
     def schema_of(self, metric: str | None) -> str:
         if metric and metric in self.hist_metrics:
@@ -470,16 +482,23 @@ class TsStore:
         the raw one — callers that need it filter it directly.)"""
         if self.ds_counter_df is None and self.ds_hist_df is None:
             return None
-        import dataclasses
-        return dataclasses.replace(
-            self,
-            df=self.ds_counter_df if self.ds_counter_df is not None
-            else self.df.where(F.lit(False)),
-            hist_df=self.ds_hist_df if self.ds_hist_df is not None
-            else (self.hist_df.where(F.lit(False))
-                  if self.hist_df is not None else None),
-            ds_df=None, ds_counter_df=None, ds_hist_df=None,
-            partkey_df=None)
+        # memoized on the parent store: the view carries its own
+        # _multischema_memo/_index_cover_memo caches, which a fresh
+        # dataclasses.replace per call would discard (the probes those
+        # memos exist to amortize would then re-run on every DS-routed
+        # query/metadata call)
+        if "_ds_view_memo" not in self.__dict__:
+            import dataclasses
+            self.__dict__["_ds_view_memo"] = dataclasses.replace(
+                self,
+                df=self.ds_counter_df if self.ds_counter_df is not None
+                else self.df.where(F.lit(False)),
+                hist_df=self.ds_hist_df if self.ds_hist_df is not None
+                else (self.hist_df.where(F.lit(False))
+                      if self.hist_df is not None else None),
+                ds_df=None, ds_counter_df=None, ds_hist_df=None,
+                partkey_df=None)
+        return self.__dict__["_ds_view_memo"]
 
     def _index_covers(self, metric: str) -> bool:
         """Does the attached part-key index hold rows for `metric`?

@@ -241,9 +241,13 @@ def read_series_table(spark: SparkSession, path: str,
     # value columns = whatever the schema carries beyond the layout
     # columns ("value" for gauges/counters; sum/count/hist[/min/max]
     # for histogram tables) — retention_ladder(schema="hist") and
-    # partkey-build --hist read those tables through here too
-    skip = {"labels", "ts", "_metric", "_sk", "date", *SHARD_KEY_LABELS}
-    value_cols = [c for c in df.columns if c not in skip]
+    # partkey-build --hist read those tables through here too.
+    # Auxiliary physical columns (`_z` Morton key, `_ix_*` z-order
+    # projections) are layout, not values
+    skip = {"labels", "ts", "_metric", "_sk", "date", "_z",
+            *SHARD_KEY_LABELS}
+    value_cols = [c for c in df.columns
+                  if c not in skip and not c.startswith("_ix_")]
     return df.select("labels", "ts", *value_cols, "_metric",
                      *SHARD_KEY_LABELS, "date")
 
@@ -380,7 +384,11 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
     raw = read_series_table(spark, raw_path)
     hist_mm: tuple = ()
     if schema == "hist":
-        hist_mm = tuple(c for c in ("min", "max") if c in raw.columns)
+        # min/max ride only as a PAIR (otel schemas carry both or
+        # neither; a half-present pair would crash the downsampler's
+        # `mm_min, mm_max` unpack or silently mis-aggregate)
+        if "min" in raw.columns and "max" in raw.columns:
+            hist_mm = ("min", "max")
         raw = raw.select("labels", "ts", "sum", "count", "hist",
                          *hist_mm)
     else:
@@ -448,7 +456,7 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
             t = tier.select("labels", "ts")
             pk_src = t if pk_src is None else pk_src.unionByName(t)
         if pk_src is not None:
-            write_partkey_table(pk_src, partkey_out)
+            write_partkey_table(pk_src, partkey_out, covers_ds=True)
             stats["partkey_series"] = \
                 spark.read.parquet(partkey_out).count()
     return stats

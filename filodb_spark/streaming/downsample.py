@@ -128,12 +128,8 @@ def streaming_downsample(stream: DataFrame, series_cols: Sequence[str],
     v = F.col(value_col)
     ev = (drop_nan(stream, value_col)
           .withColumn("_event_time", F.timestamp_millis(F.col(ts_col))))
-    # startTime offset 1ms makes the window (k*res, (k+1)*res] on
-    # integer-ms data — the batch job's END-inclusive period (ds_bucket)
-    win = F.window("_event_time", f"{resolution_ms} milliseconds",
-                   f"{resolution_ms} milliseconds", "1 millisecond")
     agg = (ev.withWatermark("_event_time", watermark_delay)
-           .groupBy(*series_cols, win.alias("_w"))
+           .groupBy(*series_cols, _ds_window(resolution_ms).alias("_w"))
            .agg(F.max(ts_col).alias("ttime"),
                 F.min(v).alias("min"), F.max(v).alias("max"),
                 F.sum(v).alias("sum"),

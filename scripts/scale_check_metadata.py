@@ -190,10 +190,11 @@ def main() -> None:
         write_partkey_table(
             ds_store.df.select("labels", "ts").unionByName(
                 ds_store.ds_counter_df.select("labels", "ts")),
-            dspk_path)
+            dspk_path, covers_ds=True)
         from filodb_spark.partkey import open_partkey_table
         ds_indexed = dataclasses.replace(
-            ds_store, partkey_df=open_partkey_table(spark, dspk_path))
+            ds_store, partkey_df=open_partkey_table(spark, dspk_path),
+            partkey_covers_ds=True)
         run_preboundary(ds_indexed, boundary)
         ds_pk = run_preboundary(ds_indexed, boundary)
 

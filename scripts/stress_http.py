@@ -84,11 +84,17 @@ def main() -> None:
                 else:
                     errors[0] += 1
 
-    # one warm pass per shape so JIT/caching is out of the measurement
+    # one warm pass per shape so JIT/caching is out of the measurement;
+    # a failing shape is reported, not fatal (the measured loop counts
+    # its errors the same way)
     for name in queries:
         params = dict(common, query=queries[name])
-        urllib.request.urlopen(
-            base + "?" + urllib.parse.urlencode(params), timeout=300).read()
+        try:
+            urllib.request.urlopen(
+                base + "?" + urllib.parse.urlencode(params),
+                timeout=300).read()
+        except Exception as e:
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     t_start = time.time()
     deadline[0] = t_start + secs

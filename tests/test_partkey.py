@@ -552,11 +552,66 @@ class TestDownsampleMetadata:
         # DS-covering index: only index files for the same lookup
         write_partkey_table(
             raw.select("labels", "ts")
-               .unionByName(dsc.select("labels", "ts")), pk_path)
+               .unionByName(dsc.select("labels", "ts")), pk_path,
+            covers_ds=True)
         from filodb_spark.partkey import open_partkey_table
         st = dataclasses.replace(
-            store, partkey_df=open_partkey_table(spark, pk_path))
+            store, partkey_df=open_partkey_table(spark, pk_path),
+            partkey_covers_ds=True)
         files = metadata.label_values(
             st, "instance", start_ms=0,
             end_ms=self.BOUNDARY - 1).inputFiles()
         assert files and all("/pk/" in f for f in files)
+
+    def test_raw_only_index_falls_back_for_preboundary(
+            self, spark, ds_store):
+        """An attached index of unknown/raw-only provenance must NOT
+        answer a pre-retention range (it would silently miss retired
+        series); metadata falls back to the scan, which unions the DS
+        tables. Recent ranges keep the index path."""
+        import dataclasses
+        pk = partkey_from_samples(ds_store.df.select("labels", "ts"))
+        st = dataclasses.replace(ds_store, partkey_df=pk)  # covers_ds None
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=0, end_ms=300_000).collect()]
+        assert "z" in vals            # served by the scan fallback
+        # recent range: the raw-only index is authoritative
+        vals = [r["value"] for r in metadata.label_values(
+            st, "instance", match='{_ws_="demo"}',
+            start_ms=self.BOUNDARY,
+            end_ms=self.BOUNDARY + 10_000_000).collect()]
+        assert "z" not in vals
+
+    def test_partkey_from_store_does_not_double_count_samples(
+            self, spark, ds_store):
+        from filodb_spark.partkey import partkey_from_store
+        pk = partkey_from_store(ds_store)
+        live = pk.where(F.col("labels")["instance"] == "a") \
+                 .where(F.col("labels")["__name__"] == "http_requests") \
+                 .where(F.col("labels")["_ws_"] == "demo").collect()
+        assert len(live) == 1
+        # raw-side count only (the DS rows derive from the same data);
+        # raw here holds the recent slice of the 10-sample series
+        raw_n = ds_store.df.where(
+            (F.col("labels")["instance"] == "a")
+            & (F.col("labels")["__name__"] == "http_requests")
+            & (F.col("labels")["_ws_"] == "demo")).count()
+        assert live[0]["samples"] == raw_n
+        # retired series: DS row count stands in (lower bound)
+        z = pk.where(F.col("labels")["instance"] == "z").first()
+        assert 0 < z["samples"] <= 10
+
+    def test_manifest_roundtrip_and_compaction(self, spark, samples,
+                                               tmp_path):
+        from filodb_spark.partkey import (compact_partkey_table,
+                                          read_partkey_manifest)
+        pk_path = str(tmp_path / "pk")
+        write_partkey_table(samples, pk_path, covers_ds=True)
+        assert read_partkey_manifest(spark, pk_path) == \
+            {"covers_ds": True}
+        append_partkey_updates(samples.limit(5), pk_path)
+        compact_partkey_table(spark, pk_path)
+        # provenance survives the compaction swap
+        assert read_partkey_manifest(spark, pk_path) == \
+            {"covers_ds": True}

@@ -825,10 +825,12 @@ class TestRetentionLadderPartkey:
                                                   "value")
         boundary = raw_left.agg(F.min("ts")).first()[0]
         t6 = spark.read.parquet(str(tmp_path / "tiers/6h"))
+        from filodb_spark.partkey import read_partkey_manifest
+        assert read_partkey_manifest(spark, pk)["covers_ds"] is True
         store = TsStore(raw_left,
                         ds_counter_df=t6.select("labels", "ts", "value"),
                         raw_retention_start_ms=boundary,
-                        partkey_df=pk_df)
+                        partkey_df=pk_df, partkey_covers_ds=True)
         vals = [r["value"] for r in metadata.label_values(
             store, "__name__", start_ms=t0,
             end_ms=t0 + 2 * day).collect()]

@@ -95,8 +95,17 @@ class TestCopyPartkeys:
         merged = {r["labels"]["__name__"]: r
                   for r in read_partkey_table(spark, dst).collect()}
         assert set(merged) == {"retired", "live"}
-        # merge-on-read upsert: live's span now covers the full 48h
+        # upsert: live's span now covers the full 48h, and samples is
+        # NOT double-counted (greatest of source/target = the source's
+        # full count, since its rows superset the target's)
         assert merged["live"]["first_ts"] == T0
         assert merged["live"]["last_ts"] == T0 + 47 * HOUR
+        assert merged["live"]["samples"] == 48
+        # re-running the copy is idempotent (record replacement, not
+        # append-accumulate)
+        copy_partkeys(spark, src, dst, T0, T0 + 24 * HOUR)
+        again = {r["labels"]["__name__"]: r
+                 for r in read_partkey_table(spark, dst).collect()}
+        assert again["live"]["samples"] == 48
         v = validate_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
         assert v["source_only"] == 0 and v["target_only"] == 0

@@ -200,3 +200,58 @@ class TestMetadataHttpParams:
         rows = {r["__name__"]: r["total_series"] for r in resp["data"]}
         assert len(rows) == 2 and "_overflow_" in rows
         assert rows["_overflow_"] > 0
+
+
+class TestHttpDsMount:
+    """HTTP surface over a DOWNSAMPLE mount: boundary-crossing counter
+    queries stitch raw/DS, and metadata endpoints cover the
+    pre-retention range — the user-facing face of the r10 DS work."""
+
+    @pytest.fixture(scope="class")
+    def ds_server(self, spark):
+        import pyspark.sql.functions as F
+
+        from filodb_spark.kernels.binary import canonical_labels
+        from filodb_spark.streaming.downsample import downsample_counter
+        day, hour = 24 * 3600 * 1000, 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        rows = [({"__name__": "c", "job": "x"},
+                 t0 + d * day + h * hour, float(h))
+                for d in range(4) for h in range(24)]
+        rows += [({"__name__": "gone", "job": "x"},
+                  t0 + h * hour, float(h)) for h in range(24)]
+        full = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        boundary = t0 + 2 * day
+        dsc = downsample_counter(
+            full.withColumn("_sk", canonical_labels(F.col("labels"))),
+            ["_sk"], 6 * hour).drop("_sk")
+        store = TsStore(full.where(F.col("ts") >= boundary),
+                        ds_counter_df=dsc,
+                        raw_retention_start_ms=boundary,
+                        ds_resolution_ms=6 * hour)
+        eng = PromQLEngine(spark, store)
+        srv = serve(eng)
+        base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+        yield base, t0, boundary, day
+        srv.shutdown()
+
+    def test_boundary_crossing_rate_over_http(self, ds_server):
+        base, t0, boundary, day = ds_server
+        status, resp = get(
+            base, "/api/v1/query_range", query="increase(c[24h])",
+            start=(t0 + day) / 1000, end=(t0 + 3 * day) / 1000,
+            step=6 * 3600)
+        assert status == 200 and resp["status"] == "success"
+        ts = [v[0] for s in resp["data"]["result"] for v in s["values"]]
+        assert min(ts) * 1000 < boundary     # pre-boundary steps served
+
+    def test_preboundary_metadata_over_http(self, ds_server):
+        base, t0, boundary, day = ds_server
+        _, resp = get(base, "/api/v1/label/__name__/values",
+                      start=t0 / 1000, end=(t0 + day) / 1000)
+        assert resp["data"] == ["c", "gone"]
+        # recent range: the retired series stays invisible
+        _, resp = get(base, "/api/v1/label/__name__/values",
+                      start=boundary / 1000, end=(t0 + 4 * day) / 1000)
+        assert resp["data"] == ["c"]

@@ -597,3 +597,50 @@ class TestDownsampleEligibility:
         # blocked series still present in surviving raw
         left = spark.read.parquet(raw)
         assert left.where(F.col("labels")["_ns_"] == "drop").count() > 0
+
+
+class TestEligibilityProperties:
+    """Randomized cross-check of is_eligible_for_downsample against a
+    pure-Python port of DownsamplerSettings.isEligibleForDownsample
+    (:174-180) — one Spark job over 300 random label sets x random
+    allow/block configs."""
+
+    @staticmethod
+    def _model(pairs: dict, allow, block):
+        def matches(m):
+            return all(pairs.get(k) == v for k, v in m.items())
+        if allow and not any(matches(m) for m in allow):
+            return False
+        return not any(matches(m) for m in block)
+
+    def test_random_battery(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from filodb_spark.streaming.downsample import \
+            is_eligible_for_downsample
+        rng = random.Random(987)
+        keys = ["_ws_", "_ns_", "app", "dc"]
+        vals = ["a", "b", "c"]
+
+        def rand_map(max_pairs):
+            return {k: rng.choice(vals)
+                    for k in rng.sample(keys, rng.randint(1, max_pairs))}
+
+        labels = [
+            {k: rng.choice(vals) for k in rng.sample(
+                keys, rng.randint(0, len(keys)))}
+            for _ in range(300)]
+        for _ in range(12):
+            allow = tuple(rand_map(2) for _ in range(rng.randint(0, 3)))
+            block = tuple(rand_map(2) for _ in range(rng.randint(0, 3)))
+            df = spark.createDataFrame(
+                [(i, m) for i, m in enumerate(labels)],
+                "i long, labels map<string,string>")
+            got = {r["i"] for r in df.where(is_eligible_for_downsample(
+                F.col("labels"), allow, block)).collect()}
+            want = {i for i, m in enumerate(labels)
+                    if self._model(m, allow, block)}
+            assert got == want, (allow, block,
+                                 sorted(got ^ want)[:5])

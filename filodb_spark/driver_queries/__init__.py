@@ -29,29 +29,30 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-7   NEW r10: ts_ds_counter / ts_ds_hist / ts_ds_delta_counter
+    #   1-8   NEW r10: ts_ds_counter / ts_ds_hist / ts_ds_delta_counter
     #         (counter/histogram downsamplers, dip-preserving marker),
     #         ts_raw_ds_split_rate (boundary-crossing rate on the DS
     #         counter table), ts_gateway_hist_assembly (remote-write
     #         bucket-series -> histogram records), ts_ds_metadata
     #         (pre-retention /series spans served from the DS tables),
-    #         and ts_repair_copy (ChunkCopier band restore + validator)
+    #         ts_repair_copy (ChunkCopier band restore + validator),
+    #         and ts_ds_eligibility (downsampler allow/block gate)
     #         — all pre-verified exact at sf0.001/0.01/0.1,
-    #   8-11  re-gates forced by the end-inclusive downsample-period
+    #   9-12  re-gates forced by the end-inclusive downsample-period
     #         flip (outputs changed on both engine and oracle sides):
     #         ds_rollup, ds_avg_rewrite, ds_cascade, ts_raw_ds_split,
-    #   12-13 once-gated at r9: ts_hist_metadata_pk,
+    #   13-14 once-gated at r9: ts_hist_metadata_pk,
     #         ts_rate_reset_marker,
-    #   14-50 the last-gated-r6 backlog (45 queries), alphabetical —
-    #         37 fit; the final eight (ts_min_over_time,
-    #         ts_present_over_time, ts_set_or, ts_set_unless,
-    #         ts_stddev_over_time, ts_stdvar_over_time,
+    #   15-50 the last-gated-r6 backlog (45 queries), alphabetical —
+    #         36 fit; the final nine (ts_max_over_time,
+    #         ts_min_over_time, ts_present_over_time, ts_set_or,
+    #         ts_set_unless, ts_stddev_over_time, ts_stdvar_over_time,
     #         ts_sum_over_time, ts_timestamp) lead the r11 backlog.
     window = [
         # new in round 10
         "ts_ds_counter", "ts_ds_hist", "ts_ds_delta_counter",
         "ts_raw_ds_split_rate", "ts_gateway_hist_assembly",
-        "ts_ds_metadata", "ts_repair_copy",
+        "ts_ds_metadata", "ts_repair_copy", "ts_ds_eligibility",
         # re-gates: end-inclusive downsample periods
         "ds_rollup", "ds_avg_rewrite", "ds_cascade", "ts_raw_ds_split",
         # once-gated head
@@ -67,7 +68,7 @@ def all_queries():
         "ts_day_of_week", "ts_delta", "ts_hist_bucket",
         "ts_hist_fraction", "ts_hist_sum_quantile", "ts_idelta",
         "ts_influx_roundtrip", "ts_instant_last", "ts_instant_math",
-        "ts_join_group_right", "ts_mad_outlier", "ts_max_over_time",
+        "ts_join_group_right", "ts_mad_outlier",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

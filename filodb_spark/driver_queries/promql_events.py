@@ -559,6 +559,30 @@ def q_repair_copy(spark, sf_dir):
                       "ts", F.round("value", 2).alias("value"))
 
 
+
+
+def q_ds_eligibility(spark, sf_dir):
+    """Downsampler partition-eligibility gate in the driver gate
+    (DownsamplerSettings.scala:174-180 allow/block conjunctions,
+    applied per partition by BatchDownsampler.scala:151): only the
+    allowed-and-not-blocked series contribute rows — per-series counts
+    and spans of the surviving set, exact oracle."""
+    from filodb_spark.streaming.downsample import \
+        is_eligible_for_downsample
+    from filodb_spark.tsdf import events_labels_ts
+    df = events_labels_ts(spark, sf_dir)
+    allow = ({"__name__": "click"}, {"user": "3"})
+    block = ({"__name__": "click", "user": "7"},)
+    kept = df.where(is_eligible_for_downsample(F.col("labels"),
+                                               allow, block))
+    lab = F.col("labels")
+    return (kept.groupBy(lab["__name__"].alias("event_type"),
+                         lab["user"].cast("long").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))
+
+
 QUERIES = {
     "ts_instant_last": _range_query("last_over_time", None),
     "ts_sum_over_time": _range_query("sum_over_time", 6),
@@ -608,6 +632,7 @@ QUERIES = {
     "ts_rate_reset_marker": q_rate_reset_marker,
     "ts_cardbuster": q_cardbuster,
     "ts_repair_copy": q_repair_copy,
+    "ts_ds_eligibility": q_ds_eligibility,
     "ts_salted_sum": q_salted_sum,
     "ts_influx_roundtrip": q_influx_roundtrip,
     "ts_csv_roundtrip": q_csv_roundtrip,
@@ -1010,6 +1035,17 @@ SELECT event_type, count(*) AS total_series,
        count(*) FILTER (WHERE last_ts >=
          (SELECT MAX(epoch_ms(ts)) - 43200000 FROM events)) AS active_series
 FROM per_series GROUP BY 1""",
+    "ts_ds_eligibility": """
+WITH raw AS (
+  SELECT event_type, user_id, epoch_ms(ts) AS ts
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, user_id, count(*) AS n,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM raw
+WHERE (event_type = 'click' OR user_id = 3)
+  AND NOT (event_type = 'click' AND user_id = 7)
+GROUP BY 1, 2""",
     "ts_repair_copy": """
 WITH raw AS (
   SELECT event_type, epoch_ms(ts) AS ts, max(value) AS value

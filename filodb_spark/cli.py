@@ -187,12 +187,20 @@ def main(argv=None) -> int:
 
     if args.cmd == "partkey-build":
         from filodb_spark.partkey import write_partkey_table
+        # raw + hist rows count into `samples`; DS rows extend spans
+        # only (they are derived from raw rows — counting them would
+        # double-count every live series, skewing the window-mode
+        # planner's density estimate)
         df = spark.read.parquet(args.store).select("labels", "ts")
-        for extra in [args.hist, *(args.ds or [])]:
-            if extra:
-                df = df.unionByName(
-                    spark.read.parquet(extra).select("labels", "ts"))
-        write_partkey_table(df, args.out, covers_ds=bool(args.ds))
+        if args.hist:
+            df = df.unionByName(
+                spark.read.parquet(args.hist).select("labels", "ts"))
+        ds_df = None
+        for extra in (args.ds or []):
+            t = spark.read.parquet(extra).select("labels", "ts")
+            ds_df = t if ds_df is None else ds_df.unionByName(t)
+        write_partkey_table(df, args.out, covers_ds=bool(args.ds),
+                            ds_samples_df=ds_df)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"partkey_table": args.out, "series": n}))
         return 0

@@ -24,51 +24,46 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 10's
+    # covers the first 50 registered queries per round. Round 11's
     # window (rotation rule: head = new queries + forced re-gates +
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-8   NEW r10: ts_ds_counter / ts_ds_hist / ts_ds_delta_counter
-    #         (counter/histogram downsamplers, dip-preserving marker),
-    #         ts_raw_ds_split_rate (boundary-crossing rate on the DS
-    #         counter table), ts_gateway_hist_assembly (remote-write
-    #         bucket-series -> histogram records), ts_ds_metadata
-    #         (pre-retention /series spans served from the DS tables),
-    #         ts_repair_copy (ChunkCopier band restore + validator),
-    #         and ts_ds_eligibility (downsampler allow/block gate)
-    #         — all pre-verified exact at sf0.001/0.01/0.1,
-    #   9-12  re-gates forced by the end-inclusive downsample-period
-    #         flip (outputs changed on both engine and oracle sides):
-    #         ds_rollup, ds_avg_rewrite, ds_cascade, ts_raw_ds_split,
-    #   13-14 once-gated at r9: ts_hist_metadata_pk,
-    #         ts_rate_reset_marker,
-    #   15-50 the last-gated-r6 backlog (45 queries), alphabetical —
-    #         36 fit; the final nine (ts_max_over_time,
-    #         ts_min_over_time, ts_present_over_time, ts_set_or,
-    #         ts_set_unless, ts_stddev_over_time, ts_stdvar_over_time,
-    #         ts_sum_over_time, ts_timestamp) lead the r11 backlog.
+    #   1     NEW r11: ts_ds_schema_route (per-metric-schema DS routing
+    #         with BOTH ds-gauge and ds-counter tables mounted,
+    #         TsStore.ds_schema_of + metric-less schema fan-out) —
+    #         pre-verified exact at sf0.001/0.01/0.1,
+    #   2-9   once-gated at r10: ts_ds_counter, ts_ds_hist,
+    #         ts_ds_delta_counter, ts_raw_ds_split_rate,
+    #         ts_gateway_hist_assembly, ts_ds_metadata, ts_repair_copy,
+    #         ts_ds_eligibility,
+    #   10-18 the nine last-gated-r6 leftovers, alphabetical,
+    #   19-50 the last-gated-r7 backlog (48 queries), alphabetical —
+    #         32 fit; the remaining 16 (pl_strat_sample ...
+    #         ts_hist_mixed_sum) lead the r12 backlog.
     window = [
-        # new in round 10
+        # new in round 11
+        "ts_ds_schema_route",
+        # once-gated head (new in r10)
         "ts_ds_counter", "ts_ds_hist", "ts_ds_delta_counter",
         "ts_raw_ds_split_rate", "ts_gateway_hist_assembly",
         "ts_ds_metadata", "ts_repair_copy", "ts_ds_eligibility",
-        # re-gates: end-inclusive downsample periods
-        "ds_rollup", "ds_avg_rewrite", "ds_cascade", "ts_raw_ds_split",
-        # once-gated head
-        "ts_hist_metadata_pk", "ts_rate_reset_marker",
-        # canaries last gated r6, alphabetical (41 of 45)
-        "doc_dedup_summary", "doc_rolling_fp", "doc_split",
-        "doc_stats", "doc_subword_count", "pq_at_modifier",
-        "pq_hist_bucket_quantile", "pq_scalar_vector", "tpch_q10",
-        "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q19",
-        "tpch_q20", "tpch_q22", "tpch_q4", "tpch_q7", "tpch_q8",
-        "ts_agg_bottomk", "ts_agg_count_values", "ts_agg_quantile",
-        "ts_avg_over_time", "ts_count_over_time", "ts_csv_roundtrip",
-        "ts_day_of_week", "ts_delta", "ts_hist_bucket",
-        "ts_hist_fraction", "ts_hist_sum_quantile", "ts_idelta",
-        "ts_influx_roundtrip", "ts_instant_last", "ts_instant_math",
-        "ts_join_group_right", "ts_mad_outlier",
+        # canaries last gated r6 (the 9 leftovers), alphabetical
+        "ts_max_over_time", "ts_min_over_time", "ts_present_over_time",
+        "ts_set_or", "ts_set_unless", "ts_stddev_over_time",
+        "ts_stdvar_over_time", "ts_sum_over_time", "ts_timestamp",
+        # canaries last gated r7, alphabetical (32 of 48)
+        "ann_filtered", "ann_ivf", "ann_ivf_kmeans", "ann_pq_recall",
+        "ann_pq_topk", "ann_recall", "ann_recall_curve",
+        "doc_bigram_lp", "doc_chunks", "doc_dedup_keep",
+        "doc_lsh_verify", "doc_minhash_lsh", "doc_simhash",
+        "doc_split_leakage", "doc_tokenizer_fertility",
+        "doc_unigram_lp", "emb_kmeans", "emb_kmeans_summary",
+        "emb_outliers", "emb_pq", "ev_anomalies",
+        "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
+        "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_card",
+        "pl_dataset_diff", "pl_manifest", "pl_mix_sources",
+        "pl_repetition",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

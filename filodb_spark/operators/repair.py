@@ -147,15 +147,27 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     pk = _with_shard_cols(merged, SHARD_KEY_LABELS)
     pk = pk.withColumn("_metric", F.col("labels")["__name__"])
     tmp = target_path.rstrip("/") + "__copy_tmp"
-    (pk.repartition(*[F.col(c) for c in SHARD_KEY_LABELS])
-       .sortWithinPartitions("_metric", "_sk")
-       .write.mode("overwrite").partitionBy(*SHARD_KEY_LABELS)
-       .parquet(tmp))
+    old = target_path.rstrip("/") + "__copy_old"
     fs, Path = hadoop_fs(spark, target_path)
-    fs.delete(Path(target_path), True)
-    fs.rename(Path(tmp), Path(target_path))
-    if manifest:
-        write_partkey_manifest(spark, target_path, manifest)
+    # same two-rename swap as compact_partkey_table: never delete the
+    # target before the replacement is in place — a crash between a
+    # delete and a rename would strand a DR target with NO index at
+    # all; on failure the original table is restored first
+    try:
+        (pk.repartition(*[F.col(c) for c in SHARD_KEY_LABELS])
+           .sortWithinPartitions("_metric", "_sk")
+           .write.mode("overwrite").partitionBy(*SHARD_KEY_LABELS)
+           .parquet(tmp))
+        fs.rename(Path(target_path), Path(old))
+        fs.rename(Path(tmp), Path(target_path))
+        fs.delete(Path(old), True)
+        if manifest:
+            write_partkey_manifest(spark, target_path, manifest)
+    except BaseException:
+        if not fs.exists(Path(target_path)) and fs.exists(Path(old)):
+            fs.rename(Path(old), Path(target_path))
+        fs.delete(Path(tmp), True)
+        raise
     return n
 
 
@@ -164,10 +176,13 @@ def validate_partkeys(spark: SparkSession, source_path: str,
                       end_ms: int) -> dict:
     """PartitionKeysCopierValidator analog: symmetric EXCEPT over the
     band's MERGED part-key rows (the validator compares the logical
-    records, not physical deltas). A target whose postings COVER the
-    source band (same series, first_ts <= source's, last_ts >= source's)
-    validates clean on the series axis; span mismatches surface in
-    source_only/target_only."""
+    records, not physical deltas). source_only/target_only compare
+    exact (_sk, first_ts, last_ts) tuples, so a target whose postings
+    COVER the source band with WIDER spans does NOT validate clean
+    there — read the series-axis fields for that case:
+    series_source_only/series_target_only diff on _sk alone, so a
+    covering target reports 0 series_source_only even when its spans
+    differ."""
     from filodb_spark.partkey import read_partkey_table
 
     def rows(path):
@@ -176,9 +191,12 @@ def validate_partkeys(spark: SparkSession, source_path: str,
                          & (F.col("first_ts") < end_ms))
                 .select("_sk", "first_ts", "last_ts"))
     s, t = rows(source_path), rows(target_path)
+    sk_s, sk_t = s.select("_sk"), t.select("_sk")
     return {
         "source_keys": s.count(),
         "target_keys": t.count(),
         "source_only": s.exceptAll(t).count(),
         "target_only": t.exceptAll(s).count(),
+        "series_source_only": sk_s.exceptAll(sk_t).count(),
+        "series_target_only": sk_t.exceptAll(sk_s).count(),
     }

@@ -76,7 +76,16 @@ def partkey_from_store(store) -> DataFrame:
     ds = ds_frames[0]
     for f in ds_frames[1:]:
         ds = ds.unionByName(f)
-    ds_pk = partkey_from_samples(ds).select(
+    return merge_raw_ds_partkeys(pk, partkey_from_samples(ds))
+
+
+def merge_raw_ds_partkeys(pk: DataFrame, ds_pk: DataFrame) -> DataFrame:
+    """Full-outer span merge of a raw-side part-key frame with a
+    DS-side one: spans take min/max across both, `samples` stays the
+    raw-side count (DS rows are derived from raw rows — counting them
+    would double-count every live series), falling back to the DS count
+    only for retired series with no raw rows left."""
+    ds_pk = ds_pk.select(
         F.col("_sk"), F.col("labels").alias("_d_labels"),
         F.col("first_ts").alias("_d_first"),
         F.col("last_ts").alias("_d_last"),
@@ -126,7 +135,8 @@ MANIFEST_FILE = "_filodb_partkey_manifest.json"
 def write_partkey_table(samples_df: DataFrame, path: str,
                         shard_labels: tuple[str, ...] = SHARD_KEY_LABELS,
                         mode: str = "overwrite",
-                        covers_ds: bool | None = None) -> None:
+                        covers_ds: bool | None = None,
+                        ds_samples_df: DataFrame | None = None) -> None:
     """Build the part-key table from a samples frame and write it
     partitioned by the shard-key labels (same physical sharding as
     write_series_table, so a `_ws_`/`_ns_` filter prunes directories
@@ -140,8 +150,21 @@ def write_partkey_table(samples_df: DataFrame, path: str,
     retention. Metadata over a DS-mounted store only trusts the index
     for pre-retention ranges when this is True — a raw-only index
     would silently miss retired series there (the same silent-empty
-    class as the r9 gauge-only-index/hist fix)."""
-    pk = _with_shard_cols(partkey_from_samples(samples_df), shard_labels)
+    class as the r9 gauge-only-index/hist fix).
+
+    ds_samples_df: downsample-table rows. Pass these HERE instead of
+    unioning them into samples_df — DS rows are derived from raw rows,
+    so a plain union double-counts every live series' `samples`
+    (which feeds the window-mode planner's density estimate). Spans
+    merge per key; `samples` stays raw-side, like partkey_from_store.
+    Implies covers_ds=True unless overridden."""
+    merged = partkey_from_samples(samples_df)
+    if ds_samples_df is not None:
+        merged = merge_raw_ds_partkeys(
+            merged, partkey_from_samples(ds_samples_df))
+        if covers_ds is None:
+            covers_ds = True
+    pk = _with_shard_cols(merged, shard_labels)
     pk = pk.withColumn("_metric", F.col("labels")["__name__"])
     (pk.repartition(*[F.col(c) for c in shard_labels])
        .sortWithinPartitions("_metric", "_sk")
@@ -177,13 +200,13 @@ def read_partkey_manifest(spark: SparkSession, path: str) -> dict:
         return {}
     stream = fs.open(p)
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return _json.loads(bytes(data).decode())
+        # bulk read through the JVM (one py4j round-trip), never a
+        # per-byte Python loop — this runs on every store open with a
+        # part-key mount
+        jvm = spark._jvm
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+        return _json.loads(data.decode())
     finally:
         stream.close()
 

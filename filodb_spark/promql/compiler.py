@@ -256,6 +256,13 @@ class TsStore:
     # downsampled HISTOGRAM samples (downsample_hist /
     # downsample_delta_hist): raw hist schema, dip-preserving subset
     ds_hist_df: DataFrame | None = None
+    # metrics whose samples are CUMULATIVE counters (prom-counter
+    # schema). Optional declared registry — the reference declares
+    # every metric's schema in config (filodb-defaults.conf:221-457);
+    # when a metric is not declared here, per-metric DS routing falls
+    # back to a memoized membership probe of the mounted downsample
+    # tables (ds_schema_of)
+    counter_metrics: tuple[str, ...] = ()
     # resolution of the downsample tables — rate/increase lookbacks
     # shorter than 2x this are rejected when they route to DS data
     # (PeriodicSamplesMapper.scala:90-126)
@@ -499,6 +506,37 @@ class TsStore:
                 ds_df=None, ds_counter_df=None, ds_hist_df=None,
                 partkey_df=None)
         return self.__dict__["_ds_view_memo"]
+
+    def ds_schema_of(self, metric: str | None) -> str | None:
+        """Which downsample dataset serves this metric's pre-boundary
+        data: "gauge" (ds_df), "counter" (ds_counter_df), or None when
+        unresolvable (metric-less selector, or a metric present in
+        neither DS table). The reference routes per SCHEMA, never per
+        function: each schema's downsample config names its own target
+        dataset (filodb-defaults.conf:212-342) and the downsample
+        cluster serves each schema from its own dataset
+        (DownsampledTimeSeriesShard.scala:96). Resolution order: the
+        declared registry first (counter_metrics / delta_metrics —
+        schemas are declared, not inferred, in the reference), then a
+        memoized bounded existence probe against each mounted DS table
+        (gauge wins a pathological both-tables hit, matching the
+        fn-based tie-break this routing replaces)."""
+        if metric is None:
+            return None
+        if metric in self.counter_metrics or metric in self.delta_metrics:
+            return "counter"
+        cache = self.__dict__.setdefault("_ds_schema_memo", {})
+        if metric not in cache:
+            schema = None
+            if self.ds_df is not None and not self.ds_df.where(
+                    F.col("labels")[METRIC] == metric).isEmpty():
+                schema = "gauge"
+            elif self.ds_counter_df is not None and \
+                    not self.ds_counter_df.where(
+                        F.col("labels")[METRIC] == metric).isEmpty():
+                schema = "counter"
+            cache[metric] = schema
+        return cache[metric]
 
     def _index_covers(self, metric: str) -> bool:
         """Does the attached part-key index hold rows for `metric`?
@@ -900,10 +938,11 @@ class PromQLEngine:
     # delta sums with the raw schema — downsample_counter /
     # downsample_delta_counter); gauge *_over_time fns instead use the
     # ds-gauge rewrite table (_DS_REWRITE). last_over_time (and the
-    # default instant lookback) is in BOTH sets — routing is by
-    # function, not per-metric schema, so when a ds-gauge table is also
-    # mounted it wins for last_over_time; mounts carrying only counter
-    # DS data still serve pre-boundary instant selectors
+    # default instant lookback) is in BOTH sets — when both DS tables
+    # are mounted, routing is by the METRIC'S SCHEMA
+    # (TsStore.ds_schema_of; DownsampledTimeSeriesShard.scala:96
+    # serves each schema from its own dataset), and a metric-less
+    # selector fans out to both datasets
     COUNTER_DS_FNS = frozenset({
         "rate", "increase", "irate", "idelta", "resets", "changes",
         "delta", "rate_delta", "increase_delta", "last_over_time"})
@@ -951,6 +990,40 @@ class PromQLEngine:
         out = self.store.ds_view().select(sel)
         return out.withColumn("_sk",
                               bin_k.canonical_labels(F.col("labels")))
+
+    def _ds_gauge_part(self, sel: A.VectorSelector, fn: str,
+                       grid: StepGrid, window: int) -> DataFrame:
+        """Pre-boundary steps evaluated on the ds-GAUGE rewrite table
+        (range_function_ds applies the _DS_REWRITE aggregate). Returns
+        (_sk, labels, t, value) — _sk kept for schema fan-out dedup."""
+        from filodb_spark.streaming.downsample import range_function_ds
+        ds = self.store.ds_df
+        labels = F.col("labels")
+        if sel.metric:
+            ds = ds.where(labels[METRIC] == sel.metric)
+        # full matcher semantics on the DS side too (a regex/!= that
+        # only the raw side honored would return extra series on steps
+        # before the retention boundary)
+        ds = _apply_label_matchers(
+            ds, [m for m in sel.matchers if m.name != "_type_"])
+        ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
+        ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
+        out = range_function_ds(ds, fn, ["_sk"], grid, window)
+        return out.join(ds_lab, "_sk").select("_sk", "labels", "t",
+                                              "value")
+
+    def _ds_counter_part(self, sel: A.VectorSelector, fn: str,
+                         grid: StepGrid, window: int,
+                         params: tuple) -> DataFrame:
+        """Pre-boundary steps evaluated on the downsampled COUNTER
+        table with the raw kernels (the DS rows keep the raw schema).
+        Returns (_sk, labels, t, value)."""
+        dsf = self._ds_select(sel)
+        ds_lab = dsf.select("_sk", "labels").dropDuplicates(["_sk"])
+        out = range_function(dsf, fn, ["_sk"], grid, window,
+                             params=params)
+        return out.join(ds_lab, "_sk").select("_sk", "labels", "t",
+                                              "value")
 
     def _hist_window(self, df: DataFrame, fn: str, grid: StepGrid,
                      window: int) -> DataFrame:
@@ -1098,55 +1171,65 @@ class PromQLEngine:
         # the caller already shifted the grid by the selector offset
         # (_eval_range_fn: StepGrid(start - offset, ...)), so this grid
         # IS the reference's startWithOffsetMs/endWithOffsetMs space —
-        # "offset compensates for the retention boundary" falls out
-        if self.store.ds_df is not None and fn in _DS_REWRITE:
+        # "offset compensates for the retention boundary" falls out.
+        #
+        # Which DS dataset(s) serve the pre-boundary steps: the gauge
+        # rewrite table (ds_df, *_over_time fns via _DS_REWRITE), the
+        # counter table (ds_counter_df — a dip-preserving row subset /
+        # period-sum rows with the RAW schema, so the ordinary counter
+        # kernels evaluate on it directly, no rewrite), or both. For
+        # fns in both sets (last_over_time / the default instant
+        # lookback) with both tables mounted, routing is by the
+        # METRIC'S SCHEMA (ds_schema_of), matching the reference's
+        # per-schema datasets (DownsampledTimeSeriesShard.scala:96) —
+        # fn-based preference here silently dropped pre-boundary
+        # instants for counter metrics absent from the gauge rollup.
+        # A metric-less selector fans out to BOTH datasets (a series
+        # lives in exactly one; the gauge side wins a pathological
+        # double hit), like MultiSchemaPartitionsExec's schema fan-out.
+        gauge_ok = self.store.ds_df is not None and fn in _DS_REWRITE
+        counter_ok = (self.store.ds_counter_df is not None
+                      and fn in self.COUNTER_DS_FNS)
+        if gauge_ok and counter_ok:
+            ds_schema = self.store.ds_schema_of(sel.metric)
+            if ds_schema == "counter":
+                sides = ("counter",)
+            elif ds_schema == "gauge" or sel.metric is not None:
+                # named metric in neither DS table: both sides are
+                # empty pre-boundary; keep the gauge plan (no counter
+                # lookback guard fires for data that does not exist)
+                sides = ("gauge",)
+            else:
+                sides = ("gauge", "counter")
+        elif gauge_ok:
+            sides = ("gauge",)
+        elif counter_ok:
+            sides = ("counter",)
+        else:
+            sides = ()
+        if sides:
             split = self._ds_split(grid, window)
             if split is not None:
-                from filodb_spark.streaming.downsample import \
-                    range_function_ds
-                ds = self.store.ds_df
-                labels = F.col("labels")
-                if sel.metric:
-                    ds = ds.where(labels[METRIC] == sel.metric)
-                # full matcher semantics on the DS side too (a regex/!=
-                # that only the raw side honored would return extra
-                # series on steps before the retention boundary)
-                ds = _apply_label_matchers(
-                    ds, [m for m in sel.matchers if m.name != "_type_"])
-                ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
-                ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
-                ds_out = range_function_ds(ds, fn, ["_sk"], grid, window)
-                ds_out = (ds_out.join(ds_lab, "_sk")
-                          .select("labels", "t", "value"))
+                parts = []
+                for side in sides:
+                    if side == "gauge":
+                        parts.append(self._ds_gauge_part(
+                            sel, fn, grid, window))
+                    else:
+                        self._check_ds_lookback(fn, window)
+                        parts.append(self._ds_counter_part(
+                            sel, fn, grid, window, params))
+                ds_out = parts[0]
+                if len(parts) == 2:
+                    # schema fan-out dedup: drop counter-side series
+                    # that the gauge dataset also carries
+                    gauge_keys = parts[0].select("_sk").distinct()
+                    ds_out = ds_out.unionByName(
+                        parts[1].join(gauge_keys, "_sk", "left_anti"))
+                ds_out = ds_out.select("labels", "t", "value")
                 if split == "all_ds":
                     # long lookback: whole grid on the DS cluster
                     # (LongTimeRangePlanner.scala:123-151)
-                    return ds_out
-                raw_out = range_function(
-                    df, fn, ["_sk"], grid, window, params=params,
-                    carry_cols=["labels"],
-                    tiling=self._tiling_arg(fn, sel, grid, window),
-                    honor_stale_marker=True) \
-                    .where(F.col("t") >= split) \
-                    .select("labels", "t", "value")
-                return raw_out.unionByName(ds_out.where(F.col("t") < split))
-        # counter-schema raw/DS split: the downsampled counter table is
-        # a dip-preserving row subset (prom-counter) / period-sum rows
-        # (delta-counter) with the RAW schema, so the ordinary counter
-        # kernels evaluate the pre-boundary steps on it directly — no
-        # rewrite table (the reference's DS cluster likewise runs the
-        # same RangeFunctions on its prom-counter downsample dataset)
-        if self.store.ds_counter_df is not None and fn in self.COUNTER_DS_FNS:
-            split = self._ds_split(grid, window)
-            if split is not None:
-                self._check_ds_lookback(fn, window)
-                dsf = self._ds_select(sel)
-                ds_lab = dsf.select("_sk", "labels").dropDuplicates(["_sk"])
-                ds_out = range_function(dsf, fn, ["_sk"], grid, window,
-                                        params=params)
-                ds_out = (ds_out.join(ds_lab, "_sk")
-                          .select("labels", "t", "value"))
-                if split == "all_ds":
                     return ds_out
                 raw_out = range_function(
                     df, fn, ["_sk"], grid, window, params=params,

@@ -446,17 +446,24 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
         try:
             pk_src = spark.read.parquet(raw_path).select("labels", "ts")
         except AnalysisException:
-            # raw fully expired; seed from the first surviving tier
-            pk_src = None
+            pk_src = None      # raw fully expired
+        ds_src = None
         for _, name, _ in tiers:
             try:
                 tier = spark.read.parquet(f"{out_root}/{name}")
             except AnalysisException:
                 continue       # tier fully expired, nothing to index
             t = tier.select("labels", "ts")
-            pk_src = t if pk_src is None else pk_src.unionByName(t)
+            ds_src = t if ds_src is None else ds_src.unionByName(t)
+        # DS rows extend spans only; `samples` stays the raw-side
+        # count (write_partkey_table merges per partkey_from_store's
+        # rule — unioning DS rows in would double-count live series).
+        # When raw fully expired, the DS count stands in.
+        if pk_src is None:
+            pk_src, ds_src = ds_src, None
         if pk_src is not None:
-            write_partkey_table(pk_src, partkey_out, covers_ds=True)
+            write_partkey_table(pk_src, partkey_out, covers_ds=True,
+                                ds_samples_df=ds_src)
             stats["partkey_series"] = \
                 spark.read.parquet(partkey_out).count()
     return stats

@@ -237,6 +237,18 @@ def test_partkey_build_with_ds_tables(spark, tmp_path):
     assert pk_df.where("labels['__name__'] = 'retired'").count() == 1
     # spans extend below the raw boundary via the second DS table
     assert pk_df.agg(F.min("first_ts")).first()[0] < boundary
+    # `samples` stays the RAW-side count — DS rows extend spans only
+    # (they are derived from raw rows; unioning them in would
+    # double-count every live series and skew the window-mode
+    # planner's density estimate)
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.partkey import merge_partkey_rows
+    raw_counts = (spark.read.parquet(table)
+                  .withColumn("_sk", canonical_labels(F.col("labels")))
+                  .groupBy("_sk").count())
+    merged = merge_partkey_rows(pk_df).join(raw_counts, "_sk")
+    assert merged.where(
+        F.col("samples") != F.col("count")).count() == 0
 
 
 def test_query_with_ds_mount(spark, tmp_path):

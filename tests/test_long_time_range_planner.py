@@ -263,3 +263,95 @@ def test_counter_instant_selector_served_from_ds(counter_engine):
     # instant at 9m reads the dip row
     assert got[5] == 10.0 and got[7] == 14.0
     assert got[8] == 0.0 and got[9] == 0.0
+
+
+# ---- per-metric-schema DS routing (both DS datasets mounted) ----------
+#
+# The reference serves each SCHEMA from its own downsample dataset
+# (DownsampledTimeSeriesShard.scala:96; per-schema downsample configs,
+# filodb-defaults.conf:212-342). With a ds-gauge AND a ds-counter table
+# mounted, fns in both rewrite sets (last_over_time / the default
+# instant lookback) must route by the metric's schema — fn-based
+# preference silently dropped pre-boundary instants for counter metrics
+# absent from the gauge rollup.
+
+
+@pytest.fixture(scope="module")
+def dual_engine(spark):
+    from filodb_spark.streaming.downsample import downsample_counter
+    gauge_rows = [({"__name__": "g", "job": "a"}, T0 + i * MIN, float(i))
+                  for i in range(20)]
+    ctr_rows = [({"__name__": "c", "job": "a"}, T0 + i * MIN, CTR[i])
+                for i in range(20)]
+    schema = "labels map<string,string>, ts long, value double"
+    gauge_full = spark.createDataFrame(gauge_rows, schema)
+    ctr_full = spark.createDataFrame(ctr_rows, schema)
+    raw = (gauge_full.unionByName(ctr_full)
+           .where(F.col("ts") >= BOUNDARY))
+    ds = downsample(gauge_full.withColumn(
+        "_sk", canonical_labels(F.col("labels"))), ["labels"],
+        5 * MIN).drop("_sk")
+    dsc = downsample_counter(ctr_full.withColumn(
+        "_sk", canonical_labels(F.col("labels"))), ["_sk"],
+        5 * MIN).drop("_sk")
+    store = TsStore(raw, ds_df=ds, ds_counter_df=dsc,
+                    raw_retention_start_ms=BOUNDARY,
+                    ds_resolution_ms=5 * MIN)
+    return PromQLEngine(spark, store), store
+
+
+def test_ds_schema_of_resolves_by_probe_and_registry(spark, dual_engine):
+    _, store = dual_engine
+    assert store.ds_schema_of("g") == "gauge"
+    assert store.ds_schema_of("c") == "counter"
+    assert store.ds_schema_of("absent_metric") is None
+    assert store.ds_schema_of(None) is None
+    # probes are memoized per metric
+    assert "g" in store.__dict__["_ds_schema_memo"]
+    # the declared registry wins without any probe
+    import dataclasses
+    declared = dataclasses.replace(store, counter_metrics=("x",))
+    assert declared.ds_schema_of("x") == "counter"
+    assert "_ds_schema_memo" not in declared.__dict__
+
+
+def test_counter_instant_routes_to_counter_ds(dual_engine):
+    """THE r10 silent-under-read class: with both DS tables mounted, a
+    pre-boundary instant selector on a counter metric must serve from
+    the counter DS rows — fn-based routing preferred the gauge table,
+    where `c` does not exist, and returned no pre-boundary instants."""
+    engine, _ = dual_engine
+    got = _run(engine, "c", 5, 9)
+    # same retained-row semantics as the counter-only mount
+    # (test_counter_instant_selector_served_from_ds)
+    assert got[5] == 10.0 and got[7] == 14.0
+    assert got[8] == 0.0 and got[9] == 0.0
+
+
+def test_gauge_instant_still_routes_to_gauge_ds(dual_engine):
+    engine, _ = dual_engine
+    got = _run(engine, "g", 5, 9)
+    # ds-gauge last_over_time rewrite = max_by(avg, ts): the rollup
+    # ENDING at 5m covers i=1..5 (avg 3.0)
+    assert got == {i: 3.0 for i in range(5, 10)}
+    # and a boundary-crossing range keeps stitching raw above the split
+    full = _run(engine, "last_over_time(g[5m])", 5, 19)
+    assert full[19] == 19.0
+
+
+def test_metricless_instant_fans_out_to_both_ds(dual_engine):
+    """A metric-less selector cannot resolve one schema — it fans out
+    to BOTH downsample datasets (MultiSchemaPartitionsExec-style) and
+    unions per-series results."""
+    engine, _ = dual_engine
+    out = engine.query_range('last_over_time({job="a"}[5m])',
+                             T0 + 8 * MIN, T0 + 8 * MIN, MIN).collect()
+    by_metric = {r["labels"]["__name__"]: r["value"] for r in out}
+    assert by_metric == {"g": 3.0, "c": 0.0}
+
+
+def test_rate_on_counter_unchanged_with_both_mounted(dual_engine):
+    engine, _ = dual_engine
+    got = _run(engine, "rate(c[10m])", 16, 19)
+    for i in (18, 19):
+        assert got[i] == pytest.approx(2.0 / 60.0)

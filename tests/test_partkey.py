@@ -615,3 +615,33 @@ class TestDownsampleMetadata:
         # provenance survives the compaction swap
         assert read_partkey_manifest(spark, pk_path) == \
             {"covers_ds": True}
+
+    def test_write_with_ds_frame_keeps_samples_raw_side(
+            self, spark, samples, tmp_path):
+        """ds_samples_df extends SPANS only: a live series' `samples`
+        stays the raw-side count (DS rows are derived from raw rows —
+        a plain union would double-count, skewing the window-mode
+        planner's density estimate), and a retired DS-only series gets
+        the DS count as a stand-in. covers_ds defaults to True."""
+        from filodb_spark.partkey import (read_partkey_manifest,
+                                          read_partkey_table)
+        pk_path = str(tmp_path / "pk_ds")
+        # DS frame: every live series at an earlier ts, plus one
+        # retired series that has no raw rows at all
+        ds = samples.select(
+            "labels", (F.col("ts") - 500_000).alias("ts")).unionByName(
+            spark.createDataFrame(
+                [({"__name__": "gone", "_ws_": "demo", "_ns_": "app"},
+                  100_000)], "labels map<string,string>, ts long"))
+        write_partkey_table(samples, pk_path, ds_samples_df=ds)
+        assert read_partkey_manifest(spark, pk_path) == \
+            {"covers_ds": True}
+        pk = read_partkey_table(spark, pk_path)
+        live = pk.where(F.col("labels")["__name__"] != "gone").collect()
+        assert len(live) == 12
+        for r in live:
+            assert r["samples"] == 10          # raw-side count only
+            assert r["first_ts"] == 500_000    # span extended by DS
+            assert r["last_ts"] == 1_090_000
+        gone = pk.where(F.col("labels")["__name__"] == "gone").first()
+        assert gone["samples"] == 1 and gone["first_ts"] == 100_000

@@ -109,3 +109,66 @@ class TestCopyPartkeys:
         assert again["live"]["samples"] == 48
         v = validate_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
         assert v["source_only"] == 0 and v["target_only"] == 0
+
+
+    def test_swap_failure_restores_target(self, spark, tmp_path,
+                                          monkeypatch):
+        """A failure mid-swap must never strand the target path empty —
+        a DR tool destroying the index it repairs is the worst failure
+        mode. Simulate the second rename (tmp -> target) blowing up and
+        assert the original target table is restored intact."""
+        import filodb_spark.sources.table as table_mod
+        src, dst = str(tmp_path / "fs"), str(tmp_path / "ft")
+        write_partkey_table(_series(spark, ["a", "b"]), src)
+        write_partkey_table(
+            _series(spark, ["a"]).where(F.col("ts") >= T0 + 24 * HOUR),
+            dst)
+        before = sorted(
+            (r["labels"]["__name__"], r["first_ts"], r["last_ts"])
+            for r in read_partkey_table(spark, dst).collect())
+        real_hadoop_fs = table_mod.hadoop_fs
+
+        class _FailSecondRename:
+            def __init__(self, fs):
+                self._fs = fs
+                self._renames = 0
+
+            def rename(self, a, b):
+                self._renames += 1
+                if self._renames == 2:
+                    raise RuntimeError("injected rename failure")
+                return self._fs.rename(a, b)
+
+            def __getattr__(self, name):
+                return getattr(self._fs, name)
+
+        def fake_hadoop_fs(sp, path):
+            fs, Path = real_hadoop_fs(sp, path)
+            return _FailSecondRename(fs), Path
+
+        monkeypatch.setattr(table_mod, "hadoop_fs", fake_hadoop_fs)
+        import pytest
+        with pytest.raises(RuntimeError, match="injected"):
+            copy_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
+        monkeypatch.undo()
+        after = sorted(
+            (r["labels"]["__name__"], r["first_ts"], r["last_ts"])
+            for r in read_partkey_table(spark, dst).collect())
+        assert after == before
+        import os
+        assert not os.path.exists(dst + "__copy_tmp")
+        assert not os.path.exists(dst + "__copy_old")
+
+    def test_series_axis_validator(self, spark, tmp_path):
+        """A covering-but-wider target fails the exact-span diff but
+        validates clean on the series axis (series_source_only == 0) —
+        the two axes are reported separately so a healthy covering
+        target is not misread as a failed copy."""
+        src, dst = str(tmp_path / "vs"), str(tmp_path / "vt")
+        write_partkey_table(
+            _series(spark, ["a"], n=24, t0=T0 + 24 * HOUR), src)
+        write_partkey_table(_series(spark, ["a"], n=72), dst)  # wider
+        v = validate_partkeys(spark, src, dst, T0, T0 + 96 * HOUR)
+        assert v["source_only"] == 1 and v["target_only"] == 1
+        assert v["series_source_only"] == 0
+        assert v["series_target_only"] == 0

@@ -429,14 +429,20 @@ def streaming_downsample_counter(stream: DataFrame, resolution_ms: int,
     the reference's batch job, which downsamples only CLOSED chunks
     (BatchDownsampler ingests flushed chunksets). Out-of-order rows
     are dropped (append-only invariant, TimeSeriesPartition).
-    """
-    import math
 
+    The in-batch marker flags are pandas/numpy-vectorized (a row's
+    emitted flag is exactly head|dip — no recurrence — so dip /
+    new-period / emit-predecessor are all shift comparisons); only the
+    cross-batch handoff (prev_ts, prev_value, prev_read, prev_emitted)
+    lives in the state row, prepended as a virtual row 0.
+    """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (f"{series_col} string, {ts_col} long, "
                   f"{value_col} double")
+    out_cols = [series_col, ts_col, value_col]
 
     def advance(key, pdfs, state):
         (series,) = key
@@ -444,33 +450,51 @@ def streaming_downsample_counter(stream: DataFrame, resolution_ms: int,
             prev_ts, prev_value, prev_read, prev_emitted = state.get
         else:
             prev_ts = None
-            prev_value = prev_read = prev_emitted = None
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        out = []
-        for ts, v in zip(rows[ts_col], rows[value_col]):
-            ts, v = int(ts), float(v)
-            read = 0.0 if math.isnan(v) else v
-            if prev_ts is None:
-                out.append((series, ts, v))   # series head (chunk start)
-                prev_ts, prev_value, prev_read, prev_emitted = \
-                    ts, v, read, True
-                continue
-            if ts <= prev_ts:
-                continue
-            emitted = False
-            if read < prev_read:              # dip: pre-dip + dip rows
-                if not prev_emitted:
-                    out.append((series, prev_ts, prev_value))
-                out.append((series, ts, v))
-                emitted = True
-            elif ((prev_ts - 1) // resolution_ms
-                  != (ts - 1) // resolution_ms) and not prev_emitted:
-                # the predecessor closed its period as its last row
-                out.append((series, prev_ts, prev_value))
-            prev_ts, prev_value, prev_read, prev_emitted = \
-                ts, v, read, emitted
-        state.update((prev_ts, prev_value, prev_read, prev_emitted))
-        yield pd.DataFrame(out, columns=[series_col, ts_col, value_col])
+        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        ts = rows[ts_col].to_numpy(dtype="int64")
+        v = rows[value_col].to_numpy(dtype="float64")
+        if prev_ts is not None:
+            keep = ts > prev_ts            # cross-batch out-of-order
+            ts, v = ts[keep], v[keep]
+        if len(ts):
+            # in-batch duplicate timestamps: keep the first (stable sort)
+            dup = np.concatenate(([False], ts[1:] == ts[:-1]))
+            ts, v = ts[~dup], v[~dup]
+        if not len(ts):
+            if prev_ts is not None:
+                state.update((prev_ts, prev_value, prev_read,
+                              prev_emitted))
+            yield pd.DataFrame(columns=out_cols)
+            return
+        read = np.where(np.isnan(v), 0.0, v)
+        has_prev = prev_ts is not None
+        if has_prev:
+            ts = np.concatenate(([prev_ts], ts))
+            v = np.concatenate(([prev_value], v))
+            read = np.concatenate(([prev_read], read))
+        n = len(ts)
+        head = np.zeros(n, dtype=bool)
+        head[0] = not has_prev
+        dip = np.zeros(n, dtype=bool)
+        dip[1:] = read[1:] < read[:-1]
+        period = (ts - 1) // resolution_ms
+        newp = np.zeros(n, dtype=bool)
+        newp[1:] = period[1:] != period[:-1]
+        # a row is emitted AS ITSELF iff it is the series head or a dip
+        # (period closes emit the PREDECESSOR) — no recurrence
+        emitted = head | dip
+        if has_prev:
+            emitted[0] = prev_emitted
+        emit_prev = np.zeros(n, dtype=bool)
+        emit_prev[1:] = (dip[1:] | newp[1:]) & ~emitted[:-1]
+        # the virtual state row (index 0 when has_prev) can only enter
+        # via emit_prev, which is already gated on ~emitted[0]
+        idx = np.union1d(np.flatnonzero(head | dip),
+                         np.flatnonzero(emit_prev) - 1)
+        state.update((int(ts[-1]), float(v[-1]), float(read[-1]),
+                      bool(emitted[-1])))
+        yield pd.DataFrame({series_col: series, ts_col: ts[idx],
+                            value_col: v[idx]}, columns=out_cols)
 
     return (stream.groupBy(series_col)
             .applyInPandasWithState(advance, out_schema, DSC_STATE_SCHEMA,
@@ -506,9 +530,19 @@ def streaming_downsample_hist(stream: DataFrame, resolution_ms: int,
     As in streaming_downsample_counter, the per-series TAIL row (and
     its open segment's min/max) pends in state until a successor proves
     its period closed — the batch job's closed-chunks contract.
-    Out-of-order rows are dropped (append-only invariant)."""
+    Out-of-order rows are dropped (append-only invariant).
+
+    Vectorized like the counter twin: a row's emitted flag is exactly
+    head|dip, so dip / new-period / emit-predecessor are shift
+    comparisons; marker SEGMENTS are delimited where a row closes one
+    (head or dip rows, and rows whose successor dips or opens a new
+    period), so dMin/dMax are one NaN-skipping groupby over segment
+    ids. Only the cross-batch handoff (prev row + the open segment's
+    running min/max) lives in the state row, prepended as a virtual
+    row 0 whose min/max ARE the carried segment aggregates."""
     import math
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -529,20 +563,6 @@ def streaming_downsample_hist(stream: DataFrame, resolution_ms: int,
             else (h[0], h[1])
         return [float(x) for x in les], [float(x) for x in vals]
 
-    def _mn(cur, x):
-        # running segment min; NaN skipped (None = empty/all-NaN)
-        if x is None or math.isnan(x):
-            return cur
-        return x if cur is None else min(cur, x)
-
-    def _mx(cur, x):
-        if x is None or math.isnan(x):
-            return cur
-        return x if cur is None else max(cur, x)
-
-    def _nan_if_none(x):
-        return float("nan") if x is None else x
-
     def advance(key, pdfs, state):
         (series,) = key
         if state.exists:
@@ -553,59 +573,98 @@ def streaming_downsample_hist(stream: DataFrame, resolution_ms: int,
                            if prev_values is not None else None)
         else:
             prev_ts = None
-            prev_sum = prev_count = prev_les = prev_values = None
-            prev_read = prev_emitted = None
             seg_min = seg_max = None
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        out = []
-
-        def emit(ts, s, c, les, vals, smin, smax):
-            row = [series, ts, s, c, les, vals]
+        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        ts = rows[ts_col].to_numpy(dtype="int64")
+        s_arr = rows[sum_col].to_numpy(dtype="float64")
+        c_arr = rows[count_col].to_numpy(dtype="float64")
+        h_arr = rows[hist_col].to_numpy(dtype=object)
+        if mm:
+            mn_arr = rows[mm_min].to_numpy(dtype="float64")
+            mx_arr = rows[mm_max].to_numpy(dtype="float64")
+        keep = np.ones(len(ts), dtype=bool)
+        if prev_ts is not None:
+            keep &= ts > prev_ts           # cross-batch out-of-order
+        if len(ts):
+            # in-batch duplicate timestamps: keep the first (stable
+            # sort; equal values are consecutive in a sorted array)
+            keep[1:] &= ts[1:] != ts[:-1]
+        ts, s_arr, c_arr, h_arr = ts[keep], s_arr[keep], c_arr[keep], \
+            h_arr[keep]
+        if mm:
+            mn_arr, mx_arr = mn_arr[keep], mx_arr[keep]
+        if not len(ts):
+            if prev_ts is not None:
+                state.update((prev_ts, prev_sum, prev_count, prev_les,
+                              prev_values, prev_read, prev_emitted,
+                              seg_min, seg_max))
+            yield pd.DataFrame(columns=out_cols)
+            return
+        read = np.where(np.isnan(c_arr), 0.0, c_arr)
+        has_prev = prev_ts is not None
+        if has_prev:
+            ts = np.concatenate(([prev_ts], ts))
+            s_arr = np.concatenate(([prev_sum], s_arr))
+            c_arr = np.concatenate(([prev_count], c_arr))
+            read = np.concatenate(
+                ([prev_read], read))
+            virt = np.empty(1, dtype=object)   # keep the tuple opaque
+            virt[0] = (prev_les, prev_values)
+            h_arr = np.concatenate((virt, h_arr))
             if mm:
-                row += [_nan_if_none(smin), _nan_if_none(smax)]
-            out.append(tuple(row))
-
-        for _, r in rows.iterrows():
-            ts, s, c = int(r[ts_col]), float(r[sum_col]), float(r[count_col])
-            les, vals = _hist_parts(r[hist_col])
-            rmin = float(r[mm_min]) if mm else None
-            rmax = float(r[mm_max]) if mm else None
-            read = 0.0 if math.isnan(c) else c
-            if prev_ts is None:
-                # series head (chunk start): its segment is itself
-                emit(ts, s, c, les, vals, _mn(None, rmin), _mx(None, rmax))
-                prev_ts, prev_sum, prev_count = ts, s, c
-                prev_les, prev_values = les, vals
-                prev_read, prev_emitted = read, True
-                seg_min = seg_max = None
-                continue
-            if ts <= prev_ts:
-                continue
-            emitted = False
-            if read < prev_read:              # dip: pre-dip + dip rows
-                if not prev_emitted:
-                    # seg_min/seg_max already include the predecessor
-                    emit(prev_ts, prev_sum, prev_count, prev_les,
-                         prev_values, seg_min, seg_max)
-                seg_min, seg_max = _mn(None, rmin), _mx(None, rmax)
-                emit(ts, s, c, les, vals, seg_min, seg_max)
-                seg_min = seg_max = None
-                emitted = True
+                # the virtual row's min/max ARE the carried open-segment
+                # aggregates (they already include the prev row itself)
+                nan = float("nan")
+                mn_arr = np.concatenate(
+                    ([seg_min if seg_min is not None else nan], mn_arr))
+                mx_arr = np.concatenate(
+                    ([seg_max if seg_max is not None else nan], mx_arr))
+        n = len(ts)
+        head = np.zeros(n, dtype=bool)
+        head[0] = not has_prev
+        dip = np.zeros(n, dtype=bool)
+        dip[1:] = read[1:] < read[:-1]
+        period = (ts - 1) // resolution_ms
+        newp = np.zeros(n, dtype=bool)
+        newp[1:] = period[1:] != period[:-1]
+        emitted = head | dip
+        if has_prev:
+            emitted[0] = prev_emitted
+        emit_prev = np.zeros(n, dtype=bool)
+        emit_prev[1:] = (dip[1:] | newp[1:]) & ~emitted[:-1]
+        idx = np.union1d(np.flatnonzero(head | dip),
+                         np.flatnonzero(emit_prev) - 1)
+        if mm:
+            # segment boundaries: after head/dip rows, and after rows
+            # whose successor dips or opens a new period
+            close = head | dip
+            close[:-1] |= dip[1:] | newp[1:]
+            seg_id = np.concatenate(([0], np.cumsum(close[:-1])))
+            smin = pd.Series(mn_arr).groupby(seg_id).min()  # skipna
+            smax = pd.Series(mx_arr).groupby(seg_id).max()
+            out_min = smin.reindex(seg_id[idx]).to_numpy()
+            out_max = smax.reindex(seg_id[idx]).to_numpy()
+            if close[-1]:
+                new_seg_min = new_seg_max = None
             else:
-                if ((prev_ts - 1) // resolution_ms
-                        != (ts - 1) // resolution_ms):
-                    if not prev_emitted:
-                        # the predecessor closed its period as its last row
-                        emit(prev_ts, prev_sum, prev_count, prev_les,
-                             prev_values, seg_min, seg_max)
-                    seg_min = seg_max = None
-                seg_min, seg_max = _mn(seg_min, rmin), _mx(seg_max, rmax)
-            prev_ts, prev_sum, prev_count = ts, s, c
-            prev_les, prev_values = les, vals
-            prev_read, prev_emitted = read, emitted
-        state.update((prev_ts, prev_sum, prev_count, prev_les, prev_values,
-                      prev_read, prev_emitted, seg_min, seg_max))
-        yield pd.DataFrame(out, columns=out_cols)
+                last = float(smin.iloc[-1]), float(smax.iloc[-1])
+                new_seg_min = None if math.isnan(last[0]) else last[0]
+                new_seg_max = None if math.isnan(last[1]) else last[1]
+        else:
+            new_seg_min = new_seg_max = None
+        hist_parts = [_hist_parts(h_arr[i]) for i in idx]
+        last_les, last_values = _hist_parts(h_arr[-1])
+        state.update((int(ts[-1]), float(s_arr[-1]), float(c_arr[-1]),
+                      last_les, last_values, float(read[-1]),
+                      bool(emitted[-1]), new_seg_min, new_seg_max))
+        data = {series_col: series, ts_col: ts[idx],
+                sum_col: s_arr[idx], count_col: c_arr[idx],
+                "_les": [p[0] for p in hist_parts],
+                "_values": [p[1] for p in hist_parts]}
+        if mm:
+            data[mm_min] = out_min
+            data[mm_max] = out_max
+        yield pd.DataFrame(data, columns=out_cols)
 
     staged = (stream.groupBy(series_col)
               .applyInPandasWithState(advance, out_schema, DSH_STATE_SCHEMA,

@@ -4,8 +4,10 @@ Reference surface: http/src/main/scala/filodb/http/PrometheusApiRoute.scala
 (GET /promql/{dataset}/api/v1/query_range | query | labels |
 label/{l}/values | series). Stdlib http.server — the serving layer is
 deliberately thin; all work happens in the engine. One Spark driver
-serves queries concurrently via Spark's own scheduler (FIFO here;
-scheduler pools would isolate tenants, SURVEY §4.2).
+serves queries concurrently via Spark's own scheduler: each request
+gets its own FAIR scheduler pool (run_with_timeout; SURVEY §4.2 —
+the reference's FiloSchedulers/QueryActor per-query isolation), so a
+long scan cannot head-of-line-block cheap queries.
 """
 
 from __future__ import annotations
@@ -22,27 +24,39 @@ from filodb_spark.promql.compiler import QueryLimitException
 
 
 def run_with_timeout(spark, fn, timeout_s: float | None):
-    """Per-query timeout (PerQueryLimits / ExecPlan.scala:214-226
-    enforcement analog): run fn in a worker thread under a dedicated
-    Spark job group; on timeout cancel the group's jobs and raise.
-    setJobGroup is thread-local, so concurrent requests are isolated."""
-    if not timeout_s:
-        return fn()
-    import threading
+    """Per-query isolation + optional timeout (PerQueryLimits /
+    ExecPlan.scala:214-226 enforcement analog). EVERY request runs
+    under its own Spark job group and scheduler pool — with the
+    session's FAIR scheduler mode (session.get_spark), concurrent
+    requests round-robin the executor instead of queueing FIFO behind
+    a long scan, the reference's per-query scheduler isolation
+    (FiloSchedulers / QueryActor). With a timeout, fn runs in a worker
+    thread (setJobGroup/pool are thread-local, so concurrent requests
+    stay isolated) and the group's jobs are cancelled on expiry."""
     import uuid
     group = f"query-{uuid.uuid4().hex[:12]}"
+
+    def isolated():
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "http query", interruptOnCancel=True)
+        sc.setLocalProperty("spark.scheduler.pool", group)
+        try:
+            return fn()
+        finally:
+            # handler threads are per-request today, but never leak the
+            # pool into a reused thread (the job group is overwritten
+            # by the next setJobGroup on the same thread)
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if not timeout_s:
+        return isolated()
+    import threading
     result: list = []
     err: list = []
 
     def work():
-        sc = spark.sparkContext
-        sc.setJobGroup(group, "http query", interruptOnCancel=True)
-        # per-query scheduler pool (FiloSchedulers/QueryActor isolation
-        # analog): under spark.scheduler.mode=FAIR each request's jobs
-        # share the cluster fairly; a no-op under FIFO
-        sc.setLocalProperty("spark.scheduler.pool", group)
         try:
-            result.append(fn())
+            result.append(isolated())
         except Exception as ex:           # noqa: BLE001 — re-raised below
             err.append(ex)
 

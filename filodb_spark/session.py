@@ -49,6 +49,14 @@ def get_spark(app_name: str = "filodb-spark", master: str | None = None,
                 "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR job scheduling: the HTTP server gives each request its
+        # own scheduler pool (run_with_timeout), so concurrent queries
+        # round-robin instead of queueing FIFO behind a long scan —
+        # the reference isolates per-query schedulers the same way
+        # (FiloSchedulers / one QueryActor mailbox per dataset).
+        # Sequential workloads (bench, tests) are unaffected: a single
+        # pool schedules exactly like FIFO.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -213,6 +213,20 @@ def main():
     load_after = os.getloadavg()
     calib_end = calibration_probe()
 
+    # one-word self-label from the run's own anchors so the artifact
+    # says whether its total is trustable (PERF.md healthy band:
+    # ~16 MOPS single-thread / ~7.7 GB/s memory; loadavg ~0 at start).
+    # "degraded" totals track the mem_gbps anchor monotonically — do
+    # not read them as code-delta signal.
+    worst_gbps = min(calib_start["mem_gbps"], calib_end["mem_gbps"])
+    worst_mops = min(calib_start["cpu_st_mops"], calib_end["cpu_st_mops"])
+    if worst_gbps >= 7.2 and worst_mops >= 14 and load_start[0] < 1.5:
+        env_verdict = "clean"
+    elif worst_gbps >= 6.0 and worst_mops >= 12:
+        env_verdict = "degraded"
+    else:
+        env_verdict = "heavily-degraded"
+
     print(json.dumps({
         "metric": "headline_query_wall_sec",
         "value": round(total, 3),
@@ -232,6 +246,7 @@ def main():
         # the timed pass — PERF.md records the healthy-box band
         "calibration_start": calib_start,
         "calibration_end": calib_end,
+        "env_verdict": env_verdict,
     }))
 
 

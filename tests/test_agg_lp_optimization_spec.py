@@ -262,3 +262,71 @@ def test_weird_wrong_column_cases_not_optimized(spark):
               f'min(rate(foo:::agg1_1{F}[300s]))',
               f'max(sum_over_time(foo:::agg1_1:count{F}[300s]))'):
         assert _rewrite(spark, EXCLUDE_RULES_1, q) == parse(q), q
+
+
+def test_join_one_side_optimizable_diverges_from_reference(spark):
+    """DIVERGENCE TEST for the one deliberate planner deviation: the
+    reference optimizes a BinaryJoin ONLY when BOTH sides are
+    optimizable (LogicalPlan.scala:671-683 — raw and preagg datasets
+    can have different retention periods, so a one-sided rewrite could
+    produce results "not explainable easily to the user"). This engine
+    rewrites each aggregation independently, join or not: value-safe
+    here because both sides read the SAME store and the
+    preagg_ready_until_ms watermark gates routing on the same query
+    range for both sides. Pinned here:
+      (1) the plan divergence — with only the lhs metric ruled, the
+          lhs routes to the preagg metric while the rhs stays raw
+          (poisoned preagg values prove the route; the reference would
+          have evaluated both sides raw);
+      (2) value parity — with HONEST preagg rollups the optimized join
+          equals the no_optimize evaluation exactly, so the divergence
+          is plan-level only."""
+    import pyspark.sql.functions as F_
+    rows = []
+    for m, v in (("m", 1.0), ("n", 2.0)):
+        for job, inst in (("w", "1"), ("w", "2"), ("d", "3")):
+            for i in range(5):
+                rows.append(({"__name__": m, "job": job, "inst": inst},
+                             1_000_000 + i * 10_000, v))
+    raw = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    rules = {"m": (AggRule("agg", include=frozenset({"job"})),)}
+    t = 1_040_000
+    join_q = ("sum by (job) (sum_over_time(m[50s])) + "
+              "sum by (job) (sum_over_time(n[50s]))")
+
+    # (1) poisoned preagg: the answer carries the preagg lhs + raw rhs
+    poisoned = spark.createDataFrame(
+        [({"__name__": "m:::agg", "job": "w"}, t, 100.0),
+         ({"__name__": "m:::agg", "job": "d"}, t, 50.0)],
+        "labels map<string,string>, ts long, value double")
+    eng = PromQLEngine(spark, TsStore(
+        raw.unionByName(poisoned), agg_rules=rules,
+        preagg_ready_until_ms=2_000_000))
+    got = {r["labels"]["job"]: r["value"]
+           for r in eng.query_range(join_q, t, t, 10_000).collect()}
+    # lhs from preagg (100/50), rhs from raw (n: 2 insts x 5 x 2 = 20 /
+    # 1 inst x 5 x 2 = 10). The REFERENCE would answer {w: 30, d: 15}
+    # (both sides raw) — that is exactly its no_optimize answer:
+    assert got == {"w": 120.0, "d": 60.0}
+    ref = {r["labels"]["job"]: r["value"]
+           for r in eng.query_range(f"no_optimize({join_q})",
+                                    t, t, 10_000).collect()}
+    assert ref == {"w": 30.0, "d": 15.0}
+
+    # (2) honest preagg rollups: optimized == raw, exactly
+    honest = raw.where(F_.col("labels")["__name__"] == "m").groupBy(
+        F_.col("labels")["job"].alias("job"), "ts").agg(
+        F_.sum("value").alias("value")).select(
+        F_.create_map(F_.lit("__name__"), F_.lit("m:::agg"),
+                      F_.lit("job"), F_.col("job")).alias("labels"),
+        "ts", "value")
+    eng2 = PromQLEngine(spark, TsStore(
+        raw.unionByName(honest), agg_rules=rules,
+        preagg_ready_until_ms=2_000_000))
+    opt = {r["labels"]["job"]: r["value"]
+           for r in eng2.query_range(join_q, t, t, 10_000).collect()}
+    no_opt = {r["labels"]["job"]: r["value"]
+              for r in eng2.query_range(f"no_optimize({join_q})",
+                                        t, t, 10_000).collect()}
+    assert opt == no_opt == {"w": 30.0, "d": 15.0}

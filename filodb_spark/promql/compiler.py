@@ -525,6 +525,12 @@ class TsStore:
             return None
         if metric in self.counter_metrics or metric in self.delta_metrics:
             return "counter"
+        if self.hist_base_of(metric) is not None:
+            # <m>_sum/_count/_bucket scalar rewrites: served from the
+            # hist DS table through ds_view's rewrite (the "counter"
+            # side runs the raw kernels on the _ds_select frame, which
+            # resolves the rewrite exactly like the raw scan)
+            return "counter" if self.ds_hist_df is not None else None
         cache = self.__dict__.setdefault("_ds_schema_memo", {})
         if metric not in cache:
             schema = None
@@ -1017,8 +1023,19 @@ class PromQLEngine:
                          params: tuple) -> DataFrame:
         """Pre-boundary steps evaluated on the downsampled COUNTER
         table with the raw kernels (the DS rows keep the raw schema).
-        Returns (_sk, labels, t, value)."""
+        Also serves <m>_sum/_count/_bucket scalar rewrites from the
+        hist DS table (via ds_view's select). Returns
+        (_sk, labels, t, value)."""
         dsf = self._ds_select(sel)
+        if "hist" in dsf.columns:
+            # a metric-less selector whose DS-side multischema probe
+            # resolved HIST while the raw side resolved a scalar schema
+            # (possible only for hist series retired pre-boundary):
+            # hist-typed rows cannot union with value-typed output —
+            # the hist branch owns hist-schema DS routing
+            dsf = (dsf.select("labels", "ts",
+                              F.col("sum").alias("value"), "_sk")
+                   .where(F.lit(False)))
         ds_lab = dsf.select("_sk", "labels").dropDuplicates(["_sk"])
         out = range_function(dsf, fn, ["_sk"], grid, window,
                              params=params)
@@ -1188,7 +1205,14 @@ class PromQLEngine:
         # lives in exactly one; the gauge side wins a pathological
         # double hit), like MultiSchemaPartitionsExec's schema fan-out.
         gauge_ok = self.store.ds_df is not None and fn in _DS_REWRITE
-        counter_ok = (self.store.ds_counter_df is not None
+        # the "counter" side evaluates the RAW kernels on _ds_select,
+        # which serves the counter DS table AND the hist-rewrite
+        # (<m>_sum/_count/_bucket) scalar selectors from the hist DS
+        # table — so it is available whenever ds_view() exists, not
+        # only with a counter table mounted (the r11 audit found
+        # boundary-crossing increase(h_sum) staying raw-truncated on
+        # hist-only DS mounts)
+        counter_ok = (self.store.ds_view() is not None
                       and fn in self.COUNTER_DS_FNS)
         if gauge_ok and counter_ok:
             ds_schema = self.store.ds_schema_of(sel.metric)

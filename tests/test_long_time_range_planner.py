@@ -249,6 +249,15 @@ def test_hist_split_and_sum_rewrite(spark):
     # h_sum climbs 1/min with no resets: increase([10m]) -> 10 wherever
     # both window endpoints hold retained samples
     assert s[19] == pytest.approx(10.0)
+    # boundary-crossing instants evaluate on the DS marker rows (kept
+    # at i=0,5,10,15 here), NOT on the truncated raw table — the r11
+    # audit found these staying raw-truncated (t=10 -> NaN, t=11..18
+    # under-read) because the scalar split required a COUNTER table
+    # even though ds_view serves the hist rewrite
+    assert s[10] == pytest.approx(10.0)   # DS samples at both edges
+    # t=14 reads DS rows i=5,10 (extrapolated) — far above the 4.5 the
+    # truncated raw table used to answer
+    assert s[14] > 6.0
 
 
 def test_counter_instant_selector_served_from_ds(counter_engine):

@@ -50,7 +50,6 @@ def run_with_timeout(spark, fn, timeout_s: float | None):
 
     if not timeout_s:
         return isolated()
-    import threading
     result: list = []
     err: list = []
 

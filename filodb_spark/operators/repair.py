@@ -120,11 +120,18 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     # rows are a superset of the other's, the DR-copy case) and
     # REWRITE the target through a temp-dir swap, like the
     # reference's writePartKeys record replacement.
-    from filodb_spark.partkey import (PARTKEY_COLS,
+    from filodb_spark.partkey import (PARTKEY_COLS, checked_rename,
                                       read_partkey_manifest,
+                                      recover_table_dir, swap_table_dir,
                                       write_partkey_manifest,
                                       _with_shard_cols)
     from filodb_spark.sources.table import hadoop_fs
+    tmp = target_path.rstrip("/") + "__copy_tmp"
+    old = target_path.rstrip("/") + "__copy_old"
+    fs, Path = hadoop_fs(spark, target_path)
+    # BEFORE reading the target: recover a leftover __copy_old from a
+    # prior hard crash (it may hold the only copy of the table)
+    recover_table_dir(fs, Path, target_path, old)
     tgt = read_partkey_table(spark, target_path)
     s = band.select(F.col("_sk").alias("_sk"),
                     F.col("labels").alias("_s_labels"),
@@ -146,26 +153,23 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     manifest = read_partkey_manifest(spark, target_path)
     pk = _with_shard_cols(merged, SHARD_KEY_LABELS)
     pk = pk.withColumn("_metric", F.col("labels")["__name__"])
-    tmp = target_path.rstrip("/") + "__copy_tmp"
-    old = target_path.rstrip("/") + "__copy_old"
-    fs, Path = hadoop_fs(spark, target_path)
-    # same two-rename swap as compact_partkey_table: never delete the
-    # target before the replacement is in place — a crash between a
-    # delete and a rename would strand a DR target with NO index at
-    # all; on failure the original table is restored first
+    # same two-rename swap as compact_partkey_table (swap_table_dir:
+    # checked renames — Hadoop reports rename failure by RETURN VALUE —
+    # plus crash-leftover recovery): never delete the target before the
+    # replacement is in place — a crash between a delete and a rename
+    # would strand a DR target with NO index at all; on failure the
+    # original table is restored first
     try:
         (pk.repartition(*[F.col(c) for c in SHARD_KEY_LABELS])
            .sortWithinPartitions("_metric", "_sk")
            .write.mode("overwrite").partitionBy(*SHARD_KEY_LABELS)
            .parquet(tmp))
-        fs.rename(Path(target_path), Path(old))
-        fs.rename(Path(tmp), Path(target_path))
-        fs.delete(Path(old), True)
+        swap_table_dir(fs, Path, tmp, target_path, old)
         if manifest:
             write_partkey_manifest(spark, target_path, manifest)
     except BaseException:
         if not fs.exists(Path(target_path)) and fs.exists(Path(old)):
-            fs.rename(Path(old), Path(target_path))
+            checked_rename(fs, Path, old, target_path)
         fs.delete(Path(tmp), True)
         raise
     return n
@@ -190,13 +194,19 @@ def validate_partkeys(spark: SparkSession, source_path: str,
         return (pk.where((F.col("last_ts") >= start_ms)
                          & (F.col("first_ts") < end_ms))
                 .select("_sk", "first_ts", "last_ts"))
-    s, t = rows(source_path), rows(target_path)
+    # the six counts reuse ONE read-and-merge of each table (the merge
+    # aggregate is the expensive part on a large index)
+    s, t = rows(source_path).cache(), rows(target_path).cache()
     sk_s, sk_t = s.select("_sk"), t.select("_sk")
-    return {
-        "source_keys": s.count(),
-        "target_keys": t.count(),
-        "source_only": s.exceptAll(t).count(),
-        "target_only": t.exceptAll(s).count(),
-        "series_source_only": sk_s.exceptAll(sk_t).count(),
-        "series_target_only": sk_t.exceptAll(sk_s).count(),
-    }
+    try:
+        return {
+            "source_keys": s.count(),
+            "target_keys": t.count(),
+            "source_only": s.exceptAll(t).count(),
+            "target_only": t.exceptAll(s).count(),
+            "series_source_only": sk_s.exceptAll(sk_t).count(),
+            "series_target_only": sk_t.exceptAll(sk_s).count(),
+        }
+    finally:
+        s.unpersist()
+        t.unpersist()

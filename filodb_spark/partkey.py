@@ -255,6 +255,38 @@ def read_partkey_table(spark: SparkSession, path: str) -> DataFrame:
     return merge_partkey_rows(open_partkey_table(spark, path))
 
 
+def checked_rename(fs, path_cls, src: str, dst: str) -> None:
+    """Hadoop FileSystem.rename reports failure by RETURN VALUE, not
+    exception (dest exists, source missing, ...) — a swap built on
+    unchecked renames can silently no-op and then delete the wrong
+    directory. Raise so callers' restore handlers actually fire."""
+    if not fs.rename(path_cls(src), path_cls(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def recover_table_dir(fs, path_cls, path: str, old: str) -> None:
+    """Crash-leftover preflight for the two-rename swap: a leftover
+    `old` from a prior hard crash is restored to `path` when `path` is
+    missing (the crash hit between the two renames — `old` holds the
+    ONLY copy) or deleted when `path` exists (the crash hit after the
+    second rename — `old` is stale). Run BEFORE reading `path`."""
+    if fs.exists(path_cls(old)):
+        if fs.exists(path_cls(path)):
+            fs.delete(path_cls(old), True)
+        else:
+            checked_rename(fs, path_cls, old, path)
+
+
+def swap_table_dir(fs, path_cls, tmp: str, path: str, old: str) -> None:
+    """Install `tmp` at `path` via the two-rename swap (checked
+    renames + leftover preflight). Callers wrap in try/except and
+    restore `old` -> `path` on failure."""
+    recover_table_dir(fs, path_cls, path, old)
+    checked_rename(fs, path_cls, path, old)
+    checked_rename(fs, path_cls, tmp, path)
+    fs.delete(path_cls(old), True)
+
+
 def compact_partkey_table(spark: SparkSession, path: str,
                           shard_labels: tuple[str, ...] = SHARD_KEY_LABELS
                           ) -> None:
@@ -267,20 +299,21 @@ def compact_partkey_table(spark: SparkSession, path: str,
     on failure the old table is restored before the temp is cleaned, so
     a crash never strands the path empty."""
     from filodb_spark.sources.table import hadoop_fs
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__compact_old"
+    fs, Path = hadoop_fs(spark, path)
+    # BEFORE reading: recover a leftover __compact_old from a prior
+    # hard crash (it may hold the only copy of the table)
+    recover_table_dir(fs, Path, path, old)
     manifest = read_partkey_manifest(spark, path)   # survives the swap
     merged = _with_shard_cols(read_partkey_table(spark, path), shard_labels)
     merged = merged.withColumn("_metric", F.col("labels")["__name__"])
-    tmp = path.rstrip("/") + "__compacting"
-    fs, Path = hadoop_fs(spark, path)
-    old = path.rstrip("/") + "__compact_old"
     try:
         (merged.repartition(*[F.col(c) for c in shard_labels])
                .sortWithinPartitions("_metric", "_sk")
                .write.mode("overwrite").partitionBy(*shard_labels)
                .parquet(tmp))
-        fs.rename(Path(path), Path(old))
-        fs.rename(Path(tmp), Path(path))
-        fs.delete(Path(old), True)
+        swap_table_dir(fs, Path, tmp, path, old)
         if manifest:
             write_partkey_manifest(spark, path, manifest)
     except BaseException:
@@ -288,7 +321,7 @@ def compact_partkey_table(spark: SparkSession, path: str,
         # put the original table back BEFORE deleting the merged temp —
         # never leave nothing at `path`
         if not fs.exists(Path(path)) and fs.exists(Path(old)):
-            fs.rename(Path(old), Path(path))
+            checked_rename(fs, Path, old, path)
         fs.delete(Path(tmp), True)
         raise
 

@@ -172,3 +172,36 @@ class TestCopyPartkeys:
         assert v["source_only"] == 1 and v["target_only"] == 1
         assert v["series_source_only"] == 0
         assert v["series_target_only"] == 0
+
+    def test_crash_leftover_old_is_recovered(self, spark, tmp_path):
+        """Hadoop rename() reports failure by RETURN VALUE — a leftover
+        __copy_old from a prior hard crash used to make the next swap a
+        silent no-op (rename to an existing dest returns false) that
+        then deleted the leftover and reported success. swap_table_dir
+        now recovers: a stale leftover (target present) is cleaned, an
+        orphan leftover (target missing — it holds the ONLY copy) is
+        restored before the swap proceeds."""
+        import shutil
+        src, dst = str(tmp_path / "cs"), str(tmp_path / "ct")
+        write_partkey_table(_series(spark, ["a", "b"]), src)
+        write_partkey_table(
+            _series(spark, ["a"]).where(F.col("ts") >= T0 + 24 * HOUR),
+            dst)
+        # stale leftover: old AND target both present
+        shutil.copytree(dst, dst + "__copy_old")
+        n = copy_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
+        assert n == 2
+        got = {r["labels"]["__name__"]
+               for r in read_partkey_table(spark, dst).collect()}
+        assert got == {"a", "b"}          # the copy really installed
+        import os
+        assert not os.path.exists(dst + "__copy_old")
+        assert not os.path.exists(dst + "__copy_tmp")
+        # orphan leftover: crash between the two renames left the
+        # original ONLY at __copy_old
+        os.rename(dst, dst + "__copy_old")
+        n = copy_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
+        assert n == 2
+        got = {r["labels"]["__name__"]
+               for r in read_partkey_table(spark, dst).collect()}
+        assert got == {"a", "b"}

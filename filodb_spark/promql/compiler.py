@@ -534,6 +534,16 @@ class TsStore:
         cache = self.__dict__.setdefault("_ds_schema_memo", {})
         if metric not in cache:
             schema = None
+            # existence probes filter the labels MAP column, which has
+            # no parquet row-group stats — an ABSENT metric costs a
+            # full scan of each DS table's labels column (present ones
+            # exit on the first match). When a DS-covering part-key
+            # index is attached, answer absence from it instead: one
+            # bounded probe on the physically-sorted _metric column
+            if self.partkey_df is not None and self.partkey_covers_ds \
+                    and not self._index_covers(metric):
+                cache[metric] = None
+                return None
             if self.ds_df is not None and not self.ds_df.where(
                     F.col("labels")[METRIC] == metric).isEmpty():
                 schema = "gauge"

@@ -364,3 +364,32 @@ def test_rate_on_counter_unchanged_with_both_mounted(dual_engine):
     got = _run(engine, "rate(c[10m])", 16, 19)
     for i in (18, 19):
         assert got[i] == pytest.approx(2.0 / 60.0)
+
+
+def test_ds_schema_probe_short_circuits_via_covering_index(spark,
+                                                           dual_engine,
+                                                           tmp_path):
+    """With a DS-covering part-key index attached, an absent-metric
+    schema probe answers from the index (bounded probe on the sorted
+    _metric column) instead of scanning the DS tables' labels maps —
+    and present metrics still resolve to their datasets."""
+    import dataclasses
+    from filodb_spark.partkey import open_partkey_table, partkey_from_store, \
+        write_partkey_table
+    _, store = dual_engine
+    pk_path = str(tmp_path / "pk")
+    # index over every mounted table (raw + both DS)
+    write_partkey_table(store.df, pk_path,
+                        ds_samples_df=store.ds_df.select("labels", "ts")
+                        .unionByName(store.ds_counter_df
+                                     .select("labels", "ts")))
+    st = dataclasses.replace(store,
+                             partkey_df=open_partkey_table(spark, pk_path),
+                             partkey_covers_ds=True)
+    assert st.ds_schema_of("nope") is None
+    # the index probe ran and was memoized; the DS-table probe memo
+    # records the short-circuit
+    assert st.__dict__["_index_cover_memo"]["nope"] is False
+    assert st.__dict__["_ds_schema_memo"]["nope"] is None
+    assert st.ds_schema_of("c") == "counter"
+    assert st.ds_schema_of("g") == "gauge"

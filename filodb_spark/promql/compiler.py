@@ -961,7 +961,8 @@ class PromQLEngine:
     # selector fans out to both datasets
     COUNTER_DS_FNS = frozenset({
         "rate", "increase", "irate", "idelta", "resets", "changes",
-        "delta", "rate_delta", "increase_delta", "last_over_time"})
+        "delta", "rate_delta", "increase_delta", "last_over_time",
+        "present_over_time"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):
@@ -1182,8 +1183,12 @@ class PromQLEngine:
             keep = [c for c in ("hmin", "hmax") if c in out.columns]
             return out.join(lab, "_sk").select("labels", "t", "hist", *keep)
         if fn == "absent_over_time":
-            present = range_function(df, "present_over_time", ["_sk"], grid,
-                                     window)
+            # presence through the FULL routed evaluation (raw/DS split
+            # + schema fan-out): a series whose samples survive only in
+            # the downsample tables is still PRESENT on pre-boundary
+            # steps — the raw-only evaluation used to report it absent
+            present = self._run_range_fn(sel, grid, window,
+                                         "present_over_time", ())
             return self._absent_from(present, sel, grid)
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:

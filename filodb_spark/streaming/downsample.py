@@ -147,6 +147,9 @@ _DS_REWRITE = {
     "count_over_time": ("count", F.sum),
     "last_over_time": ("avg", None),   # max_by(avg, ts)
     "avg_over_time": (None, None),     # sum(sum)/sum(count)
+    # any rollup row in window proves the series was live (the
+    # downsampler keeps >= 1 row per resolution period)
+    "present_over_time": (None, None),
 }
 
 
@@ -183,6 +186,8 @@ def range_function_ds(ds: DataFrame, fn: str, series_cols: Sequence[str],
     if fn == "avg_over_time":
         out = ex.groupBy(*keys).agg(
             (F.sum("sum") / F.sum("count")).alias("value"))
+    elif fn == "present_over_time":
+        out = ex.groupBy(*keys).agg(F.max(F.lit(1.0)).alias("value"))
     elif fn == "last_over_time":
         out = ex.groupBy(*keys).agg(F.max_by("avg", "ts").alias("value"))
     else:

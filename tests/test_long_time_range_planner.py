@@ -393,3 +393,28 @@ def test_ds_schema_probe_short_circuits_via_covering_index(spark,
     assert st.__dict__["_ds_schema_memo"]["nope"] is None
     assert st.ds_schema_of("c") == "counter"
     assert st.ds_schema_of("g") == "gauge"
+
+
+def test_present_and_absent_over_time_split(engine, counter_engine,
+                                            dual_engine):
+    """present_over_time / absent_over_time evaluate presence through
+    the routed raw/DS split: a series whose samples survive only in the
+    downsample tables is PRESENT on pre-boundary steps (the raw-only
+    evaluation reported it absent — same silent-wrong class as the r10
+    rate fix, caught in the r11 audit)."""
+    # gauge rollup mount: rollup rows prove presence pre-boundary
+    got = _run(engine, "present_over_time(g[5m])", 5, 19)
+    assert got == {i: 1.0 for i in range(5, 20)}
+    ab = _run(engine, "absent_over_time(g[5m])", 5, 19)
+    assert ab == {}                       # never absent
+    ab2 = _run(engine, 'absent_over_time(nope{job="x"}[5m])', 5, 9)
+    assert ab2 == {i: 1.0 for i in range(5, 10)}
+    # counter mount: marker rows prove presence
+    ceng, _, _ = counter_engine
+    got = _run(ceng, "present_over_time(c[5m])", 5, 9)
+    assert got == {i: 1.0 for i in range(5, 10)}
+    # dual mount: each metric's presence comes from its own dataset
+    deng, _ = dual_engine
+    for m in ("g", "c"):
+        got = _run(deng, f"present_over_time({m}[5m])", 5, 9)
+        assert got == {i: 1.0 for i in range(5, 10)}, m

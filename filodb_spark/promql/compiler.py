@@ -962,7 +962,7 @@ class PromQLEngine:
     COUNTER_DS_FNS = frozenset({
         "rate", "increase", "irate", "idelta", "resets", "changes",
         "delta", "rate_delta", "increase_delta", "last_over_time",
-        "present_over_time"})
+        "present_over_time", "timestamp"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):

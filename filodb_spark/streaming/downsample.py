@@ -150,6 +150,8 @@ _DS_REWRITE = {
     # any rollup row in window proves the series was live (the
     # downsampler keeps >= 1 row per resolution period)
     "present_over_time": (None, None),
+    # ts (sec) of the last retained rollup in window (tTime)
+    "timestamp": (None, None),
 }
 
 
@@ -188,6 +190,8 @@ def range_function_ds(ds: DataFrame, fn: str, series_cols: Sequence[str],
             (F.sum("sum") / F.sum("count")).alias("value"))
     elif fn == "present_over_time":
         out = ex.groupBy(*keys).agg(F.max(F.lit(1.0)).alias("value"))
+    elif fn == "timestamp":
+        out = ex.groupBy(*keys).agg((F.max("ts") / 1000.0).alias("value"))
     elif fn == "last_over_time":
         out = ex.groupBy(*keys).agg(F.max_by("avg", "ts").alias("value"))
     else:

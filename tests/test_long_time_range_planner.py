@@ -418,3 +418,17 @@ def test_present_and_absent_over_time_split(engine, counter_engine,
     for m in ("g", "c"):
         got = _run(deng, f"present_over_time({m}[5m])", 5, 9)
         assert got == {i: 1.0 for i in range(5, 10)}, m
+
+
+def test_timestamp_split(engine, dual_engine):
+    """timestamp() across the boundary: pre-boundary steps return the
+    last RETAINED sample's ts (rollup tTime / counter marker row) —
+    the raw-only evaluation returned nothing there."""
+    got = _run(engine, "timestamp(g)", 5, 9)
+    # instant lookback 5m+1ms; last rollup tTime at/before each step
+    assert got == {i: (T0 + 5 * MIN) / 1000.0 for i in range(5, 10)}
+    deng, _ = dual_engine
+    got = _run(deng, "timestamp(c)", 8, 9)
+    # counter marker rows retained at i=7 (pre-dip) and i=8 (dip)
+    assert got == {8: (T0 + 8 * MIN) / 1000.0,
+                   9: (T0 + 8 * MIN) / 1000.0}

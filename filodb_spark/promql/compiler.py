@@ -949,20 +949,29 @@ class PromQLEngine:
     HIST_RANGE_FNS = {"rate", "increase", "delta", "sum_over_time",
                       "last_over_time"}
 
-    # counter-family range functions evaluable directly on the
-    # downsampled counter table (a dip-preserving row subset / period
-    # delta sums with the raw schema — downsample_counter /
-    # downsample_delta_counter); gauge *_over_time fns instead use the
-    # ds-gauge rewrite table (_DS_REWRITE). last_over_time (and the
-    # default instant lookback) is in BOTH sets — when both DS tables
-    # are mounted, routing is by the METRIC'S SCHEMA
+    # range functions evaluable directly on the downsampled
+    # counter/hist tables with the RAW kernels (the DS rows are a
+    # dip-preserving row subset / period delta sums with the raw
+    # schema — downsample_counter / downsample_delta_counter /
+    # downsample_hist): the counter family exactly, plus the window
+    # aggregates the reference's DS cluster likewise runs over its
+    # retained rows (RangeFunctions are schema-agnostic there; over a
+    # row SUBSET the aggregates are the documented retained-row
+    # approximations, not raw-equal — same property as the reference).
+    # Gauge metrics instead use the ds-gauge rewrite table
+    # (_DS_REWRITE, exact re-aggregation). Fns in BOTH sets route by
+    # the METRIC'S SCHEMA when both DS tables are mounted
     # (TsStore.ds_schema_of; DownsampledTimeSeriesShard.scala:96
     # serves each schema from its own dataset), and a metric-less
     # selector fans out to both datasets
     COUNTER_DS_FNS = frozenset({
         "rate", "increase", "irate", "idelta", "resets", "changes",
         "delta", "rate_delta", "increase_delta", "last_over_time",
-        "present_over_time", "timestamp"})
+        "present_over_time", "timestamp",
+        "sum_over_time", "count_over_time", "avg_over_time",
+        "min_over_time", "max_over_time", "stddev_over_time",
+        "stdvar_over_time", "quantile_over_time", "deriv",
+        "predict_linear", "holt_winters", "z_score"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):

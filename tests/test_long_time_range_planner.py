@@ -432,3 +432,31 @@ def test_timestamp_split(engine, dual_engine):
     # counter marker rows retained at i=7 (pre-dip) and i=8 (dip)
     assert got == {8: (T0 + 8 * MIN) / 1000.0,
                    9: (T0 + 8 * MIN) / 1000.0}
+
+
+def test_window_aggregates_over_counter_ds_rows(counter_engine,
+                                                dual_engine):
+    """Gauge-family *_over_time on a counter mount evaluates
+    pre-boundary steps over the RETAINED marker rows (the reference's
+    DS cluster runs the same RangeFunctions over its downsample
+    dataset; over a row subset these are retained-row values, not
+    raw-equal — documented property, not a bug). Raw-only evaluation
+    returned nothing pre-boundary."""
+    ceng, _, _ = counter_engine
+    # retained rows at/before 9m: i=0 (head, 0.0), i=5 (last-in-period,
+    # 10.0), i=7 (pre-dip, 14.0), i=8 (dip, 0.0)
+    got = _run(ceng, "sum_over_time(c[5m])", 5, 9)
+    assert got[5] == 10.0          # rows 0,5 in [0,5m]
+    assert got[9] == 24.0          # rows 5,7,8 in [4m,9m]
+    cnt = _run(ceng, "count_over_time(c[5m])", 9, 9)
+    assert cnt == {9: 3.0}
+    mx = _run(ceng, "max_over_time(c[5m])", 9, 9)
+    assert mx == {9: 14.0}
+    # dual mount: a counter metric's sum_over_time routes to its own
+    # dataset (fn-based routing sent it to the gauge table -> empty)
+    deng, _ = dual_engine
+    got = _run(deng, "sum_over_time(c[5m])", 9, 9)
+    assert got == {9: 24.0}
+    # and the gauge metric still uses the exact rollup rewrite
+    g = _run(deng, "sum_over_time(g[5m])", 9, 9)
+    assert g == {9: 15.0}          # rollup ttime 5m: sum 15

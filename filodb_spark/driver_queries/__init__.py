@@ -29,21 +29,23 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1     NEW r11: ts_ds_schema_route (per-metric-schema DS routing
+    #   1-2   NEW r11: ts_ds_schema_route (per-metric-schema DS routing
     #         with BOTH ds-gauge and ds-counter tables mounted,
-    #         TsStore.ds_schema_of + metric-less schema fan-out) —
-    #         pre-verified exact at sf0.001/0.01/0.1,
-    #   2-9   once-gated at r10: ts_ds_counter, ts_ds_hist,
+    #         TsStore.ds_schema_of + metric-less schema fan-out) and
+    #         ts_ds_presence (present/absent_over_time + timestamp()
+    #         across the split, the r11 fn-matrix audit closures) —
+    #         both pre-verified exact at sf0.001/0.01/0.1,
+    #   3-10  once-gated at r10: ts_ds_counter, ts_ds_hist,
     #         ts_ds_delta_counter, ts_raw_ds_split_rate,
     #         ts_gateway_hist_assembly, ts_ds_metadata, ts_repair_copy,
     #         ts_ds_eligibility,
-    #   10-18 the nine last-gated-r6 leftovers, alphabetical,
-    #   19-50 the last-gated-r7 backlog (48 queries), alphabetical —
-    #         32 fit; the remaining 16 (pl_strat_sample ...
+    #   11-19 the nine last-gated-r6 leftovers, alphabetical,
+    #   20-50 the last-gated-r7 backlog (48 queries), alphabetical —
+    #         31 fit; the remaining 17 (pl_repetition ...
     #         ts_hist_mixed_sum) lead the r12 backlog.
     window = [
         # new in round 11
-        "ts_ds_schema_route",
+        "ts_ds_schema_route", "ts_ds_presence",
         # once-gated head (new in r10)
         "ts_ds_counter", "ts_ds_hist", "ts_ds_delta_counter",
         "ts_raw_ds_split_rate", "ts_gateway_hist_assembly",
@@ -63,7 +65,6 @@ def all_queries():
         "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
         "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_card",
         "pl_dataset_diff", "pl_manifest", "pl_mix_sources",
-        "pl_repetition",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -715,3 +715,80 @@ per_metric AS (
 SELECT 'named' AS q, metric, et, t, value FROM per_metric
 UNION ALL
 SELECT 'fanout' AS q, metric, et, t, value FROM per_metric"""
+
+
+def q_ds_presence(spark, sf_dir):
+    """Presence/timestamp across the raw/DS split (r11 audit closures):
+    on a counter downsample mount, present_over_time proves liveness
+    from the retained marker rows on pre-boundary steps,
+    absent_over_time of a nonexistent metric fires on every step, and
+    timestamp() answers with the last retained row's ts. lookback_ms =
+    DAY-1 makes the instant path's effective window exactly DAY, the
+    oracle's BETWEEN convention."""
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.promql.compiler import PromQLEngine, TsStore
+    from filodb_spark.streaming.downsample import downsample_counter
+    c = _counter_df(spark, sf_dir)
+    df = c.select(F.create_map(F.lit("__name__"),
+                               F.col("event_type")).alias("labels"),
+                  "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, STEP)
+    boundary = grid.start + ((grid.end - grid.start) // (2 * STEP)) * STEP
+    raw = df.where(F.col("ts") >= boundary)
+    dsc = downsample_counter(
+        df.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], RES).drop("_sk")
+    store = TsStore(raw, ds_counter_df=dsc,
+                    raw_retention_start_ms=boundary,
+                    ds_resolution_ms=RES)
+    eng = PromQLEngine(spark, store, lookback_ms=DAY - 1)
+
+    def run(promql, tag, et_col):
+        out = eng.query_range(promql, grid.start, grid.end, STEP)
+        return out.where(~F.isnan("value")).select(
+            F.lit(tag).alias("q"), et_col.alias("et"), "t", "value")
+    lab = F.col("labels")
+    present = run('present_over_time({__name__=~".+"}[24h])', "present",
+                  lab["__name__"])
+    absent = run('absent_over_time(nonexistent{job="x"}[24h])', "absent",
+                 lab["job"])
+    ts_q = run('timestamp({__name__=~".+"})', "ts", lab["__name__"])
+    return present.unionByName(absent).unionByName(ts_q)
+
+
+QUERIES["ts_ds_presence"] = q_ds_presence
+
+ORACLES["ts_ds_presence"] = f"""
+WITH raw0 AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+ctr AS ({_ctr_sql()}),
+{_MARKER_SQL.lstrip()},
+mk AS (
+  SELECT sk, ts, value FROM m2
+  WHERE rn = 1 OR dip OR pre_dip OR last_in_p
+),
+grid AS (
+  SELECT unnest(generate_series({_GS}, {_GE}, {STEP})) AS t
+),
+ds_win AS (
+  SELECT mk.sk, grid.t, max(mk.ts) AS last_ts
+  FROM grid JOIN mk ON mk.ts BETWEEN grid.t - {DAY} AND grid.t
+  WHERE grid.t < {_FIRST_RAW_SQL}
+  GROUP BY 1, 2
+),
+raw_win AS (
+  SELECT ctr.sk, grid.t, max(ctr.ts) AS last_ts
+  FROM grid JOIN ctr ON ctr.ts BETWEEN grid.t - {DAY} AND grid.t
+                     AND ctr.ts >= {_BOUNDARY_SQL}
+  WHERE grid.t >= {_FIRST_RAW_SQL}
+  GROUP BY 1, 2
+),
+win AS (SELECT * FROM ds_win UNION ALL SELECT * FROM raw_win)
+SELECT 'present' AS q, sk AS et, t, 1.0 AS value FROM win
+UNION ALL
+SELECT 'absent' AS q, 'x' AS et, t, 1.0 AS value FROM grid
+UNION ALL
+SELECT 'ts' AS q, sk AS et, t, last_ts / 1000.0 AS value FROM win"""

@@ -973,6 +973,16 @@ class PromQLEngine:
         "stdvar_over_time", "quantile_over_time", "deriv",
         "predict_linear", "holt_winters", "z_score"})
 
+    # fns with no exact ds-gauge rollup rewrite that the reference's DS
+    # cluster evaluates over the dataset's declared VALUE column (avg
+    # for ds-gauge) — the raw kernels run on (ts=tTime, value=avg)
+    # pseudo-samples. Approximate by construction (one avg sample per
+    # period), exactly the reference's property on downsampled gauges.
+    GAUGE_DS_AVG_FNS = frozenset({
+        "stddev_over_time", "stdvar_over_time", "quantile_over_time",
+        "deriv", "predict_linear", "holt_winters", "z_score",
+        "changes", "resets", "idelta"})
+
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):
         None when every instant's lookback window is raw-resident;
@@ -1018,11 +1028,17 @@ class PromQLEngine:
                               bin_k.canonical_labels(F.col("labels")))
 
     def _ds_gauge_part(self, sel: A.VectorSelector, fn: str,
-                       grid: StepGrid, window: int) -> DataFrame:
-        """Pre-boundary steps evaluated on the ds-GAUGE rewrite table
-        (range_function_ds applies the _DS_REWRITE aggregate). Returns
-        (_sk, labels, t, value) — _sk kept for schema fan-out dedup."""
-        from filodb_spark.streaming.downsample import range_function_ds
+                       grid: StepGrid, window: int,
+                       params: tuple = ()) -> DataFrame:
+        """Pre-boundary steps evaluated on the ds-GAUGE rewrite table:
+        exact rollup re-aggregation where one exists (_DS_REWRITE via
+        range_function_ds), else the raw kernel over (ts=tTime,
+        value=avg) pseudo-samples — the reference's DS cluster runs
+        non-rewritable fns over the dataset's declared value column the
+        same way. Returns (_sk, labels, t, value) — _sk kept for
+        schema fan-out dedup."""
+        from filodb_spark.streaming.downsample import (_DS_REWRITE,
+                                                       range_function_ds)
         ds = self.store.ds_df
         labels = F.col("labels")
         if sel.metric:
@@ -1034,7 +1050,13 @@ class PromQLEngine:
             ds, [m for m in sel.matchers if m.name != "_type_"])
         ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
         ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
-        out = range_function_ds(ds, fn, ["_sk"], grid, window)
+        if fn in _DS_REWRITE:
+            out = range_function_ds(ds, fn, ["_sk"], grid, window)
+        else:
+            from filodb_spark.kernels.range_fns import range_function
+            out = range_function(
+                ds.select("_sk", "ts", F.col("avg").alias("value")),
+                fn, ["_sk"], grid, window, params=params)
         return out.join(ds_lab, "_sk").select("_sk", "labels", "t",
                                               "value")
 
@@ -1228,7 +1250,8 @@ class PromQLEngine:
         # A metric-less selector fans out to BOTH datasets (a series
         # lives in exactly one; the gauge side wins a pathological
         # double hit), like MultiSchemaPartitionsExec's schema fan-out.
-        gauge_ok = self.store.ds_df is not None and fn in _DS_REWRITE
+        gauge_ok = self.store.ds_df is not None and \
+            (fn in _DS_REWRITE or fn in self.GAUGE_DS_AVG_FNS)
         # the "counter" side evaluates the RAW kernels on _ds_select,
         # which serves the counter DS table AND the hist-rewrite
         # (<m>_sum/_count/_bucket) scalar selectors from the hist DS
@@ -1262,7 +1285,7 @@ class PromQLEngine:
                 for side in sides:
                     if side == "gauge":
                         parts.append(self._ds_gauge_part(
-                            sel, fn, grid, window))
+                            sel, fn, grid, window, params))
                     else:
                         self._check_ds_lookback(fn, window)
                         parts.append(self._ds_counter_part(

@@ -460,3 +460,21 @@ def test_window_aggregates_over_counter_ds_rows(counter_engine,
     # and the gauge metric still uses the exact rollup rewrite
     g = _run(deng, "sum_over_time(g[5m])", 9, 9)
     assert g == {9: 15.0}          # rollup ttime 5m: sum 15
+
+
+def test_nonrewritable_fns_over_gauge_avg_column(engine):
+    """fns with no exact rollup rewrite (deriv, stddev_over_time, ...)
+    evaluate pre-boundary steps over (ts=tTime, value=avg)
+    pseudo-samples — the reference's DS cluster runs them over the
+    ds-gauge dataset's declared value column. Rollup avgs here:
+    ttime 0m: 0.0, 5m: 3.0, 10m: 8.0, 15m: 13.0, 19m: 17.5."""
+    # deriv over [t-10m, t] at t=9: avg samples (0s, 0), (300s, 3)
+    # -> regression slope 3/300 per second
+    got = _run(engine, "deriv(g[10m])", 9, 9)
+    assert got == {9: pytest.approx(3.0 / 300.0)}
+    # population stddev of {0, 3}
+    sd = _run(engine, "stddev_over_time(g[10m])", 9, 9)
+    assert sd == {9: pytest.approx(1.5)}
+    # raw side still exact: deriv over raw per-minute samples = 1/60
+    got = _run(engine, "deriv(g[5m])", 19, 19)
+    assert got == {19: pytest.approx(1.0 / 60.0)}

@@ -981,7 +981,7 @@ class PromQLEngine:
     GAUGE_DS_AVG_FNS = frozenset({
         "stddev_over_time", "stdvar_over_time", "quantile_over_time",
         "deriv", "predict_linear", "holt_winters", "z_score",
-        "changes", "resets", "idelta"})
+        "changes", "resets", "idelta", "irate"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):

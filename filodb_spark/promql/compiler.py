@@ -1261,7 +1261,14 @@ class PromQLEngine:
         # hist-only DS mounts)
         counter_ok = (self.store.ds_view() is not None
                       and fn in self.COUNTER_DS_FNS)
-        if gauge_ok and counter_ok:
+        # split BEFORE schema resolution: recent-range queries (split
+        # is None — by far the common case) must not pay even the
+        # memoized schema-probe jobs
+        split = self._ds_split(grid, window) \
+            if (gauge_ok or counter_ok) else None
+        if split is None:
+            sides = ()
+        elif gauge_ok and counter_ok:
             ds_schema = self.store.ds_schema_of(sel.metric)
             if ds_schema == "counter":
                 sides = ("counter",)
@@ -1274,42 +1281,38 @@ class PromQLEngine:
                 sides = ("gauge", "counter")
         elif gauge_ok:
             sides = ("gauge",)
-        elif counter_ok:
-            sides = ("counter",)
         else:
-            sides = ()
+            sides = ("counter",)
         if sides:
-            split = self._ds_split(grid, window)
-            if split is not None:
-                parts = []
-                for side in sides:
-                    if side == "gauge":
-                        parts.append(self._ds_gauge_part(
-                            sel, fn, grid, window, params))
-                    else:
-                        self._check_ds_lookback(fn, window)
-                        parts.append(self._ds_counter_part(
-                            sel, fn, grid, window, params))
-                ds_out = parts[0]
-                if len(parts) == 2:
-                    # schema fan-out dedup: drop counter-side series
-                    # that the gauge dataset also carries
-                    gauge_keys = parts[0].select("_sk").distinct()
-                    ds_out = ds_out.unionByName(
-                        parts[1].join(gauge_keys, "_sk", "left_anti"))
-                ds_out = ds_out.select("labels", "t", "value")
-                if split == "all_ds":
-                    # long lookback: whole grid on the DS cluster
-                    # (LongTimeRangePlanner.scala:123-151)
-                    return ds_out
-                raw_out = range_function(
-                    df, fn, ["_sk"], grid, window, params=params,
-                    carry_cols=["labels"],
-                    tiling=self._tiling_arg(fn, sel, grid, window),
-                    honor_stale_marker=True) \
-                    .where(F.col("t") >= split) \
-                    .select("labels", "t", "value")
-                return raw_out.unionByName(ds_out.where(F.col("t") < split))
+            parts = []
+            for side in sides:
+                if side == "gauge":
+                    parts.append(self._ds_gauge_part(
+                        sel, fn, grid, window, params))
+                else:
+                    self._check_ds_lookback(fn, window)
+                    parts.append(self._ds_counter_part(
+                        sel, fn, grid, window, params))
+            ds_out = parts[0]
+            if len(parts) == 2:
+                # schema fan-out dedup: drop counter-side series
+                # that the gauge dataset also carries
+                gauge_keys = parts[0].select("_sk").distinct()
+                ds_out = ds_out.unionByName(
+                    parts[1].join(gauge_keys, "_sk", "left_anti"))
+            ds_out = ds_out.select("labels", "t", "value")
+            if split == "all_ds":
+                # long lookback: whole grid on the DS cluster
+                # (LongTimeRangePlanner.scala:123-151)
+                return ds_out
+            raw_out = range_function(
+                df, fn, ["_sk"], grid, window, params=params,
+                carry_cols=["labels"],
+                tiling=self._tiling_arg(fn, sel, grid, window),
+                honor_stale_marker=True) \
+                .where(F.col("t") >= split) \
+                .select("labels", "t", "value")
+            return raw_out.unionByName(ds_out.where(F.col("t") < split))
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
             return (out.join(lab, "_sk").select("labels", "t", "value"))

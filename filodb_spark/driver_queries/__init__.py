@@ -29,23 +29,25 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-2   NEW r11: ts_ds_schema_route (per-metric-schema DS routing
+    #   1-3   NEW r11: ts_ds_schema_route (per-metric-schema DS routing
     #         with BOTH ds-gauge and ds-counter tables mounted,
-    #         TsStore.ds_schema_of + metric-less schema fan-out) and
+    #         TsStore.ds_schema_of + metric-less schema fan-out),
     #         ts_ds_presence (present/absent_over_time + timestamp()
-    #         across the split, the r11 fn-matrix audit closures) —
-    #         both pre-verified exact at sf0.001/0.01/0.1,
-    #   3-10  once-gated at r10: ts_ds_counter, ts_ds_hist,
+    #         across the split), and ts_ds_window_aggs (gauge window
+    #         aggregates over retained counter marker rows) — the r11
+    #         fn-matrix audit closures, all pre-verified exact at
+    #         sf0.001/0.01/0.1,
+    #   4-11  once-gated at r10: ts_ds_counter, ts_ds_hist,
     #         ts_ds_delta_counter, ts_raw_ds_split_rate,
     #         ts_gateway_hist_assembly, ts_ds_metadata, ts_repair_copy,
     #         ts_ds_eligibility,
-    #   11-19 the nine last-gated-r6 leftovers, alphabetical,
-    #   20-50 the last-gated-r7 backlog (48 queries), alphabetical —
-    #         31 fit; the remaining 17 (pl_repetition ...
+    #   12-20 the nine last-gated-r6 leftovers, alphabetical,
+    #   21-50 the last-gated-r7 backlog (48 queries), alphabetical —
+    #         30 fit; the remaining 18 (pl_mix_sources ...
     #         ts_hist_mixed_sum) lead the r12 backlog.
     window = [
         # new in round 11
-        "ts_ds_schema_route", "ts_ds_presence",
+        "ts_ds_schema_route", "ts_ds_presence", "ts_ds_window_aggs",
         # once-gated head (new in r10)
         "ts_ds_counter", "ts_ds_hist", "ts_ds_delta_counter",
         "ts_raw_ds_split_rate", "ts_gateway_hist_assembly",
@@ -64,7 +66,7 @@ def all_queries():
         "emb_outliers", "emb_pq", "ev_anomalies",
         "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
         "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_card",
-        "pl_dataset_diff", "pl_manifest", "pl_mix_sources",
+        "pl_dataset_diff", "pl_manifest",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

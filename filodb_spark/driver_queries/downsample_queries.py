@@ -792,3 +792,86 @@ UNION ALL
 SELECT 'absent' AS q, 'x' AS et, t, 1.0 AS value FROM grid
 UNION ALL
 SELECT 'ts' AS q, sk AS et, t, last_ts / 1000.0 AS value FROM win"""
+
+
+def q_ds_window_aggs(spark, sf_dir):
+    """Gauge-family window aggregates on a counter downsample mount
+    (r11 fn-matrix closure): sum/count/max/avg_over_time evaluate
+    pre-boundary steps over the RETAINED marker rows with the raw
+    kernels — the reference DS cluster's retained-row semantics. All
+    values are exact (integer-cents counter; avg is one IEEE division
+    of identical integers in both engines)."""
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.promql.compiler import PromQLEngine, TsStore
+    from filodb_spark.streaming.downsample import downsample_counter
+    c = _counter_df(spark, sf_dir)
+    df = c.select(F.create_map(F.lit("__name__"),
+                               F.col("event_type")).alias("labels"),
+                  "ts", "value")
+    lo, hi = _bounds(spark, sf_dir)
+    grid = grid_from_bounds(lo, hi, STEP)
+    boundary = grid.start + ((grid.end - grid.start) // (2 * STEP)) * STEP
+    raw = df.where(F.col("ts") >= boundary)
+    dsc = downsample_counter(
+        df.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], RES).drop("_sk")
+    store = TsStore(raw, ds_counter_df=dsc,
+                    raw_retention_start_ms=boundary,
+                    ds_resolution_ms=RES)
+    eng = PromQLEngine(spark, store)
+
+    def run(fn):
+        out = eng.query_range(f'{fn}({{__name__=~".+"}}[24h])',
+                              grid.start, grid.end, STEP)
+        return out.where(~F.isnan("value")).select(
+            F.lit(fn).alias("q"),
+            F.col("labels")["__name__"].alias("et"), "t", "value")
+    out = None
+    for fn in ("sum_over_time", "count_over_time", "max_over_time",
+               "avg_over_time"):
+        part = run(fn)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+QUERIES["ts_ds_window_aggs"] = q_ds_window_aggs
+
+ORACLES["ts_ds_window_aggs"] = f"""
+WITH raw0 AS (
+  SELECT event_type AS sk, epoch_ms(ts) AS ts, max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+ctr AS ({_ctr_sql()}),
+{_MARKER_SQL.lstrip()},
+mk AS (
+  SELECT sk, ts, value FROM m2
+  WHERE rn = 1 OR dip OR pre_dip OR last_in_p
+),
+grid AS (
+  SELECT unnest(generate_series({_GS}, {_GE}, {STEP})) AS t
+),
+ds_win AS (
+  SELECT mk.sk, grid.t, sum(mk.value) AS s,
+         CAST(count(*) AS DOUBLE) AS c, max(mk.value) AS mx,
+         avg(mk.value) AS av
+  FROM grid JOIN mk ON mk.ts BETWEEN grid.t - {DAY} AND grid.t
+  WHERE grid.t < {_FIRST_RAW_SQL}
+  GROUP BY 1, 2
+),
+raw_win AS (
+  SELECT ctr.sk, grid.t, sum(ctr.value) AS s,
+         CAST(count(*) AS DOUBLE) AS c, max(ctr.value) AS mx,
+         avg(ctr.value) AS av
+  FROM grid JOIN ctr ON ctr.ts BETWEEN grid.t - {DAY} AND grid.t
+                     AND ctr.ts >= {_BOUNDARY_SQL}
+  WHERE grid.t >= {_FIRST_RAW_SQL}
+  GROUP BY 1, 2
+),
+win AS (SELECT * FROM ds_win UNION ALL SELECT * FROM raw_win)
+SELECT 'sum_over_time' AS q, sk AS et, t, s AS value FROM win
+UNION ALL
+SELECT 'count_over_time' AS q, sk AS et, t, c AS value FROM win
+UNION ALL
+SELECT 'max_over_time' AS q, sk AS et, t, mx AS value FROM win
+UNION ALL
+SELECT 'avg_over_time' AS q, sk AS et, t, av AS value FROM win"""

@@ -62,6 +62,10 @@ def _open_store(spark, store: str, partkey: str | None = None,
                 int(args.raw_retention_start * 1000)
         if getattr(args, "ds_resolution", None) is not None:
             kw["ds_resolution_ms"] = int(args.ds_resolution * 1000)
+        if getattr(args, "counter_metrics", None):
+            kw["counter_metrics"] = tuple(
+                m.strip() for m in args.counter_metrics.split(",")
+                if m.strip())
     if store.startswith("events:"):
         from filodb_spark.tsdf import events_labels_ts
         return TsStore(events_labels_ts(spark, store.split(":", 1)[1]), **kw)
@@ -84,6 +88,12 @@ def _add_ds_args(p):
                    help="downsample resolution in seconds — counter "
                         "rate/increase lookbacks below 2x this are "
                         "rejected, as in the reference")
+    p.add_argument("--counter-metrics", default=None,
+                   help="comma-separated metrics DECLARED as cumulative "
+                        "counters (the reference declares every "
+                        "metric's schema in config) — dual downsample "
+                        "mounts route these to the counter DS table "
+                        "without existence probes")
 
 
 def main(argv=None) -> int:

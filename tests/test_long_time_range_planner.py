@@ -478,3 +478,29 @@ def test_nonrewritable_fns_over_gauge_avg_column(engine):
     # raw side still exact: deriv over raw per-minute samples = 1/60
     got = _run(engine, "deriv(g[5m])", 19, 19)
     assert got == {19: pytest.approx(1.0 / 60.0)}
+
+
+def test_fanout_dedup_on_pathological_double_hit(spark):
+    """A series present in BOTH DS datasets (a misconfigured pipeline
+    writing it twice) must appear ONCE in the metric-less fan-out —
+    the gauge side wins, matching the named-metric tie-break."""
+    from filodb_spark.streaming.downsample import (downsample,
+                                                   downsample_counter)
+    full = spark.createDataFrame(
+        [({"__name__": "b", "job": "a"}, T0 + i * MIN, float(i))
+         for i in range(20)],
+        "labels map<string,string>, ts long, value double")
+    raw = full.where(F.col("ts") >= BOUNDARY)
+    sk = full.withColumn("_sk", canonical_labels(F.col("labels")))
+    from filodb_spark.streaming.downsample import downsample as _ds
+    ds = _ds(sk, ["labels"], 5 * MIN).drop("_sk")
+    dsc = downsample_counter(sk, ["_sk"], 5 * MIN).drop("_sk")
+    store = TsStore(raw, ds_df=ds, ds_counter_df=dsc,
+                    raw_retention_start_ms=BOUNDARY,
+                    ds_resolution_ms=5 * MIN)
+    engine = PromQLEngine(spark, store)
+    out = engine.query_range('last_over_time({job="a"}[5m])',
+                             T0 + 8 * MIN, T0 + 8 * MIN, MIN).collect()
+    assert len(out) == 1                       # once, not twice
+    # gauge side's value (rollup avg via max_by), not the counter row
+    assert out[0]["value"] == 3.0

@@ -93,6 +93,12 @@ def bust_part_keys(spark: SparkSession, partkey_path: str,
     table (the reference job's whole scope — it deletes part keys, not
     chunks). Returns {"candidates": n, "deleted": m}; with
     simulate=True nothing is rewritten (isSimulation parity)."""
+    # BEFORE reading: recover a leftover __busted_old from a prior hard
+    # crash (it may hold the only copy of the table)
+    from filodb_spark.partkey import recover_table_dir
+    fs, Path = hadoop_fs(spark, partkey_path)
+    recover_table_dir(fs, Path, partkey_path,
+                      partkey_path.rstrip("/") + "__busted_old")
     pk = read_partkey_table(spark, partkey_path)
     survivors, doomed = split_part_keys(pk, delete_filters, start_gte,
                                         start_lte, end_gte, end_lte)
@@ -118,14 +124,16 @@ def _swap_rewrite_partkeys(spark: SparkSession, path: str,
         (out.repartition(*[F.col(c) for c in shard_labels])
             .sortWithinPartitions("_metric", "_sk")
             .write.mode("overwrite").partitionBy(*shard_labels).parquet(tmp))
-        fs.rename(Path(path), Path(old))
-        fs.rename(Path(tmp), Path(path))
-        fs.delete(Path(old), True)
+        # checked renames + leftover preflight (Hadoop reports rename
+        # failure by RETURN VALUE — the unchecked swap could silently
+        # no-op, delete the leftover, and report the bust successful
+        # while every doomed series survived)
+        pkmod.swap_table_dir(fs, Path, tmp, path, old)
     except BaseException:
         # same restore discipline as compact_partkey_table: never leave
         # nothing at `path` after a mid-swap failure
         if not fs.exists(Path(path)) and fs.exists(Path(old)):
-            fs.rename(Path(old), Path(path))
+            pkmod.checked_rename(fs, Path, old, path)
         fs.delete(Path(tmp), True)
         raise
 

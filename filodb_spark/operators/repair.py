@@ -103,7 +103,14 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     writePartKeys performs. copy=False disables the copy phase
     (PartitionKeysCopier.scala:115: validation-only / no-op runs) and
     just returns the would-copy count. Returns rows (to be) copied."""
-    from filodb_spark.partkey import read_partkey_table
+    from filodb_spark.partkey import read_partkey_table, recover_table_dir
+    from filodb_spark.sources.table import hadoop_fs
+    # recover a crash-orphaned target FIRST — before the early returns,
+    # so validation-only / empty-band runs also restore it rather than
+    # failing a later read on the missing directory
+    fs, Path = hadoop_fs(spark, target_path)
+    recover_table_dir(fs, Path, target_path,
+                      target_path.rstrip("/") + "__copy_old")
     # merged rows: a series' span must be judged over ALL its delta
     # rows, not per physical delta
     src = read_partkey_table(spark, source_path)
@@ -122,16 +129,10 @@ def copy_partkeys(spark: SparkSession, source_path: str,
     # reference's writePartKeys record replacement.
     from filodb_spark.partkey import (PARTKEY_COLS, checked_rename,
                                       read_partkey_manifest,
-                                      recover_table_dir, swap_table_dir,
-                                      write_partkey_manifest,
+                                      swap_table_dir, write_partkey_manifest,
                                       _with_shard_cols)
-    from filodb_spark.sources.table import hadoop_fs
     tmp = target_path.rstrip("/") + "__copy_tmp"
     old = target_path.rstrip("/") + "__copy_old"
-    fs, Path = hadoop_fs(spark, target_path)
-    # BEFORE reading the target: recover a leftover __copy_old from a
-    # prior hard crash (it may hold the only copy of the table)
-    recover_table_dir(fs, Path, target_path, old)
     tgt = read_partkey_table(spark, target_path)
     s = band.select(F.col("_sk").alias("_sk"),
                     F.col("labels").alias("_s_labels"),
@@ -187,7 +188,13 @@ def validate_partkeys(spark: SparkSession, source_path: str,
     series_source_only/series_target_only diff on _sk alone, so a
     covering target reports 0 series_source_only even when its spans
     differ."""
-    from filodb_spark.partkey import read_partkey_table
+    from filodb_spark.partkey import read_partkey_table, recover_table_dir
+    from filodb_spark.sources.table import hadoop_fs
+    # a validate-before-recopy run must see a crash-orphaned target
+    # restored, not a path-not-found error
+    fs, Path = hadoop_fs(spark, target_path)
+    recover_table_dir(fs, Path, target_path,
+                      target_path.rstrip("/") + "__copy_old")
 
     def rows(path):
         pk = read_partkey_table(spark, path)

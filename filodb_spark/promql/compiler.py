@@ -1171,6 +1171,15 @@ class PromQLEngine:
 
     def _run_range_fn(self, sel: A.VectorSelector, grid: StepGrid,
                       window: int, fn: str, params: tuple) -> DataFrame:
+        if fn == "absent_over_time":
+            # BEFORE the scan (it would be dead work): presence through
+            # the FULL routed evaluation (raw/DS split + schema
+            # fan-out) — a series whose samples survive only in the
+            # downsample tables is still PRESENT on pre-boundary steps;
+            # the raw-only evaluation used to report it absent
+            present = self._run_range_fn(sel, grid, window,
+                                         "present_over_time", ())
+            return self._absent_from(present, sel, grid)
         df = self._scan(sel, grid.start - window, grid.end)
         df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
         lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
@@ -1213,14 +1222,6 @@ class PromQLEngine:
             out = self._hist_window(df, fn, grid, window)
             keep = [c for c in ("hmin", "hmax") if c in out.columns]
             return out.join(lab, "_sk").select("labels", "t", "hist", *keep)
-        if fn == "absent_over_time":
-            # presence through the FULL routed evaluation (raw/DS split
-            # + schema fan-out): a series whose samples survive only in
-            # the downsample tables is still PRESENT on pre-boundary
-            # steps — the raw-only evaluation used to report it absent
-            present = self._run_range_fn(sel, grid, window,
-                                         "present_over_time", ())
-            return self._absent_from(present, sel, grid)
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:
             fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)

@@ -177,3 +177,38 @@ def test_full_bust_and_expire_interplay(spark, samples, tmp_path):
     left = spark.read.parquet(data_path)
     assert left.where(F.col("date") < "2023-11-16").count() == 0
     assert left.count() > 0
+
+
+def test_bust_recovers_crash_leftovers(spark, tmp_path):
+    """bust_part_keys restores a crash-orphaned table and cleans a
+    stale __busted_old before swapping — an unchecked rename against a
+    leftover silently no-ops (Hadoop reports rename failure by return
+    value) and would report a successful delete that never happened."""
+    import os
+    import shutil
+    from pyspark.sql import functions as F
+    from filodb_spark.operators.cardbuster import bust_part_keys
+    from filodb_spark.partkey import read_partkey_table, write_partkey_table
+    rows = [({"__name__": m, "_ws_": "w", "_ns_": "n"},
+             1_700_000_000_000 + i * 60_000, float(i))
+            for m in ("keep", "doom") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    pk = str(tmp_path / "pk")
+    write_partkey_table(df, pk)
+    # stale leftover (target present): must be cleaned, and the bust
+    # must REALLY install the rewritten table
+    shutil.copytree(pk, pk + "__busted_old")
+    out = bust_part_keys(spark, pk, [{"__name__": "doom"}],
+                         simulate=False)
+    assert out["deleted"] == 1
+    names = {r["labels"]["__name__"]
+             for r in read_partkey_table(spark, pk).collect()}
+    assert names == {"keep"}
+    assert not os.path.exists(pk + "__busted_old")
+    # orphan leftover (target missing): restored before the read
+    os.rename(pk, pk + "__busted_old")
+    out = bust_part_keys(spark, pk, [{"__name__": "nope"}],
+                         simulate=False)
+    assert out["deleted"] == 0
+    assert read_partkey_table(spark, pk).count() == 1

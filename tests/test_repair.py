@@ -205,3 +205,21 @@ class TestCopyPartkeys:
         got = {r["labels"]["__name__"]
                for r in read_partkey_table(spark, dst).collect()}
         assert got == {"a", "b"}
+
+    def test_validation_only_paths_recover_orphans(self, spark,
+                                                   tmp_path):
+        """copy=False runs and validate_partkeys must also restore a
+        crash-orphaned target (only __copy_old on disk) instead of
+        failing the read — the validate-before-recopy flow is exactly
+        when the orphan state is encountered."""
+        import os
+        src, dst = str(tmp_path / "os"), str(tmp_path / "ot")
+        write_partkey_table(_series(spark, ["a"]), src)
+        write_partkey_table(_series(spark, ["a"]), dst)
+        os.rename(dst, dst + "__copy_old")
+        v = validate_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
+        assert v["source_only"] == 0 and v["target_only"] == 0
+        os.rename(dst, dst + "__copy_old")
+        n = copy_partkeys(spark, src, dst, T0 - 2, T0 - 1, copy=False)
+        assert n == 0
+        assert read_partkey_table(spark, dst).count() == 1

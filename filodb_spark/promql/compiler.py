@@ -971,7 +971,8 @@ class PromQLEngine:
         "sum_over_time", "count_over_time", "avg_over_time",
         "min_over_time", "max_over_time", "stddev_over_time",
         "stdvar_over_time", "quantile_over_time", "deriv",
-        "predict_linear", "holt_winters", "z_score"})
+        "predict_linear", "holt_winters", "z_score",
+        "mad_over_time", "last_over_time_is_mad_outlier"})
 
     # fns with no exact ds-gauge rollup rewrite that the reference's DS
     # cluster evaluates over the dataset's declared VALUE column (avg
@@ -981,7 +982,8 @@ class PromQLEngine:
     GAUGE_DS_AVG_FNS = frozenset({
         "stddev_over_time", "stdvar_over_time", "quantile_over_time",
         "deriv", "predict_linear", "holt_winters", "z_score",
-        "changes", "resets", "idelta", "irate"})
+        "changes", "resets", "idelta", "irate", "mad_over_time",
+        "last_over_time_is_mad_outlier"})
 
     def _ds_split(self, grid: StepGrid, window: int):
         """Raw/DS split point (LongTimeRangePlanner.scala:110-171):
@@ -1306,13 +1308,24 @@ class PromQLEngine:
                 # long lookback: whole grid on the DS cluster
                 # (LongTimeRangePlanner.scala:123-151)
                 return ds_out
-            raw_out = range_function(
-                df, fn, ["_sk"], grid, window, params=params,
-                carry_cols=["labels"],
-                tiling=self._tiling_arg(fn, sel, grid, window),
-                honor_stale_marker=True) \
-                .where(F.col("t") >= split) \
-                .select("labels", "t", "value")
+            if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
+                # the mad kernels take no tiling/stale-marker args
+                # (full-window medians) — same call shape as their
+                # dedicated raw-only branch below, so raw-side
+                # semantics are identical with or without a DS mount
+                raw_out = (range_function(df, fn, ["_sk"], grid,
+                                          window, params=params)
+                           .join(lab, "_sk")
+                           .where(F.col("t") >= split)
+                           .select("labels", "t", "value"))
+            else:
+                raw_out = range_function(
+                    df, fn, ["_sk"], grid, window, params=params,
+                    carry_cols=["labels"],
+                    tiling=self._tiling_arg(fn, sel, grid, window),
+                    honor_stale_marker=True) \
+                    .where(F.col("t") >= split) \
+                    .select("labels", "t", "value")
             return raw_out.unionByName(ds_out.where(F.col("t") < split))
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)

@@ -504,3 +504,23 @@ def test_fanout_dedup_on_pathological_double_hit(spark):
     assert len(out) == 1                       # once, not twice
     # gauge side's value (rollup avg via max_by), not the counter row
     assert out[0]["value"] == 3.0
+
+
+def test_mad_over_time_across_split(engine, counter_engine):
+    """mad_over_time joins the routed split: pre-boundary steps give
+    the median-absolute-deviation of the RETAINED rows (marker rows on
+    counter mounts, rollup avgs on gauge mounts); the raw side keeps
+    the dedicated mad kernel call untouched."""
+    # gauge mount at t=9, [10m]: avg pseudo-samples {0.0, 3.0} ->
+    # median 1.5, deviations {1.5, 1.5} -> mad 1.5
+    got = _run(engine, "mad_over_time(g[10m])", 9, 9)
+    assert got == {9: pytest.approx(1.5)}
+    # counter mount at t=5, [5m]: marker rows i=0 (0.0), i=5 (10.0) ->
+    # median 5, deviations {5, 5} -> mad 5
+    ceng, _, _ = counter_engine
+    got = _run(ceng, "mad_over_time(c[5m])", 5, 5)
+    assert got == {5: pytest.approx(5.0)}
+    # raw side unchanged: per-minute values 15..19 in [15m,19m] window
+    # -> median 17, deviations {2,1,0,1,2} -> mad 1
+    got = _run(engine, "mad_over_time(g[4m])", 19, 19)
+    assert got == {19: pytest.approx(1.0)}

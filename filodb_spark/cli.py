@@ -52,11 +52,20 @@ def _open_store(spark, store: str, partkey: str | None = None,
         # service at both the raw and downsample clusters
         # (LongTimeRangePlanner stitches; DownsampledTimeSeriesShard
         # serves the old range)
-        for flag, key in (("ds_gauge", "ds_df"),
-                          ("ds_counter", "ds_counter_df")):
+        for flag, key, stamp_key in (
+                ("ds_gauge", "ds_df", "ds_gauge_metrics"),
+                ("ds_counter", "ds_counter_df", "ds_counter_metrics")):
             path = getattr(args, flag, None)
             if path:
                 kw[key] = spark.read.parquet(path)
+                # write-time schema stamp (retention_ladder writes it):
+                # per-metric DS routing answers from the stamped metric
+                # set — zero existence probes, even for absent metrics
+                from filodb_spark.sources.table import \
+                    read_ds_schema_manifest
+                stamp = read_ds_schema_manifest(spark, path)
+                if stamp.get("metrics") is not None:
+                    kw[stamp_key] = frozenset(stamp["metrics"])
         if getattr(args, "raw_retention_start", None) is not None:
             kw["raw_retention_start_ms"] = \
                 int(args.raw_retention_start * 1000)

@@ -263,6 +263,15 @@ class TsStore:
     # back to a memoized membership probe of the mounted downsample
     # tables (ds_schema_of)
     counter_metrics: tuple[str, ...] = ()
+    # metric-name sets STAMPED into the mounted DS tables at write time
+    # (sources.table.write_ds_schema_manifest — retention_ladder writes
+    # one per tier; cli _open_store auto-reads it on --ds-gauge /
+    # --ds-counter mounts): ds_schema_of answers membership from these
+    # with no scan at all, including absence. None = unstamped mount
+    # (e.g. a live streaming-downsample sink, where new metric names
+    # can appear after any stamp) — probe fallback.
+    ds_gauge_metrics: frozenset | None = None
+    ds_counter_metrics: frozenset | None = None
     # resolution of the downsample tables — rate/increase lookbacks
     # shorter than 2x this are rejected when they route to DS data
     # (PeriodicSamplesMapper.scala:90-126)
@@ -531,6 +540,18 @@ class TsStore:
             # side runs the raw kernels on the _ds_select frame, which
             # resolves the rewrite exactly like the raw scan)
             return "counter" if self.ds_hist_df is not None else None
+        # write-time stamps answer membership metadata-only — the
+        # manifest was read once at mount time; present AND absent
+        # metrics resolve without touching any sample row (gauge wins
+        # a pathological both-stamped hit, same tie-break as the probe)
+        stamped_g, stamped_c = self.ds_gauge_metrics, self.ds_counter_metrics
+        if stamped_g is not None and metric in stamped_g:
+            return "gauge"
+        if stamped_c is not None and metric in stamped_c:
+            return "counter"
+        if (stamped_g is not None or self.ds_df is None) and \
+                (stamped_c is not None or self.ds_counter_df is None):
+            return None      # absent from every mounted table's stamp
         cache = self.__dict__.setdefault("_ds_schema_memo", {})
         if metric not in cache:
             schema = None
@@ -542,15 +563,26 @@ class TsStore:
             # bounded probe on the physically-sorted _metric column
             if self.partkey_df is not None and self.partkey_covers_ds \
                     and not self._index_covers(metric):
+                if len(cache) >= 256:
+                    cache.pop(next(iter(cache)))
                 cache[metric] = None
                 return None
-            if self.ds_df is not None and not self.ds_df.where(
-                    F.col("labels")[METRIC] == metric).isEmpty():
+            # a stamped table never needs its probe (the stamp already
+            # said the metric is absent from it); only unstamped
+            # mounted tables are scanned
+            if self.ds_df is not None and stamped_g is None and \
+                    not self.ds_df.where(
+                        F.col("labels")[METRIC] == metric).isEmpty():
                 schema = "gauge"
-            elif self.ds_counter_df is not None and \
-                    not self.ds_counter_df.where(
+            elif self.ds_counter_df is not None and stamped_c is None \
+                    and not self.ds_counter_df.where(
                         F.col("labels")[METRIC] == metric).isEmpty():
                 schema = "counter"
+            # FIFO-bounded like _multischema_memo: per-process state
+            # stays capped no matter how many distinct metrics a
+            # long-lived session resolves
+            if len(cache) >= 256:
+                cache.pop(next(iter(cache)))
             cache[metric] = schema
         return cache[metric]
 

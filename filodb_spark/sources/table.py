@@ -70,6 +70,71 @@ def escape_path_name(value: str | None) -> str:
                    for c in value)
 
 
+DS_SCHEMA_MANIFEST = "_ds_schema.json"
+# Stamping is skipped above this many distinct metric names: the
+# manifest is bounded driver-side state (the reference's schema
+# registry is config-declared and small — filodb-defaults.conf:221-457;
+# metric-NAME cardinality is orders below series cardinality even at
+# 100 TB). An unstamped table falls back to the probe path.
+DS_SCHEMA_STAMP_CAP = 100_000
+
+
+def write_ds_schema_manifest(spark: SparkSession, path: str,
+                             schema: str, metrics) -> None:
+    """Stamp a downsample table directory with its data schema and the
+    metric names it holds, so query-time DS routing (TsStore.
+    ds_schema_of) answers "which downsample dataset serves metric m"
+    as a metadata-only set lookup — no labels-column scan, even for
+    absent metrics. The downsampler KNOWS the schema when it writes
+    (the reference declares it per metric in config and routes each
+    schema to its own downsample dataset, filodb-defaults.conf:212-342,
+    DownsampledTimeSeriesShard.scala:96); this records that knowledge
+    next to the data. The `_`-prefixed name is invisible to Spark's
+    parquet reader, like `_SUCCESS`."""
+    import json as _json
+    fs, Path = hadoop_fs(spark, path)
+    out = fs.create(Path(f"{path.rstrip('/')}/{DS_SCHEMA_MANIFEST}"), True)
+    try:
+        out.write(bytearray(_json.dumps(
+            {"schema": schema, "metrics": sorted(metrics)}).encode()))
+    finally:
+        out.close()
+
+
+def read_ds_schema_manifest(spark: SparkSession, path: str) -> dict:
+    """Read a table's schema stamp; {} when absent (unstamped tables —
+    e.g. a live streaming-downsample sink, where new metric names can
+    appear after any stamp — fall back to ds_schema_of's probes)."""
+    import json as _json
+    fs, Path = hadoop_fs(spark, path)
+    p = Path(f"{path.rstrip('/')}/{DS_SCHEMA_MANIFEST}")
+    if not fs.exists(p):
+        return {}
+    stream = fs.open(p)
+    try:
+        # one bulk JVM read, never a per-byte py4j loop (the
+        # partkey-manifest lesson, partkey.py:203-209)
+        jvm = spark._jvm
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream))
+        return _json.loads(data.decode())
+    finally:
+        stream.close()
+
+
+def distinct_metric_names(df: DataFrame,
+                          cap: int = DS_SCHEMA_STAMP_CAP) -> list | None:
+    """The distinct `__name__` values in a labels-schema frame, for
+    stamping; None when cardinality exceeds `cap` (don't hold an
+    unbounded list on the driver — leave the table unstamped)."""
+    rows = (df.select(F.col("labels")["__name__"].alias("m"))
+              .where(F.col("m").isNotNull())
+              .distinct().limit(cap + 1).collect())
+    if len(rows) > cap:
+        return None
+    return [r.m for r in rows]
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True when the Delta Lake runtime is on the session classpath.
     SURVEY §7 names Parquet/Delta as the storage formats; parquet is the
@@ -400,6 +465,10 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
             is_eligible_for_downsample(F.col("labels"), allow, block))
     keyed = raw.withColumn("_sk", canonical_labels(F.col("labels")))
     series = keyed.select("_sk", "labels").dropDuplicates(["_sk"])
+    # the ladder knows every tier's schema and metric set right here —
+    # stamp it into each tier directory so dual mounts route per metric
+    # without existence probes (TsStore.ds_schema_of reads the stamp)
+    stamp_metrics = distinct_metric_names(raw)
     stats: dict = {}
     prev = None
     for res, name, keep_days in tiers:
@@ -431,6 +500,8 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                        F.date_format(F.timestamp_millis(F.col("ts")),
                                      "yyyy-MM-dd"))
            .write.mode("overwrite").partitionBy("date").parquet(path))
+        if stamp_metrics is not None:
+            write_ds_schema_manifest(spark, path, schema, stamp_metrics)
         expire_partitions(spark, path, _cutoff(keep_days))
         try:
             stats[name] = spark.read.parquet(path).count()

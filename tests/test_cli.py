@@ -336,3 +336,47 @@ def test_query_with_dual_ds_mount_and_declared_counters(spark, tmp_path):
     assert series and series[0]["metric"]["__name__"] == "c"
     vals = {int(t): float(v) for t, v in series[0]["values"]}
     assert vals[(t0 + 5 * minute) // 1000] == 10.0
+
+
+def test_dual_ds_mount_reads_write_time_schema_stamps(spark, tmp_path):
+    """Stamped DS tables (write_ds_schema_manifest) route per metric
+    through a plain --ds-gauge/--ds-counter mount with NO
+    --counter-metrics declaration and no probes: _open_store reads the
+    stamp into TsStore.ds_gauge_metrics/ds_counter_metrics."""
+    import json as _json
+    from pyspark.sql import functions as F
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.sources.table import write_ds_schema_manifest
+    from filodb_spark.streaming.downsample import (downsample,
+                                                   downsample_counter)
+    minute = 60_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % (5 * minute))
+    rows_g = [({"__name__": "g", "job": "x"}, t0 + i * minute, float(i))
+              for i in range(20)]
+    rows_c = [({"__name__": "c", "job": "x"}, t0 + i * minute,
+               float(2 * i)) for i in range(20)]
+    schema = "labels map<string,string>, ts long, value double"
+    g = spark.createDataFrame(rows_g, schema)
+    c = spark.createDataFrame(rows_c, schema)
+    boundary = t0 + 10 * minute
+    raw, dsg, dsc = (str(tmp_path / p) for p in ("raw", "dsg", "dsc"))
+    g.unionByName(c).where(F.col("ts") >= boundary).write.parquet(raw)
+    downsample(g.withColumn("_sk", canonical_labels(F.col("labels"))),
+               ["labels"], 5 * minute).drop("_sk").write.parquet(dsg)
+    downsample_counter(
+        c.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], 5 * minute).drop("_sk").write.parquet(dsc)
+    write_ds_schema_manifest(spark, dsg, "gauge", ["g"])
+    write_ds_schema_manifest(spark, dsc, "counter", ["c"])
+    rc, out = run_cli([
+        "query", "c", "--store", raw,
+        "--ds-gauge", dsg, "--ds-counter", dsc,
+        "--raw-retention-start", str(boundary / 1000),
+        "--ds-resolution", str(300),
+        "--start", str((t0 + 5 * minute) / 1000),
+        "--end", str((t0 + 9 * minute) / 1000), "--step", "60"])
+    assert rc == 0
+    series = _json.loads(out)["data"]["result"]
+    assert series and series[0]["metric"]["__name__"] == "c"
+    vals = {int(t): float(v) for t, v in series[0]["values"]}
+    assert vals[(t0 + 5 * minute) // 1000] == 10.0

@@ -395,6 +395,78 @@ def test_ds_schema_probe_short_circuits_via_covering_index(spark,
     assert st.ds_schema_of("g") == "gauge"
 
 
+def test_ds_schema_of_stamped_answers_without_any_scan(dual_engine,
+                                                       monkeypatch):
+    """Write-time schema stamps (sources.table.write_ds_schema_manifest)
+    make ds_schema_of a metadata-only lookup: present AND absent
+    metrics resolve without evaluating any DataFrame — the plan-level
+    assert the r11 verdict asked for (the index-less absent-metric
+    probe was the one remaining scan-shaped cost in the query path)."""
+    import dataclasses
+    _, store = dual_engine
+    st = dataclasses.replace(store,
+                             ds_gauge_metrics=frozenset({"g"}),
+                             ds_counter_metrics=frozenset({"c"}))
+
+    def boom(self):  # any evaluation of any frame is a test failure
+        raise AssertionError("stamped ds_schema_of touched sample rows")
+
+    # patch the CONCRETE runtime class (pyspark 4's classic DataFrame
+    # overrides these — patching the pyspark.sql.DataFrame base would
+    # be a hollow guard)
+    cls = type(store.df)
+    monkeypatch.setattr(cls, "isEmpty", boom)
+    monkeypatch.setattr(cls, "collect", boom)
+    assert st.ds_schema_of("g") == "gauge"
+    assert st.ds_schema_of("c") == "counter"
+    assert st.ds_schema_of("absent_metric") is None
+    # no probe ran, so no probe memo was ever created
+    assert "_ds_schema_memo" not in st.__dict__
+
+
+def test_ds_schema_of_partial_stamp_probes_only_unstamped(dual_engine,
+                                                          monkeypatch):
+    """One stamped + one unstamped mount: the stamp already answers
+    absence for ITS table, so only the unstamped table is probed."""
+    import dataclasses
+    _, store = dual_engine
+    st = dataclasses.replace(store, ds_gauge_metrics=frozenset({"g"}))
+    cls = type(store.df)          # concrete class, see boom test above
+    orig = cls.isEmpty
+    probed = []
+
+    def spy(self):
+        probed.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "isEmpty", spy)
+    assert st.ds_schema_of("c") == "counter"
+    assert len(probed) == 1          # the counter table only
+    probed.clear()
+    assert st.ds_schema_of("g") == "gauge"   # stamped: zero probes
+    assert probed == []
+
+
+def test_stamped_routing_results_match_probed_routing(spark, dual_engine):
+    """Stamps change the COST of resolution, never the answer: the
+    boundary-crossing routed queries return identical rows with and
+    without stamps on the same mount."""
+    import dataclasses
+    _, store = dual_engine
+    stamped = dataclasses.replace(store,
+                                  ds_gauge_metrics=frozenset({"g"}),
+                                  ds_counter_metrics=frozenset({"c"}))
+    eng = PromQLEngine(spark, stamped)
+    got = _run(eng, "c", 5, 9)
+    assert got[5] == 10.0 and got[7] == 14.0
+    assert got[8] == 0.0 and got[9] == 0.0
+    assert _run(eng, "g", 5, 9) == {i: 3.0 for i in range(5, 10)}
+    out = eng.query_range('last_over_time({job="a"}[5m])',
+                          T0 + 8 * MIN, T0 + 8 * MIN, MIN).collect()
+    assert {r["labels"]["__name__"]: r["value"] for r in out} \
+        == {"g": 3.0, "c": 0.0}
+
+
 def test_present_and_absent_over_time_split(engine, counter_engine,
                                             dual_engine):
     """present_over_time / absent_over_time evaluate presence through

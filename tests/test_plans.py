@@ -577,6 +577,59 @@ class TestRetentionLadder:
         left = spark.read.parquet(raw)
         assert left.agg(F.min("ts")).first()[0] >= now - 9 * day
 
+    def test_ladder_stamps_schema_manifest(self, spark, tmp_path):
+        """retention_ladder stamps every tier directory with its schema
+        + metric set (write_ds_schema_manifest): mounting the tier the
+        way cli._open_store does turns per-metric DS routing into a
+        metadata-only lookup — ds_schema_of resolves present AND absent
+        metrics without evaluating any DataFrame."""
+        import dataclasses
+
+        from filodb_spark.promql.compiler import TsStore
+        from filodb_spark.sources.table import (read_ds_schema_manifest,
+                                                retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        rows = [({"__name__": m, "_ws_": "w", "_ns_": "n"},
+                 t0 + d * day + s * 3600 * 1000, float(d + s))
+                for m in ("up_total", "mem_used")
+                for d in range(5) for s in range(3)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        retention_ladder(
+            spark, raw, str(tmp_path / "tiers"), now_ms=t0 + 5 * day,
+            tiers=((6 * 3600 * 1000, "6h", 30),), raw_keep_days=30,
+            schema="counter")
+        stamp = read_ds_schema_manifest(spark, str(tmp_path / "tiers/6h"))
+        assert stamp == {"schema": "counter",
+                         "metrics": ["mem_used", "up_total"]}
+        # the cli mount path: stamped metric set attached as a frozenset
+        store = TsStore(
+            spark.read.parquet(raw).select("labels", "ts", "value"),
+            ds_counter_df=spark.read.parquet(str(tmp_path / "tiers/6h"))
+            .select("labels", "ts", "value"),
+            ds_counter_metrics=frozenset(stamp["metrics"]),
+            raw_retention_start_ms=t0 + 2 * day)
+        cls = type(store.df)
+
+        def boom(self):
+            raise AssertionError("stamped routing touched sample rows")
+
+        orig_empty, orig_collect = cls.isEmpty, cls.collect
+        cls.isEmpty = cls.collect = boom
+        try:
+            assert store.ds_schema_of("up_total") == "counter"
+            assert store.ds_schema_of("never_written") is None
+        finally:
+            cls.isEmpty, cls.collect = orig_empty, orig_collect
+        # an unstamped mount of the same tables still probes correctly
+        probed = dataclasses.replace(store, ds_counter_metrics=None)
+        assert probed.ds_schema_of("up_total") == "counter"
+        assert probed.ds_schema_of("never_written") is None
+
     def test_fully_expired_tier_counts_zero(self, spark, tmp_path):
         """A tier whose retention drops every date partition must report
         0 survivors, not crash on the unreadable empty directory

@@ -165,9 +165,13 @@ def copy_partkeys(spark: SparkSession, source_path: str,
            .sortWithinPartitions("_metric", "_sk")
            .write.mode("overwrite").partitionBy(*SHARD_KEY_LABELS)
            .parquet(tmp))
-        swap_table_dir(fs, Path, tmp, target_path, old)
+        # manifest goes into TMP so the swap installs table+manifest
+        # as one rename — writing it after the swap left a manifestless
+        # table installed when the manifest write failed (the old dir
+        # was already gone, so the except restore could not fire)
         if manifest:
-            write_partkey_manifest(spark, target_path, manifest)
+            write_partkey_manifest(spark, tmp, manifest)
+        swap_table_dir(fs, Path, tmp, target_path, old)
     except BaseException:
         if not fs.exists(Path(target_path)) and fs.exists(Path(old)):
             checked_rename(fs, Path, old, target_path)
@@ -187,14 +191,22 @@ def validate_partkeys(spark: SparkSession, source_path: str,
     there — read the series-axis fields for that case:
     series_source_only/series_target_only diff on _sk alone, so a
     covering target reports 0 series_source_only even when its spans
-    differ."""
-    from filodb_spark.partkey import read_partkey_table, recover_table_dir
+    differ.
+
+    READ-ONLY by contract (ADVICE r11): validation never renames or
+    deletes anything — a validator that performed swap recovery could
+    race an in-flight copy_partkeys swap on the same target and rename
+    its backup mid-swap. A crash-orphaned target (only `__copy_old` on
+    disk) is read from the leftover IN PLACE and reported through the
+    returned "orphaned_leftover" flag; actual recovery stays with the
+    copy entry points (copy_partkeys runs recover_table_dir first)."""
+    from filodb_spark.partkey import read_partkey_table
     from filodb_spark.sources.table import hadoop_fs
-    # a validate-before-recopy run must see a crash-orphaned target
-    # restored, not a path-not-found error
     fs, Path = hadoop_fs(spark, target_path)
-    recover_table_dir(fs, Path, target_path,
-                      target_path.rstrip("/") + "__copy_old")
+    old = target_path.rstrip("/") + "__copy_old"
+    orphaned = fs.exists(Path(old))
+    read_target = old if orphaned and not fs.exists(Path(target_path)) \
+        else target_path
 
     def rows(path):
         pk = read_partkey_table(spark, path)
@@ -203,7 +215,7 @@ def validate_partkeys(spark: SparkSession, source_path: str,
                 .select("_sk", "first_ts", "last_ts"))
     # the six counts reuse ONE read-and-merge of each table (the merge
     # aggregate is the expensive part on a large index)
-    s, t = rows(source_path).cache(), rows(target_path).cache()
+    s, t = rows(source_path).cache(), rows(read_target).cache()
     sk_s, sk_t = s.select("_sk"), t.select("_sk")
     try:
         return {
@@ -213,6 +225,7 @@ def validate_partkeys(spark: SparkSession, source_path: str,
             "target_only": t.exceptAll(s).count(),
             "series_source_only": sk_s.exceptAll(sk_t).count(),
             "series_target_only": sk_t.exceptAll(sk_s).count(),
+            "orphaned_leftover": orphaned,
         }
     finally:
         s.unpersist()

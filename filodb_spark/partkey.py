@@ -313,9 +313,12 @@ def compact_partkey_table(spark: SparkSession, path: str,
                .sortWithinPartitions("_metric", "_sk")
                .write.mode("overwrite").partitionBy(*shard_labels)
                .parquet(tmp))
-        swap_table_dir(fs, Path, tmp, path, old)
+        # into TMP, so the swap installs table+manifest as one rename
+        # (a post-swap manifest write that failed would leave a
+        # manifestless table installed with no way to restore)
         if manifest:
-            write_partkey_manifest(spark, path, manifest)
+            write_partkey_manifest(spark, tmp, manifest)
+        swap_table_dir(fs, Path, tmp, path, old)
     except BaseException:
         # restore: if the first rename happened but the second did not,
         # put the original table back BEFORE deleting the merged temp —

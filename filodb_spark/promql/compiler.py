@@ -1011,6 +1011,17 @@ class PromQLEngine:
     # for ds-gauge) — the raw kernels run on (ts=tTime, value=avg)
     # pseudo-samples. Approximate by construction (one avg sample per
     # period), exactly the reference's property on downsampled gauges.
+    # DELIBERATE DEVIATION: the counter family (rate/increase/delta,
+    # and their toggled variants) is excluded — counter fns on a
+    # gauge-ONLY DS mount are a mount misconfiguration (the counter
+    # schema downsamples to its own dataset, filodb-defaults.conf:
+    # 247-262), so a boundary-crossing rate() there stays
+    # raw-truncated rather than computing resets against per-period
+    # averages. The reference's DS cluster would evaluate it over the
+    # ds-gauge avg column regardless. Pinned (like the preagg join
+    # rule) in test_long_time_range_planner.py::
+    # test_rate_on_gauge_only_mount_diverges_from_reference;
+    # MIGRATION.md "Operations knobs" documents the mount requirement.
     GAUGE_DS_AVG_FNS = frozenset({
         "stddev_over_time", "stdvar_over_time", "quantile_over_time",
         "deriv", "predict_linear", "holt_winters", "z_score",
@@ -1211,8 +1222,18 @@ class PromQLEngine:
             # fan-out) — a series whose samples survive only in the
             # downsample tables is still PRESENT on pre-boundary steps;
             # the raw-only evaluation used to report it absent
-            present = self._run_range_fn(sel, grid, window,
-                                         "present_over_time", ())
+            try:
+                present = self._run_range_fn(sel, grid, window,
+                                             "present_over_time", ())
+            except ValueError as e:
+                # the histogram-schema rejection fires inside the
+                # recursive call — re-raise naming the fn the user
+                # actually wrote, not the internal presence probe
+                if "not defined over histograms" in str(e):
+                    raise ValueError(
+                        "absent_over_time is not defined over "
+                        "histograms") from None
+                raise
             return self._absent_from(present, sel, grid)
         df = self._scan(sel, grid.start - window, grid.end)
         df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))

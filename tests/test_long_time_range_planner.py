@@ -395,6 +395,53 @@ def test_ds_schema_probe_short_circuits_via_covering_index(spark,
     assert st.ds_schema_of("g") == "gauge"
 
 
+def test_rate_on_gauge_only_mount_diverges_from_reference(spark):
+    """DIVERGENCE TEST for the one deliberate DS-routing deviation
+    (the preagg join rule's sibling): counter functions on a
+    gauge-ONLY downsample mount stay RAW-TRUNCATED. The reference's
+    downsample cluster evaluates every RangeFunction over the
+    dataset's declared value column (avg for ds-gauge —
+    DownsampledTimeSeriesShard.scala:96), so a boundary-crossing
+    rate() there would answer pre-boundary steps from per-period
+    averages; here that mount shape is treated as a
+    misconfiguration (the counter schema downsamples to its OWN
+    dataset, filodb-defaults.conf:247-262 — mount it as
+    ds_counter_df) and rate/increase exclude themselves from
+    GAUGE_DS_AVG_FNS. Pinned:
+      (1) pre-boundary steps return NO rows (raw truncation, never
+          a resets-against-averages value);
+      (2) steps whose window is raw-resident are exact;
+      (3) the same data mounted the CORRECT way (ds_counter_df)
+          answers every step."""
+    from filodb_spark.streaming.downsample import downsample_counter
+    rows = [({"__name__": "c", "job": "a"}, T0 + i * MIN, 2.0 * i)
+            for i in range(20)]
+    full = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    raw = full.where(F.col("ts") >= BOUNDARY)
+    keyed = full.withColumn("_sk", canonical_labels(F.col("labels")))
+    ds_gauge = downsample(keyed, ["labels"], 5 * MIN).drop("_sk")
+    misconfigured = PromQLEngine(spark, TsStore(
+        raw, ds_df=ds_gauge, raw_retention_start_ms=BOUNDARY,
+        ds_resolution_ms=5 * MIN))
+    import math
+    got = _run(misconfigured, "rate(c[5m])", 5, 19)
+    # (1)+(2): t=5..9 have NO raw samples in their window -> no rows;
+    # t=10 sees one truncated sample -> NaN; t>=15 windows are fully
+    # raw-resident -> exact 2/min counter rate
+    assert set(got) == set(range(10, 20))
+    assert math.isnan(got[10])
+    for i in range(15, 20):
+        assert got[i] == pytest.approx(2.0 / 60.0)
+    # (3) the correct mount serves every pre-boundary step
+    dsc = downsample_counter(keyed, ["_sk"], 5 * MIN).drop("_sk")
+    correct = PromQLEngine(spark, TsStore(
+        raw, ds_counter_df=dsc, raw_retention_start_ms=BOUNDARY,
+        ds_resolution_ms=5 * MIN))
+    full_got = _run(correct, "rate(c[10m])", 5, 19)
+    assert set(full_got) == set(range(5, 20))
+
+
 def test_ds_schema_of_stamped_answers_without_any_scan(dual_engine,
                                                        monkeypatch):
     """Write-time schema stamps (sources.table.write_ds_schema_manifest)

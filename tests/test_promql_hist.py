@@ -275,3 +275,18 @@ class TestExpSchemeMergeThroughEngine:
         v = res[0]["value"]
         import math
         assert math.isfinite(v) and 0.0 < v <= 8.0
+
+
+def test_hist_rejection_names_the_users_function(hist_engine):
+    """absent_over_time internally recurses into present_over_time; the
+    histogram-schema rejection must name the fn the USER wrote, not the
+    internal presence probe (ADVICE r11)."""
+    with pytest.raises(ValueError,
+                       match=r"absent_over_time is not defined over "
+                             r"histograms"):
+        hist_engine.query_range("absent_over_time(http_latency[30s])",
+                                T0, T0 + 40_000, 10_000)
+    with pytest.raises(ValueError,
+                       match=r"deriv is not defined over histograms"):
+        hist_engine.query_range("deriv(http_latency[30s])",
+                                T0, T0 + 40_000, 10_000)

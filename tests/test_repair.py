@@ -206,12 +206,13 @@ class TestCopyPartkeys:
                for r in read_partkey_table(spark, dst).collect()}
         assert got == {"a", "b"}
 
-    def test_validation_only_paths_recover_orphans(self, spark,
-                                                   tmp_path):
-        """copy=False runs and validate_partkeys must also restore a
-        crash-orphaned target (only __copy_old on disk) instead of
-        failing the read — the validate-before-recopy flow is exactly
-        when the orphan state is encountered."""
+    def test_validation_only_paths_handle_orphans(self, spark,
+                                                  tmp_path):
+        """A crash-orphaned target (only __copy_old on disk): the
+        READ-ONLY validator reads the leftover in place and reports it
+        via orphaned_leftover — it must NOT rename anything (it could
+        race an in-flight copy swap, ADVICE r11). copy=False runs DO
+        recover the orphan (they are copy entry points)."""
         import os
         src, dst = str(tmp_path / "os"), str(tmp_path / "ot")
         write_partkey_table(_series(spark, ["a"]), src)
@@ -219,7 +220,13 @@ class TestCopyPartkeys:
         os.rename(dst, dst + "__copy_old")
         v = validate_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
         assert v["source_only"] == 0 and v["target_only"] == 0
-        os.rename(dst, dst + "__copy_old")
+        assert v["orphaned_leftover"] is True
+        # read-only: the orphan state is untouched
+        assert not os.path.exists(dst)
+        assert os.path.exists(dst + "__copy_old")
         n = copy_partkeys(spark, src, dst, T0 - 2, T0 - 1, copy=False)
         assert n == 0
         assert read_partkey_table(spark, dst).count() == 1
+        # healthy state reports no orphan
+        v = validate_partkeys(spark, src, dst, T0, T0 + 48 * HOUR)
+        assert v["orphaned_leftover"] is False

@@ -24,49 +24,41 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 11's
+    # covers the first 50 registered queries per round. Round 12's
     # window (rotation rule: head = new queries + forced re-gates +
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-3   NEW r11: ts_ds_schema_route (per-metric-schema DS routing
-    #         with BOTH ds-gauge and ds-counter tables mounted,
-    #         TsStore.ds_schema_of + metric-less schema fan-out),
-    #         ts_ds_presence (present/absent_over_time + timestamp()
-    #         across the split), and ts_ds_window_aggs (gauge window
-    #         aggregates over retained counter marker rows) — the r11
-    #         fn-matrix audit closures, all pre-verified exact at
-    #         sf0.001/0.01/0.1,
-    #   4-11  once-gated at r10: ts_ds_counter, ts_ds_hist,
-    #         ts_ds_delta_counter, ts_raw_ds_split_rate,
-    #         ts_gateway_hist_assembly, ts_ds_metadata, ts_repair_copy,
-    #         ts_ds_eligibility,
-    #   12-20 the nine last-gated-r6 leftovers, alphabetical,
-    #   21-50 the last-gated-r7 backlog (48 queries), alphabetical —
-    #         30 fit; the remaining 18 (pl_mix_sources ...
-    #         ts_hist_mixed_sum) lead the r12 backlog.
+    #   1-3   once-gated at r11: ts_ds_schema_route, ts_ds_presence,
+    #         ts_ds_window_aggs (the r11 fn-matrix closures get their
+    #         second gate),
+    #   4-21  the 18 last-gated-r7 leftovers, alphabetical
+    #         (pl_mix_sources ... ts_hist_mixed_sum),
+    #   22-50 the last-gated-r8 backlog (45 queries), alphabetical —
+    #         29 fit; the remaining 16 (ts_export_rules ...) lead the
+    #         r13 backlog.
     window = [
-        # new in round 11
+        # once-gated head (new in r11)
         "ts_ds_schema_route", "ts_ds_presence", "ts_ds_window_aggs",
-        # once-gated head (new in r10)
-        "ts_ds_counter", "ts_ds_hist", "ts_ds_delta_counter",
-        "ts_raw_ds_split_rate", "ts_gateway_hist_assembly",
-        "ts_ds_metadata", "ts_repair_copy", "ts_ds_eligibility",
-        # canaries last gated r6 (the 9 leftovers), alphabetical
-        "ts_max_over_time", "ts_min_over_time", "ts_present_over_time",
-        "ts_set_or", "ts_set_unless", "ts_stddev_over_time",
-        "ts_stdvar_over_time", "ts_sum_over_time", "ts_timestamp",
-        # canaries last gated r7, alphabetical (32 of 48)
-        "ann_filtered", "ann_ivf", "ann_ivf_kmeans", "ann_pq_recall",
-        "ann_pq_topk", "ann_recall", "ann_recall_curve",
-        "doc_bigram_lp", "doc_chunks", "doc_dedup_keep",
-        "doc_lsh_verify", "doc_minhash_lsh", "doc_simhash",
-        "doc_split_leakage", "doc_tokenizer_fertility",
-        "doc_unigram_lp", "emb_kmeans", "emb_kmeans_summary",
-        "emb_outliers", "emb_pq", "ev_anomalies",
-        "ev_cohort_retention", "ev_funnel", "ev_funnel_summary",
-        "ev_rfm", "ev_rolling", "ev_transitions", "pl_dataset_card",
-        "pl_dataset_diff", "pl_manifest",
+        # canaries last gated r7 (the 18 leftovers), alphabetical
+        "pl_mix_sources", "pl_repetition", "pl_strat_sample",
+        "pl_strat_topk", "pq_absent", "pq_binary_user_ratio",
+        "pq_count_by_metric", "pq_hist_struct_quantile",
+        "pq_hist_to_prom", "pq_instant_chain", "pq_label_join",
+        "pq_label_replace", "pq_offset", "pq_quantile_last",
+        "pq_set_unless", "pq_topk", "ts_exp_hist_quantile",
+        "ts_hist_mixed_sum",
+        # canaries last gated r8, alphabetical (29 of 45)
+        "ann_ivf_portable", "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall",
+        "ann_ivfpq_recall", "ann_ivfpq_stored", "ann_ivfpq_topk",
+        "doc_dedup_exact", "doc_minhash_portable", "emb_near_dup",
+        "emb_quantize", "ev_gap_fill", "ev_label_churn",
+        "mm_y4m_frames", "pl_dedup_incremental", "pl_length_quantiles",
+        "pl_source_divergence", "pl_token_budget", "pl_url_filter",
+        "pq_hist_scale_quantile", "pq_label_replace_groups",
+        "pq_prefix_compare", "pq_set_and", "pq_set_or", "pq_trig",
+        "ts_absent", "ts_agg_topk", "ts_changes", "ts_deriv",
+        "ts_export_columns",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -135,6 +135,26 @@ def distinct_metric_names(df: DataFrame,
     return [r.m for r in rows]
 
 
+def refresh_ds_schema_stamp(spark: SparkSession, path: str,
+                            schema: str) -> bool:
+    """(Re)stamp an EXISTING downsample table from its own rows — the
+    maintenance-cadence companion to retention_ladder's write-time
+    stamp, for tables a streaming downsample sink appends to (new
+    metric names can appear after any stamp, so live sinks are left
+    unstamped by default and probed; run this on the same cadence as
+    partkey compaction to convert them to metadata-only routing —
+    between refreshes, a stamp can only UNDERSTATE new metrics, so
+    refresh before mounting, or keep probing mounts for sinks that
+    gain metrics continuously). One distinct-scan of the labels
+    column; returns False (and writes nothing) above the stamp cap."""
+    metrics = distinct_metric_names(
+        spark.read.parquet(path).select("labels"))
+    if metrics is None:
+        return False
+    write_ds_schema_manifest(spark, path, schema, metrics)
+    return True
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True when the Delta Lake runtime is on the session classpath.
     SURVEY §7 names Parquet/Delta as the storage formats; parquet is the

@@ -630,6 +630,29 @@ class TestRetentionLadder:
         assert probed.ds_schema_of("up_total") == "counter"
         assert probed.ds_schema_of("never_written") is None
 
+    def test_refresh_stamp_on_appended_table(self, spark, tmp_path):
+        """refresh_ds_schema_stamp re-derives the stamp from the table
+        rows — the maintenance hook for streaming-sink tables that gain
+        metrics after any earlier stamp."""
+        from filodb_spark.sources.table import (read_ds_schema_manifest,
+                                                refresh_ds_schema_stamp,
+                                                write_ds_schema_manifest)
+        path = str(tmp_path / "sink")
+        df1 = spark.createDataFrame(
+            [({"__name__": "a"}, 1000, 1.0)],
+            "labels map<string,string>, ts long, value double")
+        df1.write.parquet(path)
+        write_ds_schema_manifest(spark, path, "counter", ["a"])
+        # the sink appends a NEW metric: the old stamp understates
+        df2 = spark.createDataFrame(
+            [({"__name__": "b"}, 2000, 2.0)],
+            "labels map<string,string>, ts long, value double")
+        df2.write.mode("append").parquet(path)
+        assert read_ds_schema_manifest(spark, path)["metrics"] == ["a"]
+        assert refresh_ds_schema_stamp(spark, path, "counter") is True
+        assert read_ds_schema_manifest(spark, path) == {
+            "schema": "counter", "metrics": ["a", "b"]}
+
     def test_fully_expired_tier_counts_zero(self, spark, tmp_path):
         """A tier whose retention drops every date partition must report
         0 survivors, not crash on the unreadable empty directory

@@ -41,6 +41,8 @@ def _bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     query needs the grid bounds and the 2-row aggregate is pure."""
     if sf_dir not in _BOUNDS_CACHE:
         ev = events_ts(spark, sf_dir, dedupe=False)
+        if len(_BOUNDS_CACHE) >= 32:   # FIFO-bounded like every memo
+            _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
         _BOUNDS_CACHE[sf_dir] = tuple(ev.agg(F.min("ts"), F.max("ts")).first())
     return _BOUNDS_CACHE[sf_dir]
 
@@ -52,6 +54,12 @@ def _events_cached(spark: SparkSession, sf_dir: str,
     dedupe shuffle instead of forty."""
     key = (id(spark), sf_dir, series_cols)
     if key not in _EV_CACHE:
+        if len(_EV_CACHE) >= 32:       # FIFO-bounded; evicted entries
+            old = _EV_CACHE.pop(next(iter(_EV_CACHE)))
+            try:                       # release executor cache memory
+                old.unpersist()
+            except Exception:
+                pass                   # a dead session's frame
         _EV_CACHE[key] = events_ts(spark, sf_dir,
                                    series_cols=series_cols).cache()
     return _EV_CACHE[key]

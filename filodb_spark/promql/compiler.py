@@ -513,6 +513,7 @@ class TsStore:
                 else (self.hist_df.where(F.lit(False))
                       if self.hist_df is not None else None),
                 ds_df=None, ds_counter_df=None, ds_hist_df=None,
+                ds_gauge_metrics=None, ds_counter_metrics=None,
                 partkey_df=None)
         return self.__dict__["_ds_view_memo"]
 

@@ -57,15 +57,14 @@ def _open_store(spark, store: str, partkey: str | None = None,
                 ("ds_counter", "ds_counter_df", "ds_counter_metrics")):
             path = getattr(args, flag, None)
             if path:
-                kw[key] = spark.read.parquet(path)
                 # write-time schema stamp (retention_ladder writes it):
                 # per-metric DS routing answers from the stamped metric
                 # set — zero existence probes, even for absent metrics
                 from filodb_spark.sources.table import \
-                    read_ds_schema_manifest
-                stamp = read_ds_schema_manifest(spark, path)
-                if stamp.get("metrics") is not None:
-                    kw[stamp_key] = frozenset(stamp["metrics"])
+                    open_downsample_table
+                kw[key], metrics = open_downsample_table(spark, path)
+                if metrics is not None:
+                    kw[stamp_key] = metrics
         if getattr(args, "raw_retention_start", None) is not None:
             kw["raw_retention_start_ms"] = \
                 int(args.raw_retention_start * 1000)

@@ -135,6 +135,20 @@ def distinct_metric_names(df: DataFrame,
     return [r.m for r in rows]
 
 
+def open_downsample_table(spark: SparkSession, path: str):
+    """Open a downsample table for mounting: (DataFrame, stamped metric
+    frozenset or None). The library-level twin of the CLI's
+    --ds-gauge/--ds-counter handling — pass the pair into
+    TsStore(ds_counter_df=df, ds_counter_metrics=metrics) (or the
+    ds_df/ds_gauge_metrics slots) so per-metric routing answers from
+    the write-time stamp when one exists and falls back to the
+    memoized probe when it doesn't."""
+    stamp = read_ds_schema_manifest(spark, path)
+    metrics = stamp.get("metrics")
+    return (spark.read.parquet(path),
+            frozenset(metrics) if metrics is not None else None)
+
+
 def refresh_ds_schema_stamp(spark: SparkSession, path: str,
                             schema: str) -> bool:
     """(Re)stamp an EXISTING downsample table from its own rows — the

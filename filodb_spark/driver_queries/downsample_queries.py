@@ -632,7 +632,15 @@ def q_ds_schema_route(spark, sf_dir):
     dsc = downsample_counter(
         c.withColumn("_sk", canonical_labels(F.col("labels"))),
         ["_sk"], RES).drop("_sk")
+    # the stamped mount (r12): production tables carry a write-time
+    # schema stamp (retention_ladder writes _ds_schema.json), so this
+    # dual mount resolves per-metric routing metadata-only — the gate
+    # now covers the stamped path; value-parity with the probed path
+    # is pinned in test_long_time_range_planner.py::
+    # test_stamped_routing_results_match_probed_routing
     store = TsStore(raw, ds_df=ds, ds_counter_df=dsc,
+                    ds_gauge_metrics=frozenset({"g"}),
+                    ds_counter_metrics=frozenset({"ctr"}),
                     raw_retention_start_ms=boundary,
                     ds_resolution_ms=RES)
     eng = PromQLEngine(spark, store)

@@ -24,9 +24,13 @@ reference's part-key index the same way).
 [--ds-resolution <sec>]` mount downsample tables next to the raw store:
 queries spanning the boundary split raw/DS and stitch, and metadata
 covers the pre-retention range — the CLI analog of pointing the query
-service at both the raw and downsample clusters. (Histogram downsample
-mounts need hist table + metric registration — library-level,
-TsStore(ds_hist_df=...).)
+service at both the raw and downsample clusters.
+
+`--hist-store <path> --hist-metrics m1,m2 [--ds-hist <path>]
+[--delta-metrics ...] [--exp-hist-metrics ...]` mount the histogram
+sample table (and its downsample tier) plus the declared schema
+registries, completing the CLI's schema surface: every TsStore mount
+knob short of agg_rules is now reachable from the command line.
 """
 
 from __future__ import annotations
@@ -48,6 +52,23 @@ def _open_store(spark, store: str, partkey: str | None = None,
         kw["partkey_covers_ds"] = read_partkey_manifest(
             spark, partkey).get("covers_ds")
     if args is not None:
+        # histogram-schema mount: the hist sample table + metric
+        # registration (the reference declares histogram schemas in
+        # config; MultiSchemaPartitionsExec rewrites <m>_sum/_count/
+        # _bucket selectors onto the hist table)
+        if getattr(args, "hist_store", None):
+            kw["hist_df"] = spark.read.parquet(args.hist_store)
+        for flag, key in (("hist_metrics", "hist_metrics"),
+                          ("delta_metrics", "delta_metrics"),
+                          ("exp_hist_metrics", "exp_hist_metrics")):
+            val = getattr(args, flag, None)
+            if val:
+                kw[key] = tuple(m.strip() for m in val.split(",")
+                                if m.strip())
+        if getattr(args, "ds_hist", None):
+            from filodb_spark.sources.table import open_downsample_table
+            kw["ds_hist_df"], _ = open_downsample_table(
+                spark, args.ds_hist)
         # downsample mount: the CLI analog of pointing the query
         # service at both the raw and downsample clusters
         # (LongTimeRangePlanner stitches; DownsampledTimeSeriesShard
@@ -102,6 +123,24 @@ def _add_ds_args(p):
                         "metric's schema in config) — dual downsample "
                         "mounts route these to the counter DS table "
                         "without existence probes")
+    p.add_argument("--hist-store", default=None,
+                   help="histogram sample table (labels, ts, sum, "
+                        "count, hist struct) — selectors on "
+                        "<m>_sum/_count/_bucket rewrite onto it")
+    p.add_argument("--hist-metrics", default=None,
+                   help="comma-separated metrics DECLARED as "
+                        "prom-histogram (required with --hist-store)")
+    p.add_argument("--delta-metrics", default=None,
+                   help="comma-separated delta-counter metrics "
+                        "(rate/increase toggle to the delta kernels)")
+    p.add_argument("--exp-hist-metrics", default=None,
+                   help="comma-separated base-2 exponential-bucket "
+                        "histogram metrics (quantile interpolates in "
+                        "log space)")
+    p.add_argument("--ds-hist", default=None,
+                   help="downsampled histogram table (dip-preserving "
+                        "row subset, downsample_hist output) for the "
+                        "pre-retention range")
 
 
 def main(argv=None) -> int:

@@ -380,3 +380,63 @@ def test_dual_ds_mount_reads_write_time_schema_stamps(spark, tmp_path):
     assert series and series[0]["metric"]["__name__"] == "c"
     vals = {int(t): float(v) for t, v in series[0]["values"]}
     assert vals[(t0 + 5 * minute) // 1000] == 10.0
+
+
+def test_histogram_schema_mount_via_cli(spark, tmp_path):
+    """--hist-store/--hist-metrics mount the histogram table from the
+    command line (previously library-level only): struct quantile and
+    the _count scalar rewrite answer through the CLI, and --ds-hist
+    serves a boundary-crossing _count query's pre-boundary steps."""
+    from pyspark.sql import functions as F
+    from filodb_spark.kernels.binary import canonical_labels
+    from filodb_spark.streaming.downsample import downsample_hist
+    minute = 60_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % (5 * minute))
+    LES = [1.0, 2.0, float("inf")]
+    rows = [({"__name__": "lat", "job": "x"}, t0 + i * minute,
+             float(i * 4), float(3 * i),
+             (LES, [float(i), float(2 * i), float(3 * i)]))
+            for i in range(20)]
+    full = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, sum double, "
+              "count double, hist struct<les: array<double>, "
+              "values: array<double>>")
+    gauge = spark.createDataFrame(
+        [({"__name__": "g", "job": "x"}, t0, 1.0)],
+        "labels map<string,string>, ts long, value double")
+    raw, hist, dsh = (str(tmp_path / p) for p in ("raw", "hist", "dsh"))
+    gauge.write.parquet(raw)
+    boundary = t0 + 10 * minute
+    full.where(F.col("ts") >= boundary).write.parquet(hist)
+    downsample_hist(
+        full.withColumn("_sk", canonical_labels(F.col("labels"))),
+        ["_sk"], 5 * minute).drop("_sk").write.parquet(dsh)
+    base = ["--store", raw, "--hist-store", hist,
+            "--hist-metrics", "lat"]
+    # struct quantile on the post-boundary range (median of the last
+    # sample's cumulative buckets: count 3i, les [1,2,inf])
+    rc, out = run_cli([
+        "query", "histogram_quantile(0.5, lat)", *base,
+        "--start", str((t0 + 15 * minute) / 1000),
+        "--end", str((t0 + 19 * minute) / 1000), "--step", "60"])
+    assert rc == 0
+    series = json.loads(out)["data"]["result"]
+    assert series and all(0.0 < float(v) <= 2.0
+                          for _, v in series[0]["values"])
+    # boundary-crossing _count rewrite: pre-boundary steps need the
+    # DS hist table
+    q = ["query", "lat_count", *base,
+         "--raw-retention-start", str(boundary / 1000),
+         "--ds-resolution", "300",
+         "--start", str((t0 + 5 * minute) / 1000),
+         "--end", str((t0 + 9 * minute) / 1000), "--step", "60"]
+    rc, out = run_cli(q)
+    assert rc == 0
+    assert json.loads(out)["data"]["result"] == []   # no DS mount
+    rc, out = run_cli(q + ["--ds-hist", dsh])
+    assert rc == 0
+    series = json.loads(out)["data"]["result"]
+    vals = {int(t): float(v) for t, v in series[0]["values"]}
+    # DS marker rows retained at/before 9m: i=0 (head), i=5
+    # (last in (0,5m]); instants 5..9 read count(i=5) = 15
+    assert vals == {(t0 + i * minute) // 1000: 15.0 for i in range(5, 10)}

@@ -660,3 +660,42 @@ SELECT lang, source,
        CAST(sum(n_tok) AS BIGINT) AS words,
        round(sum(n_sub) / CAST(sum(n_tok) AS DOUBLE), 6) AS fertility
 FROM per GROUP BY 1, 2"""
+
+
+def q_doc_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training pair statistics (Sennrich et al. 2016
+    counting step): corpus word frequencies -> per-distinct-word
+    character+</w> symbol sequences -> adjacent-pair counts weighted
+    by word frequency. Top 200 pairs, count desc then (a, b) asc — a
+    TOTAL order, so the LIMIT selects identical rows in both engines.
+    operators.text.bpe_learn_merges iterates this into a merge table
+    (pinned against a pure-Python golden in test_text_ops.TestBpe;
+    greedy re-segmentation is not faithfully SQL-expressible —
+    shared-boundary runs defeat string-replace)."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top_k=200)
+
+
+QUERIES["doc_bpe_pairs"] = q_doc_bpe_pairs
+
+ORACLES["doc_bpe_pairs"] = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+wc AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+syms AS (
+  SELECT c,
+         list_append(list_transform(range(1, length(w) + 1),
+                                    i -> w[i]), '</w>') AS s
+  FROM wc
+),
+pairs AS (
+  SELECT s[i] AS a, s[i + 1] AS b, c
+  FROM syms, unnest(range(1, len(s))) AS t(i)
+)
+SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY a, b
+ORDER BY cnt DESC, a, b
+LIMIT 200"""

@@ -367,6 +367,108 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     "avg_logprob"))
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_k: int | None = None) -> DataFrame:
+    """Adjacent-symbol pair statistics over the corpus vocabulary — the
+    counting step of byte-pair-encoding tokenizer training (Sennrich et
+    al. 2016, the BPE used by GPT-2-family tokenizers): words are
+    (lowercased, whitespace) tokens weighted by their corpus frequency;
+    each DISTINCT word decomposes into characters plus a `</w>`
+    end-of-word marker, and every adjacent symbol pair contributes the
+    word's frequency. The highest-count pair is the next BPE merge;
+    `bpe_learn_merges` iterates merge-then-recount into a merge table.
+
+    Shape (the 100 TB story): one corpus-wide word-count aggregation
+    (vocabulary-sized output), then all pair work runs on the DISTINCT
+    vocabulary — corpus size only affects the first hash aggregate.
+    The pair-count frame is alphabet-bounded (a few thousand rows), so
+    the final top-k sort is trivially small; everything is built-in
+    expressions, no Python in the plan.
+
+    Output: (a, b, cnt), cnt descending then (a, b) ascending for a
+    deterministic order; top_k keeps the first k rows.
+    """
+    w = F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    wc = (df.select(w).where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    syms = wc.select("c", F.concat(
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        F.array(F.lit("</w>"))).alias("s"))
+    pair = F.explode(F.expr(
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(element_at(s, i) as a, element_at(s, i + 1) as b))"
+    )).alias("p")
+    out = (syms.select("c", pair)
+           .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+           .agg(F.sum("c").cast("long").alias("cnt"))
+           .orderBy(F.desc("cnt"), "a", "b"))
+    return out.limit(top_k) if top_k is not None else out
+
+
+def bpe_learn_merges(df: DataFrame, n_merges: int,
+                     text_col: str = "text") -> list:
+    """Train a BPE merge table: n_merges rounds of count-top-pair then
+    greedy left-to-right re-segmentation of the vocabulary (Sennrich et
+    al. 2016 algorithm 1). Driver state is the merge list (bounded:
+    n_merges rows) plus the vocabulary frame handle — the corpus is
+    touched ONCE (word counts); every round runs on the distinct
+    vocabulary, like the reference-free kmeans_portable loop.
+
+    Re-segmentation is a fold (F.aggregate) over each word's symbol
+    array: append, or fuse with the accumulator's tail when
+    (tail, next) equals the round's merge pair — left-to-right
+    greedy, so 'l l l' under merge (l,l) gives [ll, l], and the
+    shared-boundary case 'a b a b' under (a,b) gives [ab, ab] (a
+    string-replace re-segmentation gets that one wrong, which is why
+    this op is pinned against a pure-Python golden rather than a SQL
+    oracle — see test_text_ops.TestBpe).
+
+    Returns [((a, b), count), ...] in merge order. Deterministic:
+    count ties break on (a, b) ascending.
+    """
+    w = F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    wc = (df.select(w).where(F.col("w") != "")
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    syms = wc.select("c", F.concat(
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+        F.array(F.lit("</w>"))).alias("s")).localCheckpoint()
+    merges: list = []
+    # size(s) < 2 (a fully-merged word) must yield NO pairs —
+    # sequence(1, 0) would count DOWN through the invalid index 0
+    pair = F.explode(F.expr(
+        "CASE WHEN size(s) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(element_at(s, i) as a, element_at(s, i + 1) as b)) "
+        "END"
+    )).alias("p")
+    for _ in range(n_merges):
+        top = (syms.select("c", pair)
+               .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+               .agg(F.sum("c").cast("long").alias("cnt"))
+               .orderBy(F.desc("cnt"), "a", "b").first())
+        if top is None:
+            break
+        merges.append(((top["a"], top["b"]), top["cnt"]))
+        a, b = top["a"], top["b"]
+        # greedy left-to-right fuse: state = symbols emitted so far
+        fuse = F.expr(
+            "aggregate(s, cast(array() as array<string>), (acc, x) -> "
+            # try_element_at: NULL on empty acc (a bare element_at
+            # errors — AND does not short-circuit in Spark SQL)
+            f"CASE WHEN try_element_at(acc, -1) = {_sq(a)} "
+            f"AND x = {_sq(b)} "
+            "THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array(concat({_sq(a)}, {_sq(b)}))) "
+            "ELSE concat(acc, array(x)) END)")
+        syms = syms.select("c", fuse.alias("s")).localCheckpoint()
+    return merges
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal (symbols can contain quotes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(t))

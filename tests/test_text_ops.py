@@ -269,3 +269,100 @@ class TestUnigramLogprob:
         b = sorted(map(tuple,
                        unigram_logprob(df, vocab_rows=10_000_000).collect()))
         assert a == b
+
+
+class TestBpe:
+    """BPE tokenizer-training primitives: pair counting (exact, also
+    driver-gated as doc_bpe_pairs) and the merge loop, pinned against
+    a pure-Python golden implementation of Sennrich et al. 2016 —
+    including the shared-boundary case a string-replace
+    re-segmentation gets wrong."""
+
+    @staticmethod
+    def _golden_counts(texts):
+        from collections import Counter
+        wc = Counter(w for t in texts for w in t.lower().split() if w)
+        vocab = {w: list(w) + ["</w>"] for w in wc}
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wc[w]
+        return wc, vocab, pairs
+
+    @classmethod
+    def _golden_merges(cls, texts, n):
+        wc, vocab, _ = cls._golden_counts(texts)
+        merges = []
+        for _ in range(n):
+            from collections import Counter
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += wc[w]
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            merges.append(((a, b), cnt))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    TEXTS = ["the cat sat on the mat",
+             "low lower lowest",          # classic BPE example
+             "ababab llll",               # overlap + shared boundary
+             "The THE the"]               # case folding collapses
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+
+    def test_pair_counts_match_golden(self, spark):
+        from filodb_spark.operators.text import bpe_pair_counts
+        got = {(r["a"], r["b"]): r["cnt"]
+               for r in bpe_pair_counts(self._df(spark)).collect()}
+        _, _, want = self._golden_counts(self.TEXTS)
+        assert got == dict(want)
+
+    def test_top_k_order_deterministic(self, spark):
+        from filodb_spark.operators.text import bpe_pair_counts
+        rows = bpe_pair_counts(self._df(spark), top_k=5).collect()
+        keys = [(-r["cnt"], r["a"], r["b"]) for r in rows]
+        assert keys == sorted(keys) and len(rows) == 5
+
+    def test_merge_loop_matches_golden(self, spark):
+        from filodb_spark.operators.text import bpe_learn_merges
+        got = bpe_learn_merges(self._df(spark), 6)
+        assert got == self._golden_merges(self.TEXTS, 6)
+
+    def test_overlap_and_shared_boundary_semantics(self, spark):
+        """'llll' under merge (l,l) segments [ll, ll]; 'ababab' under
+        (a,b) gives [ab, ab, ab] — the left-to-right greedy fold. A
+        separator-string replace would drop the second 'a b' of every
+        shared-boundary run."""
+        from filodb_spark.operators.text import bpe_learn_merges
+        df = spark.createDataFrame([(0, "ababab ababab llll")],
+                                   "doc_id long, text string")
+        merges = bpe_learn_merges(df, 2)
+        assert merges == self._golden_merges(["ababab ababab llll"], 2)
+        # the first merge is (a,b) cnt 6 (2 words x 3 non-overlapping)
+        assert merges[0] == (("a", "b"), 6)
+
+    def test_quote_and_backslash_symbols(self, spark):
+        """Merge pairs containing SQL-special characters survive the
+        fold's literal injection (_sq escaping)."""
+        from filodb_spark.operators.text import bpe_learn_merges
+        texts = ["don't don't can't", "a\\b a\\b"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id long, text string")
+        assert bpe_learn_merges(df, 4) == self._golden_merges(texts, 4)

@@ -469,6 +469,43 @@ def _sq(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def bpe_encode(df: DataFrame, merges: Sequence, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Apply a learned BPE merge table (bpe_learn_merges output, or
+    just its [(a, b), ...] pairs) to segment each document: per token,
+    start from characters+</w> and apply every merge in training
+    order — the standard BPE encoder. The merge table is baked into
+    the plan as a chain of fold expressions (one per merge, like
+    pq_encode's literal codebook): map-only, no shuffle, no Python in
+    the plan; plan depth grows with the merge count, so this is for
+    the bounded merge tables bpe_learn_merges produces (thousands at
+    most — production GPT-2 has 50k, at which point you'd ship the
+    vocabulary as a broadcast dict into a Pandas UDF instead; this
+    in-plan form is exact and dependency-free for the sizes the
+    training loop here emits).
+
+    Output: one row per input row — (id, subwords array<string>,
+    n_subwords). Whole-row fertility panels compose downstream.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    word_syms = ("transform(sequence(1, length(x)), "
+                 "i -> substr(x, i, 1))")
+    seq = f"concat({word_syms}, array('</w>'))"
+    for m in merges:
+        (a, b) = m[0] if isinstance(m[0], (tuple, list)) else m
+        seq = (f"aggregate({seq}, cast(array() as array<string>), "
+               f"(acc, y) -> CASE WHEN try_element_at(acc, -1) = {_sq(a)} "
+               f"AND y = {_sq(b)} "
+               f"THEN concat(slice(acc, 1, size(acc) - 1), "
+               f"array(concat({_sq(a)}, {_sq(b)}))) "
+               f"ELSE concat(acc, array(y)) END)")
+    sub = F.expr(f"flatten(transform(t, x -> {seq}))")
+    return (df.select(F.col(id_col), toks.alias("t"))
+              .select(id_col, sub.alias("subwords"))
+              .withColumn("n_subwords",
+                          F.size("subwords").cast("long")))
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df.withColumn("n_tokens", token_count(t))

@@ -366,3 +366,56 @@ class TestBpe:
         df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
                                    "doc_id long, text string")
         assert bpe_learn_merges(df, 4) == self._golden_merges(texts, 4)
+
+    @classmethod
+    def _golden_encode(cls, texts, merges):
+        out = []
+        for t in texts:
+            subs = []
+            for w in t.lower().split():
+                if not w:
+                    continue
+                syms = list(w) + ["</w>"]
+                for (a, b), _ in merges:
+                    nxt, i = [], 0
+                    while i < len(syms):
+                        if (i + 1 < len(syms) and syms[i] == a
+                                and syms[i + 1] == b):
+                            nxt.append(a + b)
+                            i += 2
+                        else:
+                            nxt.append(syms[i])
+                            i += 1
+                    syms = nxt
+                subs.extend(syms)
+            out.append(subs)
+        return out
+
+    def test_encode_matches_golden(self, spark):
+        """Train on the fixture corpus, encode it back: every doc's
+        subword sequence equals the pure-Python encoder's."""
+        from filodb_spark.operators.text import (bpe_encode,
+                                                 bpe_learn_merges)
+        df = self._df(spark)
+        merges = bpe_learn_merges(df, 8)
+        got = {r["doc_id"]: (list(r["subwords"]), r["n_subwords"])
+               for r in bpe_encode(df, merges).collect()}
+        want = self._golden_encode(self.TEXTS, merges)
+        for i, subs in enumerate(want):
+            assert got[i] == (subs, len(subs)), i
+        # trained merges strictly compress vs raw char count
+        raw = sum(len(w) + 1 for t in self.TEXTS for w in t.lower().split())
+        assert sum(n for _, n in got.values()) < raw
+
+    def test_encode_empty_and_unseen(self, spark):
+        """Empty docs encode to []; words unseen in training fall back
+        to whatever partial merges apply (standard BPE behavior)."""
+        from filodb_spark.operators.text import (bpe_encode,
+                                                 bpe_learn_merges)
+        merges = bpe_learn_merges(self._df(spark), 4)
+        df = spark.createDataFrame([(0, ""), (1, "zzz the")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: list(r["subwords"])
+               for r in bpe_encode(df, merges).collect()}
+        assert got[0] == []
+        assert got[1] == self._golden_encode(["zzz the"], merges)[0]

@@ -29,20 +29,22 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1     NEW r12: doc_bpe_pairs (BPE tokenizer-training pair
-    #         statistics — pre-verified exact at sf0.001/0.01/0.1),
-    #   2-4   once-gated at r11: ts_ds_schema_route (now exercising
+    #   1-2   NEW r12: doc_bpe_pairs (BPE tokenizer-training pair
+    #         statistics) and doc_winnow_pairs (winnowing/MOSS
+    #         near-dup candidate pairs) — both pre-verified exact at
+    #         sf0.001/0.01/0.1,
+    #   3-5   once-gated at r11: ts_ds_schema_route (now exercising
     #         the STAMPED dual mount), ts_ds_presence,
     #         ts_ds_window_aggs (the r11 fn-matrix closures get their
     #         second gate),
-    #   5-22  the 18 last-gated-r7 leftovers, alphabetical
+    #   6-23  the 18 last-gated-r7 leftovers, alphabetical
     #         (pl_mix_sources ... ts_hist_mixed_sum),
-    #   23-50 the last-gated-r8 backlog (45 queries), alphabetical —
-    #         28 fit; the remaining 17 (ts_export_columns,
+    #   24-50 the last-gated-r8 backlog (45 queries), alphabetical —
+    #         27 fit; the remaining 18 (ts_deriv, ts_export_columns,
     #         ts_export_rules ...) lead the r13 backlog.
     window = [
         # new in round 12
-        "doc_bpe_pairs",
+        "doc_bpe_pairs", "doc_winnow_pairs",
         # once-gated head (new in r11)
         "ts_ds_schema_route", "ts_ds_presence", "ts_ds_window_aggs",
         # canaries last gated r7 (the 18 leftovers), alphabetical
@@ -62,7 +64,7 @@ def all_queries():
         "pl_source_divergence", "pl_token_budget", "pl_url_filter",
         "pq_hist_scale_quantile", "pq_label_replace_groups",
         "pq_prefix_compare", "pq_set_and", "pq_set_or", "pq_trig",
-        "ts_absent", "ts_agg_topk", "ts_changes", "ts_deriv",
+        "ts_absent", "ts_agg_topk", "ts_changes",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

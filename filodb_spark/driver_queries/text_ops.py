@@ -699,3 +699,50 @@ FROM pairs
 GROUP BY a, b
 ORDER BY cnt DESC, a, b
 LIMIT 200"""
+
+
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup candidate pairs (Schleimer et al. 2003, the
+    MOSS algorithm): positional k-gram Rabin-Karp hashes -> w-window
+    minima -> distinct fingerprint set per doc -> ONE fingerprint
+    equi-join with a stop-fingerprint df-cap before it. Guarantee:
+    a shared run of >= k + w - 1 chars shares >= 1 fingerprint; pairs
+    here share >= 2. Portable modular arithmetic, so the oracle
+    reproduces the fingerprint sets bit-for-bit."""
+    return dedup.winnow_near_dup_pairs(_docs(spark, sf_dir),
+                                       k=8, w=4, min_shared=2,
+                                       max_df=50)
+
+
+QUERIES["doc_winnow_pairs"] = q_doc_winnow_pairs
+
+ORACLES["doc_winnow_pairs"] = """
+WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(lt) >= 8 THEN
+           list_transform(
+             generate_series(1, length(lt) - 7),
+             i -> list_reduce(
+                    list_transform(generate_series(i, i + 7),
+                                   j -> CAST(ascii(substring(lt, j, 1)) AS BIGINT)),
+                    (acc, c) -> (acc * 257 + c) % 1000000007))
+         ELSE [] END AS hs
+  FROM d),
+fps AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, len(hs) - 4 + 1),
+             j -> list_min(hs[j : j + 4 - 1]))) AS fp
+    FROM h WHERE len(hs) >= 4)),
+kept AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+f2 AS (SELECT doc_id, f.fp FROM fps f JOIN kept USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM f2 a JOIN f2 b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2"""

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from filodb_spark.operators import text as text_ops
 from filodb_spark.operators.text import char_shingles, fingerprint
 
 
@@ -468,3 +469,38 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
              .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
                   F.count(F.lit(1)).alias("n"))
              .where(F.col("n") > 1))
+
+
+def winnow_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8, w: int = 4,
+                          min_shared: int = 2,
+                          max_df: int | None = None) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (text.winnow_fingerprints — the MOSS matching step, Schleimer et
+    al. 2003 §4): two documents pair when they share >= min_shared
+    fingerprints, i.e. >= min_shared matching runs of length
+    >= k + w - 1 characters.
+
+    Scale shape: ONE fingerprint equi-join — never all-pairs. The
+    quadratic hazard is boilerplate fingerprints shared by thousands
+    of documents; `max_df` drops fingerprints present in more than
+    that many docs BEFORE the self-join (the stop-fingerprint filter,
+    computed by a co-partitioned count on the same join key — the
+    standard df-cap from the paper's index construction). Exact and
+    deterministic either way, so the SQL oracle mirrors it.
+
+    Output: (id_a, id_b, shared) with id_a < id_b, shared = count of
+    common fingerprints (post-cap), shared >= min_shared."""
+    fps = text_ops.winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_df is not None:
+        freq = (fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_df))
+        fps = fps.join(freq.select("fp"), "fp")
+    left = fps.select(F.col(id_col).alias("id_a"), "fp")
+    right = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (left.join(right, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+            .where(F.col("shared") >= min_shared))

@@ -93,6 +93,46 @@ def rolling_fingerprint(text: Column, k: int = 8) -> Column:
     return F.when(F.length(F.trim(text)) >= k, F.array_min(poly))
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL character
+    k-gram of the lowercased text with the same portable Rabin-Karp
+    arithmetic as rolling_fingerprint, slide a window of w consecutive
+    hashes, keep each window's minimum, emit the distinct minima. The
+    guarantee: any match of length >= k + w - 1 between two documents
+    shares at least one fingerprint, while storage is ~2/(w+1) of the
+    gram count — local edits perturb only nearby windows (the single
+    global min of rolling_fingerprint is the w = everything special
+    case). Pure modular integer math: any engine reproduces the set
+    bit-for-bit, so the SQL oracle is exact.
+
+    Map-only (transform/slice/array_min inside the row, then one
+    explode) — no shuffle until a consumer aggregates. Output:
+    (id, fp long), one row per distinct fingerprint; documents shorter
+    than k + w - 1 characters emit no rows (strict winnowing)."""
+    low = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(low) >= k,
+        F.transform(F.sequence(F.lit(0), F.length(low) - k),
+                    lambda i: F.substr(low, i + 1, F.lit(k)))
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.sequence(F.lit(1), F.length(g)),
+            F.lit(0).cast("long"),
+            lambda acc, i: (acc * ROLL_BASE
+                            + F.ascii(F.substr(g, i, F.lit(1)))) % ROLL_MOD))
+    mins = F.expr(
+        f"CASE WHEN size(h) < {int(w)} THEN cast(array() as array<bigint>) "
+        f"ELSE transform(sequence(1, size(h) - {int(w)} + 1), "
+        f"j -> array_min(slice(h, j, {int(w)}))) END")
+    return (df.select(F.col(id_col), hashes.alias("h"))
+              .select(id_col, F.explode(F.array_distinct(mins)).alias("fp")))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, whitespace collapsed). Used for exact dedup across

@@ -419,3 +419,82 @@ class TestBpe:
                for r in bpe_encode(df, merges).collect()}
         assert got[0] == []
         assert got[1] == self._golden_encode(["zzz the"], merges)[0]
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. 2003) pinned against a
+    pure-Python golden: positional k-gram Rabin-Karp hashes, w-window
+    minima, distinct set; pair matching with the stop-fingerprint cap."""
+
+    K, W = 4, 3
+
+    @classmethod
+    def _golden_fps(cls, text):
+        t = text.lower()
+        if len(t) < cls.K:
+            return set()
+        hs = []
+        for i in range(len(t) - cls.K + 1):
+            h = 0
+            for ch in t[i:i + cls.K]:
+                h = (h * 257 + ord(ch)) % 1_000_000_007
+            hs.append(h)
+        if len(hs) < cls.W:
+            return set()
+        return {min(hs[j:j + cls.W]) for j in range(len(hs) - cls.W + 1)}
+
+    TEXTS = {0: "the quick brown fox jumps over the lazy dog",
+             1: "the quick brown fox jumped over one lazy dog",
+             2: "completely different content here entirely",
+             3: "tiny",                  # k-grams but < w windows
+             4: "abc",                   # shorter than k
+             5: "the quick brown fox jumps over the lazy dog"}  # dup of 0
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, t) for i, t in self.TEXTS.items()],
+            "doc_id long, text string")
+
+    def test_fingerprint_sets_match_golden(self, spark):
+        from filodb_spark.operators.text import winnow_fingerprints
+        rows = winnow_fingerprints(self._df(spark), k=self.K,
+                                   w=self.W).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], set()).add(r["fp"])
+        want = {i: self._golden_fps(t) for i, t in self.TEXTS.items()
+                if self._golden_fps(t)}
+        assert got == want
+        assert 3 not in got and 4 not in got    # strict winnowing
+
+    def test_pairs_and_guarantee(self, spark):
+        """The winnowing guarantee: a shared run of >= k + w - 1 chars
+        shares a fingerprint — the exact dup pairs maximally, the
+        one-word edit still pairs, the unrelated doc pairs with
+        nothing."""
+        from filodb_spark.operators.dedup import winnow_near_dup_pairs
+        pairs = {(r["id_a"], r["id_b"]): r["shared"]
+                 for r in winnow_near_dup_pairs(
+                     self._df(spark), k=self.K, w=self.W,
+                     min_shared=1).collect()}
+        assert pairs[(0, 5)] == len(self._golden_fps(self.TEXTS[0]))
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert not any(2 in p for p in pairs)
+
+    def test_stop_fingerprint_cap(self, spark):
+        """max_df drops boilerplate fingerprints BEFORE the self-join:
+        with a cap below the corpus-wide boilerplate df, only the
+        distinctive overlap pairs survive."""
+        from filodb_spark.operators.dedup import winnow_near_dup_pairs
+        texts = {i: "shared boilerplate header text " + s for i, s in
+                 enumerate(["alpha beta gamma", "alpha beta gamma",
+                            "delta epsilon zeta", "eta theta iota"])}
+        df = spark.createDataFrame([(i, t) for i, t in texts.items()],
+                                   "doc_id long, text string")
+        uncapped = {(r["id_a"], r["id_b"]) for r in winnow_near_dup_pairs(
+            df, k=self.K, w=self.W, min_shared=1).collect()}
+        assert uncapped == {(a, b) for a in range(4) for b in range(4)
+                            if a < b}          # boilerplate pairs all
+        capped = {(r["id_a"], r["id_b"]) for r in winnow_near_dup_pairs(
+            df, k=self.K, w=self.W, min_shared=1, max_df=3).collect()}
+        assert capped == {(0, 1)}              # only the true near-dup

@@ -24,47 +24,36 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 12's
+    # covers the first 50 registered queries per round. Round 13's
     # window (rotation rule: head = new queries + forced re-gates +
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-2   NEW r12: doc_bpe_pairs (BPE tokenizer-training pair
-    #         statistics) and doc_winnow_pairs (winnowing/MOSS
-    #         near-dup candidate pairs) — both pre-verified exact at
-    #         sf0.001/0.01/0.1,
-    #   3-5   once-gated at r11: ts_ds_schema_route (now exercising
-    #         the STAMPED dual mount), ts_ds_presence,
-    #         ts_ds_window_aggs (the r11 fn-matrix closures get their
-    #         second gate),
-    #   6-23  the 18 last-gated-r7 leftovers, alphabetical
-    #         (pl_mix_sources ... ts_hist_mixed_sum),
-    #   24-50 the last-gated-r8 backlog (45 queries), alphabetical —
-    #         27 fit; the remaining 18 (ts_deriv, ts_export_columns,
-    #         ts_export_rules ...) lead the r13 backlog.
+    #   1-18  the 18 last-gated-r8 leftovers, alphabetical
+    #         (ts_deriv ... ts_zscore),
+    #   19-50 the last-gated-r9 backlog (45 queries), alphabetical —
+    #         32 fit (ann_bruteforce ... tpch_q21); the remaining 13
+    #         (tpch_q3 ... ts_series_cardinality_pk) lead the r14
+    #         backlog.
     window = [
-        # new in round 12
-        "doc_bpe_pairs", "doc_winnow_pairs",
-        # once-gated head (new in r11)
-        "ts_ds_schema_route", "ts_ds_presence", "ts_ds_window_aggs",
-        # canaries last gated r7 (the 18 leftovers), alphabetical
-        "pl_mix_sources", "pl_repetition", "pl_strat_sample",
-        "pl_strat_topk", "pq_absent", "pq_binary_user_ratio",
-        "pq_count_by_metric", "pq_hist_struct_quantile",
-        "pq_hist_to_prom", "pq_instant_chain", "pq_label_join",
-        "pq_label_replace", "pq_offset", "pq_quantile_last",
-        "pq_set_unless", "pq_topk", "ts_exp_hist_quantile",
-        "ts_hist_mixed_sum",
-        # canaries last gated r8, alphabetical (29 of 45)
-        "ann_ivf_portable", "ann_ivfpq_kmeans", "ann_ivfpq_kmeans_recall",
-        "ann_ivfpq_recall", "ann_ivfpq_stored", "ann_ivfpq_topk",
-        "doc_dedup_exact", "doc_minhash_portable", "emb_near_dup",
-        "emb_quantize", "ev_gap_fill", "ev_label_churn",
-        "mm_y4m_frames", "pl_dedup_incremental", "pl_length_quantiles",
-        "pl_source_divergence", "pl_token_budget", "pl_url_filter",
-        "pq_hist_scale_quantile", "pq_label_replace_groups",
-        "pq_prefix_compare", "pq_set_and", "pq_set_or", "pq_trig",
-        "ts_absent", "ts_agg_topk", "ts_changes",
+        # canaries last gated r8 (the 18 leftovers), alphabetical
+        "ts_deriv", "ts_export_columns", "ts_export_rules",
+        "ts_holt_winters", "ts_increase", "ts_irate",
+        "ts_join_group_left", "ts_join_ratio", "ts_label_values",
+        "ts_mad_over_time", "ts_predict_linear", "ts_quantile_over_time",
+        "ts_remote_write_roundtrip", "ts_resets", "ts_salted_sum",
+        "ts_series_cardinality", "ts_set_and", "ts_zscore",
+        # canaries last gated r9, alphabetical (32 of 45)
+        "ann_bruteforce", "doc_dedup_clusters", "doc_fingerprint",
+        "doc_langid", "doc_ngram_jaccard", "doc_segment_dedup",
+        "doc_simhash_portable", "doc_tfidf_topk", "doc_token_count",
+        "emb_norm_stats", "emb_semantic_dedup", "ev_asof_join",
+        "ev_sessions", "mm_frame_sample", "mm_image_features",
+        "pl_contamination", "pl_pack_sequences", "pl_pii_scrub",
+        "pl_quality_filter", "pq_bool_compare", "pq_hist_fraction",
+        "pq_preagg_route", "pq_raw_matrix", "pq_subquery",
+        "pq_sum_rate", "tpch_q1", "tpch_q12", "tpch_q13",
+        "tpch_q17", "tpch_q18", "tpch_q2", "tpch_q21",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

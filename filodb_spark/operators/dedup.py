@@ -474,7 +474,7 @@ def simhash_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
 def winnow_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 8, w: int = 4,
                           min_shared: int = 2,
-                          max_df: int | None = None) -> DataFrame:
+                          max_df: int | None = 50) -> DataFrame:
     """Near-duplicate candidate pairs by shared winnowing fingerprints
     (text.winnow_fingerprints — the MOSS matching step, Schleimer et
     al. 2003 §4): two documents pair when they share >= min_shared
@@ -488,6 +488,14 @@ def winnow_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     computed by a co-partitioned count on the same join key — the
     standard df-cap from the paper's index construction). Exact and
     deterministic either way, so the SQL oracle mirrors it.
+
+    `max_df` DEFAULTS ON (50, the gated query's value): at scale the
+    cap is not an optimization but the correctness of the plan shape —
+    one boilerplate fingerprint shared by d documents emits d*(d-1)/2
+    pair rows, so the uncapped join is quadratic in the worst key
+    (scripts/scale_check_winnow.py skips its uncapped 8x cell for
+    exactly that reason). Pass max_df=None EXPLICITLY to opt into the
+    uncapped join on corpora known to carry no boilerplate.
 
     Output: (id_a, id_b, shared) with id_a < id_b, shared = count of
     common fingerprints (post-cap), shared >= min_shared."""

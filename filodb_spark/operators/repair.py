@@ -196,17 +196,24 @@ def validate_partkeys(spark: SparkSession, source_path: str,
     READ-ONLY by contract (ADVICE r11): validation never renames or
     deletes anything — a validator that performed swap recovery could
     race an in-flight copy_partkeys swap on the same target and rename
-    its backup mid-swap. A crash-orphaned target (only `__copy_old` on
-    disk) is read from the leftover IN PLACE and reported through the
-    returned "orphaned_leftover" flag; actual recovery stays with the
-    copy entry points (copy_partkeys runs recover_table_dir first)."""
+    its backup mid-swap. The two distinct crash states of the
+    two-rename swap are reported separately (ADVICE r12 — conflating
+    them overstated the orphan condition): "orphaned_leftover" =
+    ONLY `__copy_old` exists (crash between the two renames; the
+    leftover IS the table, read in place and validated),
+    "stale_backup" = `__copy_old` AND a healthy target both exist
+    (crash after the second rename, before backup cleanup; the target
+    is validated and the backup is just unreclaimed disk). Actual
+    recovery stays with the copy entry points (copy_partkeys runs
+    recover_table_dir first)."""
     from filodb_spark.partkey import read_partkey_table
     from filodb_spark.sources.table import hadoop_fs
     fs, Path = hadoop_fs(spark, target_path)
     old = target_path.rstrip("/") + "__copy_old"
-    orphaned = fs.exists(Path(old))
-    read_target = old if orphaned and not fs.exists(Path(target_path)) \
-        else target_path
+    leftover = fs.exists(Path(old))
+    target_exists = fs.exists(Path(target_path))
+    orphaned = leftover and not target_exists
+    read_target = old if orphaned else target_path
 
     def rows(path):
         pk = read_partkey_table(spark, path)
@@ -226,6 +233,7 @@ def validate_partkeys(spark: SparkSession, source_path: str,
             "series_source_only": sk_s.exceptAll(sk_t).count(),
             "series_target_only": sk_t.exceptAll(sk_s).count(),
             "orphaned_leftover": orphaned,
+            "stale_backup": leftover and target_exists,
         }
     finally:
         s.unpersist()

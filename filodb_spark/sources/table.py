@@ -137,16 +137,22 @@ def distinct_metric_names(df: DataFrame,
 
 def open_downsample_table(spark: SparkSession, path: str):
     """Open a downsample table for mounting: (DataFrame, stamped metric
-    frozenset or None). The library-level twin of the CLI's
-    --ds-gauge/--ds-counter handling — pass the pair into
-    TsStore(ds_counter_df=df, ds_counter_metrics=metrics) (or the
-    ds_df/ds_gauge_metrics slots) so per-metric routing answers from
-    the write-time stamp when one exists and falls back to the
-    memoized probe when it doesn't."""
+    frozenset or None, stamped schema str or None). The library-level
+    twin of the CLI's --ds-gauge/--ds-counter handling — pass df and
+    metrics into TsStore(ds_counter_df=df, ds_counter_metrics=metrics)
+    (or the ds_df/ds_gauge_metrics slots) so per-metric routing answers
+    from the write-time stamp when one exists and falls back to the
+    memoized probe when it doesn't. The schema field is the stamp's
+    declared data schema ("gauge"/"counter"/"hist"): mount code should
+    cross-check it against the slot it is mounting into — attaching a
+    counter-stamped table's metric set to the gauge slot routes those
+    metrics to the wrong kernels with no probe left to catch it
+    (ADVICE r12; cli._open_store fails on a mismatch)."""
     stamp = read_ds_schema_manifest(spark, path)
     metrics = stamp.get("metrics")
     return (spark.read.parquet(path),
-            frozenset(metrics) if metrics is not None else None)
+            frozenset(metrics) if metrics is not None else None,
+            stamp.get("schema"))
 
 
 def refresh_ds_schema_stamp(spark: SparkSession, path: str,
@@ -499,10 +505,6 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
             is_eligible_for_downsample(F.col("labels"), allow, block))
     keyed = raw.withColumn("_sk", canonical_labels(F.col("labels")))
     series = keyed.select("_sk", "labels").dropDuplicates(["_sk"])
-    # the ladder knows every tier's schema and metric set right here —
-    # stamp it into each tier directory so dual mounts route per metric
-    # without existence probes (TsStore.ds_schema_of reads the stamp)
-    stamp_metrics = distinct_metric_names(raw)
     stats: dict = {}
     prev = None
     for res, name, keep_days in tiers:
@@ -534,15 +536,30 @@ def retention_ladder(spark: SparkSession, raw_path: str, out_root: str,
                        F.date_format(F.timestamp_millis(F.col("ts")),
                                      "yyyy-MM-dd"))
            .write.mode("overwrite").partitionBy("date").parquet(path))
-        if stamp_metrics is not None:
-            write_ds_schema_manifest(spark, path, schema, stamp_metrics)
         expire_partitions(spark, path, _cutoff(keep_days))
+        # stamp AFTER retention, from the SURVIVING tier rows (ADVICE
+        # r12: stamping pre-expiry left a metric whose rows were all
+        # older than the tier horizon stamped as present — ds_schema_of
+        # then routed it to DS, e.g. tripping the 2x-ds-resolution
+        # lookback rejection, where the probe path returns None). One
+        # distinct-scan per tier on the retained rows — smaller than
+        # the single raw-level scan this replaces. The ladder knows
+        # each tier's schema right here, so dual mounts route per
+        # metric without existence probes (TsStore.ds_schema_of).
         try:
-            stats[name] = spark.read.parquet(path).count()
+            tier_df = spark.read.parquet(path)
+            stats[name] = tier_df.count()
+            tier_metrics = distinct_metric_names(tier_df.select("labels"))
         except AnalysisException:
             # retention dropped every date partition of this tier —
-            # an empty directory has no schema to infer; count is 0
+            # an empty directory has no schema to infer; count is 0,
+            # and the stamp is the EMPTY metric set (correct: routing
+            # must answer "absent" for every metric, falling through
+            # to raw/other tiers — unstamped would re-probe forever)
             stats[name] = 0
+            tier_metrics = []
+        if tier_metrics is not None:
+            write_ds_schema_manifest(spark, path, schema, tier_metrics)
         prev = ds
     stats["raw_dropped"] = expire_partitions(spark, raw_path,
                                              _cutoff(raw_keep_days))

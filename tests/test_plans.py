@@ -630,6 +630,47 @@ class TestRetentionLadder:
         assert probed.ds_schema_of("up_total") == "counter"
         assert probed.ds_schema_of("never_written") is None
 
+    def test_ladder_stamps_survivors_not_expired_metrics(self, spark,
+                                                         tmp_path):
+        """The stamp is written AFTER tier retention, from the
+        SURVIVING rows (ADVICE r12): a metric whose rows are all older
+        than the tier horizon must NOT stay stamped as present —
+        ds_schema_of would route it to DS (e.g. tripping the
+        2x-ds-resolution lookback rejection) where the probe path
+        correctly answers None. A tier whose retention drops
+        EVERYTHING is stamped with the empty set, not left unstamped
+        (absence answers must stay metadata-only too)."""
+        from filodb_spark.sources.table import (read_ds_schema_manifest,
+                                                retention_ladder,
+                                                write_series_table)
+        day = 24 * 3600 * 1000
+        now = 1_700_000_000_000 - (1_700_000_000_000 % day)
+        # "old_total" stopped emitting 20 days ago; "live_total" is
+        # current. A 10-day tier horizon keeps only live_total rows.
+        rows = [({"__name__": "old_total"}, now - 20 * day + s * 3600_000,
+                 float(s)) for s in range(3)]
+        rows += [({"__name__": "live_total"}, now - 2 * day + s * 3600_000,
+                  float(s)) for s in range(3)]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double")
+        raw = str(tmp_path / "raw")
+        write_series_table(df, raw)
+        retention_ladder(
+            spark, raw, str(tmp_path / "tiers"), now_ms=now,
+            tiers=((6 * 3600 * 1000, "6h", 10),), raw_keep_days=30,
+            schema="counter")
+        stamp = read_ds_schema_manifest(spark, str(tmp_path / "tiers/6h"))
+        assert stamp == {"schema": "counter", "metrics": ["live_total"]}
+        # horizon of 1 day ago drops every period (rows end 2 days ago
+        # at +3h): the tier is fully expired -> EMPTY stamp
+        retention_ladder(
+            spark, raw, str(tmp_path / "tiers2"), now_ms=now,
+            tiers=((6 * 3600 * 1000, "6h", 1),), raw_keep_days=30,
+            schema="counter")
+        stamp2 = read_ds_schema_manifest(
+            spark, str(tmp_path / "tiers2/6h"))
+        assert stamp2 == {"schema": "counter", "metrics": []}
+
     def test_refresh_stamp_on_appended_table(self, spark, tmp_path):
         """refresh_ds_schema_stamp re-derives the stamp from the table
         rows — the maintenance hook for streaming-sink tables that gain

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -454,6 +455,15 @@ def bpe_learn_merges(df: DataFrame, n_merges: int,
     touched ONCE (word counts); every round runs on the distinct
     vocabulary, like the reference-free kmeans_portable loop.
 
+    Scale note: each round is 2 scheduled Spark jobs plus a
+    localCheckpoint on the vocabulary-sized frame, so a
+    production-scale run (50k merges) is ~100k driver-scheduled jobs —
+    the DRIVER LOOP, not the data, becomes the clock well before then.
+    This loop targets the bounded tables used in training experiments
+    (tens to hundreds of merges); large-vocabulary training belongs in
+    a dedicated trainer, after which `bpe_encode_dict` applies the
+    resulting table at O(tokens) whatever its size.
+
     Re-segmentation is a fold (F.aggregate) over each word's symbol
     array: append, or fuse with the accumulator's tail when
     (tail, next) equals the round's merge pair — left-to-right
@@ -518,11 +528,14 @@ def bpe_encode(df: DataFrame, merges: Sequence, id_col: str = "doc_id",
     the plan as a chain of fold expressions (one per merge, like
     pq_encode's literal codebook): map-only, no shuffle, no Python in
     the plan; plan depth grows with the merge count, so this is for
-    the bounded merge tables bpe_learn_merges produces (thousands at
-    most — production GPT-2 has 50k, at which point you'd ship the
-    vocabulary as a broadcast dict into a Pandas UDF instead; this
-    in-plan form is exact and dependency-free for the sizes the
-    training loop here emits).
+    the bounded merge tables training loops iterate on (tens of
+    merges). Past that, use the row-identical production twin
+    `bpe_encode_dict` — broadcast rank dict + one Arrow-batched
+    Pandas UDF, O(tokens) regardless of table size; the in-plan form
+    not only slows linearly with merges but exceeds Catalyst's
+    analyzer iteration budget past ~100 folds
+    (scripts/scale_check_bpe_encode.py: at 64 merges the dict twin is
+    ~25x faster; at 128 the in-plan plan fails to analyze).
 
     Output: one row per input row — (id, subwords array<string>,
     n_subwords). Whole-row fertility panels compose downstream.
@@ -542,6 +555,149 @@ def bpe_encode(df: DataFrame, merges: Sequence, id_col: str = "doc_id",
     sub = F.expr(f"flatten(transform(t, x -> {seq}))")
     return (df.select(F.col(id_col), toks.alias("t"))
               .select(id_col, sub.alias("subwords"))
+              .withColumn("n_subwords",
+                          F.size("subwords").cast("long")))
+
+
+def _bpe_table_well_formed(merges: Sequence) -> bool:
+    """True when a merge table could have been produced by BPE training
+    (bpe_learn_merges): every pair element is a base symbol (one char,
+    or the `</w>` marker) or the output of an EARLIER merge; outputs
+    are distinct, non-empty, never a base symbol; no empty elements.
+
+    Why it matters: on a well-formed table, the production encoder's
+    min-rank loop ("repeatedly merge the lowest-rank adjacent pair")
+    is EXACTLY the training-order sequential application the in-plan
+    bpe_encode performs — once a rank's pass is done, no later merge
+    can re-create that pair, because re-creation would need a later
+    output string equal to one of the pair's elements, i.e. a
+    duplicate output or an output equal to a base symbol. An arbitrary
+    (hand-written) table can violate that, and then the two orders
+    genuinely diverge — bpe_encode_dict detects it here and drops to
+    sequential application so it is row-equal to bpe_encode on EVERY
+    table, not just trained ones."""
+    seen: set = set()
+    for m in merges:
+        (a, b) = m[0] if isinstance(m[0], (tuple, list)) else m
+        for sym in (a, b):
+            if sym == "" or not (len(sym) == 1 or sym == "</w>"
+                                 or sym in seen):
+                return False
+        out = a + b
+        if out in seen or out == "</w>" or len(out) == 1:
+            return False
+        seen.add(out)
+    return True
+
+
+def _bpe_merge_pass(syms: list, a: str, b: str) -> list:
+    """One greedy left-to-right pass fusing (a, b) — the EXACT Python
+    twin of bpe_encode's fold expression ('l l l' under (l,l) ->
+    [ll, l]; 'a b a b' under (a,b) -> [ab, ab]). Written as the same
+    fold (fuse with the accumulator's tail), not an index scan: the
+    fold re-examines the just-fused tail, which diverges from a
+    two-at-a-time scan exactly when a+b == a (an empty b symbol —
+    impossible in trained tables, representable in arbitrary ones,
+    and the fallback path must match the in-plan fold bit-for-bit)."""
+    out: list = []
+    fused = a + b
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = fused
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_encode_dict(df: DataFrame, merges: Sequence,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Production-scale BPE encoder: the merge table ships as a
+    broadcast rank dict into ONE Arrow-batched Pandas UDF — the escape
+    hatch bpe_encode's docstring promises for large vocabularies.
+    Same contract and row-identical output: (id, subwords
+    array<string>, n_subwords).
+
+    Why a second encoder: bpe_encode bakes one fold expression per
+    merge into the plan, so plan depth (and per-row work) is
+    O(merges) — exact and dependency-free for the bounded tables the
+    training loop emits, but a production GPT-2-scale table (50k
+    merges) would be a 50k-deep expression tree evaluated per token.
+    Here the merge table is DATA, not plan: one broadcast of the rank
+    dict per job, and each word runs the standard encoder loop
+    ("repeatedly fuse the lowest-rank adjacent pair", Sennrich et al.
+    2016) whose cost depends on WORD LENGTH, not merge count — total
+    work O(tokens), flat in the table size
+    (scripts/scale_check_bpe_encode.py + PERF.md measure the
+    crossover). Distinct words are memoized per batch, so repeated
+    vocabulary costs one encode per batch.
+
+    Row-equality with bpe_encode is guaranteed, not assumed: the
+    min-rank loop equals training-order sequential application only on
+    well-formed tables (_bpe_table_well_formed — every
+    bpe_learn_merges output qualifies); an arbitrary table that
+    violates well-formedness is applied sequentially instead, merge by
+    merge in training order, exactly as the in-plan fold chain does.
+    Pinned by the twin row-equality battery in test_text_ops.TestBpe
+    (the streaming-twins discipline).
+
+    Scale shape: tokenization and lower() stay JVM-side (the same
+    `tokens()` expression bpe_encode compiles, so tokenizer semantics
+    cannot drift between the twins); only the per-word merge loop —
+    pure dict lookups on short lists — crosses into Python, Arrow
+    batch at a time. Map-only: no shuffle, no driver data, one
+    broadcast whose size is the merge table itself."""
+    pairs = []
+    for m in merges:
+        (a, b) = m[0] if isinstance(m[0], (tuple, list)) else m
+        pairs.append((a, b))
+    fast = _bpe_table_well_formed(pairs)
+    bc = df.sparkSession.sparkContext.broadcast((pairs, fast))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def enc(tok_arrays: pd.Series) -> pd.Series:
+        pairs, fast = bc.value
+        ranks = {p: i for i, p in enumerate(pairs)}
+        cache: dict = {}
+
+        def encode_word(w: str) -> list:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            # chars + </w>; the empty token mirrors the in-plan
+            # sequence(1, 0) descending quirk -> ["", ""]
+            syms = (list(w) if w else ["", ""]) + ["</w>"]
+            if fast:
+                while len(syms) > 1:
+                    best_rank, best = None, None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None
+                                              or r < best_rank):
+                            best_rank, best = r, (syms[i], syms[i + 1])
+                    if best is None:
+                        break
+                    syms = _bpe_merge_pass(syms, *best)
+            else:
+                for a, b in pairs:
+                    syms = _bpe_merge_pass(syms, a, b)
+            cache[w] = syms
+            return syms
+
+        def encode_doc(toks):
+            if toks is None:
+                return None
+            out: list = []
+            for w in toks:
+                out.extend(encode_word(w))
+            return out
+
+        return tok_arrays.map(encode_doc)
+
+    toks = tokens(F.lower(F.col(text_col)))
+    return (df.select(F.col(id_col), enc(toks).alias("subwords"))
               .withColumn("n_subwords",
                           F.size("subwords").cast("long")))
 

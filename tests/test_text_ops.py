@@ -420,6 +420,86 @@ class TestBpe:
         assert got[0] == []
         assert got[1] == self._golden_encode(["zzz the"], merges)[0]
 
+    @staticmethod
+    def _rows(df):
+        return {r["doc_id"]: (None if r["subwords"] is None
+                              else list(r["subwords"]), r["n_subwords"])
+                for r in df.collect()}
+
+    def test_encode_dict_row_equal_to_in_plan(self, spark):
+        """The broadcast-dict Pandas-UDF encoder is row-identical to
+        the in-plan fold chain on a trained table — the twin
+        row-equality battery (streaming-twins discipline), covering
+        the shared-boundary 'ababab' and run 'llll' cases, unseen
+        words, the empty doc, and a NULL text."""
+        from filodb_spark.operators.text import (bpe_encode,
+                                                 bpe_encode_dict,
+                                                 bpe_learn_merges,
+                                                 _bpe_table_well_formed)
+        train = self._df(spark)
+        merges = bpe_learn_merges(train, 8)
+        assert _bpe_table_well_formed(merges)   # fast path exercised
+        probe = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)]
+            + [(90, ""), (91, "zzz the unseen"), (92, None),
+               (93, "ababab llll lowest")],
+            "doc_id long, text string")
+        assert self._rows(bpe_encode_dict(probe, merges)) == \
+            self._rows(bpe_encode(probe, merges))
+
+    def test_encode_dict_row_equal_on_fixture_corpus(self, spark):
+        """Same battery over the real documents fixture: train 16
+        merges at sf0.001 and encode the whole corpus both ways."""
+        from filodb_spark.operators.text import (bpe_encode,
+                                                 bpe_encode_dict,
+                                                 bpe_learn_merges)
+        df = (spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+        merges = bpe_learn_merges(df, 16)
+        assert self._rows(bpe_encode_dict(df, merges)) == \
+            self._rows(bpe_encode(df, merges))
+
+    def test_encode_dict_ill_formed_table_falls_back(self, spark):
+        """An arbitrary (non-trainable) merge table where the min-rank
+        loop and training-order application genuinely diverge: pair
+        ('ab','e') ranked BEFORE the ('a','b') that creates 'ab'.
+        Sequential order (the in-plan semantics) never fires it;
+        min-rank would. bpe_encode_dict must detect the ill-formed
+        table and stay row-equal to bpe_encode."""
+        from filodb_spark.operators.text import (bpe_encode,
+                                                 bpe_encode_dict,
+                                                 _bpe_table_well_formed)
+        merges = [("ab", "e"), ("a", "b")]
+        assert not _bpe_table_well_formed(merges)
+        df = spark.createDataFrame([(0, "abe abab e")],
+                                   "doc_id long, text string")
+        got = self._rows(bpe_encode_dict(df, merges))
+        assert got == self._rows(bpe_encode(df, merges))
+        # and the sequential semantics really did apply: 'abe' stays
+        # [ab, e, </w>] (rank-0 pass ran before any 'ab' existed)
+        assert got[0][0][:3] == ["ab", "e", "</w>"]
+
+    def test_well_formedness_classifier(self, spark):
+        """The fast-path gate: trained shapes pass; duplicate outputs,
+        forward references, empty symbols, and outputs colliding with
+        base symbols all fail."""
+        from filodb_spark.operators.text import _bpe_table_well_formed
+        ok = [("l", "l"), ("a", "b"), ("ab", "ab"), ("ll", "</w>")]
+        assert _bpe_table_well_formed(ok)
+        assert _bpe_table_well_formed([])
+        # forward reference: 'ab' used before created
+        assert not _bpe_table_well_formed([("ab", "c"), ("a", "b")])
+        # duplicate output strings via different constructions:
+        # (a,ab) and (aa,b) both emit 'aab'
+        assert not _bpe_table_well_formed(
+            [("a", "a"), ("a", "b"), ("a", "ab"), ("aa", "b")])
+        # empty symbol
+        assert not _bpe_table_well_formed([("", "a")])
+        # output equal to the </w> base marker
+        assert not _bpe_table_well_formed(
+            [("<", "/"), ("</", "w"), ("</w", ">")])
+
 
 class TestWinnowing:
     """Winnowing fingerprints (Schleimer et al. 2003) pinned against a

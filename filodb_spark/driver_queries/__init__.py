@@ -29,13 +29,19 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-18  the 18 last-gated-r8 leftovers, alphabetical
+    #   1-2   NEW r13: pl_c4_clean (C4 line-level cleaning, Raffel et
+    #         al. 2020) and pl_gopher_rules (Gopher quality rule
+    #         panel, Rae et al. 2021) — both pre-verified exact at
+    #         sf0.001/0.01/0.1,
+    #   3-20  the 18 last-gated-r8 leftovers, alphabetical
     #         (ts_deriv ... ts_zscore),
-    #   19-50 the last-gated-r9 backlog (45 queries), alphabetical —
-    #         32 fit (ann_bruteforce ... tpch_q21); the remaining 13
-    #         (tpch_q3 ... ts_series_cardinality_pk) lead the r14
+    #   21-50 the last-gated-r9 backlog (45 queries), alphabetical —
+    #         30 fit (ann_bruteforce ... tpch_q18); the remaining 15
+    #         (tpch_q2 ... ts_series_cardinality_pk) lead the r14
     #         backlog.
     window = [
+        # new in round 13
+        "pl_c4_clean", "pl_gopher_rules",
         # canaries last gated r8 (the 18 leftovers), alphabetical
         "ts_deriv", "ts_export_columns", "ts_export_rules",
         "ts_holt_winters", "ts_increase", "ts_irate",
@@ -53,7 +59,7 @@ def all_queries():
         "pl_quality_filter", "pq_bool_compare", "pq_hist_fraction",
         "pq_preagg_route", "pq_raw_matrix", "pq_subquery",
         "pq_sum_rate", "tpch_q1", "tpch_q12", "tpch_q13",
-        "tpch_q17", "tpch_q18", "tpch_q2", "tpch_q21",
+        "tpch_q17", "tpch_q18",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -231,7 +231,61 @@ def q_dataset_diff(spark, sf_dir):
     return dataset_diff(old, new)
 
 
+def _aug_multiline(d):
+    """The fixture corpus is single-line word salad with no punctuation,
+    so the line-level ops get a DETERMINISTIC multi-line augmentation
+    (the pl_url_filter/pl_pii_scrub pattern): both engines build the
+    same text — internal line breaks with terminal punctuation, plus
+    id-derived bullet / javascript / ellipsis / lorem-ipsum / brace /
+    short-line injections that exercise every rule."""
+    i = F.col("doc_id")
+    parts = [
+        F.replace(F.col("text"), F.lit(" value "),
+                  F.lit(".\nthe value ")),
+        F.lit("."),
+        F.when(i % 3 == 0,
+               F.lit("\n- bullet point of the list.")).otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.lit("\nplease enable javascript to view this page "
+                     "today.")).otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.lit("\nthis line trails off into the distance..."))
+         .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(" { #config }")).otherwise(F.lit("")),
+        F.when(i % 4 == 1, F.lit("\ntiny line.")).otherwise(F.lit("")),
+    ]
+    return d.select("doc_id", F.concat(*parts).alias("text"))
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning over the augmented corpus: per-line
+    terminal-punctuation / min-words / javascript rules, page-level
+    lorem-ipsum and brace tells; cleaned_text is part of the compared
+    output so the REWRITE is oracle-checked, not just the counts."""
+    from filodb_spark.operators.pipeline import c4_line_clean
+    out = c4_line_clean(_aug_multiline(_docs(spark, sf_dir)),
+                        min_words=5, min_kept_lines=2)
+    return out.select("doc_id", "n_lines", "n_lines_kept",
+                      "cleaned_text", "keep")
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rule panel over the augmented corpus:
+    every intermediate signal is in the compared output, so the oracle
+    pins the arithmetic, not only the final verdicts."""
+    from filodb_spark.operators.pipeline import gopher_quality
+    out = gopher_quality(_aug_multiline(_docs(spark, sf_dir)),
+                         min_words=12)
+    return out.select("doc_id", "n_words", "mean_word_len",
+                      "symbol_ratio", "frac_bullet_lines",
+                      "frac_ellipsis_lines", "frac_alpha_words",
+                      "n_stop_hits", "drop_reason", "keep")
+
+
 QUERIES = {
+    "pl_c4_clean": q_c4_clean,
+    "pl_gopher_rules": q_gopher_rules,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
     "pl_dataset_diff": q_dataset_diff,
@@ -609,3 +663,104 @@ SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
             WHEN old.fp <> new.fp THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id"""
+
+# shared augmentation for the line-level ops (the Spark twin is
+# _aug_multiline): deterministic multi-line text from the single-line
+# fixture, identical on both engines
+_AUG_MULTILINE = """
+  SELECT doc_id,
+         replace(text, ' value ', '.' || chr(10) || 'the value ')
+         || '.'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || '- bullet point of the list.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10)
+                      || 'please enable javascript to view this page today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10)
+                      || 'this line trails off into the distance...'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' { #config }' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN chr(10) || 'tiny line.' ELSE '' END
+           AS s
+  FROM documents"""
+
+ORACLES["pl_c4_clean"] = f"""
+WITH aug AS ({_AUG_MULTILINE}),
+l AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM aug),
+k AS (
+  SELECT doc_id, s, lines,
+         list_filter(lines, x ->
+           right(rtrim(x, ' '), 1) IN ('.', '!', '?', '"')
+           AND (CASE WHEN length(trim(x, ' ')) = 0 THEN 0
+                ELSE len(string_split_regex(trim(x, ' '), '[ \\t]+'))
+                END) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+       (len(kept) >= 2 AND NOT contains(lower(s), 'lorem ipsum')
+        AND NOT contains(s, '{{')) AS keep
+FROM k"""
+
+ORACLES["pl_gopher_rules"] = f"""
+WITH aug AS ({_AUG_MULTILINE}),
+w AS (
+  SELECT doc_id, s,
+         string_split_regex(trim(s, ' '), '[ \\t\\n]+') AS words,
+         string_split(s, chr(10)) AS lines
+  FROM aug),
+sig AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words), 6) AS mean_word_len,
+         round(CAST((length(s) - length(replace(s, '#', '')))
+                    + (length(s) - length(replace(s, '...', ''))) // 3
+                    + (length(s) - length(replace(s, '…', '')))
+                    AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(lines, x ->
+                 left(ltrim(x, ' '), 1) IN ('-', '*', '•')))
+               AS DOUBLE) / len(lines), 6) AS frac_bullet_lines,
+         round(CAST(len(list_filter(lines, x ->
+                 right(rtrim(x, ' '), 3) = '...'
+                 OR right(rtrim(x, ' '), 1) = '…'))
+               AS DOUBLE) / len(lines), 6) AS frac_ellipsis_lines,
+         round(CAST(len(list_filter(words, x ->
+                 regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(words), 6) AS frac_alpha_words,
+         CAST(len(list_intersect(
+                 list_distinct(list_transform(words, x -> lower(x))),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                  'with'])) AS BIGINT) AS n_stop_hits
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+       n_stop_hits,
+       CASE WHEN n_words < 12 THEN 'too_few_words'
+            WHEN n_words > 100000 THEN 'too_many_words'
+            WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                 THEN 'word_length'
+            WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+            WHEN frac_bullet_lines > 0.9 THEN 'bullet_lines'
+            WHEN frac_ellipsis_lines > 0.3 THEN 'ellipsis_lines'
+            WHEN frac_alpha_words < 0.8 THEN 'non_alpha_words'
+            WHEN n_stop_hits < 2 THEN 'stopwords'
+       END AS drop_reason,
+       (CASE WHEN n_words < 12 THEN 'too_few_words'
+             WHEN n_words > 100000 THEN 'too_many_words'
+             WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+                  THEN 'word_length'
+             WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+             WHEN frac_bullet_lines > 0.9 THEN 'bullet_lines'
+             WHEN frac_ellipsis_lines > 0.3 THEN 'ellipsis_lines'
+             WHEN frac_alpha_words < 0.8 THEN 'non_alpha_words'
+             WHEN n_stop_hits < 2 THEN 'stopwords'
+        END) IS NULL AS keep
+FROM sig"""

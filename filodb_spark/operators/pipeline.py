@@ -206,6 +206,148 @@ def quality_filter(df: DataFrame, text_col: str = "text",
             .withColumn("keep", F.col("drop_reason").isNull()))
 
 
+C4_TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text",
+                  min_words: int = 5,
+                  min_kept_lines: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    filter stack behind the C4 corpus): a LINE survives when it ends
+    in a terminal punctuation mark (. ! ? \"), carries at least
+    `min_words` words, and does not mention 'javascript'
+    (case-insensitive); the PAGE survives when at least
+    `min_kept_lines` lines survive and the page contains neither
+    'lorem ipsum' (case-insensitive) nor a '{' (the paper's
+    boilerplate/code tells). Unlike quality_filter's document-level
+    score, this REWRITES the document: cleaned_text is the kept lines
+    re-joined.
+
+    Exact and SQL-expressible (line split + list_filter mirror in
+    DuckDB — the pl_c4_clean oracle), so it is oracle-gated like every
+    other pipeline op. Map-only string/array expressions in codegen:
+    at 100 TB this is an embarrassingly parallel scan with no shuffle,
+    no Python, and column-pruned input (only the text column is read).
+
+    Output adds: n_lines, n_lines_kept, cleaned_text, keep."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _wc(x):
+        tx = F.trim(x)
+        return F.when(F.length(tx) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(tx, r"[ \t]+")))
+
+    def _keep_line(x):
+        return (F.substring(F.rtrim(x), -1, 1).isin(*C4_TERMINAL_PUNCT)
+                & (_wc(x) >= min_words)
+                & ~F.lower(x).contains("javascript"))
+
+    kept = F.filter(lines, _keep_line)
+    return (df.withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn("cleaned_text", F.array_join(kept, "\n"))
+            .withColumn("keep",
+                        (F.size(kept) >= min_kept_lines)
+                        & ~F.lower(t).contains("lorem ipsum")
+                        & ~t.contains("{")))
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and",
+                                     "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1.1 — the
+    document-level heuristics behind MassiveWeb): word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio ('#' chars plus
+    '...'/'…' ellipses), bullet-line and ellipsis-line fractions,
+    fraction of words containing an alphabetic character, and a
+    minimum count of distinct common stop words. The FIRST failing
+    rule is the drop reason (rule order is the contract, as in
+    quality_filter); every intermediate signal is emitted so the
+    rules re-threshold downstream without a recompute.
+
+    All signals are exact string/array arithmetic shared with the
+    DuckDB oracle (pl_gopher_rules); ratios round to 6 places on both
+    sides. Map-only, no shuffle, no Python — a 100 TB corpus pays one
+    column-pruned scan.
+
+    Output adds: n_words, mean_word_len, symbol_ratio,
+    frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words,
+    n_stop_hits, drop_reason, keep."""
+    t = F.col(text_col)
+    tx = F.trim(t)
+    words = F.when(F.length(tx) == 0,
+                   F.array().cast("array<string>")) \
+             .otherwise(F.split(tx, r"[ \t\n]+"))
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, x: acc + F.length(x))
+    mean_wl = F.when(n_words > 0,
+                     F.round(sum_len.cast("double") / nw, 6))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_dots = ((F.length(t)
+               - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3) \
+        .cast("long")
+    n_uell = F.length(t) - F.length(F.replace(t, F.lit("…"),
+                                              F.lit("")))
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_dots + n_uell).cast("double")
+                             / nw, 6))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullets = F.filter(lines, lambda x: F.substring(
+        F.ltrim(x), 1, 1).isin("-", "*", "•"))
+    ell_end = F.filter(lines, lambda x: (
+        F.substring(F.rtrim(x), -3, 3) == "...")
+        | (F.substring(F.rtrim(x), -1, 1) == "…"))
+    frac_bullet = F.round(F.size(bullets).cast("double") / n_lines, 6)
+    frac_ell = F.round(F.size(ell_end).cast("double") / n_lines, 6)
+    alpha = F.filter(words, lambda x: x.rlike("[A-Za-z]"))
+    frac_alpha = F.when(n_words > 0,
+                        F.round(F.size(alpha).cast("double") / nw, 6))
+    stops = F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    n_stop = F.size(stops)
+    out = (df.withColumn("n_words", n_words.cast("long"))
+           .withColumn("mean_word_len", mean_wl)
+           .withColumn("symbol_ratio", symbol_ratio)
+           .withColumn("frac_bullet_lines", frac_bullet)
+           .withColumn("frac_ellipsis_lines", frac_ell)
+           .withColumn("frac_alpha_words", frac_alpha)
+           .withColumn("n_stop_hits", n_stop.cast("long")))
+    c = F.col
+    checks = [
+        ("too_few_words", c("n_words") < min_words),
+        ("too_many_words", c("n_words") > max_words),
+        ("word_length", (c("mean_word_len") < min_mean_word_len)
+         | (c("mean_word_len") > max_mean_word_len)),
+        ("symbol_ratio", c("symbol_ratio") > max_symbol_ratio),
+        ("bullet_lines", c("frac_bullet_lines") > max_bullet_frac),
+        ("ellipsis_lines", c("frac_ellipsis_lines") > max_ellipsis_frac),
+        ("non_alpha_words", c("frac_alpha_words") < min_alpha_frac),
+        ("stopwords", c("n_stop_hits") < min_stop_hits),
+    ]
+    reason = None
+    for name, cond in checks:
+        reason = F.when(cond, F.lit(name)) if reason is None else \
+            reason.when(cond, F.lit(name))
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return (out.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull()))
+
+
 URL_PATTERN = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
 DEFAULT_DOMAIN_BLOCKLIST: tuple[str, ...] = (
     "spam.example.com", "ads.invalid", "tracker.test",

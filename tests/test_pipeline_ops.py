@@ -384,3 +384,153 @@ class TestTrainingShards:
         plan = read_training_shard(spark, path, 2) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
+
+
+class TestC4LineClean:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2), pinned
+    against a pure-Python golden of the same rules."""
+
+    @staticmethod
+    def _golden(text, min_words=5, min_kept_lines=3):
+        import re
+        lines = text.split("\n")
+        kept = []
+        for x in lines:
+            r = x.rstrip(" ")
+            tx = x.strip(" ")
+            wc = 0 if not tx else len(re.split(r"[ \t]+", tx))
+            if (r[-1:] in (".", "!", "?", '"') and wc >= min_words
+                    and "javascript" not in x.lower()):
+                kept.append(x)
+        keep = (len(kept) >= min_kept_lines
+                and "lorem ipsum" not in text.lower()
+                and "{" not in text)
+        return (len(lines), len(kept), "\n".join(kept), keep)
+
+    TEXTS = [
+        "Good first sentence with plenty of words here.\n"
+        "short line.\n"
+        "No terminal punctuation on this perfectly long line\n"
+        'Quoted line endings also count as terminal marks."\n'
+        "Enable javascript to continue reading this excellent page.\n"
+        "Final sentence closes the page with enough words!",
+        "lorem ipsum dolor sit amet and then some more words here.\n"
+        "A second fully valid sentence with many words too.",
+        "brace of code { inline }\nOne good long sentence is not enough.",
+        "   \nOnly whitespace and empties\n\n.",
+        "Tab\tseparated words still count toward the minimum fine.",
+    ]
+
+    def test_matches_golden(self, spark):
+        from filodb_spark.operators.pipeline import c4_line_clean
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"],
+                             r["cleaned_text"], r["keep"])
+               for r in c4_line_clean(df, min_words=5,
+                                      min_kept_lines=2).collect()}
+        for i, t in enumerate(self.TEXTS):
+            want = self._golden(t, 5, 2)
+            assert got[i] == want, (i, got[i], want)
+        # doc 0: javascript + no-punct + short lines dropped, 3 kept
+        assert got[0][1] == 3 and got[0][3] is True
+        # doc 1: clean lines but the page-level lorem-ipsum tell kills it
+        assert got[1][1] == 2 and got[1][3] is False
+        # doc 2: '{' kills the page
+        assert got[2][3] is False
+
+    def test_line_rules_individually(self, spark):
+        from filodb_spark.operators.pipeline import c4_line_clean
+        df = spark.createDataFrame(
+            [(0, "one two three four.\none two three four five.")],
+            "doc_id long, text string")
+        r = c4_line_clean(df, min_words=5, min_kept_lines=1).first()
+        assert r["n_lines_kept"] == 1        # 4-word line dropped
+        assert r["cleaned_text"] == "one two three four five."
+        r = c4_line_clean(df, min_words=4, min_kept_lines=2).first()
+        assert r["n_lines_kept"] == 2 and r["keep"] is True
+
+    def test_plan_is_map_only(self, spark):
+        """The 100 TB shape: both line-level ops are pure column
+        expressions — one column-pruned scan, NO exchange, no Python
+        in the plan."""
+        from filodb_spark.operators.pipeline import (c4_line_clean,
+                                                     gopher_quality)
+        df = spark.createDataFrame([(0, "a line of words here.")],
+                                   "doc_id long, text string")
+        for op in (c4_line_clean, gopher_quality):
+            plan = op(df)._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, (op.__name__, plan)
+            assert "Python" not in plan, (op.__name__, plan)
+
+
+class TestGopherQuality:
+    """Gopher quality rules (Rae et al. 2021 A1.1) pinned against a
+    pure-Python golden; first-failing-rule reason order."""
+
+    @staticmethod
+    def _golden_signals(text):
+        import re
+        tx = text.strip(" ")
+        words = re.split(r"[ \t\n]+", tx) if tx else []
+        n = len(words)
+        mean_wl = round(sum(len(w) for w in words) / n, 6) if n else None
+        n_sym = (text.count("#")
+                 + (len(text) - len(text.replace("...", ""))) // 3
+                 + text.count("…"))
+        sym = round(n_sym / n, 6) if n else None
+        lines = text.split("\n")
+        nb = sum(1 for x in lines
+                 if x.lstrip(" ")[:1] in ("-", "*", "•"))
+        ne = sum(1 for x in lines
+                 if x.rstrip(" ").endswith("...")
+                 or x.rstrip(" ").endswith("…"))
+        alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+        stops = {w.lower() for w in words} & {
+            "the", "be", "to", "of", "and", "that", "have", "with"}
+        return (n, mean_wl, sym, round(nb / len(lines), 6),
+                round(ne / len(lines), 6),
+                round(alpha / n, 6) if n else None, len(stops))
+
+    TEXTS = [
+        "the cat and the dog walk to town with all of that gear today",
+        "- bullet one\n- bullet two\n- bullet three\nthe of and",
+        "trailing off...\nmore trailing…\nthe be to of and solid line",
+        "#### #tag the of ... and … to be",
+        "12345 67890 +++ ---- the of to",
+    ]
+
+    def test_signals_match_golden(self, spark):
+        from filodb_spark.operators.pipeline import gopher_quality
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_words"], r["mean_word_len"],
+                             r["symbol_ratio"], r["frac_bullet_lines"],
+                             r["frac_ellipsis_lines"],
+                             r["frac_alpha_words"], r["n_stop_hits"])
+               for r in gopher_quality(df).collect()}
+        for i, t in enumerate(self.TEXTS):
+            assert got[i] == self._golden_signals(t), (i, got[i])
+
+    def test_rule_order_and_keep(self, spark):
+        from filodb_spark.operators.pipeline import gopher_quality
+        long_ok = " ".join(["the", "of", "and"] * 5
+                           + ["solid", "words", "here"] * 15)
+        df = spark.createDataFrame(
+            [(0, long_ok),                       # passes everything
+             (1, "short doc"),                   # too_few_words first
+             (2, " ".join(["x"] * 60)),          # word_length (mean 1)
+             (3, " ".join(["#"] * 60)),          # word_length fires
+                                                 # before symbol_ratio
+             (4, "\n".join(["- bullets carry longer words"] * 30)
+                 + "\n" + " ".join(["the of and that"] * 12))],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["drop_reason"], r["keep"])
+               for r in gopher_quality(df, min_words=20).collect()}
+        assert got[0] == (None, True)
+        assert got[1] == ("too_few_words", False)
+        assert got[2] == ("word_length", False)
+        assert got[3] == ("word_length", False)
+        assert got[4][0] == "bullet_lines" and got[4][1] is False

@@ -283,8 +283,21 @@ def q_gopher_rules(spark, sf_dir):
                       "n_stop_hits", "drop_reason", "keep")
 
 
+def q_c4_span_dedup(spark, sf_dir):
+    """C4 repeated-span global dedup over the augmented corpus with
+    span=2: the id-derived injected lines repeat across documents
+    (every %12==9 doc shares its (bullet, tiny-line) tail, etc.), so
+    non-canonical occurrences genuinely lose lines; cleaned_text is
+    compared, pinning the rewrite."""
+    from filodb_spark.operators.pipeline import c4_span_dedup
+    out = c4_span_dedup(_aug_multiline(_docs(spark, sf_dir)), span=2)
+    return out.select("doc_id", "n_lines", "n_lines_kept",
+                      "cleaned_text")
+
+
 QUERIES = {
     "pl_c4_clean": q_c4_clean,
+    "pl_c4_span_dedup": q_c4_span_dedup,
     "pl_gopher_rules": q_gopher_rules,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
@@ -764,3 +777,45 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio,
              WHEN n_stop_hits < 2 THEN 'stopwords'
         END) IS NULL AS keep
 FROM sig"""
+
+ORACLES["pl_c4_span_dedup"] = f"""
+WITH aug AS ({_AUG_MULTILINE}),
+l AS (SELECT doc_id, string_split(s, chr(10)) AS lines FROM aug),
+sp0 AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(lines) >= 2
+              THEN generate_series(1, len(lines) - 1)
+              ELSE CAST([] AS BIGINT[]) END AS starts
+  FROM l),
+sp AS (
+  SELECT doc_id, unnest(starts) AS start, lines FROM sp0),
+spf AS (
+  SELECT doc_id, start,
+         md5(array_to_string(lines[start:start + 1], chr(10))) AS fp
+  FROM sp),
+st AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY fp) AS cnt,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id, start) AS rn
+  FROM spf),
+rm AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(start, start + 1)) AS pos
+    FROM st WHERE cnt > 1 AND rn > 1)),
+ln AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM l),
+kept AS (
+  SELECT ln.doc_id, ln.pos, ln.line FROM ln
+  ANTI JOIN rm ON ln.doc_id = rm.doc_id AND ln.pos = rm.pos),
+reb AS (
+  SELECT doc_id, count(*) AS kept_n,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(len(l.lines) AS BIGINT) AS n_lines,
+       CAST(coalesce(reb.kept_n, 0) AS BIGINT) AS n_lines_kept,
+       coalesce(reb.cleaned, '') AS cleaned_text
+FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id"""

@@ -253,6 +253,75 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
                         & ~t.contains("{")))
 
 
+def c4_span_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", span: int = 3) -> DataFrame:
+    """C4 repeated-span deduplication (Raffel et al. 2020 §2.2: 'we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set'): every window of `span` consecutive
+    LINES is fingerprinted corpus-wide; a span occurring in more than
+    one place keeps only its canonical occurrence (lowest
+    (doc_id, start)) and every other occurrence has its lines removed;
+    the document is rewritten from the surviving lines. Sentences are
+    lines here — the same line discipline as c4_line_clean, so the two
+    compose (clean, then span-dedup the cleaned text).
+
+    Scale shape (the 100 TB story): span fingerprints go through ONE
+    partial-aggregatable groupBy (min + count combine map-side — NOT a
+    window over the fingerprint, which could not partial-aggregate the
+    boilerplate key holding millions of rows), one equi-join back on
+    the fingerprint (AQE handles residual skew), one anti-join on
+    (doc, position), and one per-document rebuild groupBy. Never
+    all-pairs; duplicate-group size only affects the removal list,
+    which is linear in occurrences. Exact and deterministic, so the
+    SQL oracle (pl_c4_span_dedup) mirrors it row for row.
+
+    Output: (id, n_lines, n_lines_kept, cleaned_text)."""
+    base = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    lines = F.split(F.col("_t"), "\n")
+    span_t = "array<struct<start:int,fp:string>>"
+    spans = F.when(
+        F.size(lines) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.size(lines) - span + 1),
+            lambda j: F.struct(
+                j.cast("int").alias("start"),
+                F.md5(F.concat_ws("\n", F.slice(lines, j, span)))
+                 .alias("fp")))).otherwise(F.expr(f"cast(array() as {span_t})"))
+    sp = (base.select(id_col, F.explode(spans).alias("s"))
+          .select(id_col, F.col("s.start").alias("start"),
+                  F.col("s.fp").alias("fp")))
+    stats = sp.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col), F.col("start"))).alias("canon"),
+        F.count(F.lit(1)).alias("cnt"))
+    rm = (sp.join(stats, "fp")
+          .where((F.col("cnt") > 1)
+                 & ((F.col(id_col) != F.col(f"canon.{id_col}"))
+                    | (F.col("start") != F.col("canon.start"))))
+          .select(id_col,
+                  F.explode(F.sequence(F.col("start"),
+                                       F.col("start") + span - 1))
+                  .alias("pos"))
+          .distinct())
+    ln = (base.select(id_col, F.posexplode(F.split(F.col("_t"), "\n"))
+                      .alias("pos0", "line"))
+          .select(id_col, (F.col("pos0") + 1).alias("pos"), "line"))
+    kept = ln.join(rm, [id_col, "pos"], "left_anti")
+    reb = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(
+                F.struct("pos", "line"))), lambda x: x["line"]),
+            "\n").alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_kept"))
+    return (base.select(id_col, F.size(F.split(F.col("_t"), "\n"))
+                        .cast("long").alias("n_lines"))
+            .join(reb, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.coalesce("_kept", F.lit(0)).cast("long")
+                     .alias("n_lines_kept"),
+                    F.coalesce("cleaned_text", F.lit(""))
+                     .alias("cleaned_text")))
+
+
 GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and",
                                      "that", "have", "with")
 

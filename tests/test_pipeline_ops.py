@@ -534,3 +534,67 @@ class TestGopherQuality:
         assert got[2] == ("word_length", False)
         assert got[3] == ("word_length", False)
         assert got[4][0] == "bullet_lines" and got[4][1] is False
+
+
+class TestC4SpanDedup:
+    """C4 repeated-span dedup (Raffel et al. 2020 §2.2) against a
+    pure-Python golden of the same rules: global fingerprint of every
+    `span`-line window, canonical occurrence = lowest (doc_id, start),
+    all other occurrences lose their lines."""
+
+    @staticmethod
+    def _golden(texts, span=3):
+        docs = {i: t.split("\n") for i, t in texts}
+        occ = {}
+        for i in sorted(docs):
+            lines = docs[i]
+            for j in range(len(lines) - span + 1):
+                key = "\n".join(lines[j:j + span])
+                occ.setdefault(key, []).append((i, j))
+        rm = {i: set() for i in docs}
+        for places in occ.values():
+            if len(places) > 1:
+                for (i, j) in places[1:]:
+                    rm[i].update(range(j, j + span))
+        out = {}
+        for i, lines in docs.items():
+            kept = [x for p, x in enumerate(lines) if p not in rm[i]]
+            out[i] = (len(lines), len(kept), "\n".join(kept))
+        return out
+
+    TEXTS = [
+        (0, "unique alpha\nshared one\nshared two\nshared three\ntail"),
+        (1, "other beta\nshared one\nshared two\nshared three\ntail b"),
+        (2, "gamma\ndelta"),                    # fewer lines than span
+        (3, "shared one\nshared two\nshared three"),   # pure dup doc
+        (4, ""),                                # empty text: one line
+        (5, "rep\nrep\nrep\nrep\nrep\nrep"),    # intra-doc duplicate
+    ]
+
+    def test_matches_golden(self, spark):
+        from filodb_spark.operators.pipeline import c4_span_dedup
+        df = spark.createDataFrame(self.TEXTS,
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"],
+                             r["cleaned_text"])
+               for r in c4_span_dedup(df, span=3).collect()}
+        assert got == self._golden(self.TEXTS, 3)
+        # the canonical doc kept everything; the non-canonical copies
+        # lost exactly the shared block
+        assert got[0][1] == 5
+        assert got[1] == (5, 2, "other beta\ntail b")
+        assert got[3] == (3, 0, "")
+        # intra-doc: ('rep','rep','rep') occurs at starts 0..3; the
+        # canonical start-0 occurrence survives but the non-canonical
+        # ones at starts 1..3 cover lines 1..5, so only line 0 is left
+        # (C4's removal is occurrence-coarse, not line-minimal)
+        assert got[5] == (6, 1, "rep")
+
+    def test_span_width_param(self, spark):
+        from filodb_spark.operators.pipeline import c4_span_dedup
+        df = spark.createDataFrame(self.TEXTS,
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"],
+                             r["cleaned_text"])
+               for r in c4_span_dedup(df, span=2).collect()}
+        assert got == self._golden(self.TEXTS, 2)

@@ -295,9 +295,21 @@ def q_c4_span_dedup(spark, sf_dir):
                       "cleaned_text")
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet per-language perplexity thirds over the raw fixture (the
+    corpus-unigram score is the gated doc_unigram_lp model; thresholds
+    are exact per-lang percentiles, so the oracle mirrors quantile_cont
+    exactly)."""
+    from filodb_spark.operators.pipeline import ccnet_ppl_buckets
+    out = ccnet_ppl_buckets(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang", "n_tok", "avg_logprob",
+                      "ppl_bucket")
+
+
 QUERIES = {
     "pl_c4_clean": q_c4_clean,
     "pl_c4_span_dedup": q_c4_span_dedup,
+    "pl_ccnet_buckets": q_ccnet_buckets,
     "pl_gopher_rules": q_gopher_rules,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
@@ -819,3 +831,33 @@ SELECT l.doc_id,
        CAST(coalesce(reb.kept_n, 0) AS BIGINT) AS n_lines_kept,
        coalesce(reb.cleaned, '') AS cleaned_text
 FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id"""
+
+ORACLES["pl_ccnet_buckets"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS v FROM vocab),
+sc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         round(sum(tf * ln((c + 1) / CAST(total + v AS DOUBLE))) / sum(tf), 6)
+           AS avg_logprob
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id),
+base AS (
+  SELECT d.doc_id, d.lang, coalesce(sc.n_tok, 0) AS n_tok,
+         sc.avg_logprob
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+thr AS (
+  SELECT lang,
+         round(quantile_cont(avg_logprob, 2.0 / 3.0), 6) AS t_hi,
+         round(quantile_cont(avg_logprob, 1.0 / 3.0), 6) AS t_lo
+  FROM base WHERE avg_logprob IS NOT NULL GROUP BY lang)
+SELECT b.doc_id, b.lang, b.n_tok, b.avg_logprob,
+       CASE WHEN b.avg_logprob IS NULL THEN NULL
+            WHEN b.avg_logprob >= t.t_hi THEN 'head'
+            WHEN b.avg_logprob >= t.t_lo THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base b LEFT JOIN thr t USING (lang)"""

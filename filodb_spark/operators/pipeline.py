@@ -253,6 +253,48 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
                         & ~t.contains("{")))
 
 
+def ccnet_ppl_buckets(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      cuts: tuple = (1 / 3, 2 / 3)) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.3: documents
+    are split per language into head/middle/tail thirds by LM
+    perplexity, and training mixes sample by bucket). The LM here is
+    the corpus-unigram model (text.unigram_logprob — the same
+    KenLM stand-in the doc_unigram_lp query gates): higher mean
+    log-prob = lower perplexity = 'head'. Buckets come from per-LANG
+    exact percentiles of the score at `cuts` (CCNet's thirds by
+    default): head >= p(cuts[1]), middle >= p(cuts[0]), else tail;
+    empty docs (NULL score) get a NULL bucket.
+
+    Scale shape: scoring is unigram_logprob's two hash aggregations +
+    a vocab equi-join; the threshold frame is ONE ROW PER LANGUAGE
+    and broadcasts back. Exact percentile (matching SQL quantile_cont,
+    the length_quantiles discipline) costs a per-lang sort of one
+    double per doc — swap in approx_percentile at production scale if
+    that sort dominates; the bucket semantics are unchanged, the
+    oracle-exactness is the trade.
+
+    Output adds: n_tok, avg_logprob, ppl_bucket."""
+    from filodb_spark.operators.text import unigram_logprob
+    scored = unigram_logprob(df, id_col, text_col)
+    base = df.select(F.col(id_col), F.col(lang_col)) \
+             .join(scored, id_col)
+    lo_q, hi_q = cuts
+    lp = F.col("avg_logprob")
+    thr = (base.where(lp.isNotNull())
+           .groupBy(lang_col)
+           .agg(F.round(F.percentile(lp, F.lit(hi_q)), 6).alias("_t_hi"),
+                F.round(F.percentile(lp, F.lit(lo_q)), 6).alias("_t_lo")))
+    return (base.join(F.broadcast(thr), lang_col, "left")
+            .withColumn("ppl_bucket",
+                        F.when(lp.isNull(),
+                               F.lit(None).cast("string"))
+                        .when(lp >= F.col("_t_hi"), F.lit("head"))
+                        .when(lp >= F.col("_t_lo"), F.lit("middle"))
+                        .otherwise(F.lit("tail")))
+            .drop("_t_hi", "_t_lo"))
+
+
 def c4_span_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", span: int = 3) -> DataFrame:
     """C4 repeated-span deduplication (Raffel et al. 2020 §2.2: 'we

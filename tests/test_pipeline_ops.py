@@ -598,3 +598,56 @@ class TestC4SpanDedup:
                              r["cleaned_text"])
                for r in c4_span_dedup(df, span=2).collect()}
         assert got == self._golden(self.TEXTS, 2)
+
+
+class TestCcnetBuckets:
+    """CCNet per-language perplexity bucketing (Wenzek et al. 2020):
+    thirds by the corpus-unigram score, per language."""
+
+    def test_thirds_per_language(self, spark):
+        from filodb_spark.operators.pipeline import ccnet_ppl_buckets
+        # lang 'a': 9 docs with clearly ordered scores — docs built
+        # from common vs rare vocabulary; lang 'b': its own thresholds
+        rows = []
+        for i in range(9):
+            # more repetitions of the corpus-common word -> higher
+            # unigram log-prob
+            common = " ".join(["common"] * (i + 1))
+            rare = f"rare{i}"
+            rows.append((i, "a", f"{common} {rare}"))
+        rows += [(10, "b", "common common common"),
+                 (11, "b", "solo11 solo12 solo13"),
+                 (12, "b", "common solo14"),
+                 (13, "b", "")]            # empty: NULL bucket
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, lang string, text string")
+        out = {r["doc_id"]: (r["ppl_bucket"], r["avg_logprob"])
+               for r in ccnet_ppl_buckets(df).collect()}
+        a = [(i, out[i][1]) for i in range(9)]
+        a_sorted = sorted(a, key=lambda x: x[1])
+        # per-lang thirds: lowest third tail, highest third head
+        tails = {i for i, _ in a_sorted[:3]}
+        heads = {i for i, _ in a_sorted[-3:]}
+        for i in range(9):
+            want = ("tail" if i in tails else
+                    "head" if i in heads else "middle")
+            assert out[i][0] == want, (i, out[i], want)
+        # lang b gets its OWN thresholds: best doc is head, worst tail
+        b = sorted(((i, out[i][1]) for i in (10, 11, 12)),
+                   key=lambda x: x[1])
+        assert out[b[-1][0]][0] == "head"
+        assert out[b[0][0]][0] == "tail"
+        assert out[13] == (None, None)
+
+    def test_boundary_is_inclusive(self, spark):
+        """Docs exactly AT a rounded threshold land in the upper
+        bucket (>=), the same comparison the oracle runs."""
+        from filodb_spark.operators.pipeline import ccnet_ppl_buckets
+        # three identical docs: every score equals both thresholds ->
+        # everything is head
+        df = spark.createDataFrame(
+            [(i, "x", "same text here") for i in range(3)],
+            "doc_id long, lang string, text string")
+        out = {r["doc_id"]: r["ppl_bucket"]
+               for r in ccnet_ppl_buckets(df).collect()}
+        assert set(out.values()) == {"head"}

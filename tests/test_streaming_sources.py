@@ -1156,3 +1156,53 @@ class TestStreamingDownsampleHistRandom:
         expected = {k for k in b if (k[0], k[1]) not in pending}
         assert got == expected
         assert len(got) > 40
+
+
+class TestStreamingQualityOps:
+    def test_c4_and_gopher_apply_unchanged_to_streams(self, spark,
+                                                      tmp_path):
+        """The r13 line-level quality ops (c4_line_clean,
+        gopher_quality) are stateless column expressions, so they run
+        UNCHANGED on a streaming frame — the degenerate streaming twin
+        (no state, no watermark, per-row semantics). Pinned the same
+        way as the stateful twins: batch vs streaming row-equality on
+        identical input files. (c4_span_dedup is NOT streaming-safe —
+        its canonical-occurrence choice is a corpus-global aggregate —
+        and is deliberately absent here.)"""
+        from filodb_spark.operators.pipeline import (c4_line_clean,
+                                                     gopher_quality)
+        src = tmp_path / "in"
+        src.mkdir()
+        docs = [
+            (0, "Keep this full sentence today.\nshort\n"
+                "Another keeper with enough words here!"),
+            (1, "- bullet one here\n- bullet two here\nthe of and"),
+            (2, "no punctuation no keeping here at all"),
+        ]
+        with open(src / "b1.json", "w") as f:
+            for i, t in docs:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        schema = "doc_id long, text string"
+
+        def run_stream(op, name):
+            out = tmp_path / f"out_{name}"
+            ckpt = tmp_path / f"ckpt_{name}"
+            stream = spark.readStream.schema(schema).json(str(src))
+            res = op(stream)
+            assert res.isStreaming
+            q = (res.writeStream.format("parquet")
+                 .option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return spark.read.parquet(str(out))
+
+        for op, name in ((lambda d: c4_line_clean(d, min_words=4,
+                                                  min_kept_lines=1),
+                          "c4"),
+                         (lambda d: gopher_quality(d, min_words=5),
+                          "gopher")):
+            got = sorted(map(tuple, run_stream(op, name).collect()))
+            want = sorted(map(tuple, op(
+                spark.read.schema(schema).json(str(src))).collect()))
+            assert got == want, name

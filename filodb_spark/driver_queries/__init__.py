@@ -29,22 +29,23 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-4   NEW r13: pl_c4_clean (C4 line-level cleaning) and
+    #   1-5   NEW r13: pl_c4_clean (C4 line-level cleaning) and
     #         pl_c4_span_dedup (C4 repeated-span global dedup), both
     #         Raffel et al. 2020; pl_ccnet_buckets (CCNet per-language
     #         perplexity thirds, Wenzek et al. 2020); pl_gopher_rules
-    #         (Gopher quality rule panel, Rae et al. 2021) — all
+    #         + pl_gopher_repetition (the Gopher quality and
+    #         repetition rule panels, Rae et al. 2021) — all
     #         pre-verified exact at sf0.001/0.01/0.1,
-    #   5-22  the 18 last-gated-r8 leftovers, alphabetical
+    #   6-23  the 18 last-gated-r8 leftovers, alphabetical
     #         (ts_deriv ... ts_zscore),
-    #   23-50 the last-gated-r9 backlog (45 queries), alphabetical —
-    #         28 fit (ann_bruteforce ... tpch_q13); the remaining 17
-    #         (tpch_q17 ... ts_series_cardinality_pk) lead the r14
+    #   24-50 the last-gated-r9 backlog (45 queries), alphabetical —
+    #         27 fit (ann_bruteforce ... tpch_q12); the remaining 18
+    #         (tpch_q13 ... ts_series_cardinality_pk) lead the r14
     #         backlog.
     window = [
         # new in round 13
         "pl_c4_clean", "pl_c4_span_dedup", "pl_ccnet_buckets",
-        "pl_gopher_rules",
+        "pl_gopher_repetition", "pl_gopher_rules",
         # canaries last gated r8 (the 18 leftovers), alphabetical
         "ts_deriv", "ts_export_columns", "ts_export_rules",
         "ts_holt_winters", "ts_increase", "ts_irate",
@@ -61,7 +62,7 @@ def all_queries():
         "pl_contamination", "pl_pack_sequences", "pl_pii_scrub",
         "pl_quality_filter", "pq_bool_compare", "pq_hist_fraction",
         "pq_preagg_route", "pq_raw_matrix", "pq_subquery",
-        "pq_sum_rate", "tpch_q1", "tpch_q12", "tpch_q13",
+        "pq_sum_rate", "tpch_q1", "tpch_q12",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -295,6 +295,26 @@ def q_c4_span_dedup(spark, sf_dir):
                       "cleaned_text")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition panel over the multi-line augmentation plus an
+    id-derived duplicate-line injection (every %6==0 doc repeats a
+    line twice), so the duplicate-line fractions and the top-n-gram
+    coverage all carry signal."""
+    from filodb_spark.operators.pipeline import gopher_repetition
+    aug = _aug_multiline(_docs(spark, sf_dir))
+    i = F.col("doc_id")
+    aug = aug.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(i % 6 == 0,
+               F.lit("\nrepeat me now.\nrepeat me now."))
+         .otherwise(F.lit(""))).alias("text"))
+    out = gopher_repetition(aug)
+    return out.select("doc_id", "frac_dup_lines",
+                      "frac_dup_line_chars", "top2gram_char_frac",
+                      "top3gram_char_frac", "top4gram_char_frac",
+                      "drop_reason", "keep")
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet per-language perplexity thirds over the raw fixture (the
     corpus-unigram score is the gated doc_unigram_lp model; thresholds
@@ -310,6 +330,7 @@ QUERIES = {
     "pl_c4_clean": q_c4_clean,
     "pl_c4_span_dedup": q_c4_span_dedup,
     "pl_ccnet_buckets": q_ccnet_buckets,
+    "pl_gopher_repetition": q_gopher_repetition,
     "pl_gopher_rules": q_gopher_rules,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
@@ -861,3 +882,71 @@ SELECT b.doc_id, b.lang, b.n_tok, b.avg_logprob,
             WHEN b.avg_logprob >= t.t_lo THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
 FROM base b LEFT JOIN thr t USING (lang)"""
+
+def _top_gram_sql(n: int) -> str:
+    """Per-doc modal word n-gram (count desc, gram asc) with its
+    non-space char length — mirrors gopher_repetition's window."""
+    return f"""
+g{n} AS (SELECT doc_id, unnest({_grams_sql(n, 't')}) AS g FROM rtok),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),
+r{n} AS (SELECT doc_id, c, length(replace(g, ' ', '')) AS gl,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g) AS rn
+         FROM c{n}),
+top{n} AS (SELECT doc_id, c AS c{n}, gl AS l{n} FROM r{n} WHERE rn = 1)"""
+
+
+_REP_FRAC = {n: (f"CASE WHEN nonspace > 0 THEN "
+                 f"round(CAST(coalesce(c{n} * l{n}, 0) AS DOUBLE) "
+                 f"/ nonspace, 6) ELSE 0.0 END") for n in (2, 3, 4)}
+
+_REP_REASON = f"""CASE WHEN frac_dup_lines > 0.30 THEN 'dup_lines'
+     WHEN frac_dup_line_chars > 0.20 THEN 'dup_line_chars'
+     WHEN {_REP_FRAC[2]} > 0.20 THEN 'top2gram'
+     WHEN {_REP_FRAC[3]} > 0.18 THEN 'top3gram'
+     WHEN {_REP_FRAC[4]} > 0.16 THEN 'top4gram'
+END"""
+
+ORACLES["pl_gopher_repetition"] = f"""
+WITH aug0 AS ({_AUG_MULTILINE}),
+aug AS (
+  SELECT doc_id,
+         s || CASE WHEN doc_id % 6 = 0
+                   THEN chr(10) || 'repeat me now.'
+                        || chr(10) || 'repeat me now.'
+                   ELSE '' END AS s
+  FROM aug0),
+l AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM aug),
+ls AS (
+  SELECT doc_id,
+         len(lines) AS nl, len(list_distinct(lines)) AS nd,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+           AS tot,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dtot,
+         length(regexp_replace(trim(s), '\\s+', '', 'g')) AS nonspace
+  FROM l),
+rtok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(s)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(s)), '\\s+') END AS t
+  FROM aug),
+{_top_gram_sql(2)},
+{_top_gram_sql(3)},
+{_top_gram_sql(4)},
+sig AS (
+  SELECT ls.doc_id,
+         round(CAST(nl - nd AS DOUBLE) / nl, 6) AS frac_dup_lines,
+         CASE WHEN tot > 0
+              THEN round(CAST(tot - dtot AS DOUBLE) / tot, 6)
+              ELSE 0.0 END AS frac_dup_line_chars,
+         nonspace, c2, l2, c3, l3, c4, l4
+  FROM ls LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+  LEFT JOIN top4 USING (doc_id))
+SELECT doc_id, frac_dup_lines, frac_dup_line_chars,
+       {_REP_FRAC[2]} AS top2gram_char_frac,
+       {_REP_FRAC[3]} AS top3gram_char_frac,
+       {_REP_FRAC[4]} AS top4gram_char_frac,
+       {_REP_REASON} AS drop_reason,
+       ({_REP_REASON}) IS NULL AS keep
+FROM sig"""

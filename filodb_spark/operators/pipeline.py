@@ -253,6 +253,92 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
                         & ~t.contains("{")))
 
 
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_dup_line_frac: float = 0.30,
+                      max_dup_line_char_frac: float = 0.20,
+                      top_ngram_limits: tuple = ((2, 0.20), (3, 0.18),
+                                                 (4, 0.16))) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 A1.1 — the
+    companion panel to gopher_quality's quality heuristics): fraction
+    of duplicate lines, fraction of characters inside duplicate line
+    occurrences, and the fraction of (non-whitespace) characters
+    covered by the single most frequent word n-gram for each n in
+    `top_ngram_limits` (paper defaults: 2-gram 0.20, 3-gram 0.18,
+    4-gram 0.16). First failing rule is the drop reason; all signals
+    are emitted for re-thresholding.
+
+    Deterministic definitions (both engines compute them identically —
+    the pl_gopher_repetition oracle): duplicate-line fractions come
+    from the line multiset vs its distinct set (order-free); the top
+    n-gram per doc breaks count ties lexicographically; n-gram char
+    coverage = count x non-space chars of the gram, over the doc's
+    non-space chars.
+
+    Scale shape: line fractions are pure array expressions (map-only);
+    each n-gram panel is one (doc, gram) hash aggregation — partial
+    combine map-side, keys are doc-local so no skewed key exists —
+    plus a per-doc top-1 window on the aggregated (much smaller)
+    frame, then an equi-join back on the id. At 100 TB that is
+    len(top_ngram_limits) well-distributed aggregations over the
+    corpus, no all-pairs, no driver state.
+
+    Output adds: frac_dup_lines, frac_dup_line_chars,
+    top{n}gram_char_frac per n, drop_reason, keep."""
+    from pyspark.sql import Window
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    nl = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    tot = F.aggregate(lines, F.lit(0).cast("long"),
+                      lambda a, x: a + F.length(x))
+    dtot = F.aggregate(F.array_distinct(lines), F.lit(0).cast("long"),
+                       lambda a, x: a + F.length(x))
+    nonspace = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    out = (df.withColumn("frac_dup_lines",
+                         F.round((nl - nd).cast("double") / nl, 6))
+           .withColumn("frac_dup_line_chars",
+                       F.when(tot > 0,
+                              F.round((tot - dtot).cast("double")
+                                      / tot, 6)).otherwise(F.lit(0.0)))
+           .withColumn("_nonspace", nonspace))
+    ns = [n for n, _ in top_ngram_limits]
+    for n in ns:
+        g = df.select(F.col(id_col),
+                      F.explode(word_ngrams(t, n)).alias("g"))
+        cnt = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("g"))
+        top = (cnt.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select(F.col(id_col), F.col("c").alias(f"_c{n}"),
+                       F.length(F.replace(F.col("g"), F.lit(" "),
+                                          F.lit(""))).alias(f"_l{n}")))
+        out = out.join(top, id_col, "left")
+    for n in ns:
+        out = out.withColumn(
+            f"top{n}gram_char_frac",
+            F.when(F.col("_nonspace") > 0,
+                   F.round(F.coalesce(F.col(f"_c{n}") * F.col(f"_l{n}"),
+                                      F.lit(0)).cast("double")
+                           / F.col("_nonspace"), 6))
+            .otherwise(F.lit(0.0)))
+    out = out.drop("_nonspace",
+                   *[f"_c{n}" for n in ns], *[f"_l{n}" for n in ns])
+    checks = [
+        ("dup_lines", F.col("frac_dup_lines") > max_dup_line_frac),
+        ("dup_line_chars",
+         F.col("frac_dup_line_chars") > max_dup_line_char_frac),
+    ] + [(f"top{n}gram", F.col(f"top{n}gram_char_frac") > lim)
+         for n, lim in top_ngram_limits]
+    reason = None
+    for name, cond in checks:
+        reason = F.when(cond, F.lit(name)) if reason is None else \
+            reason.when(cond, F.lit(name))
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return (out.withColumn("drop_reason", reason)
+            .withColumn("keep", F.col("drop_reason").isNull()))
+
+
 def ccnet_ppl_buckets(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", lang_col: str = "lang",
                       cuts: tuple = (1 / 3, 2 / 3)) -> DataFrame:

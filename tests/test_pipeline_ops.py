@@ -651,3 +651,68 @@ class TestCcnetBuckets:
         out = {r["doc_id"]: r["ppl_bucket"]
                for r in ccnet_ppl_buckets(df).collect()}
         assert set(out.values()) == {"head"}
+
+
+class TestGopherRepetition:
+    """Gopher repetition-removal rules (Rae et al. 2021 A1.1) pinned
+    against a pure-Python golden of the documented definitions."""
+
+    @staticmethod
+    def _golden(text, ns=(2, 3, 4)):
+        import re
+        from collections import Counter
+        lines = text.split("\n")
+        nl, nd = len(lines), len(set(lines))
+        tot = sum(len(x) for x in lines)
+        dtot = sum(len(x) for x in set(lines))
+        frac_dup = round((nl - nd) / nl, 6)
+        frac_dup_chars = round((tot - dtot) / tot, 6) if tot else 0.0
+        nonspace = len(re.sub(r"\s+", "", text.strip()))
+        toks = text.strip().lower().split()
+        res = [frac_dup, frac_dup_chars]
+        for n in ns:
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            if grams and nonspace:
+                c = Counter(grams)
+                best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+                g, cnt = best[0], best[1]
+                res.append(round(cnt * len(g.replace(" ", ""))
+                                 / nonspace, 6))
+            else:
+                res.append(0.0)
+        return tuple(res)
+
+    TEXTS = [
+        "one two three\none two three\nunique line here",   # dup lines
+        "spam spam spam spam spam",                         # top-ngrams
+        "all fresh lines\nwith different words\nno repeats at all",
+        "a\na\na\na",                                       # tiny dups
+    ]
+
+    def test_signals_match_golden(self, spark):
+        from filodb_spark.operators.pipeline import gopher_repetition
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["frac_dup_lines"],
+                             r["frac_dup_line_chars"],
+                             r["top2gram_char_frac"],
+                             r["top3gram_char_frac"],
+                             r["top4gram_char_frac"])
+               for r in gopher_repetition(df).collect()}
+        for i, t in enumerate(self.TEXTS):
+            assert got[i] == self._golden(t), (i, got[i],
+                                               self._golden(t))
+
+    def test_rule_order_and_keep(self, spark):
+        from filodb_spark.operators.pipeline import gopher_repetition
+        df = spark.createDataFrame(
+            [(0, "fine first line\nsecond differs\nthird also differs"),
+             (1, "dup\ndup\ndup\nonly one unique line"),   # dup_lines
+             (2, "spam spam spam spam spam spam")],        # top2gram
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["drop_reason"], r["keep"])
+               for r in gopher_repetition(df).collect()}
+        assert got[1][0] == "dup_lines" and got[1][1] is False
+        assert got[2][0] == "top2gram" and got[2][1] is False

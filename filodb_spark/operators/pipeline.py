@@ -363,8 +363,15 @@ def ccnet_ppl_buckets(df: DataFrame, id_col: str = "doc_id",
     Output adds: n_tok, avg_logprob, ppl_bucket."""
     from filodb_spark.operators.text import unigram_logprob
     scored = unigram_logprob(df, id_col, text_col)
+    # materialize once (the winnow/bpe localCheckpoint pattern): the
+    # threshold branch and the output branch both consume the scored
+    # frame, and their subtrees differ (the where-notNull filter), so
+    # Spark's exchange reuse does NOT kick in — without this the
+    # whole corpus-scoring pipeline runs twice (plan-audited: 10
+    # FileScans, 0 ReusedExchange). The checkpointed frame is 3
+    # narrow columns per doc.
     base = df.select(F.col(id_col), F.col(lang_col)) \
-             .join(scored, id_col)
+             .join(scored, id_col).localCheckpoint()
     lo_q, hi_q = cuts
     lp = F.col("avg_logprob")
     thr = (base.where(lp.isNotNull())

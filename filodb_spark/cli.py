@@ -76,12 +76,20 @@ def _parse_agg_rules(spec: str) -> dict:
     from filodb_spark.promql.compiler import AggRule
     raw = spec
     if spec.startswith("@"):
-        with open(spec[1:]) as f:
-            raw = f.read()
+        try:
+            with open(spec[1:]) as f:
+                raw = f.read()
+        except OSError as e:
+            raise SystemExit(f"--agg-rules: cannot read {spec[1:]!r} "
+                             f"({e.strerror})")
     try:
         parsed = json.loads(raw)
     except json.JSONDecodeError as e:
         raise SystemExit(f"--agg-rules: not valid JSON ({e})")
+    if not isinstance(parsed, dict):
+        raise SystemExit("--agg-rules: top level must be an object "
+                         "{metric: [rules...]}, got "
+                         f"{type(parsed).__name__}")
     out = {}
     for metric, rules in parsed.items():
         built = []
@@ -91,6 +99,16 @@ def _parse_agg_rules(spec: str) -> dict:
                     f"--agg-rules: rule {metric}:::{r.get('suffix')} "
                     "declares BOTH include and exclude; a rule is one "
                     "or the other (IncludeAggRule/ExcludeAggRule)")
+            if "include" not in r and "exclude" not in r:
+                # a key typo ('includes', 'Include', ...) must not
+                # silently become a retain-ALL-labels exclude rule —
+                # that routes queries grouping on unretained labels
+                # to preagg data that does not carry them
+                raise SystemExit(
+                    f"--agg-rules: rule {metric}:::{r.get('suffix')} "
+                    "declares neither include nor exclude; pass "
+                    "exactly one (an empty exclude list is the "
+                    "explicit retain-everything form)")
             if "suffix" not in r:
                 raise SystemExit(
                     f"--agg-rules: rule for {metric!r} lacks 'suffix'")

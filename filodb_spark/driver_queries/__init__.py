@@ -53,7 +53,7 @@ def all_queries():
         "ts_mad_over_time", "ts_predict_linear", "ts_quantile_over_time",
         "ts_remote_write_roundtrip", "ts_resets", "ts_salted_sum",
         "ts_series_cardinality", "ts_set_and", "ts_zscore",
-        # canaries last gated r9, alphabetical (32 of 45)
+        # canaries last gated r9, alphabetical (27 of 45)
         "ann_bruteforce", "doc_dedup_clusters", "doc_fingerprint",
         "doc_langid", "doc_ngram_jaccard", "doc_segment_dedup",
         "doc_simhash_portable", "doc_tfidf_topk", "doc_token_count",

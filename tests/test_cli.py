@@ -589,6 +589,19 @@ def test_agg_rules_parse_errors(spark):
             {"m": [{"suffix": "s", "include": ["a"], "exclude": ["b"]}]}))
     with pytest.raises(SystemExit, match="lacks 'suffix'"):
         _parse_agg_rules(json.dumps({"m": [{"include": ["a"]}]}))
+    # a typo'd key ('includes') must NOT silently become a
+    # retain-all-labels exclude rule (judge-review finding)
+    with pytest.raises(SystemExit, match="neither include nor exclude"):
+        _parse_agg_rules(json.dumps(
+            {"m": [{"suffix": "s", "includes": ["a"]}]}))
+    # the explicit retain-everything form stays legal
+    out = _parse_agg_rules(json.dumps(
+        {"m": [{"suffix": "s", "exclude": []}]}))
+    assert out["m"][0].exclude == frozenset()
+    with pytest.raises(SystemExit, match="cannot read"):
+        _parse_agg_rules("@/no/such/file.json")
+    with pytest.raises(SystemExit, match="top level must be an object"):
+        _parse_agg_rules(json.dumps([{"suffix": "s"}]))
     # the parsed shape is the TsStore contract
     out = _parse_agg_rules(json.dumps(
         {"m": [{"suffix": "agg", "exclude": ["pod"],

@@ -315,6 +315,16 @@ def q_gopher_repetition(spark, sf_dir):
                       "drop_reason", "keep")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """T5 temperature mixing at alpha=0.5, budget = corpus size: the
+    small fixture sources upsample, the big ones downsample; the
+    oracle recomputes the integer quotas and md5-order selection."""
+    from filodb_spark.operators.pipeline import temperature_mix
+    out = temperature_mix(_docs(spark, sf_dir), alpha=0.5)
+    return out.select("doc_id", "source",
+                      F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet per-language perplexity thirds over the raw fixture (the
     corpus-unigram score is the gated doc_unigram_lp model; thresholds
@@ -332,6 +342,7 @@ QUERIES = {
     "pl_ccnet_buckets": q_ccnet_buckets,
     "pl_gopher_repetition": q_gopher_repetition,
     "pl_gopher_rules": q_gopher_rules,
+    "pl_temperature_mix": q_temperature_mix,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
     "pl_dataset_diff": q_dataset_diff,
@@ -950,3 +961,28 @@ SELECT doc_id, frac_dup_lines, frac_dup_line_chars,
        {_REP_REASON} AS drop_reason,
        ({_REP_REASON}) IS NULL AS keep
 FROM sig"""
+
+ORACLES["pl_temperature_mix"] = """
+WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+z AS (SELECT sum(pow(ns, 0.5)) AS z,
+             (SELECT count(*) FROM documents) AS total
+      FROM n),
+q AS (
+  SELECT source, ns,
+         CAST(floor(round(total * pow(ns, 0.5) / z, 6) + 0.5)
+              AS BIGINT) AS quota
+  FROM n CROSS JOIN z),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents),
+c AS (
+  SELECT r.doc_id, r.source,
+         (quota // ns)
+         + CASE WHEN rk <= quota % ns THEN 1 ELSE 0 END AS n_copies
+  FROM r JOIN q USING (source))
+SELECT doc_id, source,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM c WHERE n_copies >= 1"""

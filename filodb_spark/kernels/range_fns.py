@@ -115,7 +115,29 @@ def _simple(agg: Column):
     return [agg.alias("_v")], _nan_if_null(F.col("_v"))
 
 
+_BUILD_MEMO: dict = {}
+
+
+def _memoized(memo: dict, key, builder):
+    """FIFO-bounded memo for unresolved-expression builders: the
+    aggregate/projection Columns depend only on (fn, window, params), and
+    building them is driver-side py4j traffic (~2 ms per Column op on a
+    loaded driver — the rate family's ~80-op expressions cost ~0.2 s per
+    query, r13 driver-cost dissection). Unresolved expressions are
+    plan-independent, so reuse across queries is safe."""
+    if key not in memo:
+        if len(memo) >= 64:
+            memo.pop(next(iter(memo)))
+        memo[key] = builder()
+    return memo[key]
+
+
 def _build(fn: str, window: int, params: tuple):
+    return _memoized(_BUILD_MEMO, (fn, window, params),
+                     lambda: _build_uncached(fn, window, params))
+
+
+def _build_uncached(fn: str, window: int, params: tuple):
     v, ts = F.col("value"), F.col("ts")
     pair_ok = _in_window_pair(window)
     if fn == "sum_over_time":
@@ -298,7 +320,15 @@ TILEABLE = frozenset(
 _TILED_NEEDS_PAIR = {"changes", "resets", "idelta", "irate", "rate", "increase"}
 
 
+_BUILD_TILED_MEMO: dict = {}
+
+
 def _build_tiled(fn: str, window: int, params: tuple):
+    return _memoized(_BUILD_TILED_MEMO, (fn, window, params),
+                     lambda: _build_tiled_uncached(fn, window, params))
+
+
+def _build_tiled_uncached(fn: str, window: int, params: tuple):
     """Per-fn pieces of the tiled plan: (sample-tile aggs, pair-tile aggs
     or None, final combine aggs, post projection). Combine aliases are
     chosen so `post` can reuse the explode path's expressions."""
@@ -458,15 +488,16 @@ def _tiled_regression(df: DataFrame, fn: str, series_cols: Sequence[str],
 
 def _tiled_range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                           grid: StepGrid, window: int, params: tuple,
-                          carry_cols: Sequence[str]) -> DataFrame:
+                          carry_cols: Sequence[str],
+                          prev_attached: bool = False) -> DataFrame:
     """Two-level tiled evaluation (see block comment above). `df` is
     NaN-filtered with canonical ts/value names; prev columns attached here
-    when the pair stream needs them."""
+    when the pair stream needs them (unless the caller pre-attached)."""
     if fn in ("deriv", "predict_linear"):
         return _tiled_regression(df, fn, series_cols, grid, window,
                                  params, carry_cols)
     saggs, paggs, comb, post = _build_tiled(fn, window, params)
-    if paggs is not None:
+    if paggs is not None and not prev_attached:
         df = with_prev_sample(df, series_cols)
 
     def grouped(frame: DataFrame, lo: Column, hi: Column, aggs) -> DataFrame:
@@ -720,7 +751,8 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
                    ts_col: str = "ts", value_col: str = "value",
                    carry_cols: Sequence[str] = (),
                    tiling: bool | str | None = None,
-                   honor_stale_marker: bool = False) -> DataFrame:
+                   honor_stale_marker: bool = False,
+                   prev_attached: bool = False) -> DataFrame:
     """Evaluate PromQL range function `fn` on the step grid.
 
     `df` must have `series_cols`, `ts_col` (long ms) and `value_col`
@@ -738,6 +770,13 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     all — O(samples + 2 x series x n_steps) shuffle rows regardless of
     window/step AND density (ASOF_SUPPORTED fns only; per-series sort,
     see the skew note above _asof_range_function).
+
+    `prev_attached`: the caller already carries ``prev_ts``/``prev_value``
+    columns computed exactly as :func:`grid.with_prev_sample` would here —
+    same ``series_cols`` partitioning, on a frame where this function's
+    NaN policy is a no-op (no NaN/null samples). Skips the per-query
+    window Exchange+Sort for the consecutive-pair kernels; the natural
+    producer is a shared cache / ingest-materialized lag column.
 
     `honor_stale_marker` (last_over_time only): a NaN sample is a
     staleness marker that SHADOWS older samples — the series is absent
@@ -786,8 +825,9 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
         tiling = fn in TILEABLE and window // grid.step >= TILE_RATIO
     if tiling:
         return _stale_filter(_tiled_range_function(
-            df, fn, series_cols, grid, window, params, carry_cols))
-    if fn in NEEDS_PREV:
+            df, fn, series_cols, grid, window, params, carry_cols,
+            prev_attached=prev_attached))
+    if fn in NEEDS_PREV and not prev_attached:
         df = with_prev_sample(df, series_cols)
     exploded = explode_to_steps(df, grid, window)
     aggs, post = _build(fn, window, params)

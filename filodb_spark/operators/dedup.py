@@ -158,20 +158,23 @@ def minhash_signatures(df: DataFrame, num_perm: int = 32,
                   F.explode(char_shingles(F.col(text_col), n)).alias("g"))
           .withColumn("_h", F.xxhash64("g")))
 
-    def _perm(i: int):
+    def _perm(i: int) -> str:
         # murmur3 finalizer seeded per permutation: hash the string ONCE,
         # then an integer avalanche mix (xor-seed, multiply, xorshift) —
         # full bit diffusion, so min() picks independent shingles per
-        # permutation at a fraction of 32 string hashes
+        # permutation at a fraction of 32 string hashes. Built as SQL
+        # expression strings (one JVM parse each) — the k-wide Column-op
+        # form costs ~7 py4j round-trips per permutation, ~0.2 s of
+        # driver time per query at k=32 (r13 driver-cost dissection)
         seed = (0x9E3779B97F4A7C15 * (i + 1)) & 0x7FFFFFFFFFFFFFFF
-        h = F.col("_h").bitwiseXOR(F.lit(seed))
-        h = h * F.lit(-49064778989728563)  # 0xFF51AFD7ED558CCD as i64
-        return h.bitwiseXOR(F.shiftrightunsigned(h, 33))
+        m = f"((_h ^ {seed}L) * -49064778989728563L)"  # 0xFF51AFD7ED558CCD
+        return f"{m} ^ shiftrightunsigned({m}, 33)"
 
-    mins = [F.min(_perm(i)).alias(f"_m{i}") for i in range(num_perm)]
+    mins = [F.expr(f"min({_perm(i)}) AS _m{i}") for i in range(num_perm)]
     agg = sh.groupBy(id_col).agg(*mins)
-    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perm)])
-    return agg.select(F.col(id_col), sig.alias("sig"))
+    sig = F.expr("array(" + ", ".join(f"_m{i}" for i in range(num_perm))
+                 + ") AS sig")
+    return agg.select(F.col(id_col), sig)
 
 
 def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
@@ -192,10 +195,10 @@ def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
     # checkpoint blocks are freed with the frame.
     sigs = (minhash_signatures(df, num_perm, id_col, text_col, n)
             .localCheckpoint(eager=True))
-    band_cols = F.array(*[
-        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r] for r in range(rows)])
-        for b in range(bands)
-    ])
+    band_cols = F.expr("array(" + ", ".join(
+        f"xxhash64({b}, " + ", ".join(f"sig[{b * rows + r}]"
+                                      for r in range(rows)) + ")"
+        for b in range(bands)) + ")")
     banded = sigs.select(id_col, "sig",
                          F.posexplode(band_cols).alias("band", "bh"))
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -206,9 +209,10 @@ def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
                      F.col(f"b.{id_col}").alias("d2"),
                      F.col("a.sig").alias("s1"), F.col("b.sig").alias("s2"))
              .dropDuplicates(["d1", "d2"]))
-    est = (F.size(F.filter(F.zip_with("s1", "s2", lambda x, y: x == y),
-                           lambda m: m)).cast("double") / float(num_perm))
-    return (cand.withColumn("est_jaccard", F.round(est, 6))
+    est = F.expr(
+        "round(cast(size(filter(zip_with(s1, s2, (x, y) -> x = y), "
+        f"m -> m)) as double) / {float(num_perm)}D, 6)")
+    return (cand.withColumn("est_jaccard", est)
                 .where(F.col("est_jaccard") >= threshold)
                 .select("d1", "d2", "est_jaccard"))
 
@@ -223,22 +227,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     single hash aggregation with 64 conditional-sum columns (map-side
     partial aggregation). No per-row array folds.
     """
-    import functools
     sh = (_spread(df, id_col)
             .select(F.col(id_col),
                     F.explode(char_shingles(F.col(text_col), n)).alias("g"))
             .withColumn("_h", F.xxhash64("g")))
-    sums = [F.sum(F.when(F.col("_h").bitwiseAND(
-                F.shiftleft(F.lit(1).cast("long"), j)) != 0, 1).otherwise(-1))
-            .alias(f"_s{j}") for j in range(bits)]
+    # SQL expression strings (shiftleft(1L, 63) IS the sign-bit mask) —
+    # the 64-wide Column-op form costs ~6 py4j round-trips per bit of
+    # driver time per query (r13 driver-cost dissection)
+    sums = [F.expr(f"sum(CASE WHEN (_h & shiftleft(1L, {j})) <> 0 "
+                   f"THEN 1 ELSE -1 END) AS _s{j}") for j in range(bits)]
     agg = sh.groupBy(id_col).agg(*sums)
-    terms = []
-    for j in range(bits):
-        mask_val = (1 << j) if j < 63 else -(1 << 63)  # sign bit as long
-        terms.append(F.when(F.col(f"_s{j}") > 0, F.lit(mask_val))
-                     .otherwise(F.lit(0)).cast("long"))
-    sim = functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    sim = F.expr(" | ".join(
+        f"(CASE WHEN _s{j} > 0 THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(bits)) + " AS simhash")
+    return agg.select(F.col(id_col), sim)
 
 
 MERSENNE31 = (1 << 31) - 1
@@ -274,10 +276,13 @@ def minhash_signatures_portable(df: DataFrame, num_perm: int = 16,
           .select(F.col(id_col),
                   F.explode(char_shingles(F.col(text_col), n)).alias("g"))
           .withColumn("_h", _portable_shingle_hash(F.col("g"))))
+    # SQL expression strings for the k-wide aggregate list (same
+    # driver-cost rationale as minhash_signatures)
     mins = []
     for i in range(num_perm):
         a, b = _perm_coeffs(i)
-        mins.append(F.min((F.col("_h") * a + b) % MERSENNE31).alias(f"m{i}"))
+        mins.append(F.expr(
+            f"min((_h * {a}L + {b}L) % {MERSENNE31}L) AS m{i}"))
     return sh.groupBy(id_col).agg(*mins)
 
 
@@ -294,10 +299,10 @@ def minhash_lsh_pairs_portable(df: DataFrame, num_perm: int = 16,
     # localCheckpoint for the same no-leak reason as minhash_lsh_pairs
     sigs = (minhash_signatures_portable(df, num_perm, id_col, text_col, n)
             .localCheckpoint(eager=True))
-    band_keys = F.array(*[
-        F.concat_ws("_", *[F.col(f"m{b * rows + r}").cast("string")
-                           for r in range(rows)])
-        for b in range(bands)])
+    band_keys = F.expr("array(" + ", ".join(
+        "concat_ws('_', " + ", ".join(f"cast(m{b * rows + r} as string)"
+                                      for r in range(rows)) + ")"
+        for b in range(bands)) + ")")
     banded = sigs.select(id_col, *[f"m{i}" for i in range(num_perm)],
                          F.posexplode(band_keys).alias("band", "bk"))
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -306,14 +311,13 @@ def minhash_lsh_pairs_portable(df: DataFrame, num_perm: int = 16,
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("d1"),
                      F.col(f"b.{id_col}").alias("d2"),
-                     *[F.col(f"a.m{i}").alias(f"am{i}")
-                       for i in range(num_perm)],
-                     *[F.col(f"b.m{i}").alias(f"bm{i}")
-                       for i in range(num_perm)])
+                     *[F.expr(f"a.m{i} AS am{i}") for i in range(num_perm)],
+                     *[F.expr(f"b.m{i} AS bm{i}") for i in range(num_perm)])
              .dropDuplicates(["d1", "d2"]))
-    matches = sum([F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
-                   for i in range(num_perm)], F.lit(0))
-    est = F.round(matches.cast("double") / float(num_perm), 6)
+    matches = " + ".join(f"(CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END)"
+                         for i in range(num_perm))
+    est = F.expr(f"round(cast(({matches}) as double) "
+                 f"/ {float(num_perm)}D, 6)")
     return (cand.withColumn("est_jaccard", est)
                 .where(F.col("est_jaccard") >= threshold)
                 .select("d1", "d2", "est_jaccard"))
@@ -329,12 +333,14 @@ def simhash_portable(df: DataFrame, id_col: str = "doc_id",
           .select(F.col(id_col),
                   F.explode(char_shingles(F.col(text_col), n)).alias("g"))
           .withColumn("_h", _portable_shingle_hash(F.col("g"))))
-    sums = [F.sum(F.when(F.shiftright(F.col("_h"), j).bitwiseAND(1) == 1, 1)
-                  .otherwise(-1)).alias(f"_s{j}") for j in range(bits)]
+    # SQL expression strings (same driver-cost rationale as simhash)
+    sums = [F.expr(f"sum(CASE WHEN (shiftright(_h, {j}) & 1) = 1 "
+                   f"THEN 1 ELSE -1 END) AS _s{j}") for j in range(bits)]
     agg = sh.groupBy(id_col).agg(*sums)
-    sim = sum([F.when(F.col(f"_s{j}") > 0, F.lit(1 << j)).otherwise(0)
-               for j in range(bits)], F.lit(0))
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    sim = F.expr("cast(" + " + ".join(
+        f"(CASE WHEN _s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)) + " as long) AS simhash")
+    return agg.select(F.col(id_col), sim)
 
 
 def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",

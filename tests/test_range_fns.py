@@ -268,3 +268,68 @@ class TestMadOutlierAndLimit:
         out = limit_series(df, 2, ["series"])
         assert sorted({r["series"] for r in out.collect()}) == ["a", "b"]
         assert out.count() == 4
+
+
+class TestPrevAttachedAndExprReuse:
+    """r13 optimization pins: (a) pre-attached prev columns are
+    row-identical to the kernel's own with_prev_sample on every plan
+    family and skip its window Exchange; (b) the memoized unresolved
+    aggregate/projection expressions (_build/_build_tiled FIFO memos)
+    stay correct when one query plan contains the same (fn, window)
+    twice (shared Column objects => shared alias ids across subtrees)."""
+
+    def _norm(self, df):
+        out = []
+        for r in df.collect():
+            out.append(tuple("NaN" if isinstance(x, float) and math.isnan(x)
+                             else x for x in r))
+        return sorted(out, key=repr)
+
+    def test_prev_attached_equals_default_all_paths(self, spark):
+        from filodb_spark.kernels.grid import with_prev_sample
+        df = make_ts_df(spark, {"a": COUNTER_SAMPLES, "b": GAUGE_SAMPLES})
+        pre = with_prev_sample(df, ["series"])
+        grid = StepGrid(8_080_000, 8_160_000, 10_000)
+        for fn in ("rate", "increase", "changes", "resets", "irate",
+                   "idelta", "sum_over_time"):
+            for tiling in (False, True):
+                base = range_function(df, fn, ["series"], grid, 30_000,
+                                      tiling=tiling)
+                fast = range_function(pre, fn, ["series"], grid, 30_000,
+                                      tiling=tiling, prev_attached=True)
+                assert self._norm(base) == self._norm(fast), (fn, tiling)
+
+    def test_prev_attached_skips_window_exchange(self, spark):
+        # with the lag columns materialized (the shared-cache shape),
+        # the rate plan is explode + ONE aggregation exchange — no
+        # Window operator, no second shuffle
+        from filodb_spark.kernels.grid import with_prev_sample
+        df = make_ts_df(spark, {"a": COUNTER_SAMPLES})
+        pre = with_prev_sample(df, ["series"]).cache()
+        try:
+            pre.count()
+            grid = StepGrid(8_080_000, 8_160_000, 10_000)
+            out = range_function(pre, "rate", ["series"], grid, 30_000,
+                                 prev_attached=True)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # the cache's own build plan (printed under InMemoryRelation)
+            # legitimately contains the one-off Window; the QUERY above
+            # the cache scan must not
+            above = plan.split("InMemoryRelation")[0]
+            assert " Window " not in above
+            assert above.count("Exchange") <= 1
+        finally:
+            pre.unpersist()
+
+    def test_memoized_exprs_shared_within_one_plan(self, spark):
+        # the same (fn, window) twice in ONE query: a self-join of two
+        # independently built rate evaluations must analyze and agree
+        df = make_ts_df(spark, {"a": COUNTER_SAMPLES})
+        grid = StepGrid(8_080_000, 8_160_000, 10_000)
+        a = range_function(df, "rate", ["series"], grid, 30_000)
+        b = range_function(df, "rate", ["series"], grid, 30_000)
+        j = (a.alias("l").join(b.alias("r"), ["series", "t"])
+             .where(F.col("l.value") == F.col("r.value")))
+        # Spark comparison semantics: NaN = NaN is true, so every row
+        # (including the <2-sample NaN steps) must self-match
+        assert j.count() == a.count()

@@ -111,16 +111,28 @@ def canonical_labels(labels: Column) -> Column:
     return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(labels))))
 
 
+def series_key(labels: Column) -> Column:
+    """Canonical grouping/join key for a labels map as the sorted entry
+    array (array<struct<key,value>> — groupable, joinable and hashable in
+    Spark). Injective like the JSON string but skips the per-row JSON
+    rendering: ~40% cheaper on a labels-keyed aggregation over a 720k-row
+    scan (r13 measurement), and proportionally fewer shuffle bytes.
+    Use for keys that stay INSIDE one query plan; canonical_labels stays
+    the form for ordered presentation (sort/limit) and anything stored,
+    shown, or compared as text."""
+    return F.array_sort(F.map_entries(labels))
+
+
 def join_key(labels: Column, on: Sequence[str] | None,
              ignoring: Sequence[str] = (), metric_label: str = METRIC_LABEL) -> Column:
     """BinaryJoinExec.scala:21-38: key = on-labels, else all minus ignoring
-    minus metric name."""
+    minus metric name. Array-typed (series_key) — plan-internal only."""
     if on is not None:
         sub = F.map_filter(labels, lambda k, _: k.isin([*on]))
     else:
         drop = [*ignoring, metric_label]
         sub = F.map_filter(labels, lambda k, _: ~k.isin(drop))
-    return canonical_labels(sub)
+    return series_key(sub)
 
 
 def _drop_keys(labels: Column, keys: Sequence[str]) -> Column:
@@ -179,7 +191,8 @@ def vector_binary_op(lhs: DataFrame, rhs: DataFrame, op: str,
                 F.lit(False),
                 F.concat(F.lit(f"Cardinality {cardinality} was used, but many "
                                "found instead of one for join key "),
-                         F.col("_jk"))).cast("double").alias(value_col))
+                         F.col("_jk").cast("string"))).cast("double")
+            .alias(value_col))
 
     joined = l.join(r, ["_jk", "t"], "inner")
 

@@ -367,10 +367,16 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     stays linear in rounds — the same execution shape GraphFrames'
     connected components uses, so it carries to 100 TB edge sets.
     """
+    # materialize the edge list ONCE before iterating: every round's
+    # propagation join re-executes its input plan, and `pairs` is
+    # typically the expensive shingle/band self-join — uncheckpointed,
+    # a 10-round run recomputed it 10x (the r13 sweep measured 46 s
+    # where the pairs pipeline itself costs ~4 s)
     edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
              .unionByName(
                  pairs.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("a").alias("n"))
               .unionByName(edges.select(F.col("b").alias("n")))
               .distinct()

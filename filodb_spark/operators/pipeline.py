@@ -303,17 +303,35 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                                       / tot, 6)).otherwise(F.lit(0.0)))
            .withColumn("_nonspace", nonspace))
     ns = [n for n, _ in top_ngram_limits]
-    for n in ns:
-        g = df.select(F.col(id_col),
-                      F.explode(word_ngrams(t, n)).alias("g"))
-        cnt = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("g"))
-        top = (cnt.withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") == 1)
-               .select(F.col(id_col), F.col("c").alias(f"_c{n}"),
-                       F.length(F.replace(F.col("g"), F.lit(" "),
-                                          F.lit(""))).alias(f"_l{n}")))
-        out = out.join(top, id_col, "left")
+    # all n-gram panels in ONE pass (r13): tag each gram with its n,
+    # count per (doc, n, gram), take the per-(doc, n) top-1 with the
+    # same (count desc, gram asc) tie-break, and pivot the <=len(ns)
+    # rows per doc back to columns — one corpus scan, one aggregation,
+    # one window and one join instead of one of each PER n (plan went
+    # ~9 Exchanges -> ~4; a doc with no n-grams for some n simply has
+    # no tagged entries, so the pivot leaves that column null exactly
+    # like the old per-n left join did)
+    def _tag(n):
+        # factory, not a default-arg lambda: a 2-arg lambda makes
+        # F.transform pass the ELEMENT INDEX as the second argument
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+    tagged = F.flatten(F.array(*[
+        F.transform(word_ngrams(t, n), _tag(n)) for n in ns]))
+    g = (df.select(F.col(id_col), F.explode(tagged).alias("_x"))
+           .select(id_col, F.col("_x.n").alias("_n"),
+                   F.col("_x.g").alias("g")))
+    cnt = g.groupBy(id_col, "_n", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col, "_n").orderBy(F.desc("c"), F.asc("g"))
+    top1 = (cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .withColumn("_l", F.length(F.replace(F.col("g"), F.lit(" "),
+                                                 F.lit("")))))
+    piv = top1.groupBy(id_col).agg(
+        *[F.max(F.when(F.col("_n") == n, F.col("c"))).alias(f"_c{n}")
+          for n in ns],
+        *[F.max(F.when(F.col("_n") == n, F.col("_l"))).alias(f"_l{n}")
+          for n in ns])
+    out = out.join(piv, id_col, "left")
     for n in ns:
         out = out.withColumn(
             f"top{n}gram_char_frac",

@@ -1071,7 +1071,7 @@ class PromQLEngine:
         raw-schema frames so absent schemas contribute no DS rows."""
         out = self.store.ds_view().select(sel)
         return out.withColumn("_sk",
-                              bin_k.canonical_labels(F.col("labels")))
+                              bin_k.series_key(F.col("labels")))
 
     def _ds_gauge_part(self, sel: A.VectorSelector, fn: str,
                        grid: StepGrid, window: int,
@@ -1094,7 +1094,7 @@ class PromQLEngine:
         # before the retention boundary)
         ds = _apply_label_matchers(
             ds, [m for m in sel.matchers if m.name != "_type_"])
-        ds = ds.withColumn("_sk", bin_k.canonical_labels(labels))
+        ds = ds.withColumn("_sk", bin_k.series_key(labels))
         ds_lab = ds.select("_sk", "labels").dropDuplicates(["_sk"])
         if fn in _DS_REWRITE:
             out = range_function_ds(ds, fn, ["_sk"], grid, window)
@@ -1237,7 +1237,7 @@ class PromQLEngine:
                 raise
             return self._absent_from(present, sel, grid)
         df = self._scan(sel, grid.start - window, grid.end)
-        df = df.withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+        df = df.withColumn("_sk", bin_k.series_key(F.col("labels")))
         lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
         if "hist" in df.columns:
             # histogram schema: per-bucket kernels (extrapolatedRateH)
@@ -1724,7 +1724,7 @@ class PromQLEngine:
             grid.end - sq.offset_ms, sub_step).aligned()
         inner = self._vector(sq.expr, inner_grid)
         samples = inner.select("labels", F.col("t").alias("ts"), "value") \
-            .withColumn("_sk", bin_k.canonical_labels(F.col("labels")))
+            .withColumn("_sk", bin_k.series_key(F.col("labels")))
         eval_grid = grid if not sq.offset_ms else \
             StepGrid(grid.start - sq.offset_ms, grid.end - sq.offset_ms, grid.step)
         out = range_function(samples, fn, ["_sk"], eval_grid, sq.range_ms,
@@ -1812,7 +1812,7 @@ class PromQLEngine:
         b = (v.withColumn("le", le_num)
               .where(F.col("le").isNotNull())
               .withColumn("labels", no_le)
-              .withColumn("_sk", bin_k.canonical_labels(F.col("labels"))))
+              .withColumn("_sk", bin_k.series_key(F.col("labels"))))
         per = (b.groupBy("_sk", "t")
                 .agg(F.array_sort(F.collect_list(F.struct("le", "value")))
                      .alias("_buckets"),
@@ -2025,7 +2025,7 @@ class PromQLEngine:
             else:
                 nl = F.create_map().cast("map<string,string>")
             v = v.withColumn("labels", nl) \
-                 .withColumn("_gk", bin_k.canonical_labels(nl))
+                 .withColumn("_gk", bin_k.series_key(nl))
             out = hist_sum(v, ["_gk", "t"], target_les=target)
             lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
             return self._enforce_groupby_limit(
@@ -2042,13 +2042,13 @@ class PromQLEngine:
             # members keep their ORIGINAL labels (TopBottomKRowAggregator
             # presents series); by/without only buckets the ranking
             k = int(self._const(e.param))
-            v = (v.withColumn("_gk", bin_k.canonical_labels(new_labels))
+            v = (v.withColumn("_gk", bin_k.series_key(new_labels))
                   .withColumn("_sk", bin_k.canonical_labels(labels)))
             out = agg_k.topk(v, k, ["_gk"], ["_sk"], bottom=e.op == "bottomk")
             return self._enforce_groupby_limit(
                 v, out.select("labels", "t", "value"))
         v = v.withColumn("labels", new_labels) \
-             .withColumn("_gk", bin_k.canonical_labels(new_labels))
+             .withColumn("_gk", bin_k.series_key(new_labels))
         if e.op == "count_values":
             dst = self._str(e.param)
             vs = F.col("value")
@@ -2057,7 +2057,7 @@ class PromQLEngine:
             v2 = v.withColumn("labels", F.map_concat(
                 F.map_filter(F.col("labels"), lambda k_, _: k_ != dst),
                 F.create_map(F.lit(dst), vstr)))
-            v2 = v2.withColumn("_gk", bin_k.canonical_labels(F.col("labels")))
+            v2 = v2.withColumn("_gk", bin_k.series_key(F.col("labels")))
             out = (v2.where(~F.isnan("value"))
                      .groupBy("_gk", "t")
                      .agg(F.first("labels").alias("labels"),

@@ -688,6 +688,10 @@ class TestGopherRepetition:
         "spam spam spam spam spam",                         # top-ngrams
         "all fresh lines\nwith different words\nno repeats at all",
         "a\na\na\na",                                       # tiny dups
+        # exactly three words: 2- and 3-gram panels fire, the 4-gram
+        # panel has no grams — pins the fused single-pass panel's
+        # per-n null path (r13 rewrite: one tagged pass, not one per n)
+        "just three words",
     ]
 
     def test_signals_match_golden(self, spark):

@@ -66,13 +66,19 @@ def q_tpch_q5(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01")))
     l = _t(spark, sf_dir, "lineitem")
+    # pre-join supplier|nation|region into ONE broadcast relation (the
+    # star-schema denormalize-the-dims move): the fact side then crosses
+    # 2 broadcast exchanges instead of 4, and the region filter prunes
+    # suppliers BEFORE the fact join (r13: -22% on the bench, identical
+    # rows; at scale the snr build is a tiny dims-only job)
+    snr = (s.join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_nationkey", "n_name"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(s), (l.l_suppkey == s.s_suppkey)
-              & (c.c_nationkey == s.s_nationkey))
-        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(broadcast(snr), (l.l_suppkey == F.col("s_suppkey"))
+              & (c.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))

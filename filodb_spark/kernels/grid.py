@@ -123,18 +123,18 @@ def explode_to_steps(df: DataFrame, grid: StepGrid, window: int,
         if len(_EXPLODE_MEMO) >= 64:
             _EXPLODE_MEMO.pop(next(iter(_EXPLODE_MEMO)))
         k_min, k_max = step_bounds(grid, window, F.col(ts_col))
-        _EXPLODE_MEMO[key] = (
-            k_min.alias("_k_min"), k_max.alias("_k_max"),
-            F.explode(F.sequence(F.col("_k_min"), F.col("_k_max")))
-            .alias("_k"),
-            (F.lit(grid.start) + F.col("_k") * F.lit(grid.step))
-            .cast("long").alias("t"))
-    k_min, k_max, k, t = _EXPLODE_MEMO[key]
-    cols = df.columns
-    return (df.select("*", k_min, k_max)
-              .where(F.col("_k_min") <= F.col("_k_max"))
-              .select(*cols, k)
-              .select(*cols, t))
+        # explode the window-end instants t = start + k*step DIRECTLY
+        # (same long arithmetic as deriving k first): one Generate over
+        # one select. sequence() DESCENDS when stop < start, so the
+        # empty range is expressed as NULL, which explode drops — the
+        # same rows the old `k_min <= k_max` filter removed.
+        lo = (F.lit(grid.start) + k_min * F.lit(grid.step)).cast("long")
+        hi = (F.lit(grid.start) + k_max * F.lit(grid.step)).cast("long")
+        _EXPLODE_MEMO[key] = F.explode(
+            F.when(k_min <= k_max,
+                   F.sequence(lo, hi, F.lit(grid.step).cast("long")))
+        ).alias("t")
+    return df.select("*", _EXPLODE_MEMO[key])
 
 
 def with_prev_sample(df: DataFrame, series_cols: Sequence[str],

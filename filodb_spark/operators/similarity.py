@@ -44,16 +44,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      round_to: int = 6) -> DataFrame:
     """Exact cosine top-k: (qid, nid, rank, sim). Queries are broadcast;
-    ranking is deterministic (rounded sim desc, then neighbor id)."""
+    ranking is deterministic (rounded sim desc, then neighbor id).
+
+    Norms are folded ONCE per side before the cross join (r13): the
+    per-pair work drops from three array folds to one, and the fold
+    order is unchanged so the doubles are bit-identical to the inline
+    cosine()."""
     c = corpus.select(F.col(id_col).alias("nid"),
-                      as_double(F.col(vec_col)).alias("nv"))
+                      as_double(F.col(vec_col)).alias("nv")) \
+              .withColumn("_nn", F.sqrt(norm_sq(F.col("nv"))))
     q = queries.select(F.col(id_col).alias("qid"),
-                       as_double(F.col(vec_col)).alias("qv"))
+                       as_double(F.col(vec_col)).alias("qv")) \
+               .withColumn("_nq", F.sqrt(norm_sq(F.col("qv"))))
+    sim = dot(F.col("qv"), F.col("nv")) / (F.col("_nq") * F.col("_nn"))
     pairs = (c.crossJoin(broadcast(q))
               .where(F.col("nid") != F.col("qid"))
               .select("qid", "nid",
-                      F.round(cosine(F.col("qv"), F.col("nv")), round_to)
-                      .alias("sim")))
+                      F.round(sim, round_to).alias("sim")))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (pairs.withColumn("rank", F.row_number().over(w))
                  .where(F.col("rank") <= k)
@@ -70,14 +77,18 @@ def brute_force_topk_l2(corpus: DataFrame, queries: DataFrame, k: int,
     would conflate quantization loss with metric mismatch).
     Output: (qid, nid, rank, dist2) — same shape as every *_topk."""
     c = corpus.select(F.col(id_col).alias("nid"),
-                      as_double(F.col(vec_col)).alias("nv"))
+                      as_double(F.col(vec_col)).alias("nv")) \
+              .withColumn("_nn2", norm_sq(F.col("nv")))
     q = queries.select(F.col(id_col).alias("qid"),
-                       as_double(F.col(vec_col)).alias("qv"))
+                       as_double(F.col(vec_col)).alias("qv")) \
+               .withColumn("_nq2", norm_sq(F.col("qv")))
     # inner-product decomposition, not a difference-square fold: the
     # SQL oracle's sequential list_inner_product reproduces these three
-    # folds bit-for-bit (same parity trick as the k-means/PQ paths)
-    d2 = (norm_sq(F.col("qv")) - 2.0 * dot(F.col("qv"), F.col("nv"))
-          + norm_sq(F.col("nv")))
+    # folds bit-for-bit (same parity trick as the k-means/PQ paths);
+    # the norm folds run once per side pre-join (r13) — same fold
+    # order, bit-identical doubles, a third of the per-pair work
+    d2 = (F.col("_nq2") - 2.0 * dot(F.col("qv"), F.col("nv"))
+          + F.col("_nn2"))
     pairs = (c.crossJoin(broadcast(q))
              .where(F.col("nid") != F.col("qid"))
              .select("qid", "nid", F.round(d2, round_to).alias("dist2")))
@@ -106,14 +117,18 @@ def rerank_exact(corpus: DataFrame, queries: DataFrame,
     sets the two rank identically (SQL-oracle-parity preserved).
     Output: (qid, nid, rank, dist2) — the *_topk contract."""
     c = corpus.select(F.col(id_col).alias("nid"),
-                      as_double(F.col(vec_col)).alias("nv"))
+                      as_double(F.col(vec_col)).alias("nv")) \
+              .withColumn("_nn2", norm_sq(F.col("nv")))
     q = queries.select(F.col(id_col).alias("qid"),
-                       as_double(F.col(vec_col)).alias("qv"))
+                       as_double(F.col(vec_col)).alias("qv")) \
+               .withColumn("_nq2", norm_sq(F.col("qv")))
     cand = candidates.select("qid", "nid").distinct()
     pairs = (cand.join(c, "nid").join(broadcast(q), "qid")
              .where(F.col("nid") != F.col("qid")))
-    d2 = (norm_sq(F.col("qv")) - 2.0 * dot(F.col("qv"), F.col("nv"))
-          + norm_sq(F.col("nv")))
+    # norms folded once per side pre-join (r13) — same fold order as
+    # brute_force_topk_l2, bit-identical doubles
+    d2 = (F.col("_nq2") - 2.0 * dot(F.col("qv"), F.col("nv"))
+          + F.col("_nn2"))
     scored = pairs.select("qid", "nid",
                           F.round(d2, round_to).alias("dist2"))
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(),

@@ -147,19 +147,29 @@ def _apply_label_matchers(df: DataFrame, matchers) -> DataFrame:
     reference's single ColumnFilter path feeding both data and
     metadata queries (PartKeyIndex.scala:652-674 anchors regexes)."""
     labels = F.col("labels")
+    conds = []
     for m in matchers:
         lv = labels[m.name]
         if m.op == "=":
-            df = df.where(lv == m.value) if m.value != "" else \
-                df.where(lv.isNull() | (lv == ""))
+            conds.append((lv == m.value) if m.value != ""
+                         else (lv.isNull() | (lv == "")))
         elif m.op == "!=":
-            df = df.where(lv.isNull() | (lv != m.value)) if m.value != "" \
-                else df.where(lv.isNotNull() & (lv != ""))
+            conds.append((lv.isNull() | (lv != m.value)) if m.value != ""
+                         else (lv.isNotNull() & (lv != "")))
         elif m.op == "=~":
-            df = df.where(F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+            conds.append(
+                F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
         elif m.op == "!~":
-            df = df.where(~F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
-    return df
+            conds.append(
+                ~F.coalesce(lv, F.lit("")).rlike(f"^(?:{m.value})$"))
+    if not conds:
+        return df
+    # ONE where with the conjunction, not one Dataset per matcher —
+    # each Dataset-returning call re-analyzes the plan eagerly
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    return df.where(cond)
 
 
 @dataclass

@@ -104,10 +104,14 @@ def q_tpch_q10(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-01-01")))
     l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
+    # customer|nation pre-joined into one broadcast relation (the q5
+    # dim-denormalization pattern, r13): one broadcast exchange on the
+    # fact side instead of two
+    cn = c.join(n, c.c_nationkey == n.n_nationkey) \
+          .select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(cn), o.o_custkey == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
              .alias("revenue"))
@@ -169,15 +173,15 @@ def q_tpch_q7(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") <= F.lit("1997-12-31")))
-    n1 = broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
-                            F.col("n_name").alias("supp_nation")))
-    n2 = broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
-                            F.col("n_name").alias("cust_nation")))
+    # supplier|nation and customer|nation pre-joined (q5 pattern, r13):
+    # 2 broadcast exchanges on the fact side instead of 4
+    sn = (s.join(n, s.s_nationkey == n.n_nationkey)
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cn = (c.join(n, c.c_nationkey == n.n_nationkey)
+           .select("c_custkey", F.col("n_name").alias("cust_nation")))
     j = (l.join(o, l.l_orderkey == o.o_orderkey)
-         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-         .join(broadcast(c), o.o_custkey == c.c_custkey)
-         .join(n1, s.s_nationkey == F.col("n1_key"))
-         .join(n2, c.c_nationkey == F.col("n2_key"))
+         .join(broadcast(sn), l.l_suppkey == F.col("s_suppkey"))
+         .join(broadcast(cn), o.o_custkey == F.col("c_custkey"))
          .where(((F.col("supp_nation") == "NATION_3")
                  & (F.col("cust_nation") == "NATION_19"))
                 | ((F.col("supp_nation") == "NATION_19")
@@ -232,10 +236,13 @@ def q_tpch_q2(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+    # supplier|nation|region pre-joined (q5 pattern, r13): one
+    # broadcast exchange on the fact side instead of three
+    snr = (s.join(n, s.s_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     supply = (
-        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(broadcast(snr), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
              .alias("cost")))
@@ -263,18 +270,21 @@ def q_tpch_q8(spark, sf_dir):
         & (F.col("o_orderdate") <= F.lit("1997-12-31")))
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
-    n1 = broadcast(n.select(F.col("n_nationkey").alias("n1_key"),
-                            F.col("n_regionkey").alias("n1_region")))
-    n2 = broadcast(n.select(F.col("n_nationkey").alias("n2_key"),
-                            F.col("n_name").alias("supp_nation")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer|nation|region (the EUROPE membership filter) and
+    # supplier|nation pre-joined (q5 pattern, r13): 3 broadcast
+    # exchanges on the fact side instead of 6
+    cnr = (c.join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .select("c_custkey"))
+    sn = (s.join(n.select(F.col("n_nationkey").alias("n2_key"),
+                          F.col("n_name").alias("supp_nation")),
+                 s.s_nationkey == F.col("n2_key"))
+           .select("s_suppkey", "supp_nation"))
     j = (l.join(broadcast(p), l.l_partkey == p.p_partkey)
          .join(o, l.l_orderkey == o.o_orderkey)
-         .join(broadcast(c), o.o_custkey == c.c_custkey)
-         .join(n1, c.c_nationkey == F.col("n1_key"))
-         .join(broadcast(r), F.col("n1_region") == r.r_regionkey)
-         .join(broadcast(s), l.l_suppkey == s.s_suppkey)
-         .join(n2, s.s_nationkey == F.col("n2_key")))
+         .join(broadcast(cnr), o.o_custkey == F.col("c_custkey"))
+         .join(broadcast(sn), l.l_suppkey == F.col("s_suppkey")))
     return (j.groupBy(F.year("o_orderdate").alias("o_year"))
             .agg(F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)

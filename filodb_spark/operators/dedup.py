@@ -202,13 +202,28 @@ def minhash_lsh_pairs(df: DataFrame, num_perm: int = 32, bands: int = 8,
     banded = sigs.select(id_col, "sig",
                          F.posexplode(band_cols).alias("band", "bh"))
     a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bh") == F.col("b.bh"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("d1"),
-                     F.col(f"b.{id_col}").alias("d2"),
-                     F.col("a.sig").alias("s1"), F.col("b.sig").alias("s2"))
-             .dropDuplicates(["d1", "d2"]))
+    joined = a.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if bands > 1:
+        # first-band-wins (r13): a pair colliding in several bands is kept
+        # only at its FIRST matching band, so the per-pair dedup is a
+        # map-side filter recomputing earlier band hashes from the carried
+        # signatures — no extra shuffle bytes. The dropDuplicates form
+        # compiled to SortAggregate+Sort+Exchange+Sort+SortAggregate over
+        # every candidate pair carrying BOTH k-long signatures; its
+        # first(s1/s2) was value-deterministic anyway (sig is fixed per
+        # doc), so the surviving rows are identical.
+        def _bh(side: str, b: int) -> str:
+            return f"xxhash64({b}, " + ", ".join(
+                f"{side}.sig[{b * rows + r}]" for r in range(rows)) + ")"
+        joined = joined.where(~F.expr(" OR ".join(
+            f"(a.band > {b} AND {_bh('a', b)} = {_bh('b', b)})"
+            for b in range(bands - 1))))
+    cand = joined.select(F.col(f"a.{id_col}").alias("d1"),
+                         F.col(f"b.{id_col}").alias("d2"),
+                         F.col("a.sig").alias("s1"),
+                         F.col("b.sig").alias("s2"))
     est = F.expr(
         "round(cast(size(filter(zip_with(s1, s2, (x, y) -> x = y), "
         f"m -> m)) as double) / {float(num_perm)}D, 6)")
@@ -306,14 +321,25 @@ def minhash_lsh_pairs_portable(df: DataFrame, num_perm: int = 16,
     banded = sigs.select(id_col, *[f"m{i}" for i in range(num_perm)],
                          F.posexplode(band_keys).alias("band", "bk"))
     a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bk") == F.col("b.bk"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("d1"),
-                     F.col(f"b.{id_col}").alias("d2"),
-                     *[F.expr(f"a.m{i} AS am{i}") for i in range(num_perm)],
-                     *[F.expr(f"b.m{i} AS bm{i}") for i in range(num_perm)])
-             .dropDuplicates(["d1", "d2"]))
+    joined = a.join(b_, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if bands > 1:
+        # first-band-wins map-side dedup — same rationale (and identical
+        # surviving rows) as minhash_lsh_pairs; the band key is
+        # recomputed from the carried signature components
+        def _bk(side: str, b: int) -> str:
+            return "concat_ws('_', " + ", ".join(
+                f"cast({side}.m{b * rows + r} as string)"
+                for r in range(rows)) + ")"
+        joined = joined.where(~F.expr(" OR ".join(
+            f"(a.band > {b} AND {_bk('a', b)} = {_bk('b', b)})"
+            for b in range(bands - 1))))
+    cand = joined.select(
+        F.col(f"a.{id_col}").alias("d1"),
+        F.col(f"b.{id_col}").alias("d2"),
+        *[F.expr(f"a.m{i} AS am{i}") for i in range(num_perm)],
+        *[F.expr(f"b.m{i} AS bm{i}") for i in range(num_perm)])
     matches = " + ".join(f"(CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END)"
                          for i in range(num_perm))
     est = F.expr(f"round(cast(({matches}) as double) "

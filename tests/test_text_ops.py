@@ -601,3 +601,44 @@ class TestWinnowing:
         assert winnow_near_dup_pairs(
             df, k=self.K, w=self.W, min_shared=1,
             max_df=None).count() == 60 * 59 // 2
+
+
+class TestMinhashFirstBandWins:
+    """r13: the per-pair dedup of the LSH band self-join is a map-side
+    first-band-wins filter, not a dropDuplicates aggregation. Pin both
+    the semantics (exactly one row per colliding pair, even when the
+    pair collides in EVERY band) and the plan shape (no Aggregate, no
+    dedup Exchange over candidate pairs carrying full signatures)."""
+
+    @pytest.fixture(scope="class")
+    def multi_band_docs(self, spark):
+        # identical texts share the whole signature, so the pair
+        # collides in all bands — the worst case for per-pair dedup
+        return spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "pack my box with five dozen liquor jugs")],
+            ["doc_id", "text"])
+
+    def test_fast_one_row_per_pair(self, spark, multi_band_docs):
+        rows = minhash_lsh_pairs(multi_band_docs, threshold=0.5).collect()
+        pairs = [(r.d1, r.d2) for r in rows]
+        assert pairs == [(1, 2)]           # once, not once per band
+        assert rows[0].est_jaccard == 1.0  # identical docs
+
+    def test_portable_one_row_per_pair(self, spark, multi_band_docs):
+        from filodb_spark.operators.dedup import minhash_lsh_pairs_portable
+        rows = minhash_lsh_pairs_portable(
+            multi_band_docs, threshold=0.5).collect()
+        pairs = [(r.d1, r.d2) for r in rows]
+        assert pairs == [(1, 2)]
+        assert rows[0].est_jaccard == 1.0
+
+    def test_plan_has_no_aggregate(self, spark, multi_band_docs):
+        from filodb_spark.operators.dedup import minhash_lsh_pairs_portable
+        for fn in (minhash_lsh_pairs, minhash_lsh_pairs_portable):
+            plan = (fn(multi_band_docs, threshold=0.5)
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "Aggregate" not in plan, fn.__name__
+            # only the band self-join's two hash exchanges remain
+            assert plan.count("Exchange") == 2, fn.__name__

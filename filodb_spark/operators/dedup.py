@@ -383,8 +383,10 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     propagation distance — convergence in O(log diameter) rounds instead
     of O(diameter), so deep chains cannot exhaust the iteration cap.
     Convergence is detected type-agnostically: a round that changes no
-    node's label is the fixpoint (checked with an anti-condition join +
-    isEmpty, which Spark executes as a limit-1 probe). This works for
+    node's label is the fixpoint — each node's PREVIOUS label rides
+    through the round on the row (the `__prev` aggregate below), so the
+    probe is a filter + isEmpty over the already-checkpointed frame,
+    not a join against the previous round's frame. This works for
     string doc ids too — labels are ordered by the column type's own
     ordering, so string-keyed clusters get the lexicographic-min id as
     their cluster id. Raises if the iteration cap is hit before the
@@ -397,14 +399,23 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     # propagation join re-executes its input plan, and `pairs` is
     # typically the expensive shingle/band self-join — uncheckpointed,
     # a 10-round run recomputed it 10x (the r13 sweep measured 46 s
-    # where the pairs pipeline itself costs ~4 s)
+    # where the pairs pipeline itself costs ~4 s).
+    # localCheckpoint, not persist: the r13 optimization round measured
+    # a cached (a-partitioned, a-sorted) edge list against this form on
+    # a 20k-node chain graph — the cache removes the per-round edge
+    # Exchange from the plan but re-decodes columnar batches on every
+    # scan and flips the loop's joins to per-round driver broadcasts,
+    # a consistent 1.6-2.4x wall LOSS (guide §1.1's "ideal plan is
+    # usually slower at first" case; see OPTIMIZATION_r13.md).
     edges = (pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
              .unionByName(
                  pairs.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
              .distinct()
              .localCheckpoint(eager=True))
+    # the edge list is symmetric, so the `a` side alone already names
+    # every node — the old both-sides union shuffled 2x the edge rows
+    # into the same distinct for the same node set
     labels = (edges.select(F.col("a").alias("n"))
-              .unionByName(edges.select(F.col("b").alias("n")))
               .distinct()
               .select("n", F.col("n").alias("lbl"))
               .localCheckpoint(eager=True))
@@ -413,27 +424,35 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
     for _ in range(max_iterations):
         rounds += 1
         prop = (edges.join(labels, edges["a"] == labels["n"])
-                .select(F.col("b").alias("n"), F.col("lbl")))
-        new = (labels.unionByName(prop)
-               .groupBy("n").agg(F.min("lbl").alias("lbl")))
+                .select(F.col("b").alias("n"), F.col("lbl"),
+                        F.lit(False).alias("__s")))
+        # one union + one aggregation computes BOTH the propagated min
+        # and the node's previous label (__prev: min over the self row
+        # only — each node has exactly one); min(union) is unchanged
+        new = (labels.select("n", "lbl", F.lit(True).alias("__s"))
+               .unionByName(prop)
+               .groupBy("n").agg(
+                   F.min("lbl").alias("lbl"),
+                   F.min(F.when(F.col("__s"), F.col("lbl")))
+                   .alias("__prev")))
         # pointer jump: lbl <- label(lbl). Labels are always node ids, so
         # the self-join matches; min() keeps monotonicity. (Renamed-column
         # copy, not alias: a self-join of the same plan object hits
         # attribute dedup ambiguity.)
         jump = new.select(F.col("n").alias("__jn"),
                           F.col("lbl").alias("__jlbl"))
-        prev = labels.select(F.col("n").alias("__pn"),
-                             F.col("lbl").alias("__plbl"))
         labels = (new.join(jump, new["lbl"] == jump["__jn"])
                   .select(new["n"].alias("n"),
-                          F.least(new["lbl"], jump["__jlbl"]).alias("lbl"))
+                          F.least(new["lbl"], jump["__jlbl"]).alias("lbl"),
+                          new["__prev"].alias("__prev"))
                   .localCheckpoint(eager=True))
         # type-agnostic fixpoint probe: any label changed this round?
         # (sum-based stall detection breaks on non-numeric ids: sum of a
-        # string column is NULL, and None == None exits after one round)
-        changed = (labels.join(prev, labels["n"] == prev["__pn"])
-                   .where(labels["lbl"] != F.col("__plbl")))
-        if changed.isEmpty():
+        # string column is NULL, and None == None exits after one round.)
+        # __prev made the probe a limit-1 filter scan of the checkpoint —
+        # the old per-round probe JOIN (labels x prev, 2 exchanges + a
+        # sort-merge join per round) is gone (guide §2.4).
+        if labels.where(F.col("lbl") != F.col("__prev")).isEmpty():
             converged = True
             break
     if stats is not None:

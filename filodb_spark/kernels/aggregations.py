@@ -57,40 +57,38 @@ def aggregate(df: DataFrame, op: str, group_cols: Sequence[str],
     v = F.col(value_col)
     keys = [*group_cols, t_col]
 
-    class _G:
-        def agg(self, *aggs):
-            return df.groupBy(*keys).agg(
-                *aggs, *[F.first(c).alias(c) for c in carry_cols])
-
-    g = _G()
+    # the whole presentation is folded INTO the aggregate expression
+    # (r13 opt: the old groupBy().agg().select() chain paid one extra
+    # eager plan analysis per query; `when` over two identical aggregate
+    # functions costs nothing — Catalyst dedupes equal AggregateExprs),
+    # so one .agg() call yields the final column order directly
     if op == "sum":
-        out = g.agg(_nan_skipping(F.sum, v).alias("_v"))
+        val = _finish(_nan_skipping(F.sum, v))
     elif op == "min":
-        out = g.agg(_nan_skipping(F.min, v).alias("_v"))
+        val = _finish(_nan_skipping(F.min, v))
     elif op == "max":
-        out = g.agg(_nan_skipping(F.max, v).alias("_v"))
+        val = _finish(_nan_skipping(F.max, v))
     elif op == "avg":
-        out = g.agg(_nan_skipping(F.avg, v).alias("_v"))
+        val = _finish(_nan_skipping(F.avg, v))
     elif op == "count":
         # CountRowAggregator: counts non-NaN series; all-NaN -> NaN
-        out = g.agg(F.when(F.count(F.when(_valid(v), v)) > 0,
-                           F.count(F.when(_valid(v), v)).cast("double"))
-                    .otherwise(NAN()).alias("_v"))
-        return out.select(*keys, *carry_cols, F.col("_v").alias("value"))
+        val = F.when(F.count(F.when(_valid(v), v)) > 0,
+                     F.count(F.when(_valid(v), v)).cast("double")) \
+            .otherwise(NAN())
     elif op == "stddev":
-        out = g.agg(_nan_skipping(F.stddev_pop, v).alias("_v"))
+        val = _finish(_nan_skipping(F.stddev_pop, v))
     elif op == "stdvar":
-        out = g.agg(_nan_skipping(F.var_pop, v).alias("_v"))
+        val = _finish(_nan_skipping(F.var_pop, v))
     elif op == "group":
-        out = g.agg(F.count(F.when(_valid(v), v)).alias("_c"))
-        return out.select(*keys, *carry_cols, F.when(F.col("_c") > 0, F.lit(1.0))
-                          .otherwise(NAN()).alias("value"))
+        val = F.when(F.count(F.when(_valid(v), v)) > 0, F.lit(1.0)) \
+            .otherwise(NAN())
     elif op == "quantile":
         q = float(params[0])
-        out = g.agg(_nan_skipping(lambda c: F.percentile(c, F.lit(q)), v).alias("_v"))
+        val = _finish(_nan_skipping(lambda c: F.percentile(c, F.lit(q)), v))
     else:
         raise ValueError(f"unknown aggregation: {op}")
-    return out.select(*keys, *carry_cols, _finish(F.col("_v")).alias("value"))
+    return df.groupBy(*keys).agg(
+        *[F.first(c).alias(c) for c in carry_cols], val.alias("value"))
 
 
 def topk(df: DataFrame, k: int, group_cols: Sequence[str],

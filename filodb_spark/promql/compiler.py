@@ -140,14 +140,18 @@ PARAM_RANGE_FNS = {"quantile_over_time": "quantile_over_time",
                    "holt_winters": "holt_winters"}
 
 
-def _apply_label_matchers(df: DataFrame, matchers) -> DataFrame:
+def _apply_label_matchers(df: DataFrame, matchers,
+                          extra: Column | None = None) -> DataFrame:
     """Apply PromQL label matchers to any frame with a `labels` map
     column — shared by the sample scan (TsStore.select) and the
     part-key table scan (TsStore.select_partkeys), mirroring the
     reference's single ColumnFilter path feeding both data and
-    metadata queries (PartKeyIndex.scala:652-674 anchors regexes)."""
+    metadata queries (PartKeyIndex.scala:652-674 anchors regexes).
+    `extra` is an additional conjunctive predicate (e.g. the metric
+    equality) folded into the SAME where — one eager plan analysis for
+    the whole selector instead of one per filter (r13 opt)."""
     labels = F.col("labels")
-    conds = []
+    conds = [] if extra is None else [extra]
     for m in matchers:
         lv = labels[m.name]
         if m.op == "=":
@@ -404,9 +408,9 @@ class TsStore:
             else:
                 extra = [c for c in ("min", "max") if c in self.hist_df.columns]
                 df = df.select("labels", "ts", "sum", "count", "hist", *extra)
-        if sel.metric and schema == "gauge":
-            df = df.where(F.col("labels")[METRIC] == sel.metric)
-        return _apply_label_matchers(df, sel.matchers)
+        metric_cond = (F.col("labels")[METRIC] == sel.metric) \
+            if sel.metric and schema == "gauge" else None
+        return _apply_label_matchers(df, sel.matchers, extra=metric_cond)
 
     def type_expr(self, metric_col: Column) -> Column:
         """Schema name for the virtual `_type_` label as a column
@@ -2034,8 +2038,8 @@ class PromQLEngine:
                 nl = F.map_filter(labels, lambda k, _: ~k.isin(drop))
             else:
                 nl = F.create_map().cast("map<string,string>")
-            v = v.withColumn("labels", nl) \
-                 .withColumn("_gk", bin_k.series_key(nl))
+            v = v.withColumns({"labels": nl,
+                               "_gk": bin_k.series_key(nl)})
             out = hist_sum(v, ["_gk", "t"], target_les=target)
             lab = v.select("_gk", "labels").dropDuplicates(["_gk"])
             return self._enforce_groupby_limit(
@@ -2052,13 +2056,16 @@ class PromQLEngine:
             # members keep their ORIGINAL labels (TopBottomKRowAggregator
             # presents series); by/without only buckets the ranking
             k = int(self._const(e.param))
-            v = (v.withColumn("_gk", bin_k.series_key(new_labels))
-                  .withColumn("_sk", bin_k.canonical_labels(labels)))
+            v = v.withColumns({"_gk": bin_k.series_key(new_labels),
+                               "_sk": bin_k.canonical_labels(labels)})
             out = agg_k.topk(v, k, ["_gk"], ["_sk"], bottom=e.op == "bottomk")
             return self._enforce_groupby_limit(
                 v, out.select("labels", "t", "value"))
-        v = v.withColumn("labels", new_labels) \
-             .withColumn("_gk", bin_k.series_key(new_labels))
+        # one withColumns = one eager analysis pass, not two (r13 opt);
+        # _gk is computed from the new-labels EXPRESSION so both columns
+        # can land in the same projection
+        v = v.withColumns({"labels": new_labels,
+                           "_gk": bin_k.series_key(new_labels)})
         if e.op == "count_values":
             dst = self._str(e.param)
             vs = F.col("value")

@@ -166,11 +166,19 @@ def main():
 
     queries, _ = all_queries()
     # warm-up: JVM/codegen/file-index init + the shared deduped-events
-    # cache (ingest-side cost, not query cost) out of the timed path
+    # cache (ingest-side cost, not query cost) out of the timed path.
+    # cache_build_sec makes that untimed ingest-side work auditable
+    # round-over-round (r13 verdict item 6): it includes the dedupe
+    # shuffle AND the materialized lag columns the rate family now
+    # reads instead of re-windowing per query.
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
     from filodb_spark.driver_queries.promql_events import _events_cached
+    t_cache = time.time()
     _events_cached(spark, sf_dir).count()
     _events_cached(spark, sf_dir, ("event_type", "user_id")).count()
+    cache_build = round(time.time() - t_cache, 3)
+    print(f"# events cache build: {cache_build:.2f}s (untimed ingest-side)",
+          file=sys.stderr)
     # JMH protocol (run_benchmarks.sh:1-21: 2 warmup + 2 measurement
     # iterations): warm each query's codegen/expression-compile path on
     # the smallest fixture. A different data dir means no data or plan
@@ -241,6 +249,7 @@ def main():
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
         "warmup_sweep_sec": warmup_sweep,
+        "cache_build_sec": cache_build,
         # normalization anchors (calibration_probe): single-thread CPU
         # and memory bandwidth sampled before any Spark work and after
         # the timed pass — PERF.md records the healthy-box band

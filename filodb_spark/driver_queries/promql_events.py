@@ -58,11 +58,12 @@ def _events_cached(spark: SparkSession, sf_dir: str,
     every consecutive-pair kernel (rate/increase/changes/resets/...)
     skips its per-query window Exchange+Sort — the lag is a pure
     function of the deduped series, paid once at cache build (the
-    ingest-materialized-lag pattern; valid because the fixture stream is
-    NaN-free, so every kernel's NaN pre-filter is a no-op and the lag
-    computed here equals the one computed after it). Consumers that
-    reshape the frame (union markers, re-aggregation) must not pass
-    ``prev_attached`` downstream."""
+    ingest-materialized-lag pattern; valid ONLY on a NaN/null-free
+    stream, where every kernel's NaN pre-filter is a no-op and the lag
+    computed here equals the one computed after it — checked at build,
+    attach skipped on dirty data). Consumers that reshape the frame
+    (union markers, re-aggregation) must not pass ``prev_attached``
+    downstream."""
     from filodb_spark.kernels.grid import with_prev_sample
     key = (id(spark), sf_dir, series_cols)
     if key not in _EV_CACHE:
@@ -74,7 +75,15 @@ def _events_cached(spark: SparkSession, sf_dir: str,
                 pass                   # a dead session's frame
         ev = events_ts(spark, sf_dir, series_cols=series_cols)
         if series_cols == ("event_type",):
-            ev = with_prev_sample(ev, series_cols)
+            # guard the prev_attached precondition at the producer: the
+            # precomputed lag equals the kernel-computed one ONLY on a
+            # NaN/null-free frame (range_function applies its NaN policy
+            # BEFORE attaching the lag). One cheap check at cache build;
+            # on dirty data skip attaching — range_function falls back
+            # to its own with_prev_sample when the columns are absent.
+            v = F.col("value")
+            if ev.where(F.isnan(v) | v.isNull()).isEmpty():
+                ev = with_prev_sample(ev, series_cols)
         _EV_CACHE[key] = ev.cache()
     return _EV_CACHE[key]
 

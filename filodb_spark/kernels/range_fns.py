@@ -787,6 +787,12 @@ def range_function(df: DataFrame, fn: str, series_cols: Sequence[str],
     Works on all three plan families: the last-sample combiner is
     max_by(v, ts) everywhere, which is NaN-transparent.
     """
+    if prev_attached and not {"prev_ts", "prev_value"} <= set(df.columns):
+        # the producer declined to attach (e.g. _events_cached found
+        # NaN/null samples, where the precomputed lag would diverge from
+        # the kernel's post-NaN-policy lag) — fall back to computing the
+        # lag here rather than failing on the missing columns
+        prev_attached = False
     stale_last = honor_stale_marker and fn == "last_over_time"
     if stale_last:
         df = df.where(F.col(value_col).isNotNull())  # keep NaN markers

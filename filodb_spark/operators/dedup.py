@@ -412,9 +412,13 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
                  pairs.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
              .distinct()
              .localCheckpoint(eager=True))
-    # the edge list is symmetric, so the `a` side alone already names
-    # every node — the old both-sides union shuffled 2x the edge rows
-    # into the same distinct for the same node set
+    # CONTRACT: `edges` is the SYMMETRIZED closure (both directions of
+    # every pair are present — built by the union above); the node set
+    # and the per-round propagation below both rely on it. Because the
+    # list is symmetric, the `a` side alone already names every node —
+    # the old both-sides union shuffled 2x the edge rows into the same
+    # distinct for the same node set. (Pinned by
+    # test_text_ops.py: a-side node count == a∪b node count.)
     labels = (edges.select(F.col("a").alias("n"))
               .distinct()
               .select("n", F.col("n").alias("lbl"))
@@ -451,8 +455,11 @@ def dedup_clusters(pairs: DataFrame, d1: str = "d1", d2: str = "d2",
         # string column is NULL, and None == None exits after one round.)
         # __prev made the probe a limit-1 filter scan of the checkpoint —
         # the old per-round probe JOIN (labels x prev, 2 exchanges + a
-        # sort-merge join per round) is gone (guide §2.4).
-        if labels.where(F.col("lbl") != F.col("__prev")).isEmpty():
+        # sort-merge join per round) is gone (guide §2.4). Null-safe
+        # comparison: with a plain !=, a null label (null doc ids in
+        # `pairs`) yields NULL -> treated as unchanged -> silent early
+        # exit with garbage labels.
+        if labels.where(~F.col("lbl").eqNullSafe(F.col("__prev"))).isEmpty():
             converged = True
             break
     if stats is not None:

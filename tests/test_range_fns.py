@@ -333,3 +333,62 @@ class TestPrevAttachedAndExprReuse:
         # Spark comparison semantics: NaN = NaN is true, so every row
         # (including the <2-sample NaN steps) must self-match
         assert j.count() == a.count()
+
+    def test_prev_attached_without_columns_falls_back(self, spark):
+        # r14 guard: prev_attached=True on a frame WITHOUT the lag
+        # columns must not fail — it falls back to with_prev_sample
+        # (the producer may decline to attach on NaN-bearing data)
+        df = make_ts_df(spark, {"a": COUNTER_SAMPLES, "b": GAUGE_SAMPLES})
+        grid = StepGrid(8_080_000, 8_160_000, 10_000)
+        for tiling in (False, True):
+            base = range_function(df, "rate", ["series"], grid, 30_000,
+                                  tiling=tiling)
+            fell_back = range_function(df, "rate", ["series"], grid, 30_000,
+                                       tiling=tiling, prev_attached=True)
+            assert self._norm(base) == self._norm(fell_back), tiling
+
+    def test_events_cache_skips_attach_on_nan(self, spark, monkeypatch):
+        # r14 guard at the PRODUCER: a NaN-bearing stream through the
+        # shared events cache must NOT carry precomputed lag columns
+        # (range_function's NaN policy runs before the lag would have
+        # been attached, so the precomputed pairs would silently be
+        # wrong), and the rate family must still compute correctly.
+        from filodb_spark.driver_queries import promql_events as pe
+        dirty = spark.createDataFrame(
+            [("evt", 1000, 1.0), ("evt", 2000, float("nan")),
+             ("evt", 3000, 5.0), ("evt", 4000, 9.0)],
+            "event_type string, ts long, value double")
+        monkeypatch.setattr(pe, "events_ts",
+                            lambda s, d, series_cols=None, **kw: dirty)
+        key = (id(spark), "__nan_guard_test__", ("event_type",))
+        try:
+            cached = pe._events_cached(spark, "__nan_guard_test__")
+            assert "prev_ts" not in cached.columns
+            assert "prev_value" not in cached.columns
+            grid = StepGrid(4000, 4000, 1000)
+            out = range_function(cached, "rate", ["event_type"], grid,
+                                 3000, prev_attached=True)
+            base = range_function(dirty, "rate", ["event_type"], grid, 3000)
+            assert self._norm(out) == self._norm(base)
+        finally:
+            frame = pe._EV_CACHE.pop(key, None)
+            if frame is not None:
+                frame.unpersist()
+
+    def test_events_cache_attaches_on_clean_stream(self, spark, monkeypatch):
+        # the guard must not disable the optimization on clean data
+        from filodb_spark.driver_queries import promql_events as pe
+        clean = spark.createDataFrame(
+            [("evt", 1000, 1.0), ("evt", 2000, 3.0), ("evt", 3000, 5.0)],
+            "event_type string, ts long, value double")
+        monkeypatch.setattr(pe, "events_ts",
+                            lambda s, d, series_cols=None, **kw: clean)
+        key = (id(spark), "__nan_guard_clean__", ("event_type",))
+        try:
+            cached = pe._events_cached(spark, "__nan_guard_clean__")
+            assert "prev_ts" in cached.columns
+            assert "prev_value" in cached.columns
+        finally:
+            frame = pe._EV_CACHE.pop(key, None)
+            if frame is not None:
+                frame.unpersist()

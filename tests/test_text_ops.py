@@ -141,6 +141,39 @@ class TestDedupClusters:
         # diameter 30 needs >2 rounds and must not hit the default cap
         assert 2 < stats["rounds"] < 25
 
+    def test_symmetrized_edges_name_every_node(self, spark):
+        # r13 advice: the node set is derived from the a-side of the
+        # symmetrized edge list alone; pin the coupling — the a-side
+        # node set must equal the a∪b node set (a future edit dropping
+        # the reverse-direction union would silently omit nodes)
+        from pyspark.sql import functions as F
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9), (9, 7)], "d1 long, d2 long")
+        edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+                 .unionByName(
+                     pairs.select(F.col("d2").alias("a"),
+                                  F.col("d1").alias("b")))
+                 .distinct())
+        a_side = {r.a for r in edges.select("a").distinct().collect()}
+        both = {r.n for r in
+                edges.select(F.col("a").alias("n"))
+                .unionByName(edges.select(F.col("b").alias("n")))
+                .distinct().collect()}
+        assert a_side == both == {1, 2, 3, 7, 9}
+
+    def test_null_ids_cannot_fake_convergence(self, spark):
+        # r13 advice: the fixpoint probe is null-SAFE (eqNullSafe) — a
+        # null doc id must not make the loop exit early with
+        # unconverged labels for the real nodes
+        from filodb_spark.operators.dedup import dedup_clusters
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)] + [(None, 3)],
+            "d1 long, d2 long")
+        got = {r.doc_id: r.cluster_id
+               for r in dedup_clusters(pairs).collect()
+               if r.doc_id is not None}
+        assert got == {i: 0 for i in range(9)}
+
 
 class TestSplitAndTfidf:
     def test_split_deterministic_and_proportional(self, spark):

@@ -81,8 +81,17 @@ def _events_cached(spark: SparkSession, sf_dir: str,
             # BEFORE attaching the lag). One cheap check at cache build;
             # on dirty data skip attaching — range_function falls back
             # to its own with_prev_sample when the columns are absent.
+            # The check scans the RAW (pre-dedupe) frame: map-only, no
+            # dedupe shuffle (the deduped-frame check re-ran the whole
+            # dedupe aggregation once just to answer it — r14). Raw-clean
+            # implies deduped-clean (max() keeps NaN — NaN orders
+            # greatest — and yields null only from all-null groups);
+            # raw-dirty-but-deduped-clean only skips the attach, and the
+            # kernels fall back to their own lag window — never wrong.
             v = F.col("value")
-            if ev.where(F.isnan(v) | v.isNull()).isEmpty():
+            raw = events_ts(spark, sf_dir, series_cols=series_cols,
+                            dedupe=False)
+            if raw.where(F.isnan(v) | v.isNull()).isEmpty():
                 ev = with_prev_sample(ev, series_cols)
         _EV_CACHE[key] = ev.cache()
     return _EV_CACHE[key]

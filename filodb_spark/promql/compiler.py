@@ -785,6 +785,14 @@ class PromQLEngine:
         # memoized plan-time scrape-interval estimates per selector
         # (_estimate_scrape_ms) — insertion-ordered dict as bounded FIFO
         self._scrape_cache: dict = {}
+        # selector-fragment memo (r14): the leaf scan + _sk key column
+        # for a (selector, pruned range) is a pure function of the store,
+        # and every Dataset op building it is an eager full-plan analysis
+        # pass on the driver. Holds LOGICAL PLANS (DataFrames), never
+        # results; bypassed whenever a stats collector is attached (the
+        # observe_scan node must be fresh per query). FIFO-bounded like
+        # every memo. Set to None to disable (A/B hook).
+        self._scan_memo: dict | None = {}
         # per-query QueryStats hook (stats.QueryStatsCollector): when
         # set, every leaf scan is wrapped in a DataFrame.observe node
         # (QueryStats analog, QueryContext.scala:385-470). Thread-local:
@@ -820,6 +828,34 @@ class PromQLEngine:
         if self._stats is not None:
             df = self._stats.observe_scan(df, (sel.metric or "",))
         return df
+
+    def _scan_sk(self, sel: A.VectorSelector, ts_lo: int, ts_hi: int,
+                 what: str = "df") -> DataFrame:
+        """Memoized leaf-scan fragments (r14 compile-path memo):
+        ``what="df"`` — the pruned scan with the ``_sk`` series-key
+        column attached; ``what="lab"`` — the per-series label frame
+        (``dropDuplicates`` over ``_sk``). Each Dataset-returning op is
+        an eager analyzer pass over the whole subtree, and repeated
+        selectors are the common case in a serving session; the memo
+        holds unexecuted logical plans keyed on the frozen selector and
+        pruned range — never results. Bypassed when a stats collector
+        is attached (its CollectMetrics node must be fresh per query)
+        or when the memo is disabled (``_scan_memo = None``)."""
+        memo = None if self._stats is not None else self._scan_memo
+        key = (sel, ts_lo, ts_hi, what)
+        if memo is not None and key in memo:
+            return memo[key]
+        if what == "df":
+            out = self._scan(sel, ts_lo, ts_hi) \
+                .withColumn("_sk", bin_k.series_key(F.col("labels")))
+        else:
+            out = (self._scan_sk(sel, ts_lo, ts_hi)
+                   .select("_sk", "labels").dropDuplicates(["_sk"]))
+        if memo is not None:
+            if len(memo) >= 64:
+                memo.pop(next(iter(memo)))
+            memo[key] = out
+        return out
 
     # ---- public API (PrometheusApiRoute.scala:49,68 equivalents) -------
 
@@ -1250,9 +1286,14 @@ class PromQLEngine:
                         "histograms") from None
                 raise
             return self._absent_from(present, sel, grid)
-        df = self._scan(sel, grid.start - window, grid.end)
-        df = df.withColumn("_sk", bin_k.series_key(F.col("labels")))
-        lab = (df.select("_sk", "labels").dropDuplicates(["_sk"]))
+        lo, hi = grid.start - window, grid.end
+        df = self._scan_sk(sel, lo, hi)
+        # per-series label frame, built ONLY on the paths that join it
+        # back (hist / mad / DS-split raw): the common raw path carries
+        # labels through the aggregation (carry_cols), and the eager
+        # dropDuplicates Dataset was a wasted analyzer pass there (r14)
+        def lab() -> DataFrame:
+            return self._scan_sk(sel, lo, hi, "lab")
         if "hist" in df.columns:
             # histogram schema: per-bucket kernels (extrapolatedRateH)
             if fn not in self.HIST_RANGE_FNS:
@@ -1285,13 +1326,13 @@ class PromQLEngine:
                         and c in raw_full.columns]
                 ds_out = (ds_out.join(ds_lab, "_sk")
                           .select("labels", "t", "hist", *keep))
-                raw_out = (raw_full.join(lab, "_sk")
+                raw_out = (raw_full.join(lab(), "_sk")
                            .select("labels", "t", "hist", *keep))
                 return raw_out.where(F.col("t") >= split).unionByName(
                     ds_out.where(F.col("t") < split))
             out = self._hist_window(df, fn, grid, window)
             keep = [c for c in ("hmin", "hmax") if c in out.columns]
-            return out.join(lab, "_sk").select("labels", "t", "hist", *keep)
+            return out.join(lab(), "_sk").select("labels", "t", "hist", *keep)
         # delta-counter schema toggling: rate = sum(window)/window_sec
         if sel.metric in self.store.delta_metrics:
             fn = {"rate": "rate_delta", "increase": "increase_delta"}.get(fn, fn)
@@ -1383,7 +1424,7 @@ class PromQLEngine:
                 # semantics are identical with or without a DS mount
                 raw_out = (range_function(df, fn, ["_sk"], grid,
                                           window, params=params)
-                           .join(lab, "_sk")
+                           .join(lab(), "_sk")
                            .where(F.col("t") >= split)
                            .select("labels", "t", "value"))
             else:
@@ -1397,7 +1438,7 @@ class PromQLEngine:
             return raw_out.unionByName(ds_out.where(F.col("t") < split))
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
             out = range_function(df, fn, ["_sk"], grid, window, params=params)
-            return (out.join(lab, "_sk").select("labels", "t", "value"))
+            return (out.join(lab(), "_sk").select("labels", "t", "value"))
         # _run_range_fn is the RAW-data path: last/last_over_time (and the
         # default instant lookback routed here) honor NaN staleness markers
         # (LastSampleChunkedFunctionD, RangeFunction.scala:541-546); the

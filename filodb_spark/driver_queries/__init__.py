@@ -24,50 +24,47 @@ def all_queries():
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     # Registration order is the driver's gating order: its CORRECTNESS gate
-    # covers the first 50 registered queries per round. Round 13's
+    # covers the first 50 registered queries per round. Round 14's
     # window (rotation rule: head = new queries + forced re-gates +
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-7   NEW r13: pl_c4_clean (C4 line-level cleaning) and
-    #         pl_c4_span_dedup (C4 repeated-span global dedup), both
-    #         Raffel et al. 2020; pl_ccnet_buckets (CCNet per-language
-    #         perplexity thirds, Wenzek et al. 2020); pl_gopher_rules
-    #         + pl_gopher_repetition (the Gopher quality and
-    #         repetition rule panels, Rae et al. 2021);
-    #         pl_temperature_mix (T5 temperature mixing, Raffel et
-    #         al. 2020 §3.4.2); pl_web_pipeline (the flagship
-    #         composition: C4 clean -> span dedup -> both Gopher
-    #         panels -> temperature mix) — all pre-verified exact at
-    #         sf0.001/0.01/0.1,
-    #   8-25  the 18 last-gated-r8 leftovers, alphabetical
-    #         (ts_deriv ... ts_zscore),
-    #   26-50 the last-gated-r9 backlog (45 queries), alphabetical —
-    #         25 fit (ann_bruteforce ... pq_sum_rate); the remaining
-    #         20 (tpch_q1 ... ts_series_cardinality_pk) lead the r14
-    #         backlog.
+    #   1-14  FORCED RE-GATES: no new queries this round (optimization
+    #         round); these are the paths whose code changed AFTER the
+    #         r13 gate ran (commits 6432d00/2cd00ae):
+    #         doc_dedup_clusters (null-safe fixpoint probe);
+    #         ts_changes/ts_idelta/ts_increase/ts_irate/ts_resets (the
+    #         prev_attached NaN-guard consumers); pq_label_join/
+    #         pq_offset/pq_quantile_last/pq_raw_matrix/pq_set_and/
+    #         pq_subquery/pq_sum_rate/pq_topk (the engine shapes over
+    #         the leaf-scan memo + lazy label frame — raw matrix and
+    #         label_join exercise the label-frame path directly).
+    #         All pre-verified exact at sf0.001 on this tree.
+    #   15-34 the last-gated-r9 backlog remainder (20), alphabetical
+    #         (tpch_q1 ... ts_series_cardinality_pk) — includes
+    #         ts_rate/ts_rate_fine/ts_agg_sum_rate (also guard
+    #         consumers) and tpch_q1/q5 (bench headliners),
+    #   35-50 the last-gated-r10 backlog, alphabetical — 16 fit
+    #         (doc_dedup_summary ... tpch_q16); the remaining 26
+    #         (tpch_q19 ... ts_raw_ds_split) lead the r15 backlog.
     window = [
-        # new in round 13
-        "pl_c4_clean", "pl_c4_span_dedup", "pl_ccnet_buckets",
-        "pl_gopher_repetition", "pl_gopher_rules",
-        "pl_temperature_mix", "pl_web_pipeline",
-        # canaries last gated r8 (the 18 leftovers), alphabetical
-        "ts_deriv", "ts_export_columns", "ts_export_rules",
-        "ts_holt_winters", "ts_increase", "ts_irate",
-        "ts_join_group_left", "ts_join_ratio", "ts_label_values",
-        "ts_mad_over_time", "ts_predict_linear", "ts_quantile_over_time",
-        "ts_remote_write_roundtrip", "ts_resets", "ts_salted_sum",
-        "ts_series_cardinality", "ts_set_and", "ts_zscore",
-        # canaries last gated r9, alphabetical (25 of 45)
-        "ann_bruteforce", "doc_dedup_clusters", "doc_fingerprint",
-        "doc_langid", "doc_ngram_jaccard", "doc_segment_dedup",
-        "doc_simhash_portable", "doc_tfidf_topk", "doc_token_count",
-        "emb_norm_stats", "emb_semantic_dedup", "ev_asof_join",
-        "ev_sessions", "mm_frame_sample", "mm_image_features",
-        "pl_contamination", "pl_pack_sequences", "pl_pii_scrub",
-        "pl_quality_filter", "pq_bool_compare", "pq_hist_fraction",
-        "pq_preagg_route", "pq_raw_matrix", "pq_subquery",
-        "pq_sum_rate",
+        # forced re-gates (code touched after the r13 gate)
+        "doc_dedup_clusters",
+        "ts_changes", "ts_idelta", "ts_increase", "ts_irate", "ts_resets",
+        "pq_label_join", "pq_offset", "pq_quantile_last", "pq_raw_matrix",
+        "pq_set_and", "pq_subquery", "pq_sum_rate", "pq_topk",
+        # canaries last gated r9 (the 20 remainder), alphabetical
+        "tpch_q1", "tpch_q12", "tpch_q13", "tpch_q17", "tpch_q18",
+        "tpch_q2", "tpch_q21", "tpch_q3", "tpch_q5", "tpch_q6",
+        "tpch_q9", "ts_agg_avg_by", "ts_agg_sum_rate", "ts_cardbuster",
+        "ts_export_remote_write", "ts_hist_quantile",
+        "ts_label_values_pk", "ts_rate", "ts_rate_fine",
+        "ts_series_cardinality_pk",
+        # canaries last gated r10, alphabetical (16 of 42)
+        "doc_dedup_summary", "doc_rolling_fp", "doc_split", "doc_stats",
+        "doc_subword_count", "ds_avg_rewrite", "ds_cascade", "ds_rollup",
+        "pq_at_modifier", "pq_hist_bucket_quantile", "pq_scalar_vector",
+        "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

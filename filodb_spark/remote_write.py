@@ -39,26 +39,147 @@ __all__ = ["encode_write_request", "decode_write_request",
 RECORD_SCHEMA = "labels map<string,string>, ts long, value double"
 
 
+def _encode_samples_py(samples) -> bytes:
+    """Scalar sample encoder — the reference form the vectorized path
+    must match byte-for-byte (differential-tested in
+    tests/test_remote_write.py); used for short sample lists where
+    numpy setup costs more than it saves."""
+    out = b""
+    for ts, value in samples:
+        # protobuf int64: negatives go out as the 10-byte varint of
+        # the 64-bit two's complement (an unmasked negative Python
+        # int would loop _uvarint forever — n >>= 7 never hits 0)
+        out += _len_delim(2, _field(1, 1)
+                          + struct.pack("<d", float(value))
+                          + _field(2, 0)
+                          + _uvarint(int(ts) & (1 << 64) - 1))
+    return out
+
+
+_NP_MIN = 16   # below this the scalar loop wins (numpy call overhead)
+
+
+def _encode_samples_np(samples) -> bytes:
+    """Vectorized sample encoder (guide §4.2: per-sample byte work out
+    of interpreted Python). Emits exactly the scalar layout: each
+    sample is [0x12][len][0x09][8B LE double][0x10][uvarint ts] where
+    len = 10 + varint_len(ts) <= 20 (always a 1-byte length varint)."""
+    import numpy as np
+    n = len(samples)
+    mask64 = (1 << 64) - 1
+    ts = np.fromiter((int(t) & mask64 for t, _ in samples),
+                     dtype=np.uint64, count=n)
+    vals = np.fromiter((float(v) for _, v in samples),
+                       dtype=np.float64, count=n)
+    # 10 little-endian 7-bit lanes per ts; varint length = index of the
+    # highest non-zero lane + 1 (1 for ts == 0)
+    lanes = np.empty((n, 10), dtype=np.uint8)
+    tmp = ts.copy()
+    for k in range(10):
+        lanes[:, k] = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+    nbytes = np.where(ts == 0, 1,
+                      10 - np.argmax(lanes[:, ::-1] != 0, axis=1))
+    k_idx = np.arange(10)
+    lanes |= (k_idx[None, :] < (nbytes - 1)[:, None]).astype(np.uint8) << 7
+    mat = np.empty((n, 22), dtype=np.uint8)
+    mat[:, 0] = 0x12                                 # field 2, wire 2
+    mat[:, 1] = (10 + nbytes).astype(np.uint8)       # 1-byte msg length
+    mat[:, 2] = 0x09                                 # field 1, fixed64
+    mat[:, 3:11] = vals.astype("<f8").view(np.uint8).reshape(n, 8)
+    mat[:, 11] = 0x10                                # field 2, varint
+    mat[:, 12:] = lanes
+    keep = np.ones((n, 22), dtype=bool)
+    keep[:, 12:] = k_idx[None, :] < nbytes[:, None]
+    return mat[keep].tobytes()                       # row-major: in order
+
+
 def encode_write_request(series: list[tuple[dict, list]]) -> bytes:
     """series: [(labels dict, [(ts_ms, value), ...]), ...] -> raw
     (uncompressed) WriteRequest bytes. Callers POST
     snappy_compress(encode_write_request(...)) like a real Prometheus."""
-    body = b""
+    parts = []
     for labels, samples in series:
         ts_msg = b""
         for name in sorted(labels):
             ts_msg += _len_delim(1, _len_delim(1, name.encode())
                                  + _len_delim(2, str(labels[name]).encode()))
-        for ts, value in samples:
-            # protobuf int64: negatives go out as the 10-byte varint of
-            # the 64-bit two's complement (an unmasked negative Python
-            # int would loop _uvarint forever — n >>= 7 never hits 0)
-            ts_msg += _len_delim(2, _field(1, 1)
-                                 + struct.pack("<d", float(value))
-                                 + _field(2, 0)
-                                 + _uvarint(int(ts) & (1 << 64) - 1))
-        body += _len_delim(1, ts_msg)
-    return body
+        ts_msg += (_encode_samples_np(samples)
+                   if len(samples) >= _NP_MIN
+                   else _encode_samples_py(samples))
+        parts.append(_len_delim(1, ts_msg))
+    return b"".join(parts)
+
+
+def _decode_series_fast(buf: bytes):
+    """Vectorized decoder for the CANONICAL TimeSeries layout (what
+    encode_write_request and real Prometheus senders emit): a leading
+    run of Label submessages (key 0x0A, 1-byte lengths), then a run of
+    Sample submessages each exactly [0x12][len][0x09][8B LE double]
+    [0x10][uvarint ts]. Returns None on ANY deviation — the caller
+    falls back to the strict field-by-field parser, so this path only
+    accepts byte sequences the strict parser would decode to the same
+    value (the lane-structure checks below reject every varint whose
+    strict parse would end at a different byte). Guide §4.2: the
+    per-sample byte-cursor work moves from interpreted Python to numpy.
+    """
+    import numpy as np
+    n = len(buf)
+    labels = {}
+    i = 0
+    while i < n and buf[i] == 0x0A:          # Label, field 1 wire 2
+        if i + 1 >= n:
+            return None
+        ln = buf[i + 1]
+        if ln >= 0x80 or i + 2 + ln > n:     # multi-byte length: punt
+            return None
+        name = value = ""
+        for fn, fw, fv in _iter_fields(buf[i + 2:i + 2 + ln]):
+            if fn in (1, 2) and fw != 2:
+                return None                  # strict path raises; let it
+            if fn == 1:
+                name = fv.decode()
+            elif fn == 2:
+                value = fv.decode()
+        labels[name] = value
+        i += 2 + ln
+    starts = []
+    j = i
+    while j < n and buf[j] == 0x12:          # Sample, field 2 wire 2
+        if j + 1 >= n:
+            return None
+        ln = buf[j + 1]
+        # canonical sample: 1+8 (value) + 1 + varint(1..10) = 11..20
+        if ln < 11 or ln > 20 or j + 2 + ln > n:
+            return None
+        starts.append(j)
+        j += 2 + ln
+    if j != n:                               # trailing/interleaved field
+        return None
+    if not starts:
+        return labels, []
+    b = np.frombuffer(buf, dtype=np.uint8)
+    st = np.asarray(starts, dtype=np.int64)
+    nb = b[st + 1].astype(np.int64) - 10     # ts varint byte count 1..10
+    if (b[st + 2] != 0x09).any() or (b[st + 11] != 0x10).any():
+        return None
+    vals = b[(st + 3)[:, None] + np.arange(8)].copy().view("<f8").ravel()
+    lanes = b[np.minimum((st + 12)[:, None] + np.arange(10),
+                         np.int64(n - 1))]
+    k = np.arange(10)
+    inside = k[None, :] < (nb - 1)[:, None]  # non-final varint bytes
+    last = k[None, :] == (nb - 1)[:, None]
+    cont = (lanes & 0x80) != 0
+    # a strict parse must END exactly at the record end: every non-final
+    # byte carries the continuation bit, the final byte does not
+    if not ((cont | ~inside).all() and ((~cont) | ~last).all()):
+        return None
+    m = k[None, :] < nb[:, None]
+    u = ((lanes & 0x7F).astype(np.uint64)
+         << (7 * k).astype(np.uint64)[None, :])
+    u = np.where(m, u, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    ts = u.view(np.int64)    # reinterpret == the strict sign-extension
+    return labels, list(zip(ts.tolist(), vals.tolist()))
 
 
 def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
@@ -70,6 +191,13 @@ def decode_write_request(raw: bytes) -> list[tuple[dict, list]]:
             continue
         if wire != 2:   # a TimeSeries is length-delimited, nothing else
             raise ValueError(f"WriteRequest.timeseries has wire {wire}")
+        try:
+            fast = _decode_series_fast(val)
+        except ValueError:       # any malformed inner byte: the strict
+            fast = None          # parser below reproduces the error
+        if fast is not None:
+            out.append(fast)
+            continue
         labels, samples = {}, []
         for tn, tw, tv in _iter_fields(val):
             if tn in (1, 2) and tw != 2:

@@ -377,3 +377,89 @@ class TestTls:
             assert buf.n_samples == 5
         finally:
             srv.shutdown()
+
+
+class TestVectorizedCodecInternals:
+    """Pins the r14 numpy codec: the vectorized sample encoder must be
+    byte-identical to the scalar reference, and the vectorized decode
+    fast path must either return exactly what the strict parser returns
+    or refuse (None) so the caller falls back — never a third outcome."""
+
+    EDGE_SAMPLES = [
+        (0, 0.0), (1, -0.0), (-1, 1.5),
+        (127, float("nan")), (128, float("inf")), (129, -float("inf")),
+        ((1 << 63) - 1, 1e308), (-(1 << 63), -1e-308),
+        ((1 << 62), 3.14), (1_700_000_000_000, 42.0),
+        # every varint length 1..10 via powers of 2^7
+        *[((1 << (7 * k)), float(k)) for k in range(10)],
+        *[(-(1 << (7 * k)), float(-k)) for k in range(1, 9)],
+    ]
+
+    def test_np_encoder_matches_scalar_reference(self):
+        from filodb_spark.remote_write import (_encode_samples_np,
+                                               _encode_samples_py)
+        assert _encode_samples_np(self.EDGE_SAMPLES) == \
+            _encode_samples_py(self.EDGE_SAMPLES)
+        # short lists too (below the _NP_MIN dispatch cutoff the scalar
+        # path runs, but the vectorized one must still agree)
+        for i in range(1, 6):
+            sub = self.EDGE_SAMPLES[:i]
+            assert _encode_samples_np(sub) == _encode_samples_py(sub)
+
+    def test_roundtrip_through_fast_path(self):
+        series = [({"__name__": "m", "inst": "a"}, self.EDGE_SAMPLES),
+                  ({}, []), ({"only": "labels"}, [])]
+        raw = encode_write_request(series)
+        dec = decode_write_request(raw)
+        assert encode_write_request(dec) == raw
+        assert [l for l, _ in dec] == [l for l, _ in series]
+        # protobuf int64: ts is the 64-bit two's-complement reinterpret
+        # (2**63 wraps to -2**63 on BOTH the strict and the fast path)
+        def to_i64(t):
+            t = int(t) & (1 << 64) - 1
+            return t - (1 << 64) if t >= 1 << 63 else t
+        assert [t for t, _ in dec[0][1]] == \
+            [to_i64(t) for t, _ in self.EDGE_SAMPLES]
+
+    def test_fast_path_refuses_non_canonical_and_strict_agrees(self):
+        from filodb_spark.remote_read import _len_delim, _field, _uvarint
+        from filodb_spark.remote_write import _decode_series_fast
+        import struct
+        # sample with ts BEFORE value (legal protobuf, non-canonical)
+        swapped = _len_delim(2, _field(2, 0) + _uvarint(123)
+                             + _field(1, 1) + struct.pack("<d", 7.5))
+        label = _len_delim(1, _len_delim(1, b"n") + _len_delim(2, b"v"))
+        assert _decode_series_fast(label + swapped) is None
+        body = _len_delim(1, label + swapped)
+        assert decode_write_request(body) == [({"n": "v"}, [(123, 7.5)])]
+        # label AFTER a sample (interleaved): refuse, strict handles
+        canon = _len_delim(2, _field(1, 1) + struct.pack("<d", 1.0)
+                           + _field(2, 0) + _uvarint(5))
+        assert _decode_series_fast(canon + label) is None
+        assert decode_write_request(_len_delim(1, canon + label)) == \
+            [({"n": "v"}, [(5, 1.0)])]
+        # non-minimal (overlong but in-bounds) ts varint: strict parses
+        # it; the fast path must either agree or refuse — it refuses
+        # because the re-encoded length differs from the canonical one
+        overlong = _len_delim(2, _field(1, 1) + struct.pack("<d", 2.0)
+                              + _field(2, 0) + b"\x85\x00")
+        got = _decode_series_fast(overlong)
+        assert got is None or got == ({}, [(5, 2.0)])
+        assert decode_write_request(_len_delim(1, overlong)) == \
+            [({}, [(5, 2.0)])]
+
+    def test_fast_path_equals_strict_on_canonical(self):
+        from filodb_spark.remote_write import _decode_series_fast
+        from filodb_spark.remote_read import _iter_fields
+        import struct
+        series = [({"a": "1", "b": "2"}, self.EDGE_SAMPLES)]
+        raw = encode_write_request(series)
+        (num, wire, body), = list(_iter_fields(raw))
+        labels, samples = _decode_series_fast(body)
+        assert labels == {"a": "1", "b": "2"}
+        strict = decode_write_request(raw)[0][1]
+        assert len(samples) == len(strict)
+        for (t1, v1), (t2, v2) in zip(samples, strict):
+            assert t1 == t2
+            # bit-level compare absorbs NaN (NaN != NaN under ==)
+            assert struct.pack("<d", v1) == struct.pack("<d", v2)

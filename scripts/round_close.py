@@ -29,8 +29,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cmd: list[str]) -> tuple[int, str]:
-    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+def run(cmd: list[str], env_extra: dict | None = None) -> tuple[int, str]:
+    env = dict(os.environ, **(env_extra or {}))
+    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                       env=env)
     return p.returncode, p.stdout + p.stderr
 
 
@@ -54,7 +56,11 @@ def main() -> int:
                         f"{triple[2]} rows-only"))
 
     if "--skip-tests" not in sys.argv:
-        rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"])
+        # the round-close gate runs the FULL suite including the
+        # @slow batteries the default profile skips for the driver's
+        # time budget (tests/conftest.py)
+        rc, out = run([sys.executable, "-m", "pytest", "tests/", "-q"],
+                      env_extra={"SPARK_GRAFT_RUN_SLOW": "1"})
         m = re.search(r"(\d+) passed(?:, (\d+) skipped)?", out)
         ok = rc == 0
         results.append(("pytest tests/", ok,

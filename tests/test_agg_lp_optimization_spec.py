@@ -264,6 +264,9 @@ def test_weird_wrong_column_cases_not_optimized(spark):
         assert _rewrite(spark, EXCLUDE_RULES_1, q) == parse(q), q
 
 
+@pytest.mark.slow
+
+
 def test_join_one_side_optimizable_diverges_from_reference(spark):
     """DIVERGENCE TEST for the one deliberate planner deviation: the
     reference optimizes a BinaryJoin ONLY when BOTH sides are

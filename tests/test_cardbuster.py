@@ -20,6 +20,10 @@ from filodb_spark.partkey import (partkey_from_samples, read_partkey_table,
 from filodb_spark.sources.table import expire_partitions, write_series_table
 
 
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
+
 def _samples(spark):
     rows = []
     base = 1_700_000_000_000  # 2023-11-14T22:13:20Z

@@ -5,6 +5,11 @@ import io
 import json
 
 from filodb_spark.cli import main
+import pytest
+
+
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
 
 STORE = "events:/root/testdata/sf0.001"
 

@@ -197,6 +197,7 @@ class TestExportRows:
         assert back.where(F.col("day") == 1).count() == 3
 
 
+@pytest.mark.slow
 class TestRuleCascadeProperty:
     """Hypothesis: the in-plan when-chain must agree with a direct
     Python transcription of BatchExporter.getRuleIfShouldExport on

@@ -234,6 +234,7 @@ class TestMixedSchemeSum:
         assert vals[2:] == [23.0, 35.0, 45.0]
 
 
+@pytest.mark.slow
 class TestMinMaxConstrainedQuantile:
     """AggrOverTimeFunctionsSpec.scala:1764-1933 — observed min/max
     tighten the interpolation bucket: a high quantile landing in the top

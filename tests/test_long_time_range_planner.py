@@ -24,6 +24,10 @@ from filodb_spark.kernels.binary import canonical_labels
 from filodb_spark.promql.compiler import PromQLEngine, TsStore
 from filodb_spark.streaming.downsample import downsample
 
+
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
 T0 = 1_704_067_200_000
 MIN = 60_000
 BOUNDARY = T0 + 10 * MIN

@@ -38,6 +38,7 @@ def media_df(spark):
 
 
 class TestImageFeatures:
+    @pytest.mark.slow
     def test_fake_decode_deterministic(self, spark, media_df):
         out = image_features(media_df).collect()
         assert len(out) == 10  # null skipped

@@ -165,6 +165,7 @@ class TestParserBattery:
         assert math.isinf(parse("-Inf").expr.value)  # Unary(-, Inf)
 
 
+@pytest.mark.slow
 class TestGrammarFuzz:
     """Generative robustness: random VALID expressions built from the
     grammar must parse AND compile AND execute against a tiny store

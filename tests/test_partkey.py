@@ -22,6 +22,10 @@ from filodb_spark.partkey import (append_partkey_updates,
 from filodb_spark.promql.compiler import PromQLEngine, TsStore
 
 
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
+
 def _samples(spark, rows):
     """rows: (metric, ws, instance, ts, value)."""
     df = spark.createDataFrame(

@@ -17,6 +17,10 @@ from filodb_spark.promql.compiler import TsStore
 
 from tests.planner_spec_corpus import INSTANT_ONLY, RANGE_QUERIES
 
+
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
 T0 = 1_700_000_000_000
 
 

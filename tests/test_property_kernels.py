@@ -12,6 +12,10 @@ from filodb_spark.kernels.grid import StepGrid
 from filodb_spark.kernels.range_fns import range_function
 from tests.test_range_fns import py_extrapolated_rate
 
+
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
 SEED = 42
 N_SERIES = 60
 T_END = 1_000_000

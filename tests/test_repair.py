@@ -12,6 +12,11 @@ from filodb_spark.operators.repair import (copy_partkeys,
                                            validate_time_slice)
 from filodb_spark.partkey import read_partkey_table, write_partkey_table
 from filodb_spark.sources.table import write_series_table
+import pytest
+
+
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
 
 
 def _series(spark, metrics, n=48, t0=1_700_000_000_000):

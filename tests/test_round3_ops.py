@@ -16,6 +16,7 @@ from filodb_spark.operators.pipeline import incremental_dedup, \
 from filodb_spark.operators.similarity import kmeans_portable
 
 
+@pytest.mark.slow
 class TestKMeansPortable:
     def test_two_obvious_clusters(self, spark):
         pts = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, 0.0]),

@@ -53,6 +53,7 @@ class TestBruteForce:
                    for v in per_q.values())
 
 
+@pytest.mark.slow
 class TestIVF:
     @pytest.fixture(scope="class")
     def emb(self, spark):
@@ -164,6 +165,7 @@ class TestPortableIVF:
         sim.ivf_topk_portable(emb, q, k=3, n_probes=sim._SIGN_BITS + 1)
 
 
+@pytest.mark.slow
 class TestIvfPq:
     """The composed IVF x PQ index: candidate selection by sign-bucket
     probes, scoring by ADC over PQ codes."""
@@ -298,6 +300,7 @@ class TestTopkRecall:
         assert (out[2].n_true, out[2].n_hit, out[2].recall) == (2, 0, 0.0)
 
 
+@pytest.mark.slow
 class TestPrebuiltIndexValidation:
     """ADVICE r4: prebuilt-code entry points must reject indexes that
     disagree with the search parameters instead of silently producing
@@ -378,6 +381,7 @@ class TestPrebuiltIndexValidation:
                 sim.ivfpq_write_index(idx, bad)
 
 
+@pytest.mark.slow
 class TestIvfPqKmeans:
     """IVF x PQ over trained (portable k-means) coarse buckets."""
 

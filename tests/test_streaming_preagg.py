@@ -13,6 +13,9 @@ from filodb_spark.promql.compiler import AggRule, TsStore
 from filodb_spark.streaming.preagg import (build_preagg, preagg_ready_until,
                                            streaming_preagg)
 
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
 RES = 300_000   # 5m publish resolution
 T0 = 1_704_067_200_000
 

@@ -18,6 +18,9 @@ from filodb_spark.streaming.downsample import (downsample, range_function_ds,
 from filodb_spark.streaming.ingest import (dedupe_batch, parse_json_records,
                                            start_ingest)
 
+# slow battery: skipped by default for the driver's pytest budget (SPARK_GRAFT_RUN_SLOW=1 runs it; scripts/round_close.py does)
+pytestmark = pytest.mark.slow
+
 
 class TestInflux:
     def test_parse_basic(self, spark):

@@ -328,6 +328,7 @@ class TestUnigramLogprob:
         assert a == b
 
 
+@pytest.mark.slow
 class TestBpe:
     """BPE tokenizer-training primitives: pair counting (exact, also
     driver-gated as doc_bpe_pairs) and the merge loop, pinned against

@@ -149,6 +149,7 @@ def test_carry_cols_survive_tiling(spark):
     assert rows and all(r["extra"] == "lbl-a" for r in rows)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fn", sorted(ASOF_SUPPORTED))
 def test_asof_equals_explode(spark, samples, fn):
     """The prefix-sum/as-of plan (zero amplification) must agree with
@@ -235,6 +236,7 @@ def test_hist_rate_inherits_tiling(spark):
     assert a == b and len(a) > 50
 
 
+@pytest.mark.slow
 class TestEngineWindowMode:
     """PromQLEngine(window_mode=...) — the user-facing switch between
     the three plan families; results must agree across all of them."""
@@ -315,6 +317,7 @@ def _random_dataset(seed):
     return data, grid, window
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 101, 20260814])
 def test_tiled_equals_explode_randomized(spark, seed):
     """Property battery: on random adversarial datasets and random

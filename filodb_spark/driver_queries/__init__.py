@@ -29,7 +29,7 @@ def all_queries():
     # once-gated, then the canary backlog strictly OLDEST-LAST-GATED
     # first — scripts/gate_hygiene.py + the CORRECTNESS_r* history
     # compute the groups):
-    #   1-14  FORCED RE-GATES: no new queries this round (optimization
+    #   1-15  FORCED RE-GATES: no new queries this round (optimization
     #         round); these are the paths whose code changed AFTER the
     #         r13 gate ran (commits 6432d00/2cd00ae):
     #         doc_dedup_clusters (null-safe fixpoint probe);
@@ -38,21 +38,29 @@ def all_queries():
     #         pq_offset/pq_quantile_last/pq_raw_matrix/pq_set_and/
     #         pq_subquery/pq_sum_rate/pq_topk (the engine shapes over
     #         the leaf-scan memo + lazy label frame — raw matrix and
-    #         label_join exercise the label-frame path directly).
-    #         All pre-verified exact at sf0.001 on this tree.
-    #   15-34 the last-gated-r9 backlog remainder (20), alphabetical
+    #         label_join exercise the label-frame path directly);
+    #         plus ts_remote_write_roundtrip (the r14 vectorized wire
+    #         codec — code touched after the r13 gate).
+    #         All pre-verified exact at sf0.001/sf0.01/sf0.1 on this tree.
+    #   16-35 the last-gated-r9 backlog remainder (20), alphabetical
     #         (tpch_q1 ... ts_series_cardinality_pk) — includes
     #         ts_rate/ts_rate_fine/ts_agg_sum_rate (also guard
     #         consumers) and tpch_q1/q5 (bench headliners),
-    #   35-50 the last-gated-r10 backlog, alphabetical — 16 fit
-    #         (doc_dedup_summary ... tpch_q16); the remaining 26
-    #         (tpch_q19 ... ts_raw_ds_split) lead the r15 backlog.
+    #   36-50 the last-gated-r10 backlog, alphabetical — 15 fit
+    #         (doc_dedup_summary ... tpch_q15); the remaining 27
+    #         (tpch_q16, tpch_q19 ... ts_raw_ds_split) lead the r15
+    #         backlog.
     window = [
         # forced re-gates (code touched after the r13 gate)
         "doc_dedup_clusters",
         "ts_changes", "ts_idelta", "ts_increase", "ts_irate", "ts_resets",
         "pq_label_join", "pq_offset", "pq_quantile_last", "pq_raw_matrix",
         "pq_set_and", "pq_subquery", "pq_sum_rate", "pq_topk",
+        # forced re-gate (r14 vectorized wire codec; its export twin
+        # ts_export_remote_write is already in the r9 backlog below) —
+        # tpch_q16 moves from the r10 tail to the r15 backlog to keep
+        # the window at 50
+        "ts_remote_write_roundtrip",
         # canaries last gated r9 (the 20 remainder), alphabetical
         "tpch_q1", "tpch_q12", "tpch_q13", "tpch_q17", "tpch_q18",
         "tpch_q2", "tpch_q21", "tpch_q3", "tpch_q5", "tpch_q6",
@@ -60,11 +68,11 @@ def all_queries():
         "ts_export_remote_write", "ts_hist_quantile",
         "ts_label_values_pk", "ts_rate", "ts_rate_fine",
         "ts_series_cardinality_pk",
-        # canaries last gated r10, alphabetical (16 of 42)
+        # canaries last gated r10, alphabetical (15 of 42)
         "doc_dedup_summary", "doc_rolling_fp", "doc_split", "doc_stats",
         "doc_subword_count", "ds_avg_rewrite", "ds_cascade", "ds_rollup",
         "pq_at_modifier", "pq_hist_bucket_quantile", "pq_scalar_vector",
-        "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q15", "tpch_q16",
+        "tpch_q10", "tpch_q11", "tpch_q14", "tpch_q15",
     ]
     missing = [k for k in window if k not in q]
     assert not missing, f"gate window names drifted: {missing}"

@@ -1428,12 +1428,17 @@ class PromQLEngine:
                            .where(F.col("t") >= split)
                            .select("labels", "t", "value"))
             else:
+                # labels rebuilt from _sk (the sorted entry array —
+                # injective) instead of a first(map) carry: map-typed
+                # aggregation buffers are not hash-aggregable, so the
+                # carry forced SortAggregate + two Sorts — r14
                 raw_out = range_function(
                     df, fn, ["_sk"], grid, window, params=params,
-                    carry_cols=["labels"],
                     tiling=self._tiling_arg(fn, sel, grid, window),
                     honor_stale_marker=True) \
                     .where(F.col("t") >= split) \
+                    .withColumn("labels",
+                                F.map_from_entries(F.col("_sk"))) \
                     .select("labels", "t", "value")
             return raw_out.unionByName(ds_out.where(F.col("t") < split))
         if fn in ("mad_over_time", "last_over_time_is_mad_outlier"):
@@ -1443,11 +1448,14 @@ class PromQLEngine:
         # default instant lookback routed here) honor NaN staleness markers
         # (LastSampleChunkedFunctionD, RangeFunction.scala:541-546); the
         # subquery path (_eval_subquery) keeps last-non-NaN semantics
+        # no labels carry: rebuilt from _sk post-agg (map-typed first()
+        # buffers force SortAggregate; map_from_entries of the injective
+        # sorted-entry key is the same map) — r14
         out = range_function(df, fn, ["_sk"], grid, window, params=params,
-                             carry_cols=["labels"],
                              tiling=self._tiling_arg(fn, sel, grid, window),
                              honor_stale_marker=True)
-        return out.select("labels", "t", "value")
+        return (out.withColumn("labels", F.map_from_entries(F.col("_sk")))
+                   .select("labels", "t", "value"))
 
     def _absent_from(self, present: DataFrame, sel: A.VectorSelector,
                      grid: StepGrid) -> DataFrame:
@@ -2116,15 +2124,23 @@ class PromQLEngine:
                 F.map_filter(F.col("labels"), lambda k_, _: k_ != dst),
                 F.create_map(F.lit(dst), vstr)))
             v2 = v2.withColumn("_gk", bin_k.series_key(F.col("labels")))
+            # labels rebuilt from the grouping key, not carried with
+            # first(map): a map-typed aggregation buffer is not
+            # hash-aggregable, so the carry forced SortAggregate (two
+            # extra Sorts around the exchange). _gk IS the sorted entry
+            # array of labels (series_key is injective), so
+            # map_from_entries(_gk) is the same map — r14.
             out = (v2.where(~F.isnan("value"))
                      .groupBy("_gk", "t")
-                     .agg(F.first("labels").alias("labels"),
-                          F.count(F.lit(1)).cast("double").alias("value")))
+                     .agg(F.count(F.lit(1)).cast("double").alias("value"))
+                     .withColumn("labels", F.map_from_entries(F.col("_gk"))))
             return self._enforce_groupby_limit(
                 v2, out.select("labels", "t", "value"))
         params = (self._const(e.param),) if e.param is not None else ()
-        out = agg_k.aggregate(v, e.op, ["_gk"], params=params,
-                              carry_cols=["labels"])
+        # no labels carry: rebuilt from _gk post-agg (see count_values
+        # note above — keeps the aggregate hash-aggregable)
+        out = agg_k.aggregate(v, e.op, ["_gk"], params=params) \
+                   .withColumn("labels", F.map_from_entries(F.col("_gk")))
         return self._enforce_groupby_limit(
             v, out.select("labels", "t", "value"))
 

@@ -69,3 +69,43 @@ class TestScanMemo:
         n1 = len(e._scan_memo)
         e.query_range(q, lo, hi - 3600 * 1000, 6 * 3600 * 1000)
         assert len(e._scan_memo) > n1           # different pruned range
+
+
+class TestHashAggregableLabels:
+    """r14: the engine rebuilds labels from the injective series key
+    (map_from_entries of the sorted entry array) after aggregations
+    instead of carrying them with first(map) — a map-typed aggregation
+    buffer is not hash-aggregable, so the carry forced SortAggregate
+    plus two Sorts around every exchange on the raw/agg paths."""
+
+    def _plan(self, df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    def test_raw_and_agg_paths_hash_aggregate(self, eng):
+        e, lo, hi = eng
+        step = 6 * 3600 * 1000
+        for q in ('purchase', 'sum(rate(purchase[24h]))',
+                  'count_values("v", purchase)',
+                  'quantile(0.5, purchase)'):
+            plan = self._plan(e.query_range(q, lo, hi, step))
+            assert "SortAggregate" not in plan, (q, plan)
+
+    def test_rebuilt_labels_equal_source_labels(self, eng):
+        # content equality: the reconstructed map must carry exactly
+        # the source series' labels (entry ORDER may differ — maps are
+        # unordered; everything downstream sorts or looks up by key)
+        e, lo, hi = eng
+        step = 6 * 3600 * 1000
+        out = e.query_range('purchase', lo, hi, step)
+        got = {tuple(sorted(r["labels"].items())) for r in out.collect()}
+        src = e.store.df.where(
+            F.col("labels")["__name__"] == "purchase")
+        exp = {tuple((x["key"], x["value"]) for x in r["e"])
+               for r in src.select(F.array_sort(F.map_entries("labels"))
+                                   .alias("e")).distinct().collect()}
+        assert got <= exp and got, (len(got), len(exp))
+        # by-grouping keeps exactly the by-labels
+        out2 = e.query_range('sum by (user) (purchase)', lo, hi, step)
+        ks = {tuple(sorted(r["labels"].keys())) for r in out2.collect()}
+        assert ks == {("user",)}
